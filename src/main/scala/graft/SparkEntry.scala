@@ -1,13 +1,271 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Relational, Similarity}
+import graft.functions.{MoneyFunctions => MF, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — every SURVEY.md §2 operator exposed as a named query over
+  * the driver testdata, each with a DuckDB-equivalent oracle SQL.
+  *
+  * Determinism rules applied throughout (oracle hash-matches values):
+  *  - money/sum aggregates go through DECIMAL(18,2) (exact, order-independent),
+  *    then CAST AS DOUBLE (same IEEE value in both engines);
+  *  - double ratios are a single division of exact operands, then round(.,6)
+  *    (HALF_UP == DuckDB's half-away-from-zero for positives);
+  *  - every window/limit has a total order (unique tiebreaker);
+  *  - hashing is md5 (bit-identical across engines), never seeded hashes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  type QFn = (SparkSession, String) => DataFrame
+  private final case class Q(name: String, fn: QFn, oracle: Option[String])
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => Tables.events(s, dir) // ns->µs truncation, see Tables
+      case _        => Tables.load(s, dir, name)
+    }
+
+  // DECIMAL(18,2)-exact sum cast back to double — deterministic across engines.
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private val registry: Seq[Q] = Seq(
+
+    // ---- 2.4 Aggregations ----------------------------------------------------
+    Q("q01_agg_pricing", (s, dir) => {
+      // A2 multi-aggregate metrics (game_quality_metrics.sql:3-15 shape)
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             COUNT(*) AS count_order,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q02_revenue_by_nation", (s, dir) => {
+      // J2 fact->dim joins + A2; nation is tiny -> broadcast
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("total_revenue"), count(lit(1)).as("order_cnt"))
+    }, Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             COUNT(*) AS order_cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name""")),
+
+    Q("q03_group_concat_dims", (s, dir) => {
+      // A1 GROUP_CONCAT(DISTINCT) dim assembly (dim_games.sql:3-22 shape)
+      T(s, dir, "nation")
+        .join(T(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(
+          Relational.groupConcatDistinct(col("c_mktsegment")).as("segments"),
+          count(col("c_custkey")).as("n_customers"))
+    }, Some("""
+      SELECT n_name,
+             string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+             COUNT(c_custkey) AS n_customers
+      FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_name""")),
+
+    // ---- 2.3 Joins -----------------------------------------------------------
+    Q("q04_left_join_fill", (s, dir) => {
+      // J3 left merge + F12 null defaulting (load_game_mysql.py:65 shape)
+      val ordAgg = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      T(s, dir, "customer")
+        .join(ordAgg, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+          coalesce(col("total"), lit(0).cast(DecimalType(18, 2))).cast("double").as("total_spent"))
+    }, Some("""
+      SELECT c_custkey, c_name, COALESCE(cnt, 0) AS order_cnt,
+             CAST(COALESCE(total, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey""")),
+
+    Q("q05_full_outer_counts", (s, dir) => {
+      // J4 outer merge + fillna (kafka_producer_info.py:13-28 shape)
+      val c = T(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("customers"))
+      val sup = T(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("suppliers"))
+      c.join(sup, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("customers"), lit(0L)).as("customers"),
+          coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+    }, Some("""
+      SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             COALESCE(c.customers, 0) AS customers,
+             COALESCE(s.suppliers, 0) AS suppliers
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS customers FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS suppliers FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk""")),
+
+    Q("q06_anti_join", (s, dir) =>
+      // J5/J7 anti join: FK orphans / not-yet-processed
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    Q("q07_semi_join", (s, dir) =>
+      // J6 existence gate
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ---- 2.2 Filters / projections ------------------------------------------
+    Q("q08_filter_range", (s, dir) =>
+      // P2 range predicates (stg_prices.sql:10-11) — pushed to parquet scan
+      T(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30 && col("l_discount") >= 0.05 && col("l_tax") >= 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      WHERE l_quantity >= 30 AND l_discount >= 0.05 AND l_tax >= 0""")),
+
+    Q("q09_filter_regex", (s, dir) =>
+      // P5 regex exclusion (steam_crawl_more_info.py:55-60)
+      T(s, dir, "part")
+        .filter(col("p_partkey") > 0 && col("p_name").isNotNull &&
+          !col("p_name").rlike("(?i)\\b(green|blue|red)\\b"))
+        .select("p_partkey", "p_name"),
+      Some("""
+      SELECT p_partkey, p_name FROM part
+      WHERE p_partkey > 0 AND p_name IS NOT NULL
+        AND NOT regexp_matches(p_name, '(?i)\b(green|blue|red)\b')""")),
+
+    Q("q10_project_cast", (s, dir) =>
+      // P4 cast+rename projection; F6 epoch conversions (stg_reviews.sql:4-9)
+      T(s, dir, "events").select(
+        col("event_id"),
+        col("user_id").cast("int").as("uid"),
+        floor(col("ts").cast("double")).cast("long").as("epoch_s"),
+        date_format(col("ts"), "ddMMyyyy").as("file_date"),
+        col("event_type")),
+      Some("""
+      SELECT event_id, CAST(user_id AS INTEGER) AS uid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             strftime(ts, '%d%m%Y') AS file_date, event_type
+      FROM events""")),
+
+    // ---- 2.7 Set ops ---------------------------------------------------------
+    Q("q11_union_distinct", (s, dir) =>
+      // U2/A6 set union of key sets
+      T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct(),
+      Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    Q("q12_except", (s, dir) =>
+      // U3 set difference (remaining = all - processed)
+      T(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(T(s, dir, "orders").select(col("o_custkey").as("custkey"))),
+      Some("""
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT SELECT o_custkey AS custkey FROM orders""")),
+
+    // ---- 2.4/2.5 grouped + analytic ------------------------------------------
+    Q("q13_having_dups", (s, dir) =>
+      // A3 duplicate detection (assert_unique_game_id.sql)
+      T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_cnt")).filter(col("order_cnt") > 1),
+      Some("""
+      SELECT o_custkey, COUNT(*) AS order_cnt FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) > 1""")),
+
+    Q("q14_distinct_keys", (s, dir) =>
+      // A4 distinct key extraction
+      T(s, dir, "customer").select(col("c_nationkey")).distinct(),
+      Some("SELECT DISTINCT c_nationkey FROM customer")),
+
+    Q("q15_window_count", (s, dir) =>
+      // W1 COUNT(*) OVER (PARTITION BY ...) (fact_reviews.sql:9)
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(Window.partitionBy(col("o_custkey"))).as("cust_order_count")),
+      Some("""
+      SELECT o_orderkey, o_custkey,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cust_order_count
+      FROM orders""")),
+
+    Q("q16_dedup_keep_last", (s, dir) =>
+      // W2 dedup keep-last with explicit order column (your_module.py:129)
+      Relational.dedupKeepLast(T(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_quantity")))
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+        FROM lineitem) t WHERE rn = 1""")),
+
+    Q("q17_topn_per_key", (s, dir) =>
+      // W3 top-N per key (review cap, steam_reviews_crawler:33)
+      Relational.topNPerKey(T(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn"),
+      Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        FROM lineitem) t WHERE rn <= 3""")),
+
+    Q("q18_lag_change_detect", (s, dir) =>
+      // W4/J9 previous-value comparison (kafka_consumer_prices.py:60-65)
+      Relational.changedRows(T(s, dir, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), Seq(col("value")))
+        .select("event_id", "user_id", "value", "prev_value"),
+      Some("""
+      SELECT event_id, user_id, value, prev_value FROM (
+        SELECT event_id, user_id, value,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events) t
+      WHERE prev_value IS NOT NULL AND value <> prev_value""")),
+
+    Q("q19_global_topk", (s, dir) =>
+      // T1 global top-k (steam-crawl-playercount.py:72-90, intent: sort+take 2000)
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(2000),
+      Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2000""")),
+
+    Q("q20_state_max_merge", (s, dir) =>
+      // A5/ST1 crawl_state GREATEST-merge (kafka_consumer_reviews.py:69-73)
+      Relational.maxMerge(T(s, dir, "events"), "user_id", "ts"),
+      Some("SELECT user_id, MAX(ts) AS ts FROM events GROUP BY user_id"))
+  )
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, QFn] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o => q.name -> o.trim.replaceAll("\\s+", " "))).toMap
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text scalar functions: the reference's cleanup helpers (F8-F10) plus the
+  * text-analysis layer a large-scale training-data pipeline needs (language ID,
+  * quality scoring, token counting, fingerprinting). Pure Column expression
+  * trees — codegen'd, no UDFs — so they vectorize over 100 TB of documents.
+  *
+  * Reference touchpoints: etl/transform/transform_game.py:8-25 (clean_array_string),
+  * etl/extract/steam_crawl_info.py:41-61 (HTML strip via BS4 get_text).
+  */
+object TextFunctions {
+
+  /** F9 HTML strip: tags -> space, collapse whitespace, trim (documented
+    * approximation of BeautifulSoup get_text(separator=" ", strip=True)). */
+  def stripHtml(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "\\s+", " "))
+
+  /** F8 clean_array_string: strip [ ] ' (and '*' for languages), split on ',',
+    * trim parts, drop empties, re-join ", " (transform_game.py:8-25). */
+  def cleanArrayString(c: Column, isLanguage: Boolean = false): Column = {
+    val stripped0 = regexp_replace(c, "[\\[\\]']", "")
+    val stripped = if (isLanguage) regexp_replace(stripped0, "\\*", "") else stripped0
+    val parts = split(stripped, ",")
+    array_join(filter(transform(parts, p => trim(p)), p => p =!= ""), ", ")
+  }
+
+  /** Whitespace tokenization of trimmed text; empty text -> empty array. */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(t.isNull || t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword-unit count: words + digits + punctuation runs, the shape a
+    * GPT-style pre-tokenizer produces. Counts matches of the pre-token regex. */
+  def preTokenCount(c: Column): Column =
+    coalesce(size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), lit(0)).cast("long")
+
+  /** Normalized form for fingerprinting: lowercase, strip non-alnum, collapse
+    * whitespace, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text (stable across runs and
+    * engines — md5 is bit-identical everywhere, unlike seeded hashes). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Word n-gram shingles (n>=1) over whitespace tokens, as distinct set. */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 1)
+    val t = tokens(c)
+    if (n == 1) array_distinct(t)
+    else {
+      // element_at is 1-indexed; sequence(1, size-n+1) start positions
+      val idx = sequence(lit(1), greatest(size(t) - (n - 1), lit(0)))
+      val grams = transform(idx, i =>
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+      array_distinct(grams)
+    }
+  }
+
+  // ---- Language ID (n-gram/stopword heuristic) ----
+
+  /** Tiny per-language stopword lists for the heuristic classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "por", "como", "para", "del"))
+
+  /** Count of tokens that appear in `words` (lowercased match). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => lower(t).isInCollection(words))).cast("long")
+
+  /** Heuristic language ID: highest stopword-hit language wins; deterministic
+    * tie-break by fixed language order (en > de > fr > es); zero hits -> "und"
+    * (undetermined). Word-level proxy for the usual char-n-gram model — same
+    * plumbing, trivially swappable scoring table. */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val hits = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(toks, stopwords(l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val cascade = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight builds en-first cascade: first match in fixed order wins
+    cascade
+  }
+
+  // ---- Quality scoring ----
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars (0 if empty). */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n.isNull || n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / n)
+  }
+
+  /** Ratio of English stopwords among tokens (proxy for "natural prose"). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(stopwordHits(transform(toks, t => lower(t)), stopwords("en")).cast("double") / size(toks))
+  }
+
+  /** Mean token length in chars (0 if no tokens). */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards prose-like length, stopword
+    * presence, low punctuation noise. Deterministic, engine-independent. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    val punctPenalty = least(punctRatio(c) * 4.0, lit(1.0))
+    round(lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2, 6)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite for training-data pipelines, designed for the
+  * 100 TB path: every variant is a constant number of shuffles keyed on
+  * something small (hash / band / bucket), never an all-pairs cross join.
+  *
+  * Engine-independence note: all hashing is md5-based (bit-identical in every
+  * engine) rather than seeded xxhash/murmur, so results are reproducible and
+  * oracle-checkable; md5 costs more per byte but dedup is shuffle-bound, not
+  * hash-bound, at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; keep the smallest id as the
+    * representative. One shuffle on the 128-bit hash (uniform keys — no skew).
+    * Map-side partial agg reduces shuffle volume to ~unique docs. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup, fingerprint variant: near-identical docs that differ only in
+    * case/punctuation/whitespace collapse to one normalized fingerprint. */
+  def fingerprintGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TF.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Per-(doc, minhash-index) signature table: k independent min-hashes over
+    * word-`n`-gram shingles, h_j(doc) = min over shingles of md5(j ++ ":" ++ s).
+    * Single explode + single groupBy(doc) with k min() partial aggs. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("__sh")))).as(s"h$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: docs sharing any band (md5 of r consecutive
+    * signature slots) become candidate pairs. Shuffles: signature groupBy,
+    * then a self-equi-join on (band_idx, band_hash) — candidates only, never
+    * all pairs. bandRows * numBands == numHashes. */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 8, bandRows: Int = 2,
+                           shingleN: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val numBands = numHashes / bandRows
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleN)
+    val bandCols = (0 until numBands).map { b =>
+      val slots = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = bands.toDF(Seq("doc_a", "band", "bh"): _*)
+    val b = bands.toDF(Seq("doc_b", "band", "bh"): _*)
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact word-n-gram Jaccard similarity for all pairs sharing >=1 shingle:
+    * explode distinct shingles, self-join on shingle (inverted-index join, not
+    * cross join), count intersection, derive union via per-doc set sizes.
+    * Output pairs with jaccard >= threshold. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TF.shingles(col(textCol), shingleN)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("doc_a", "sh").join(sh.toDF("doc_b", "sh"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("doc_a", "n_a")), "doc_a")
+      .join(broadcast(sizes.toDF("doc_b", "n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash (32-bit, md5-derived token hashes): per bit i, sum +/-1 over
+    * tokens by bit i of the token hash; simhash bit i = 1 iff the sum > 0.
+    * One explode + one groupBy with 32 conditional-sum partial aggs. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TF.tokens(col(textCol)))).as("__t"))
+      .withColumn("__h", conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+    val aggs = (0 until bits).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val v = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sh = (0 until bits).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))).reduce(_ + _)
+    v.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Brute force
+    * (inverted by LSH at scale — see Similarity.lshNearDupPairs); kept as the
+    * correctness baseline. Deterministic double arithmetic (see VectorFunctions). */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks re-expressing the reference's row-at-a-time /
+  * SQL patterns as distributed, shuffle-aware Spark plans. Each method notes
+  * its SURVEY §2 id and the scale story.
+  */
+object Relational {
+
+  /** A1 GROUP_CONCAT(DISTINCT ... ) with deterministic sorted order and
+    * SQL NULL-on-empty-group semantics (MySQL returns NULL when the group has
+    * no non-null values; Spark's concat_ws would return "").
+    * Partial aggregation (ObjectHashAggregate on collect_set) keeps the
+    * shuffle to distinct values per group, not raw rows. */
+  def groupConcatDistinct(values: Column, sep: String = ","): Column = {
+    val set = array_sort(collect_set(values))
+    when(size(set) === 0, lit(null).cast("string")).otherwise(array_join(set, sep))
+  }
+
+  /** W2 dedup keep-last per key: the reference relied on pandas file order
+    * (drop_duplicates keep='last', utils/your_module.py:129); Spark has no
+    * implicit row order, so the caller provides an explicit `order` column
+    * (ingest offset / event time). One shuffle on `keys`. */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W3 top-N rows per key (review cap). Window row_number: single shuffle on
+    * key; AQE handles skewed keys. `order` must be a total order (include a
+    * unique tiebreaker) for deterministic output. */
+  def topNPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int,
+                 rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** W4/J9 change detection: annotate each row with the previous row's values
+    * (per key, by event order) and keep rows where any watched column changed.
+    * Batch replay of the CDC before/after diff (tasks/steam_tasks_improved.py:595-599). */
+  def changedRows(df: DataFrame, key: Column, order: Seq[Column], watched: Seq[Column],
+                  prevPrefix: String = "prev_"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val withPrev = watched.foldLeft(df) { (d, c) =>
+      d.withColumn(prevPrefix + c.toString, lag(c, 1).over(w))
+    }
+    val changed = watched.map(c => col(prevPrefix + c.toString) =!= c).reduce(_ || _)
+    withPrev.filter(col(prevPrefix + watched.head.toString).isNotNull && changed)
+  }
+
+  /** J7/U3 incremental anti-join: rows of `all` whose `key` is not in
+    * `processed`. Processed sets are small relative to the fact side at scale
+    * -> broadcast the distinct key set. */
+  def notYetProcessed(all: DataFrame, processed: DataFrame, key: String): DataFrame =
+    all.join(broadcast(processed.select(key).distinct()), Seq(key), "left_anti")
+
+  /** J6 existence gate (semi join against an entity table). */
+  def existingOnly(df: DataFrame, entity: DataFrame, key: String): DataFrame =
+    df.join(entity.select(key).distinct(), Seq(key), "left_semi")
+
+  /** A5/ST1 crawl_state max-merge: per-key high-water-mark
+    * (GREATEST(last_ts, new_ts) upsert semantics as one partial-aggregated
+    * groupBy; merging into an existing state table is a full-outer + greatest). */
+  def maxMerge(updates: DataFrame, key: String, tsCol: String): DataFrame =
+    updates.groupBy(key).agg(max(tsCol).as(tsCol))
+
+  /** S11 upsert (INSERT .. ON DUPLICATE KEY UPDATE): last-writer-wins merge of
+    * `incoming` into `existing` by `keys`; `order` breaks ties within the
+    * incoming batch. Equivalent to MERGE on an immutable store:
+    * dedupe incoming, then existing anti-join incoming, union. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             order: Seq[Column]): DataFrame = {
+    val deduped = dedupKeepLast(incoming, keys, order)
+    existing.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(deduped)
+  }
+
+  /** S12 insert-ignore: append only rows whose key is absent. */
+  def insertIgnore(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      incoming.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** J10 lookup-or-create surrogate keys: assign dense ids to names missing
+    * from `dim`, continuing after max(existing id). Deterministic
+    * (row_number over name order), unlike monotonically_increasing_id.
+    * The existing dim is broadcast; new-key numbering is a single small sort. */
+  def lookupOrCreate(dim: DataFrame, idCol: String, nameCol: String,
+                     names: DataFrame): DataFrame = {
+    val maxId = coalesce(max(col(idCol)), lit(0L))
+    val base = dim.agg(maxId.as("__max")).
+
+      crossJoin(names.select(col(nameCol)).distinct()
+        .join(broadcast(dim.select(nameCol)), Seq(nameCol), "left_anti"))
+    val w = Window.orderBy(col(nameCol))
+    val created = base.withColumn(idCol, (col("__max") + row_number().over(w)).cast("int"))
+      .select(col(idCol), col(nameCol))
+    dim.select(col(idCol), col(nameCol)).unionByName(created)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine is the correctness baseline; the
+  * scale path buckets vectors with deterministic sign-random-projection LSH
+  * so the per-query candidate set is a bucket, not the corpus.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane weights: weight of plane p, dim d
+    * is derived from md5(p:"_"d), mapped to [-7.5, 7.5]. No runtime RNG — the
+    * same planes exist on every executor, every run, every engine. */
+  def hyperplanes(numPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val mdsrc = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        val h = mdsrc.digest(s"${p}_$d".getBytes("UTF-8"))
+        // first hex nibble -> [-7.5, 7.5]
+        ((h(0) >> 4) & 0xf).toDouble - 7.5
+      }
+    }
+  }
+
+  /** Brute-force cosine top-k against a single query vector (as a Column
+    * literal or correlated column). One scan, one TakeOrderedAndProject —
+    * no shuffle of the corpus. Deterministic order: (cos desc, id). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryVec: Column, k: Int): DataFrame =
+    emb.withColumn("cos", round(VF.cosine(col(vecCol), queryVec), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Annotate each vector with its SRP-LSH bucket (numPlanes sign bits). */
+  def withBucket(emb: DataFrame, vecCol: String, numPlanes: Int, dims: Int,
+                 bucketCol: String = "bucket"): DataFrame =
+    emb.withColumn(bucketCol, VF.srpBucket(col(vecCol), hyperplanes(numPlanes, dims)))
+
+  /** LSH-bucketed ANN top-k: only candidates in the query's bucket are scored.
+    * At 100 TB the bucketed table is written partitioned by bucket, so a query
+    * touches one partition (partition pruning), not the corpus. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Float], k: Int, numPlanes: Int = 8): DataFrame = {
+    val dims = queryVec.length
+    val planes = hyperplanes(numPlanes, dims)
+    val qBucket = planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(queryVec).map { case (w, x) => w * x }.sum
+      if (d >= 0.0) 1L << p else 0L
+    }.sum
+    val q = typedLit(queryVec)
+    withBucket(emb, vecCol, numPlanes, dims)
+      .filter(col("bucket") === qBucket)
+      .withColumn("cos", round(VF.cosine(col(vecCol), q), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidate pairs share a bucket
+    * (self-equi-join on bucket), then exact cosine filter. The scale form of
+    * Dedup.embeddingNearDupPairs — shuffle keyed on bucket ids. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int, dims: Int): DataFrame = {
+    val bucketed = withBucket(emb, vecCol, numPlanes, dims)
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos").distinct()
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (small, broadcast as literals); probing = scoring only the
+    * lists of the closest nprobe centroids. Centroid training is out of scope
+    * (k-means over a sample upstream); assignment is the engine-side operator. */
+  def ivfAssign(emb: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
+                listCol: String = "ivf_list"): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = typedLit(c)
+      val d2 = aggregate(zip_with(col(vecCol), cc, (x, y) => {
+        val diff = x.cast("double") - y
+        diff * diff
+      }), lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(i).as("i"))
+    }
+    emb.withColumn(listCol, least(dists: _*).getField("i"))
+  }
+}

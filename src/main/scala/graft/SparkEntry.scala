@@ -256,7 +256,161 @@ object SparkEntry {
     Q("q20_state_max_merge", (s, dir) =>
       // A5/ST1 crawl_state GREATEST-merge (kafka_consumer_reviews.py:69-73)
       Relational.maxMerge(T(s, dir, "events"), "user_id", "ts"),
-      Some("SELECT user_id, MAX(ts) AS ts FROM events GROUP BY user_id"))
+      Some("SELECT user_id, MAX(ts) AS ts FROM events GROUP BY user_id")),
+
+    // ---- 2.8 Scalar functions ------------------------------------------------
+    Q("q21_money_roundtrip", (s, dir) => {
+      // F1-F4: format_cents -> to_cents roundtrip + initial_price compute
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100, 0).cast("int").as("discount_pct"))
+        .withColumn("price_str", MF.formatCents(col("cents")))
+        .withColumn("parsed_cents", MF.toCents(col("price_str")))
+        .withColumn("initial_cents", MF.initialPriceCents(col("parsed_cents"), col("discount_pct")))
+        .select("l_orderkey", "l_linenumber", "price_str", "parsed_cents",
+          "discount_pct", "initial_cents")
+    }, Some("""
+      WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(round(l_discount * 100, 0) AS INTEGER) AS discount_pct
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             printf('%d,%02d', cents // 100, cents % 100) AS price_str,
+             cents AS parsed_cents, discount_pct,
+             CASE WHEN cents <= 0 THEN 0
+                  WHEN discount_pct <= 0 THEN cents
+                  WHEN 1.0 - discount_pct / 100.0 <= 0 THEN cents
+                  ELSE CAST(round_even(cents / (1.0 - discount_pct / 100.0), 0) AS BIGINT)
+             END AS initial_cents
+      FROM b""")),
+
+    Q("q22_date_roundtrip", (s, dir) =>
+      // F5: '1 Jan, 2020'-format parse with null-on-fail (transform_game.py:21)
+      T(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "d MMM, yyyy").as("date_str"),
+        to_date(date_format(col("o_orderdate"), "d MMM, yyyy"), "d MMM, yyyy").as("parsed_date")),
+      Some("""
+      SELECT o_orderkey, strftime(o_orderdate, '%-d %b, %Y') AS date_str,
+             CAST(o_orderdate AS DATE) AS parsed_date
+      FROM orders""")),
+
+    Q("q23_strip_html", (s, dir) =>
+      // F9 HTML strip (steam_crawl_info.py:41-61)
+      T(s, dir, "documents").select(col("doc_id"),
+        TF.stripHtml(concat(lit("<p>"), col("text"), lit("</p><br/>"))).as("clean_text")),
+      Some("""
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace('<p>' || text || '</p><br/>',
+                  '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+      FROM documents""")),
+
+    Q("q24_clean_array_string", (s, dir) =>
+      // F8/F10 stringified-list cleanup (transform_game.py:8-25)
+      T(s, dir, "documents").select(col("doc_id"),
+        TF.cleanArrayString(concat(lit("['"), col("lang"), lit("', '"), col("source"), lit("']")))
+          .as("cleaned")),
+      Some("SELECT doc_id, lang || ', ' || source AS cleaned FROM documents")),
+
+    // ---- Text analysis (training-data pipeline) ------------------------------
+    Q("q25_token_stats", (s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("chars_measured"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.preTokenCount(col("text")).as("n_pretokens"),
+        round(TF.tokenCount(col("text")).cast("double") / length(col("text")), 6)
+          .as("tokens_per_char")),
+      Some("""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS chars_measured,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pretokens,
+             round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / length(text), 6) AS tokens_per_char
+      FROM documents""")),
+
+    Q("q26_quality_score", (s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TF.qualityScore(col("text")).as("quality")),
+      Some(s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS praw,
+               CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                    x -> x IN (${TextOracle.enStop}))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')) AS sraw
+        FROM documents)
+      SELECT doc_id, round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
+             round(least(length(text) / 500.0, 1.0) * 0.4
+                   + least(sraw * 4.0, 1.0) * 0.4
+                   + (1.0 - least(praw * 4.0, 1.0)) * 0.2, 6) AS quality
+      FROM t""")),
+
+    Q("q27_langid", (s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_pred")),
+      Some(TextOracle.langIdSql)),
+
+    Q("q28_fingerprint", (s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fingerprint")),
+      Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents""")),
+
+    // ---- Deduplication suite -------------------------------------------------
+    Q("q29_dedup_exact", (s, dir) =>
+      Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      FROM documents GROUP BY md5(text)""")),
+
+    Q("q30_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, threshold = 0.2),
+      Some(TextOracle.jaccardSql(0.2))),
+
+    Q("q31_minhash_lsh", (s, dir) =>
+      Dedup.minhashLshCandidates(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bandRows = 2, shingleN = 2),
+      Some(TextOracle.minhashSql(numHashes = 8, bandRows = 2))),
+
+    Q("q32_simhash", (s, dir) =>
+      Dedup.simhash(T(s, dir, "documents"), "doc_id", "text", bits = 32),
+      Some(TextOracle.simhashSql(32))),
+
+    // ---- Similarity search ---------------------------------------------------
+    Q("q33_cosine_topk", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", round(VF.cosine(col("embedding"), col("qvec")), 6))
+        .select("vec_id", "cos")
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }, Some(TextOracle.cosineTopkSql(10))),
+
+    Q("q34_embedding_near_dup", (s, dir) =>
+      Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4),
+      Some(TextOracle.nearDupSql(0.4))),
+
+    // LSH ANN + IVF assignment: plan-level ops whose plane/centroid literals
+    // aren't reasonably SQL-expressible -> rows-only driver check.
+    Q("q35_ann_lsh_topk", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.lshTopK(emb, "vec_id", "embedding", qv, k = 10, numPlanes = 6)
+    }, None),
+
+    Q("q36_ivf_assign", (s, dir) =>
+      Similarity.ivfAssign(T(s, dir, "embeddings"), "embedding",
+        Similarity.hyperplanes(4, 64)).select("vec_id", "ivf_list"),
+      None)
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.TextFunctions
+
+/** Generated DuckDB oracle SQL for the text/dedup/similarity queries — these
+  * mirror the Spark operators expression-for-expression so the driver's
+  * hash compare is exact. Kept out of SparkEntry for readability.
+  */
+object TextOracle {
+
+  /** 'the','and',... literal list for the en stopword set (same source of
+    * truth as TextFunctions.stopwords). */
+  def stopList(lang: String): String =
+    TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  def enStop: String = stopList("en")
+
+  /** Word-bigram distinct shingles of `documents.text` — matches
+    * TextFunctions.shingles(_, 2): whitespace split of trimmed text, then
+    * (t[i], t[i+1]) pairs joined by one space, distinct. */
+  private val shingleCte: String = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))"""
+
+  def jaccardSql(threshold: Double): String = s"""
+    WITH $shingleCte,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= $threshold"""
+
+  def minhashSql(numHashes: Int, bandRows: Int): String = {
+    val sigCols = (0 until numHashes)
+      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
+    val numBands = numHashes / bandRows
+    val bandSelects = (0 until numBands).map { b =>
+      val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $shingleCte,
+    sig AS (
+      SELECT doc_id, $sigCols
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      $bandSelects)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+  }
+
+  def simhashSql(bits: Int): String = {
+    val vCols = (0 until bits)
+      .map(i => s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n             ")
+    val shExpr = (0 until bits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+      FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hv FROM toks),
+    v AS (SELECT doc_id, $vCols
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, $shExpr AS simhash FROM v"""
+  }
+
+  /** dot/norm folded left-to-right over doubles — same association order as
+    * VectorFunctions.dot's aggregate(), so bit-identical before round(6). */
+  private def dotExpr(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def cosineTopkSql(k: Int): String = s"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(${dotExpr("embedding", "qv")}
+                 / (sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotExpr("qv", "qv")})), 6) AS cos
+    FROM embeddings, q WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id LIMIT $k"""
+
+  def nearDupSql(threshold: Double): String = s"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(${dotExpr("a.embedding", "b.embedding")}
+                   / (sqrt(${dotExpr("a.embedding", "a.embedding")})
+                      * sqrt(${dotExpr("b.embedding", "b.embedding")})), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM p WHERE cos >= $threshold"""
+
+  def langIdSql: String = {
+    val langs = Seq("en", "de", "fr", "es")
+    val hitCols = langs.map(l =>
+      s"len(list_filter(toks, x -> x IN (${stopList(l)}))) AS h_$l").mkString(",\n             ")
+    val cases = langs.map(l => s"WHEN best > 0 AND h_$l = best THEN '$l'").mkString("\n           ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents),
+    h AS (SELECT doc_id, lang, $hitCols
+          FROM t),
+    g AS (SELECT doc_id, lang, h_en, h_de, h_fr, h_es,
+                 greatest(h_en, h_de, h_fr, h_es) AS best FROM h)
+    SELECT doc_id, lang,
+           CASE $cases
+           ELSE 'und' END AS lang_pred
+    FROM g"""
+  }
+}

@@ -410,7 +410,132 @@ object SparkEntry {
     Q("q36_ivf_assign", (s, dir) =>
       Similarity.ivfAssign(T(s, dir, "embeddings"), "embedding",
         Similarity.hyperplanes(4, 64)).select("vec_id", "ivf_list"),
-      None)
+      None),
+
+    // ---- batch 3: remaining SURVEY §2 rows -----------------------------------
+    Q("q37_staging_filter", (s, dir) =>
+      // P1 staging projection + non-empty filter (stg_games.sql:3-14)
+      T(s, dir, "customer")
+        .filter(col("c_name").isNotNull && col("c_name") =!= "")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_name IS NOT NULL AND c_name <> ''""")),
+
+    Q("q38_type_dispatch_filter", (s, dir) =>
+      // P6/P7/P8 type-dispatch + required-field validity filters
+      T(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("value").isNotNull)
+        .select("event_id", "user_id", "value"),
+      Some("""
+      SELECT event_id, user_id, value FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL""")),
+
+    Q("q39_nan_cleanup", (s, dir) =>
+      // P9 sentinel-string -> NULL cleanup + F12 defaulting
+      T(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("clean_type"),
+        coalesce(col("value"), lit(0.0)).as("value_filled")),
+      Some("""
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS clean_type,
+             COALESCE(value, 0.0) AS value_filled
+      FROM events""")),
+
+    Q("q40_dim_assembly_multijoin", (s, dir) => {
+      // J1 multi-way dim assembly (dim_games.sql:13-21; TPC-H Q5 shape) —
+      // dims broadcast, single shuffle keyed on the fact join key
+      val li = T(s, dir, "lineitem")
+      li.join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""")),
+
+    Q("q41_state_lookup_join", (s, dir) => {
+      // J8 broadcast crawl-state lookup + only-newer filter
+      // (kafka_producer_prices.py:46-59)
+      val ev = T(s, dir, "events")
+      val state = Relational.maxMerge(ev.filter(col("event_id") < 5000), "user_id", "ts")
+        .withColumnRenamed("ts", "last_ts")
+      ev.join(broadcast(state), Seq("user_id"), "left")
+        .filter(col("last_ts").isNull || col("ts") > col("last_ts"))
+        .select("event_id", "user_id")
+    }, Some("""
+      WITH state AS (
+        SELECT user_id, MAX(ts) AS last_ts FROM events WHERE event_id < 5000 GROUP BY user_id)
+      SELECT e.event_id, e.user_id FROM events e
+      LEFT JOIN state s ON e.user_id = s.user_id
+      WHERE s.last_ts IS NULL OR e.ts > s.last_ts""")),
+
+    Q("q42_lookup_or_create", (s, dir) => {
+      // J10 surrogate-key lookup-or-create (load_game_mysql.py:37-58),
+      // deterministic dense ids instead of MySQL lastrowid
+      val part = T(s, dir, "part")
+      val dim = part.filter(col("p_partkey") <= 500).select(col("p_brand").as("brand")).distinct()
+        .withColumn("brand_id", row_number().over(Window.orderBy(col("brand"))).cast("int"))
+      val names = part.select(col("p_brand").as("brand"))
+      Relational.lookupOrCreate(dim, "brand_id", "brand", names)
+    }, Some("""
+      WITH dim AS (
+        SELECT brand, CAST(ROW_NUMBER() OVER (ORDER BY brand) AS INTEGER) AS brand_id
+        FROM (SELECT DISTINCT p_brand AS brand FROM part WHERE p_partkey <= 500)),
+      news AS (
+        SELECT DISTINCT p_brand AS brand FROM part
+        WHERE p_brand NOT IN (SELECT brand FROM dim)),
+      created AS (
+        SELECT brand,
+               CAST((SELECT COALESCE(MAX(brand_id), 0) FROM dim)
+                    + ROW_NUMBER() OVER (ORDER BY brand) AS INTEGER) AS brand_id
+        FROM news)
+      SELECT brand_id, brand FROM dim
+      UNION ALL SELECT brand_id, brand FROM created""")),
+
+    Q("q43_json_decode", (s, dir) =>
+      // F11/S17 JSON message decode (from_json on the wire format)
+      T(s, dir, "events").select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k")),
+      Some("""
+      SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""")),
+
+    Q("q44_global_counts", (s, dir) =>
+      // A7/A8 running counters / collection counts
+      T(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts")),
+      Some("""
+      SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem""")),
+
+    Q("q45_tz_file_date", (s, dir) =>
+      // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
+      T(s, dir, "events").select(col("event_id"),
+        date_format(from_utc_timestamp(col("ts"), "Asia/Ho_Chi_Minh"), "ddMMyyyy")
+          .as("file_date")),
+      Some("""
+      SELECT event_id,
+             strftime(timezone('Asia/Ho_Chi_Minh', CAST(ts AS TIMESTAMPTZ)), '%d%m%Y') AS file_date
+      FROM events"""))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,67 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt-style data-quality assertions (SURVEY §5): each check returns the
+  * violating rows (empty = pass), mirroring dbt's "test query returns
+  * failures" contract (severity handling is the caller's). All checks are
+  * single-pass distributed plans — no collect.
+  */
+object DataQuality {
+
+  final case class CheckResult(name: String, violations: Long, sample: DataFrame)
+
+  private def result(name: String, bad: DataFrame): CheckResult =
+    CheckResult(name, bad.count(), bad)
+
+  /** dbt `unique`: key values appearing more than once. */
+  def unique(df: DataFrame, cols: Seq[String]): CheckResult =
+    result(s"unique(${cols.mkString(",")})",
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n")).filter(col("n") > 1))
+
+  /** dbt `not_null`. */
+  def notNull(df: DataFrame, c: String): CheckResult =
+    result(s"not_null($c)", df.filter(col(c).isNull))
+
+  /** dbt `relationships` (FK): child keys with no parent — anti join
+    * (assert_foreign_key_crawl_state.sql shape). */
+  def relationships(child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String): CheckResult =
+    result(s"relationships($childKey -> $parentKey)",
+      child.join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti"))
+
+  /** dbt_utils `accepted_range` (schema.yml:29-33 etc.). */
+  def acceptedRange(df: DataFrame, c: String,
+                    min: Option[Double] = None, max: Option[Double] = None): CheckResult = {
+    val conds: Seq[Column] = min.map(col(c) < _).toSeq ++ max.map(col(c) > _).toSeq
+    result(s"accepted_range($c)", df.filter(col(c).isNotNull && conds.reduce(_ || _)))
+  }
+
+  /** dbt `accepted_values`. */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[Any]): CheckResult =
+    result(s"accepted_values($c)", df.filter(col(c).isNotNull && !col(c).isInCollection(values)))
+
+  /** Run a suite; returns failures only (dbt severity=warn just logs them). */
+  def run(checks: Seq[CheckResult]): Seq[CheckResult] = checks.filter(_.violations > 0)
+
+  /** The reference's full test suite over a warehouse
+    * (steam_analytics/models/staging/schema.yml + the five singular tests). */
+  def steamSuite(w: graft.domain.SteamModels.Warehouse): Seq[CheckResult] = {
+    import graft.domain.SteamModels._
+    val g = stgGames(w)
+    val p = stgPrices(w)
+    val cs = stgCrawlState(w)
+    Seq(
+      unique(g, Seq("game_id")),
+      notNull(g, "game_id"), notNull(g, "title"),
+      acceptedRange(g, "required_age", Some(0), Some(18)),
+      notNull(p, "game_id"), notNull(p, "price"),
+      acceptedRange(p, "price", Some(0)),
+      acceptedRange(p, "discount", Some(0), Some(100)),
+      acceptedRange(p, "initial_price", Some(0)),
+      relationships(p, "game_id", g, "game_id"),
+      relationships(cs.withColumnRenamed("game_appid", "game_id"), "game_id", g, "game_id"),
+      unique(cs, Seq("game_appid")))
+  }
+}

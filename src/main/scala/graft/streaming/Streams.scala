@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.domain.Schemas
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming jobs (SURVEY §2.9 ST1-ST10), Structured-Streaming-first:
+  * checkpoints replace the reference's JSON state files and manual offset
+  * commits; `foreachBatch` merges replace per-message MySQL commits.
+  *
+  * Every job is split into a pure batch core (DataFrame -> DataFrame, unit
+  * testable, reusable for backfills) and a thin streaming wrapper — the
+  * standard pattern for exactly-once `foreachBatch` sinks.
+  */
+object Streams {
+
+  // ---- decode (S17/S18) ----
+
+  /** Kafka-wire JSON decode: value -> typed columns (F11). */
+  def decodeJson(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema).as("m")).select("m.*")
+
+  /** ST1 ingress: price-tick messages — type dispatch (P7) + required-field
+    * validity (P8) + money parsing (F1-F4). */
+  def decodePriceTicks(raw: DataFrame): DataFrame = {
+    import graft.functions.{MoneyFunctions => MF}
+    decodeJson(raw, Schemas.priceTickMsg)
+      .filter(col("type") === "price")
+      .filter(col("appid").isNotNull && col("price").isNotNull &&
+        col("discount").isNotNull && col("initial_price").isNotNull)
+      .select(
+        col("appid"),
+        MF.toCents(col("price")).as("price_cents"),
+        MF.parseDiscount(col("discount")).as("discount"),
+        MF.toCents(col("initial_price")).as("initial_price_cents"),
+        timestamp_seconds(col("timestamp")).as("ts"))
+  }
+
+  /** S18: Debezium envelope decode. */
+  def decodeCdc(raw: DataFrame): DataFrame =
+    decodeJson(raw, Schemas.cdcEnvelope)
+      .select(col("payload.before").as("before"), col("payload.after").as("after"))
+      .filter(col("after").isNotNull)
+
+  /** ST4 change filter: any of the three compared fields differs, or the row
+    * is new (before IS NULL -> reference skips notify; we mirror that). */
+  def cdcChanged(decoded: DataFrame): DataFrame =
+    decoded.filter(col("before").isNotNull &&
+      (col("before.price") =!= col("after.price") ||
+        col("before.discount") =!= col("after.discount") ||
+        col("before.initial_price") =!= col("after.initial_price")))
+
+  // ---- stateful dedup (ST4/ST9) ----
+
+  final case class CdcChange(game_id: Int, ts: Double,
+                             old_price: Double, new_price: Double,
+                             old_discount: Int, new_discount: Int)
+
+  /** Per-key monotone high-water-mark dedup: drop events whose ts <= the max
+    * already seen for the key — the GroupState replacement for cdc_state.json
+    * (tasks/steam_tasks_improved.py:513-529,577-601). State survives restarts
+    * via the query checkpoint, like the reference's JSON file did. */
+  def monotoneDedup(ds: Dataset[CdcChange]): Dataset[CdcChange] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.game_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, events: Iterator[CdcChange], state: GroupState[Double]) => {
+          val seen = state.getOption.getOrElse(Double.MinValue)
+          // batch-internal ordering: process in ts order so replays are stable
+          val fresh = events.toSeq.sortBy(e => (e.ts, e.new_price)).filter(_.ts > seen)
+          val kept = fresh.foldLeft(List.empty[CdcChange] -> seen) {
+            case ((acc, hwm), e) => if (e.ts > hwm) (e :: acc, e.ts) else (acc, hwm)
+          }
+          if (kept._2 > seen) state.update(kept._2)
+          kept._1.reverse.iterator
+        })
+  }
+
+  // ---- batch-core merges (ST1-ST3, S11-S15 semantics) ----
+
+  /** ST1 core: one micro-batch of price ticks into the warehouse.
+    * Returns (gamesDelta, pricesAppend, crawlStateMerged):
+    *  - games missing the tick's appid get a bare row appended
+    *    (tasks/steam_tasks_improved.py:469-478 auto-insert)
+    *  - ticks append to prices
+    *  - crawl_state.last_price_timestamp = max(old, new) per key (A5). */
+  def priceBatchMerge(games: DataFrame, crawlState: DataFrame,
+                      ticks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val missingGames = ticks.select(col("appid").as("game_id")).distinct()
+      .join(games.select("game_id"), Seq("game_id"), "left_anti")
+    val stateUpdates = Relational.maxMerge(
+      ticks.select(col("appid").as("game_appid"), col("ts")), "game_appid", "ts")
+      .withColumnRenamed("ts", "last_price_timestamp")
+    val mergedState = crawlState
+      .join(stateUpdates.withColumnRenamed("last_price_timestamp", "new_ts"),
+        Seq("game_appid"), "full_outer")
+      .select(col("game_appid"),
+        col("last_review_timestamp"),
+        greatest(coalesce(col("last_price_timestamp"), col("new_ts")),
+          coalesce(col("new_ts"), col("last_price_timestamp"))).as("last_price_timestamp"))
+    (missingGames, ticks, mergedState)
+  }
+
+  /** ST3/S15 core: review upsert-dedup by (appid, author_steamid), keep the
+    * newest by timestamp, plus crawl_state.last_review_timestamp bump. */
+  def reviewBatchMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Relational.upsert(existing, incoming,
+      keys = Seq("appid", "author_steamid"),
+      order = Seq(col("review_timestamp")))
+
+  // ---- streaming wrappers ----
+
+  /** ST5-ST8: exactly-once file watching (replaces the 5 s size-poll loops). */
+  def fileStream(spark: SparkSession, schema: StructType, path: String,
+                 format: String = "json"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Event-time windowed counts with watermark — the §2.9 extension beyond
+    * the reference (it has no event-time windows). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     windowLen: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
+    * POST implementation is injected at the edge. */
+  trait Notifier extends Serializable {
+    def notify(gameId: Int, oldPrice: Double, newPrice: Double): Boolean
+  }
+
+  /** ST4 egress: deliver deduped changes through the notifier in foreachBatch
+    * (at-least-once, like the reference's post-then-commit ordering). */
+  def notifyBatch(changes: Dataset[CdcChange], notifier: Notifier): Long = {
+    import changes.sparkSession.implicits._
+    changes.mapPartitions(_.map(c =>
+      if (notifier.notify(c.game_id, c.old_price, c.new_price)) 1L else 0L))
+      .reduce(_ + _)
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Every registered query runs end-to-end at sf0.001 (the DuckDB oracle gate
+  * at sf0.01 is the value check; this catches runtime regressions fast). */
+class QueriesSmokeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("oracle SQL exists for every query or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.forall(n => n.contains("lsh") || n.contains("ivf")), rowsOnly)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

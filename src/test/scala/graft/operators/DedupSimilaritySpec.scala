@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 1&2 exact dups; 3 near-dup of 1 (one word changed); 4 unrelated
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank"),
+    (4L, "completely different content about spark query engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to the min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    val dup = g.filter(col("dup_count") === 2).head()
+    assert(dup.getLong(1) == 1L) // keep_id
+  }
+
+  test("fingerprintGroups collapses case/punct variants too") {
+    val d2 = docs.union(Seq((5L, "The QUICK brown fox, jumps over the lazy dog near the river bank!"))
+      .toDF("doc_id", "text"))
+    val g = Dedup.fingerprintGroups(d2, "doc_id", "text")
+    assert(g.filter(col("dup_count") === 3).count() == 1) // 1,2,5 together
+  }
+
+  test("minhashLshCandidates surfaces the planted near-dup, not the unrelated doc") {
+    val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always share all bands
+    assert(pairs.forall { case (a, b) => a < b && b != 4L || a != 4L })
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // bigrams: {a b, b c, c d} vs {a b, b c, c e}: inter=2, union=4 -> 0.5
+    val out = Dedup.ngramJaccardPairs(two, "doc_id", "text", 2, 0.4).head()
+    assert(out.getDouble(2) == 0.5)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  private lazy val vecs = {
+    val base = Array.tabulate(8)(i => i.toFloat + 1)
+    val near = base.clone(); near(0) += 0.01f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -5f else 3f)
+    Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq)).toDF("vec_id", "embedding")
+  }
+
+  test("embeddingNearDupPairs finds the planted near-identical vector") {
+    val out = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("bruteForceTopK ranks the near vector first; lshTopK agrees on its bucket") {
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val bf = vecs.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+    val top = Similarity.bruteForceTopK(bf, "vec_id", "embedding", col("qvec"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+    val qv = Array.tabulate(8)(i => i.toFloat + 1).toSeq
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", qv, k = 3, numPlanes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsh.contains(0L)) // query vector itself shares its own bucket
+  }
+
+  test("lshNearDupPairs is a subset-of-bruteforce with same cosine values") {
+    val bf = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+      numPlanes = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(bf))
+  }
+
+  test("ivfAssign: identical vectors land in the same list, deterministic") {
+    val a = Similarity.ivfAssign(vecs, "embedding", Similarity.hyperplanes(3, 8))
+      .select("vec_id", "ivf_list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Similarity.ivfAssign(vecs, "embedding", Similarity.hyperplanes(3, 8))
+      .select("vec_id", "ivf_list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kafkaish(msgs: Seq[String]) = msgs.toDF("value")
+
+  test("decodePriceTicks: type dispatch, validity filter, money parse (ST1 ingress)") {
+    val out = Streams.decodePriceTicks(kafkaish(Seq(
+      """{"type":"price","appid":10,"discount":"50","price":"9,99","initial_price":"19,99","timestamp":1700000000.0}""",
+      """{"type":"review","appid":10,"discount":"0","price":"1,00","initial_price":"1,00","timestamp":1700000001.0}""",
+      """{"type":"price","appid":11,"discount":"0","price":null,"initial_price":"1,00","timestamp":1700000002.0}""",
+      """not json at all""")))
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("price_cents") == 999L)
+    assert(rows(0).getAs[Double]("discount") == 50.0)
+  }
+
+  test("decodeCdc + cdcChanged: inserts skipped, no-op updates skipped (ST4)") {
+    val msgs = kafkaish(Seq(
+      // insert: before null -> no notify
+      """{"payload":{"before":null,"after":{"game_id":1,"discount":0,"price":9.99,"initial_price":9.99,"timestamp":1.7e12}}}""",
+      // real change
+      """{"payload":{"before":{"game_id":2,"discount":0,"price":19.99,"initial_price":19.99,"timestamp":1.6e12},"after":{"game_id":2,"discount":50,"price":9.99,"initial_price":19.99,"timestamp":1.7e12}}}""",
+      // no-op
+      """{"payload":{"before":{"game_id":3,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.6e12},"after":{"game_id":3,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.7e12}}}"""))
+    val changed = Streams.cdcChanged(Streams.decodeCdc(msgs))
+    assert(changed.select("after.game_id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("monotoneDedup drops stale replays across micro-batches (ST4/ST9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.CdcChange]
+    val q = Streams.monotoneDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        Streams.CdcChange(1, ts = 100.0, 10, 9, 0, 10),
+        Streams.CdcChange(1, ts = 200.0, 9, 8, 10, 20))
+      q.processAllAvailable()
+      // replay of ts=200 and an older ts=150 both must be dropped
+      input.addData(
+        Streams.CdcChange(1, ts = 200.0, 9, 8, 10, 20),
+        Streams.CdcChange(1, ts = 150.0, 99, 99, 0, 0),
+        Streams.CdcChange(1, ts = 300.0, 8, 7, 20, 30),
+        Streams.CdcChange(2, ts = 50.0, 1, 2, 0, 0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[Streams.CdcChange].collect()
+      assert(out.map(c => (c.game_id, c.ts)).toSet ==
+        Set((1, 100.0), (1, 200.0), (1, 300.0), (2, 50.0)))
+    } finally q.stop()
+  }
+
+  test("priceBatchMerge: auto-insert missing games, GREATEST state merge (ST1)") {
+    val games = Seq(1, 2).toDF("game_id")
+    val state = Seq((1, ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+      .toDF("game_appid", "last_review_timestamp", "last_price_timestamp")
+    val ticks = Seq(
+      (1, 999L, 0.0, 999L, ts("2024-01-03 00:00:00")),  // older than state -> state keeps 01-05
+      (3, 499L, 50.0, 999L, ts("2024-01-06 00:00:00"))) // new game
+      .toDF("appid", "price_cents", "discount", "initial_price_cents", "ts")
+    val (missing, appended, merged) = Streams.priceBatchMerge(games, state, ticks)
+    assert(missing.as[Int].collect().toSeq == Seq(3))
+    assert(appended.count() == 2)
+    val m = merged.orderBy("game_appid").collect()
+    assert(m(0).getTimestamp(2) == ts("2024-01-05 00:00:00")) // GREATEST kept old
+    assert(m(1).getInt(0) == 3 && m(1).getTimestamp(2) == ts("2024-01-06 00:00:00"))
+  }
+
+  test("reviewBatchMerge: upsert-dedup by (appid, author_steamid) keep newest (ST3/S15)") {
+    val existing = Seq((1, "s1", "old text", ts("2024-01-01 00:00:00")))
+      .toDF("appid", "author_steamid", "review", "review_timestamp")
+    val incoming = Seq(
+      (1, "s1", "updated", ts("2024-01-02 00:00:00")),
+      (1, "s1", "older dup in batch", ts("2024-01-01 12:00:00")),
+      (2, "s2", "new", ts("2024-01-01 00:00:00")))
+      .toDF("appid", "author_steamid", "review", "review_timestamp")
+    val out = Streams.reviewBatchMerge(existing, incoming)
+    assert(out.count() == 2)
+    assert(out.filter(col("appid") === 1).head().getAs[String]("review") == "updated")
+  }
+
+  test("windowedCounts: event-time tumbling windows via streaming (extension)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedCounts(events, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:02:00"), "click", 2.0),
+        (ts("2024-01-01 00:07:00"), "view", 5.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 01:00:00"), "click", 1.0)) // advances watermark
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+      assert(out.filter(col("event_type") === "click").head().getAs[Long]("n") == 2L)
+    } finally q.stop()
+  }
+
+  test("notifyBatch drives the webhook seam with a stub (S19)") {
+    val changes = Seq(Streams.CdcChange(1, 100.0, 10, 9, 0, 10),
+      Streams.CdcChange(2, 100.0, 5, 4, 0, 10)).toDS()
+    val sent = Streams.notifyBatch(changes, new Streams.Notifier {
+      def notify(gameId: Int, oldPrice: Double, newPrice: Double): Boolean = gameId == 1
+    })
+    assert(sent == 1L)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}

@@ -51,16 +51,20 @@ object TextFunctions {
     * engines — md5 is bit-identical everywhere, unlike seeded hashes). */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
-  /** Word n-gram shingles (n>=1) over whitespace tokens, as distinct set. */
+  /** Word n-gram shingles (n>=1) over whitespace tokens, as distinct set.
+    * Built with zip_with over shifted slices, NOT transform(idx, i ->
+    * element_at(t, i)): in the latter the token array lives inside the lambda
+    * body and Catalyst re-evaluates the split() per element (O(len·grams));
+    * slice arguments are evaluated once per row. */
   def shingles(c: Column, n: Int): Column = {
     require(n >= 1)
     val t = tokens(c)
     if (n == 1) array_distinct(t)
     else {
-      // element_at is 1-indexed; sequence(1, size-n+1) start positions
-      val idx = sequence(lit(1), greatest(size(t) - (n - 1), lit(0)))
-      val grams = transform(idx, i =>
-        concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+      val m = greatest(size(t) - (n - 1), lit(0))
+      var grams: Column = slice(t, lit(1), m)
+      for (k <- 1 until n)
+        grams = zip_with(grams, slice(t, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
       array_distinct(grams)
     }
   }

@@ -61,14 +61,58 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact word-n-gram Jaccard similarity for all pairs sharing >=1 shingle:
-    * explode distinct shingles, self-join on shingle (inverted-index join, not
-    * cross join), count intersection, derive union via per-doc set sizes.
-    * Output pairs with jaccard >= threshold. */
+  /** Exact word-n-gram Jaccard similarity for all pairs with jaccard >=
+    * threshold. Adaptive physical strategy, same results either way:
+    *
+    *  - small shingle vocabulary (fits a <=64Ki-bit bitset): encode each doc
+    *    as a bitset over vocab ids, broadcast one side, and count pair
+    *    intersections with a codegen'd popcount loop — no pair-row shuffle at
+    *    all (the inverted-index join shuffles |pairs-sharing-a-shingle| rows,
+    *    which explodes when shingles are common).
+    *  - large vocabulary (the 100 TB shape): inverted-index self-join on the
+    *    shingle, counting co-occurrences — pairs sharing nothing never
+    *    materialize. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, threshold: Double): DataFrame = {
+                        shingleN: Int, threshold: Double,
+                        maxBitmapVocab: Int = 1 << 16): DataFrame = {
+    // The vocabulary probe is an action anyway (adaptive strategy choice), so
+    // persist the exploded shingles for the reuse across probe + main plan.
     val sh = docs.select(col(idCol).as("id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabN = sh.select("sh").distinct().count()
+    if (vocabN > 0 && vocabN <= maxBitmapVocab) {
+      val out = jaccardBitmap(sh, vocabN.toInt, threshold)
+      sh.unpersist(blocking = false) // jaccardBitmap materialized docBits
+      out
+    } else jaccardInvertedIndex(sh, threshold)
+  }
+
+  private def jaccardBitmap(sh: DataFrame, vocabN: Int, threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = sh.select("sh").distinct()
+      .withColumn("sid", (row_number().over(Window.orderBy("sh")) - 1).cast("int"))
+    val docBits = sh.join(broadcast(vocab), "sh")
+      .groupBy("id").agg(collect_list(col("sid")).as("sids"), count(lit(1)).as("n"))
+      .select(col("id"), bitsetFromIndices(col("sids"), vocabN).as("bits"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docBits.count() // one doc-bitset row per doc; materialize so the pair scan + broadcast read the cache
+    // no repartition: the codegen'd popcount scan does ~20M pairs/s/core, and
+    // an exchange costs more than it buys at bitmap-eligible corpus sizes
+    // (beyond that the inverted-index path takes over anyway)
+    val a = docBits.toDF("doc_a", "bits_a", "n_a")
+    val b = docBits.toDF("doc_b", "bits_b", "n_b")
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("inter", bitsetIntersectCount(col("bits_a"), col("bits_b")))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def jaccardInvertedIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.toDF("doc_a", "sh").join(sh.toDF("doc_b", "sh"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -103,10 +147,16 @@ object Dedup {
     * correctness baseline. Deterministic double arithmetic (see VectorFunctions). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
+    // norms once per vector (not per pair); the pair loop is one codegen'd
+    // dot product + a multiply — identical doubles to VF.cosine's formula
+    val base = emb.select(col(idCol), col(vecCol),
+      sqrt(VF.dot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = base.toDF("id_a", "v_a", "n_a")
+    val b = base.toDF("id_b", "v_b", "n_b")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(null).cast("double"))
+          .otherwise(VF.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -83,10 +83,9 @@ object Similarity {
                 listCol: String = "ivf_list"): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cc = typedLit(c)
-      val d2 = aggregate(zip_with(col(vecCol), cc, (x, y) => {
-        val diff = x.cast("double") - y
-        diff * diff
-      }), lit(0.0), (acc, x) => acc + x)
+      // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2 via the codegen'd dot product
+      val d2 = VF.dot(col(vecCol), col(vecCol)) -
+        lit(2.0) * VF.dot(col(vecCol), cc) + lit(c.map(x => x * x).sum)
       struct(d2.as("d2"), lit(i).as("i"))
     }
     emb.withColumn(listCol, least(dists: _*).getField("i"))

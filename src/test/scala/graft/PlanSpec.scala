@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan assertions (SURVEY §4): the optimizations we rely on at
+  * 100 TB must actually appear in the plan, not just be hoped for. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dim joins are broadcast hash joins, not shuffles (q02/q40)") {
+    assert(plan("q02_revenue_by_nation").contains("BroadcastHashJoin"))
+    val p40 = plan("q40_dim_assembly_multijoin")
+    assert(p40.contains("BroadcastHashJoin"))
+    assert(!p40.contains("SortMergeJoin")) // fact side shuffles only for the agg
+  }
+
+  test("range predicates are pushed to the parquet scan (q08)") {
+    val p = plan("q08_filter_range")
+    // plan strings truncate long filter lists; match the prefix
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_quantity,3"), p)
+  }
+
+  test("scan reads only the projected columns (q08 column pruning)") {
+    val p = plan("q08_filter_range")
+    // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle (q01)") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("partial_"), p) // partial_sum/partial_count before Exchange
+  }
+
+  test("whole-stage codegen spans the scan+filter pipeline (q08)") {
+    // (AQE's initial plan print omits codegen markers on some agg subtrees,
+    // so assert on the filter pipeline where they always show)
+    assert(plan("q08_filter_range").contains("*(")) // codegen stage markers
+  }
+
+  test("semi/anti joins plan as broadcast joins at this dim size (q06/q07)") {
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+    assert(plan("q07_semi_join").contains("LeftSemi"))
+  }
+
+  test("custom DotProduct expression appears in the cosine plan (q33)") {
+    assert(plan("q33_cosine_topk").toLowerCase.contains("dotproduct"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not full sort (q19)") {
+    assert(plan("q19_global_topk").contains("TakeOrderedAndProject"))
+  }
+}

@@ -398,19 +398,19 @@ object SparkEntry {
         threshold = 0.4),
       Some(TextOracle.nearDupSql(0.4))),
 
-    // LSH ANN + IVF assignment: plan-level ops whose plane/centroid literals
-    // aren't reasonably SQL-expressible -> rows-only driver check.
+    // LSH ANN + IVF assignment: the deterministic md5-derived hyperplanes are
+    // reproducible in SQL (hex-nibble weights), so even these get exact oracles.
     Q("q35_ann_lsh_topk", (s, dir) => {
       val emb = T(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       Similarity.lshTopK(emb, "vec_id", "embedding", qv, k = 10, numPlanes = 6)
-    }, None),
+    }, Some(TextOracle.lshTopkSql(k = 10, numPlanes = 6, dims = 64))),
 
     Q("q36_ivf_assign", (s, dir) =>
       Similarity.ivfAssign(T(s, dir, "embeddings"), "embedding",
         Similarity.hyperplanes(4, 64)).select("vec_id", "ivf_list"),
-      None),
+      Some(TextOracle.ivfAssignSql(nLists = 4, dims = 64))),
 
     // ---- batch 3: remaining SURVEY §2 rows -----------------------------------
     Q("q37_staging_filter", (s, dir) =>

@@ -93,6 +93,57 @@ object TextOracle {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, cos FROM p WHERE cos >= $threshold"""
 
+  // ---- SRP-LSH / IVF oracles ------------------------------------------------
+  // Similarity.hyperplanes derives weight(p,d) from the first hex nibble of
+  // md5("p_d") minus 7.5 — reproducible in SQL, so even the LSH/IVF ops get
+  // exact oracles. Folds are written left-to-right to match DotProduct.
+
+  private def weightSql(p: Int, d: Int): String =
+    s"(CAST(('0x' || substr(md5('${p}_$d'), 1, 1)) AS INT) - 7.5)"
+
+  /** dot(vec, plane_p) as an explicit left-assoc sum (DuckDB lists are 1-indexed). */
+  private def planeDotSql(vec: String, p: Int, dims: Int): String =
+    (0 until dims).map(d => s"CAST($vec[${d + 1}] AS DOUBLE) * ${weightSql(p, d)}")
+      .mkString(" + ")
+
+  /** SRP bucket id: bit p set iff dot(vec, plane_p) >= 0. */
+  private def bucketSql(vec: String, numPlanes: Int, dims: Int): String =
+    (0 until numPlanes).map(p =>
+      s"(CASE WHEN ${planeDotSql(vec, p, dims)} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  def lshTopkSql(k: Int, numPlanes: Int, dims: Int): String = s"""
+    WITH b AS (
+      SELECT vec_id, embedding, ${bucketSql("embedding", numPlanes, dims)} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(${dotExpr("embedding", "qv")}
+                 / (sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotExpr("qv", "qv")})), 6) AS cos
+    FROM b, q WHERE b.bucket = q.qbucket
+    ORDER BY cos DESC, vec_id LIMIT $k"""
+
+  /** IVF assignment oracle: centroids are Similarity.hyperplanes(nLists, dims);
+    * d2_i = dot(v,v) - 2*dot(v,c_i) + |c_i|^2, argmin with lowest-index ties. */
+  def ivfAssignSql(nLists: Int, dims: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * (${planeDotSql("embedding", i, dims)}) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, $d2
+      FROM embeddings)
+    SELECT vec_id,
+           CASE $cases END AS ivf_list
+    FROM d"""
+  }
+
   def langIdSql: String = {
     val langs = Seq("en", "de", "fr", "es")
     val hitCols = langs.map(l =>

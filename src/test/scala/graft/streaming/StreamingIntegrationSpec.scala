@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.GroupConcatDistinct
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end streaming paths: the CDC pipeline chained stage-to-stage, and
+  * the exactly-once file-watch replacement for the reference's 5 s pollers. */
+class StreamingIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CDC end to end: decode -> change filter -> stateful dedup -> notify (ST4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val wire = MemoryStream[String]
+    // recorded on the driver inside foreachBatch — task closures are
+    // serialized even in local mode, so executor-side mutation won't do
+    val sent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0)
+    val notifier = new Streams.Notifier {
+      def notify(gameId: Int, oldPrice: Double, newPrice: Double): Boolean = true
+    }
+    val changes = Streams.cdcChanged(Streams.decodeCdc(wire.toDF().toDF("value")))
+      .select(col("after.game_id").as("game_id"),
+        (col("after.timestamp") / 1000).as("ts"),
+        col("before.price").as("old_price"), col("after.price").as("new_price"),
+        col("before.discount").as("old_discount"), col("after.discount").as("new_discount"))
+      .as[Streams.CdcChange]
+    val q = Streams.monotoneDedup(changes).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.CdcChange], _: Long) =>
+        val rows = batch.collect() // driver-side record of what got delivered
+        sent.synchronized { sent ++= rows.map(_.game_id) }
+        if (rows.nonEmpty) delivered.addAndGet(Streams.notifyBatch(batch, notifier))
+        ()
+      }
+      .start()
+    def env(id: Int, ts: Long, before: Option[(Double, Int)], after: (Double, Int)): String = {
+      val b = before.map { case (p, d) =>
+        s"""{"game_id":$id,"discount":$d,"price":$p,"initial_price":$p,"timestamp":${ts - 1000}}"""
+      }.getOrElse("null")
+      s"""{"payload":{"before":$b,"after":{"game_id":$id,"discount":${after._2},"price":${after._1},"initial_price":${after._1},"timestamp":$ts}}}"""
+    }
+    try {
+      wire.addData(
+        env(1, 1000, None, (9.99, 0)),                 // insert -> no notify
+        env(2, 1000, Some((19.99, 0)), (9.99, 50)),    // change -> notify
+        env(3, 1000, Some((5.0, 0)), (5.0, 0)))        // no-op -> skip
+      q.processAllAvailable()
+      wire.addData(
+        env(2, 1000, Some((19.99, 0)), (9.99, 50)),    // stale replay -> dedup
+        env(2, 2000, Some((9.99, 50)), (7.99, 60)))    // new change -> notify
+      q.processAllAvailable()
+      assert(sent.synchronized(sent.toSeq) == Seq(2, 2))
+      assert(delivered.get() == 2L) // webhook seam reported both deliveries
+
+    } finally q.stop()
+  }
+
+  test("file-watch stream processes each file exactly once (ST5-ST8)") {
+    val dir = Files.createTempDirectory("watch").toFile.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("appid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.StringType)))
+    Files.writeString(java.nio.file.Path.of(dir, "batch1.json"),
+      """{"appid": 1, "price": "9,99"}""" + "\n" + """{"appid": 2, "price": "19,99"}""")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = Streams.fileStream(spark, schema, dir).writeStream
+      .outputMode("append")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => {
+        seen.addAndGet(batch.count()); ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.get() == 2)
+      Files.writeString(java.nio.file.Path.of(dir, "batch2.json"),
+        """{"appid": 3, "price": "4,99"}""")
+      q.processAllAvailable()
+      assert(seen.get() == 3) // batch1 NOT reprocessed (checkpointed file log)
+    } finally q.stop()
+  }
+
+  test("GroupConcatDistinct aggregator: MySQL NULL/dedup/truncation contract") {
+    val ds = Seq((1, "b"), (1, "a"), (1, "b"), (2, null.asInstanceOf[String])).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(GroupConcatDistinct())
+      .collect().toMap
+    assert(out(1) == "a,b")
+    assert(out(2) == null)
+    val long = Seq((1, "x" * 2000)).toDS()
+    val trunc = long.groupByKey(_._1).mapValues(_._2)
+      .agg(GroupConcatDistinct(maxLen = 10))
+      .collect().head._2
+    assert(trunc.length == 10)
+  }
+}

@@ -23,6 +23,13 @@ object Streams {
   def decodeJson(df: DataFrame, schema: StructType): DataFrame =
     df.select(from_json(col("value").cast("string"), schema).as("m")).select("m.*")
 
+  /** S16 producer shape: all columns -> one JSON `value` column, the row
+    * format every Kafka-compatible sink takes (kafka_producer_*.py:30-50).
+    * The engine is wire-agnostic: tests write this to files/memory, a real
+    * deployment adds .format("kafka") + bootstrap servers. */
+  def encodeJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** ST1 ingress: price-tick messages — type dispatch (P7) + required-field
     * validity (P8) + money parsing (F1-F4). */
   def decodePriceTicks(raw: DataFrame): DataFrame = {

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encodeJson -> decodeJson round-trips the wire format (S16/S17)") {
+    val df = Seq((1, "a", 9.5), (2, null.asInstanceOf[String], 1.0)).toDF("k", "s", "v")
+    val wire = Streams.encodeJson(df)
+    assert(wire.columns.toSeq == Seq("value"))
+    val back = Streams.decodeJson(wire, df.schema)
+    assert(sortedRows(back) == sortedRows(df))
+  }
+
+  test("epoch millis -> timestamp (F7, Debezium after.timestamp/1000)") {
+    val out = Seq(1700000000123L).toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts")).head().getTimestamp(0)
+    assert(out.toInstant.toEpochMilli == 1700000000123L)
+  }
+
+  test("observed metrics report row and null counts inline (S20/A7)") {
+    val df = Seq(("a", Some(1)), ("b", None), ("c", Some(3))).toDF("k", "v")
+    val observed = Metrics.observed(df, "ingest", Seq("v"))
+    observed.collect() // count() would plan a separate queryExecution
+    val row = observed.queryExecution.observedMetrics("ingest")
+    assert(row.getAs[Long]("rows") == 3L)
+    assert(row.getAs[Long]("v_nulls") == 1L)
+  }
+
+  test("streaming listener forwards per-batch progress to the sink (S20)") {
+    implicit val sqlCtx = spark.sqlContext
+    val pushed = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val sink = new Metrics.MetricsSink {
+      def push(metric: String, value: Double, labels: Map[String, String]): Unit =
+        pushed.synchronized { pushed += (metric -> value); () }
+    }
+    val l = Metrics.register(spark, sink)
+    val input = MemoryStream[Int]
+    val q = input.toDS().writeStream.format("memory")
+      .queryName("metrics_out").outputMode("append").start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis + 10000 // listener bus is async
+      while (pushed.synchronized(pushed.isEmpty) && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      val byName = pushed.synchronized(pushed.toMap)
+      assert(byName.contains("num_input_rows") && byName("num_input_rows") >= 3.0)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(l)
+    }
+  }
+}

@@ -527,6 +527,26 @@ object SparkEntry {
              COUNT(DISTINCT l_partkey) AS n_parts
       FROM lineitem""")),
 
+    Q("q46_asof_join", (s, dir) => {
+      // J9 generalized as an as-of join operator (one shuffle, no join):
+      // each purchase matched to the user's latest prior-or-equal click
+      val ev = T(s, dir, "events")
+      Relational.asofJoin(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "click"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("last_click_id"),
+          col("asof_value").as("last_click_value"))
+    }, Some("""
+      SELECT p.event_id, p.user_id, c.event_id AS last_click_id,
+             c.value AS last_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -83,6 +83,54 @@ object Relational {
     existing.unionByName(
       incoming.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti"))
 
+  /** As-of join (J9 generalized): for each left row, the latest right row of
+    * the same key with rightTs <= leftTs. Implemented as union + window
+    * last-ignoring-nulls — ONE shuffle on the key, no join at all, which at
+    * 100 TB beats the naive join+filter+rank (that materializes every
+    * (left, earlier-right) combination). The right payload travels as one
+    * struct so all its columns come from the same matched row.
+    * Right (key, ts) pairs should be unique — like ASOF JOIN, ties would be
+    * resolved arbitrarily. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      lit(0).as("__side"), payloadStruct.as("__payload"))
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      (Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
+        leftCols.filterNot(_ == key).map(col)): _*)
+    // right rows with missing left columns: align schemas via unionByName
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = l.unionByName(rAligned)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side")) // right sorts first at equal ts -> inclusive <=
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = leftCols.map(c =>
+      if (c == leftTs) col("__ts").as(leftTs) else col(c)) ++
+      rightPayload.map(p => col(s"__match.$p").as(s"$outPrefix$p"))
+    matched.select(out: _*)
+  }
+
+  /** Skew-safe two-phase aggregation: salt the hot key space, partial-agg on
+    * (key, salt), then final-agg on key. Identical result to a direct
+    * groupBy-sum for exact types (long/decimal — order-independent); for
+    * doubles the grouping order varies run to run, so route them through a
+    * decimal cast first. The first shuffle spreads a hot key over
+    * `saltBuckets` reducers (the aggregation-side analogue of AQE skew-join
+    * splitting). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(key), col("__salt")).agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
   /** J10 lookup-or-create surrogate keys: assign dense ids to names missing
     * from `dim`, continuing after max(existing id). Deterministic
     * (row_number over name order), unlike monotonically_increasing_id.

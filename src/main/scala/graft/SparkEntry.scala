@@ -547,6 +547,18 @@ object SparkEntry {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts <= p.ts""")),
 
+    Q("q47_time_bucket_agg", (s, dir) =>
+      // batch form of the streaming tumbling-window aggregate (extension —
+      // the reference has no event-time windows, SURVEY §2.9)
+      T(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total")),
+      Some("""
+      SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id, date_trunc('hour', ts)""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

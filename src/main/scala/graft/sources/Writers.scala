@@ -26,4 +26,15 @@ object Writers {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed catalog table: co-locates and pre-sorts by the join/agg key so
+    * repeated joins between tables bucketed the same way skip the shuffle
+    * entirely (the 100 TB answer to "this join runs every day"). */
+  def bucketedTable(df: DataFrame, tableName: String, key: String,
+                    numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * 100 TB path: every variant is a constant number of shuffles keyed on
   * something small (hash / band / bucket), never an all-pairs cross join.
   *
+  * Algorithms are the published classics: MinHash resemblance sketching
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * LSH banding (Indyk & Motwani 1998; banding per Leskovec et al., MMDS ch.3),
+  * and SimHash fingerprints (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002).
+  *
   * Engine-independence note: all hashing is md5-based (bit-identical in every
   * engine) rather than seeded xxhash/murmur, so results are reproducible and
   * oracle-checkable; md5 costs more per byte but dedup is shuffle-bound, not

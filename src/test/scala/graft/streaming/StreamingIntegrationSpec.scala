@@ -58,20 +58,23 @@ class StreamingIntegrationSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("file-watch stream processes each file exactly once (ST5-ST8)") {
+  test("file-watch stream processes each file exactly once, surviving restart (ST5-ST9)") {
     val dir = Files.createTempDirectory("watch").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ckpt").toFile.getAbsolutePath
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("appid", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.StringType)))
     Files.writeString(java.nio.file.Path.of(dir, "batch1.json"),
       """{"appid": 1, "price": "9,99"}""" + "\n" + """{"appid": 2, "price": "19,99"}""")
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = Streams.fileStream(spark, schema, dir).writeStream
+    def startQuery() = Streams.fileStream(spark, schema, dir).writeStream
       .outputMode("append")
+      .option("checkpointLocation", ckpt)
       .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => {
         seen.addAndGet(batch.count()); ()
       })
       .start()
+    val q = startQuery()
     try {
       q.processAllAvailable()
       assert(seen.get() == 2)
@@ -80,6 +83,15 @@ class StreamingIntegrationSpec extends SparkSpec {
       q.processAllAvailable()
       assert(seen.get() == 3) // batch1 NOT reprocessed (checkpointed file log)
     } finally q.stop()
+    // restart from the same checkpoint: the processed-file log survives like
+    // the reference's cdc_state.json / processed_*.txt did
+    Files.writeString(java.nio.file.Path.of(dir, "batch3.json"),
+      """{"appid": 4, "price": "1,99"}""")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(seen.get() == 4) // only batch3 processed after restart
+    } finally q2.stop()
   }
 
   test("GroupConcatDistinct aggregator: MySQL NULL/dedup/truncation contract") {

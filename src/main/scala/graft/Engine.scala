@@ -1,0 +1,56 @@
+package graft
+
+import graft.domain.{ModelRunner, Schemas, SteamModels}
+import graft.operators.{Dedup, Similarity}
+import graft.quality.DataQuality
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Facade: the one-stop API a user of the reference pipeline lands on after
+  * switching. Everything here delegates to the module that owns the logic —
+  * this object only names the workflows.
+  */
+object Engine {
+
+  /** Load a parquet warehouse laid out as one dir per init_db.sql table. */
+  def loadWarehouse(spark: SparkSession, dir: String): SteamModels.Warehouse = {
+    def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+    SteamModels.Warehouse(
+      games = t("games"),
+      developers = t("developers"), publishers = t("publishers"),
+      genres = t("genres"), languages = t("languages"),
+      gameDevelopers = t("game_developers"), gamePublishers = t("game_publishers"),
+      gameGenres = t("game_genres"), gameLanguages = t("game_languages"),
+      prices = t("prices"), crawlState = t("crawl_state"),
+      reviews = t("reviews"))
+  }
+
+  /** dbt-run equivalent: staging views + mart tables + quality report. */
+  def runAnalytics(spark: SparkSession, w: SteamModels.Warehouse,
+                   martDir: String): ModelRunner.RunResult =
+    ModelRunner.run(spark, w, martDir)
+
+  /** Quality suite only (dbt test). */
+  def runQuality(w: SteamModels.Warehouse): Seq[DataQuality.CheckResult] =
+    DataQuality.run(DataQuality.steamSuite(w))
+
+  // ---- training-data pipeline workflows ----
+
+  /** Exact + near-duplicate report over a document corpus. */
+  def dedupReport(docs: DataFrame, idCol: String, textCol: String,
+                  jaccardThreshold: Double = 0.8): (DataFrame, DataFrame, DataFrame) = (
+    Dedup.exactGroups(docs, idCol, textCol),
+    Dedup.minhashLshCandidates(docs, idCol, textCol),
+    Dedup.ngramJaccardPairs(docs, idCol, textCol, shingleN = 2, jaccardThreshold))
+
+  /** ANN search: brute force under `lshThresholdRows`, LSH-bucketed above. */
+  def searchTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Seq[Float], k: Int,
+                 lshThresholdRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (emb.limit((lshThresholdRows + 1).toInt).count() > lshThresholdRows)
+      Similarity.lshTopK(emb, idCol, vecCol, queryVec, k)
+    else
+      Similarity.bruteForceTopK(
+        emb, idCol, vecCol, typedLit(queryVec), k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.domain.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** The reference's flagship flow (SURVEY §3.2 stages 2-4) as one Structured
+  * Streaming job: watch the staging directory for price-tick messages, decode
+  * + validate + parse money, and merge each micro-batch into the parquet
+  * warehouse — games auto-insert, prices append, crawl_state GREATEST-merge —
+  * exactly-once via the checkpoint, replacing the reference's three polling
+  * loops and per-message MySQL commits (tasks/steam_tasks_improved.py:208-511).
+  *
+  * The warehouse layout is plain parquet dirs (games/, prices/, crawl_state/);
+  * at 100 TB prices/ partitions by date and the merge becomes a MERGE INTO on
+  * a table format — same batch-core, different sink. */
+object PricePipeline {
+
+  val wireSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType)))
+
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private val gamesSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("game_id",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  private val pricesSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("game_id", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("price_cents", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("discount", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("initial_price_cents", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType)))
+
+  private val stateSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("game_appid", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("last_review_timestamp", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("last_price_timestamp", org.apache.spark.sql.types.TimestampType)))
+
+  /** One micro-batch into the warehouse (idempotent per batch contents). */
+  def mergeBatch(spark: SparkSession, warehouseDir: String, batch: DataFrame): Unit = {
+    val ticks = batch.cache()
+    try {
+      val games = readOr(spark, s"$warehouseDir/games", gamesSchema)
+      val state = readOr(spark, s"$warehouseDir/crawl_state", stateSchema)
+      val (missingGames, priceRows, mergedState) =
+        Streams.priceBatchMerge(games, state, ticks)
+      missingGames.write.mode("append").parquet(s"$warehouseDir/games")
+      priceRows.select(
+        col("appid").as("game_id"), col("price_cents"), col("discount"),
+        col("initial_price_cents"), col("ts").as("timestamp"))
+        .write.mode("append").parquet(s"$warehouseDir/prices")
+      // state is a full-replace merge: write-new-then-swap for atomicity
+      val tmp = s"$warehouseDir/crawl_state__tmp"
+      mergedState.write.mode("overwrite").parquet(tmp)
+      val dst = new java.io.File(s"$warehouseDir/crawl_state")
+      if (dst.exists()) {
+        val old = new java.io.File(s"$warehouseDir/crawl_state__old")
+        dst.renameTo(old)
+        new java.io.File(tmp).renameTo(dst)
+        org.apache.commons.io.FileUtils.deleteDirectory(old)
+      } else new java.io.File(tmp).renameTo(dst)
+    } finally ticks.unpersist()
+  }
+
+  /** Start the streaming job over a staging directory of JSONL wire files. */
+  def start(spark: SparkSession, stagingDir: String, warehouseDir: String,
+            checkpointDir: String): StreamingQuery =
+    Streams.decodePriceTicks(
+      spark.readStream.schema(wireSchema).text(stagingDir)
+        .withColumnRenamed("value", "value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) mergeBatch(batch.sparkSession, warehouseDir, batch)
+        ()
+      }
+      .start()
+}

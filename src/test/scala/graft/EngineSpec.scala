@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Facade round-trip: write a warehouse to parquet, load it back, run the
+  * full analytics DAG + quality suite through Engine. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write -> loadWarehouse -> runAnalytics end to end") {
+    val whDir = Files.createTempDirectory("eng-wh").toString
+    val martDir = Files.createTempDirectory("eng-marts").toString
+    val w = new graft.domain.SteamModelsSpec().w
+    Seq(
+      "games" -> w.games, "developers" -> w.developers, "publishers" -> w.publishers,
+      "genres" -> w.genres, "languages" -> w.languages,
+      "game_developers" -> w.gameDevelopers, "game_publishers" -> w.gamePublishers,
+      "game_genres" -> w.gameGenres, "game_languages" -> w.gameLanguages,
+      "prices" -> w.prices, "crawl_state" -> w.crawlState, "reviews" -> w.reviews
+    ).foreach { case (name, df) => df.write.parquet(s"$whDir/$name") }
+
+    val loaded = Engine.loadWarehouse(spark, whDir)
+    val res = Engine.runAnalytics(spark, loaded, martDir)
+    assert(res.materialized("dim_games").startsWith(martDir))
+    assert(spark.read.parquet(s"$martDir/game_quality_metrics").count() == 3)
+    assert(res.testFailures.size == 2) // the planted violations surface
+
+    val (exact, lsh, jac) = Engine.dedupReport(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 0.5)
+    assert(exact.count() == 500 && lsh.count() >= 0 && jac.count() >= 0)
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qv = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val top = Engine.searchTopK(emb, "vec_id", "embedding", qv, 5)
+    assert(top.head().getLong(0) == 1L) // the query vector finds itself first
+  }
+}

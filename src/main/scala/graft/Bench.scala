@@ -11,10 +11,16 @@ object Bench {
       "lineitem", "documents", "embeddings").foreach(t =>
       Tables.load(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
+    // min of N runs: ambient load on the shared box swings single runs by
+    // 2-3x; best-observed is the stable, standard microbench statistic
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -15,6 +15,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.native.allpairs", "true") // AllPairsStrategy is injected below
       .withExtensions(new plans.GraftExtensions)
 
   def create(cores: String): SparkSession = {

@@ -153,6 +153,11 @@ object Dedup {
     * correctness baseline. Deterministic double arithmetic (see VectorFunctions). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
+    // GraftExtensions sessions plan this as the native AllPairsCosineExec
+    // (primitive pair loop, no join machinery); the composed fallback is the
+    // same math through the codegen'd DotProduct expression.
+    if (graft.plans.AllPairsCosine.enabled(emb))
+      return graft.plans.AllPairsCosine.pairs(emb, idCol, vecCol, threshold)
     // norms once per vector (not per pair); the pair loop is one codegen'd
     // dot product + a multiply — identical doubles to VF.cosine's formula
     val base = emb.select(col(idCol), col(vecCol),

@@ -104,6 +104,8 @@ object Dedup {
       .select(col("id"), bitsetFromIndices(col("sids"), vocabN).as("bits"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docBits.count() // one doc-bitset row per doc; materialize so the pair scan + broadcast read the cache
+    if (graft.plans.AllPairsCosine.enabled(docBits))
+      return graft.plans.AllPairsCosine.jaccardPairs(docBits, "id", "bits", "n", threshold)
     // no repartition: the codegen'd popcount scan does ~20M pairs/s/core, and
     // an exchange costs more than it buys at bitmap-eligible corpus sizes
     // (beyond that the inverted-index path takes over anyway)

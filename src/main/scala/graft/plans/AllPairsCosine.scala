@@ -100,10 +100,80 @@ case class AllPairsCosineExec(child: SparkPlan, threshold: Double, roundScale: I
     copy(child = newChild)
 }
 
+/** Bitset sibling of AllPairsCosineNode: all pairs with word-set Jaccard >=
+  * threshold, child contract (id: long, bits: array<long>, n: long). */
+case class AllPairsJaccardNode(child: LogicalPlan, threshold: Double, roundScale: Int)
+    extends UnaryNode {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("doc_a", LongType, nullable = false)(),
+    AttributeReference("doc_b", LongType, nullable = false)(),
+    AttributeReference("jaccard", DoubleType, nullable = false)())
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+case class AllPairsJaccardExec(child: SparkPlan, threshold: Double, roundScale: Int,
+                               output: Seq[Attribute]) extends UnaryExecNode {
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  private def toBits(row: InternalRow): (Long, Array[Long], Long) = {
+    val arr = row.getArray(1)
+    val m = arr.numElements()
+    val w = new Array[Long](m)
+    var i = 0
+    while (i < m) { w(i) = arr.getLong(i); i += 1 }
+    (row.getLong(0), w, row.getLong(2))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val corpus = child.executeCollect().map(toBits)
+    val bc = sparkContext.broadcast(corpus)
+    val th = threshold
+    val scale = roundScale
+    val slices = math.max(1, math.min(sparkContext.defaultParallelism, corpus.length))
+    sparkContext.parallelize(0 until slices, slices).mapPartitions { sliceIt =>
+      val all = bc.value
+      val proj = UnsafeProjection.create(Array[DataType](LongType, LongType, DoubleType))
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+      sliceIt.flatMap { slice =>
+        Iterator.range(slice, all.length, slices).flatMap { ia =>
+          val (idA, wa, na) = all(ia)
+          Iterator.range(0, all.length)
+            .filter(ib => all(ib)._1 > idA)
+            .flatMap { ib =>
+              val (idB, wb, nb) = all(ib)
+              var inter = 0L
+              val m = math.min(wa.length, wb.length)
+              var i = 0
+              while (i < m) { inter += java.lang.Long.bitCount(wa(i) & wb(i)); i += 1 }
+              if (inter == 0L) Iterator.empty
+              else {
+                val j = inter.toDouble / (na + nb - inter)
+                val rounded = java.math.BigDecimal.valueOf(j)
+                  .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (rounded >= th) {
+                  out.update(0, idA); out.update(1, idB); out.update(2, rounded)
+                  Iterator.single(proj(out).copy(): InternalRow)
+                } else Iterator.empty
+              }
+            }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
 object AllPairsStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AllPairsCosineNode =>
       AllPairsCosineExec(planLater(n.child), n.threshold, n.roundScale, n.output) :: Nil
+    case n: AllPairsJaccardNode =>
+      AllPairsJaccardExec(planLater(n.child), n.threshold, n.roundScale, n.output) :: Nil
     case _ => Nil
   }
 }
@@ -119,5 +189,14 @@ object AllPairsCosine {
     val child = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     GraftBridge.ofRows(emb.sparkSession,
       AllPairsCosineNode(child.queryExecution.analyzed, threshold, roundScale))
+  }
+
+  /** docBits contract: (id, bits array<long>, n long). */
+  def jaccardPairs(docBits: DataFrame, idCol: String, bitsCol: String, nCol: String,
+                   threshold: Double, roundScale: Int = 6): DataFrame = {
+    val child = docBits.select(col(idCol).cast("long").as("id"),
+      col(bitsCol).as("bits"), col(nCol).cast("long").as("n"))
+    GraftBridge.ofRows(docBits.sparkSession,
+      AllPairsJaccardNode(child.queryExecution.analyzed, threshold, roundScale))
   }
 }

@@ -27,13 +27,21 @@ import org.apache.spark.sql.types._
   * Contract: the corpus must fit a broadcast (it is the brute-force exact
   * path; the LSH/IVF operators are the beyond-broadcast path).
   */
-case class AllPairsCosineNode(child: LogicalPlan, threshold: Double, roundScale: Int)
+case class AllPairsCosineNode(child: LogicalPlan, threshold: Double, roundScale: Int,
+    // output attrs are a constructor param so copy() during plan transforms
+    // PRESERVES their exprIds — regenerating them breaks downstream bindings
+    output: Seq[Attribute] = Seq(
+      AttributeReference("id_a", LongType, nullable = false)(),
+      AttributeReference("id_b", LongType, nullable = false)(),
+      AttributeReference("cos", DoubleType, nullable = false)()))
     extends UnaryNode {
   // child contract: output = (id: long, vec: array<float>)
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("id_a", LongType, nullable = false)(),
-    AttributeReference("id_b", LongType, nullable = false)(),
-    AttributeReference("cos", DoubleType, nullable = false)())
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  // the exec reads every child column positionally — declare that, or
+  // ColumnPruning strips the child schema out from under the node
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
@@ -102,12 +110,16 @@ case class AllPairsCosineExec(child: SparkPlan, threshold: Double, roundScale: I
 
 /** Bitset sibling of AllPairsCosineNode: all pairs with word-set Jaccard >=
   * threshold, child contract (id: long, bits: array<long>, n: long). */
-case class AllPairsJaccardNode(child: LogicalPlan, threshold: Double, roundScale: Int)
+case class AllPairsJaccardNode(child: LogicalPlan, threshold: Double, roundScale: Int,
+    output: Seq[Attribute] = Seq(
+      AttributeReference("doc_a", LongType, nullable = false)(),
+      AttributeReference("doc_b", LongType, nullable = false)(),
+      AttributeReference("jaccard", DoubleType, nullable = false)()))
     extends UnaryNode {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("doc_a", LongType, nullable = false)(),
-    AttributeReference("doc_b", LongType, nullable = false)(),
-    AttributeReference("jaccard", DoubleType, nullable = false)())
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }

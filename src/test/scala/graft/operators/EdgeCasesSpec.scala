@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty tables, single rows, all-duplicate
+  * corpora — the shapes that break naive implementations at partition
+  * boundaries. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val oneDoc = Seq((1L, "only one document here")).toDF("doc_id", "text")
+
+  test("dedup operators on empty and singleton corpora") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshCandidates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 2, 0.5).count() == 0)
+    assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(oneDoc, "doc_id", "text", 2, 0.5).count() == 0)
+    assert(Dedup.minhashLshCandidates(oneDoc, "doc_id", "text").count() == 0)
+  }
+
+  test("all-identical corpus: every pair is a candidate with jaccard 1.0") {
+    val dup = (1L to 5L).map(i => (i, "same text every time here")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(dup, "doc_id", "text", 2, 0.99)
+    assert(pairs.count() == 10) // C(5,2)
+    assert(pairs.select("jaccard").as[Double].collect().forall(_ == 1.0))
+    val g = Dedup.exactGroups(dup, "doc_id", "text").head()
+    assert(g.getAs[Long]("dup_count") == 5L && g.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("embedding ops with zero vectors and empty input") {
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(emptyEmb, "vec_id", "embedding", 0.5).count() == 0)
+    val withZero = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(withZero, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L))) // zero-norm vector never matches
+  }
+
+  test("asofJoin with empty right side leaves all left rows unmatched") {
+    val left = Seq((1, 10L, "x")).toDF("k", "ts", "tag")
+    val right = Seq.empty[(Int, Long, Double)].toDF("k", "ts", "px")
+    val out = Relational.asofJoin(left, right, "k", "ts", "ts", Seq("px"))
+    assert(out.count() == 1 && out.head().isNullAt(out.columns.indexOf("asof_px")))
+  }
+
+  test("groupConcat / topN / keep-last on empty input") {
+    val empty = Seq.empty[(Int, String)].toDF("k", "v")
+    assert(empty.groupBy("k").agg(Relational.groupConcatDistinct(col("v"))).count() == 0)
+    assert(Relational.topNPerKey(empty, Seq("k"), Seq(col("v")), 3).count() == 0)
+    assert(Relational.dedupKeepLast(empty, Seq("k"), Seq(col("v"))).count() == 0)
+  }
+
+  test("lookupOrCreate from an empty dim starts ids at 1") {
+    val dim = Seq.empty[(Int, String)].toDF("id", "name")
+    val out = Relational.lookupOrCreate(dim, "id", "name", Seq("b", "a").toDF("name"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "a"), (2, "b")))
+  }
+}

@@ -47,7 +47,8 @@ object Engine {
                  queryVec: Seq[Float], k: Int,
                  lshThresholdRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (emb.limit((lshThresholdRows + 1).toInt).count() > lshThresholdRows)
+    val probe = math.min(lshThresholdRows + 1, Int.MaxValue.toLong - 1).toInt
+    if (emb.limit(probe).count() > lshThresholdRows)
       Similarity.lshTopK(emb, idCol, vecCol, queryVec, k)
     else
       Similarity.bruteForceTopK(

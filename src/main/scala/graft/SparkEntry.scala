@@ -241,9 +241,9 @@ object SparkEntry {
       Some("""
       SELECT event_id, user_id, value, prev_value FROM (
         SELECT event_id, user_id, value,
-               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-        FROM events) t
-      WHERE prev_value IS NOT NULL AND value <> prev_value""")),
+               LAG(value) OVER w AS prev_value, LAG(1) OVER w AS has_prev
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      WHERE has_prev IS NOT NULL AND value IS DISTINCT FROM prev_value""")),
 
     Q("q19_global_topk", (s, dir) =>
       // T1 global top-k (steam-crawl-playercount.py:72-90, intent: sort+take 2000)
@@ -314,8 +314,13 @@ object SparkEntry {
       Some("SELECT doc_id, lang || ', ' || source AS cleaned FROM documents")),
 
     // ---- Text analysis (training-data pipeline) ------------------------------
+    // q25/q26/q32 guard on non-empty text in BOTH engines: Spark's tokens()
+    // yields [] for '' where DuckDB's regexp_split_to_array yields [''] — the
+    // filter keeps the oracle robust if empty documents ever appear.
     Q("q25_token_stats", (s, dir) =>
-      T(s, dir, "documents").select(col("doc_id"),
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
         length(col("text")).cast("long").as("chars_measured"),
         TF.tokenCount(col("text")).as("n_tokens"),
         TF.preTokenCount(col("text")).as("n_pretokens"),
@@ -326,10 +331,12 @@ object SparkEntry {
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pretokens,
              round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / length(text), 6) AS tokens_per_char
-      FROM documents""")),
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0""")),
 
     Q("q26_quality_score", (s, dir) =>
-      T(s, dir, "documents").select(col("doc_id"),
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
         round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality")),
@@ -340,7 +347,7 @@ object SparkEntry {
                CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
                     x -> x IN (${TextOracle.enStop}))) AS DOUBLE)
                  / len(regexp_split_to_array(trim(text), '\\s+')) AS sraw
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
       SELECT doc_id, round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
              round(least(length(text) / 500.0, 1.0) * 0.4
                    + least(sraw * 4.0, 1.0) * 0.4

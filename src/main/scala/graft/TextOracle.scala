@@ -64,7 +64,7 @@ object TextOracle {
     s"""
     WITH toks AS (
       SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
     h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hv FROM toks),
     v AS (SELECT doc_id, $vCols
           FROM h GROUP BY doc_id)

@@ -80,7 +80,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, chunkBytes: Int, everyNth: Int): DataFrame = {
     require(chunkBytes > 0 && everyNth > 0)
     val nChunks = ceil(length(col("content")).cast("double") / chunkBytes).cast("int")
-    media.filter(col("modality") === "video" && col("content").isNotNull)
+    // length > 0: sequence(0, greatest(n-1, 0)) would yield [0] for empty
+    // payloads and emit a phantom frame
+    media.filter(col("modality") === "video" && col("content").isNotNull &&
+        length(col("content")) > 0)
       .select(col("media_id"), col("content"), nChunks.as("n"))
       .select(col("media_id"), col("content"),
         posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)))).as(Seq("pos", "chunk_idx")))
@@ -94,7 +97,8 @@ object Multimodal {
   def audioWindows(media: DataFrame, windowBytes: Int): DataFrame = {
     require(windowBytes > 0)
     val n = ceil(length(col("content")).cast("double") / windowBytes).cast("int")
-    media.filter(col("modality") === "audio" && col("content").isNotNull)
+    media.filter(col("modality") === "audio" && col("content").isNotNull &&
+        length(col("content")) > 0)
       .select(col("media_id"), col("content"), n.as("n"))
       .select(col("media_id"), col("content"),
         posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)))).as(Seq("pos", "win_idx")))

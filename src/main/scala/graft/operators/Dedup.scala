@@ -82,16 +82,20 @@ object Dedup {
                         shingleN: Int, threshold: Double,
                         maxBitmapVocab: Int = 1 << 16): DataFrame = {
     // The vocabulary probe is an action anyway (adaptive strategy choice), so
-    // persist the exploded shingles for the reuse across probe + main plan.
+    // persist the exploded shingles across probe + docBits build, then drop
+    // them. Only docBits (one small row per doc) stays cached — it backs the
+    // lazily-executed pair scan; callers running many corpora through one
+    // session can clear it with spark.catalog.clearCache().
     val sh = docs.select(col(idCol).as("id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabN = sh.select("sh").distinct().count()
-    if (vocabN > 0 && vocabN <= maxBitmapVocab) {
-      val out = jaccardBitmap(sh, vocabN.toInt, threshold)
-      sh.unpersist(blocking = false) // jaccardBitmap materialized docBits
-      out
-    } else jaccardInvertedIndex(sh, threshold)
+    val out =
+      if (vocabN > 0 && vocabN <= maxBitmapVocab)
+        jaccardBitmap(sh, vocabN.toInt, threshold) // materializes docBits
+      else jaccardInvertedIndex(sh, threshold) // recomputes shingles post-unpersist
+    sh.unpersist(blocking = false)
+    out
   }
 
   private def jaccardBitmap(sh: DataFrame, vocabN: Int, threshold: Double): DataFrame = {

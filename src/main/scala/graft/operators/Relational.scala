@@ -47,8 +47,14 @@ object Relational {
     val withPrev = watched.foldLeft(df) { (d, c) =>
       d.withColumn(prevPrefix + c.toString, lag(c, 1).over(w))
     }
-    val changed = watched.map(c => col(prevPrefix + c.toString) =!= c).reduce(_ || _)
-    withPrev.filter(col(prevPrefix + watched.head.toString).isNotNull && changed)
+    // a dedicated first-row marker: keying "no previous row" off a watched
+    // column's prev value conflates it with "previous value was null" and
+    // silently drops changes in the other watched columns
+    val changed = watched.map(c => !(col(prevPrefix + c.toString) <=> c)).reduce(_ || _)
+    withPrev
+      .withColumn("__has_prev", lag(lit(1), 1).over(w))
+      .filter(col("__has_prev").isNotNull && changed)
+      .drop("__has_prev")
   }
 
   /** J7/U3 incremental anti-join: rows of `all` whose `key` is not in

@@ -34,6 +34,7 @@ object DataQuality {
   /** dbt_utils `accepted_range` (schema.yml:29-33 etc.). */
   def acceptedRange(df: DataFrame, c: String,
                     min: Option[Double] = None, max: Option[Double] = None): CheckResult = {
+    require(min.isDefined || max.isDefined, s"accepted_range($c) needs min and/or max")
     val conds: Seq[Column] = min.map(col(c) < _).toSeq ++ max.map(col(c) > _).toSeq
     result(s"accepted_range($c)", df.filter(col(c).isNotNull && conds.reduce(_ || _)))
   }

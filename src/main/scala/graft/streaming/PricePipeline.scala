@@ -42,7 +42,10 @@ object PricePipeline {
     org.apache.spark.sql.types.StructField("last_review_timestamp", org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("last_price_timestamp", org.apache.spark.sql.types.TimestampType)))
 
-  /** One micro-batch into the warehouse (idempotent per batch contents). */
+  /** One micro-batch into the warehouse. Idempotent under foreachBatch's
+    * at-least-once replay: games and crawl_state merge by key, and the
+    * prices append anti-joins the existing table on (game_id, timestamp) so
+    * a replayed batch inserts nothing new. */
   def mergeBatch(spark: SparkSession, warehouseDir: String, batch: DataFrame): Unit = {
     val ticks = batch.cache()
     try {
@@ -51,9 +54,12 @@ object PricePipeline {
       val (missingGames, priceRows, mergedState) =
         Streams.priceBatchMerge(games, state, ticks)
       missingGames.write.mode("append").parquet(s"$warehouseDir/games")
+      val existingPrices = readOr(spark, s"$warehouseDir/prices", pricesSchema)
       priceRows.select(
         col("appid").as("game_id"), col("price_cents"), col("discount"),
         col("initial_price_cents"), col("ts").as("timestamp"))
+        .join(existingPrices.select("game_id", "timestamp"),
+          Seq("game_id", "timestamp"), "left_anti")
         .write.mode("append").parquet(s"$warehouseDir/prices")
       // state is a full-replace merge: write-new-then-swap for atomicity
       val tmp = s"$warehouseDir/crawl_state__tmp"

@@ -140,11 +140,14 @@ object Streams {
   }
 
   /** ST4 egress: deliver deduped changes through the notifier in foreachBatch
-    * (at-least-once, like the reference's post-then-commit ordering). */
+    * (at-least-once, like the reference's post-then-commit ordering).
+    * Safe on empty batches (reduce would throw; sum is total). */
   def notifyBatch(changes: Dataset[CdcChange], notifier: Notifier): Long = {
     import changes.sparkSession.implicits._
     changes.mapPartitions(_.map(c =>
       if (notifier.notify(c.game_id, c.old_price, c.new_price)) 1L else 0L))
-      .reduce(_ + _)
+      .toDF("delivered")
+      .agg(coalesce(sum(col("delivered")), lit(0L)))
+      .head().getLong(0)
   }
 }

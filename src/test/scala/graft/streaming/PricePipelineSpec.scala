@@ -7,6 +7,7 @@ import java.nio.file.{Files, Path}
 /** SURVEY §3.2 end to end: staged wire files -> decode -> warehouse merge,
   * across micro-batches and a query restart. */
 class PricePipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   test("price pipeline: decode, auto-insert games, append prices, merge state") {
     val staging = Files.createTempDirectory("staging").toString
@@ -51,5 +52,13 @@ class PricePipelineSpec extends SparkSpec {
       assert(spark.read.parquet(s"$warehouse/prices").count() == 4)
       assert(spark.read.parquet(s"$warehouse/games").count() == 3)
     } finally q2.stop()
+
+    // at-least-once replay: re-merging the same decoded batch must be a no-op
+    // (crash between append and checkpoint commit re-runs the batch)
+    val replay = Streams.decodePriceTicks(
+      Seq(tick(1, "4,99", "75", 1700009999.0)).toDF("value"))
+    PricePipeline.mergeBatch(spark, warehouse, replay)
+    assert(spark.read.parquet(s"$warehouse/prices").count() == 4) // unchanged
+    assert(spark.read.parquet(s"$warehouse/games").count() == 3)
   }
 }

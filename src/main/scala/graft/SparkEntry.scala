@@ -566,6 +566,34 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY user_id, date_trunc('hour', ts)""")),
 
+    Q("q48_rollup", (s, dir) =>
+      // hierarchical subtotals (OLAP extension noted in SURVEY §2.4 as
+      // trivially exposable; exposed and oracle-checked here)
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("q49_pivot_segments", (s, dir) => {
+      // pivot via conditional aggregation (deterministic fixed column set)
+      val seg = (name: String) =>
+        count(when(col("c_mktsegment") === name, 1)).as(name.toLowerCase)
+      T(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(seg("AUTOMOBILE"), seg("BUILDING"), seg("FURNITURE"),
+          seg("HOUSEHOLD"), seg("MACHINERY"))
+    }, Some("""
+      SELECT c_nationkey,
+             COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+             COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+             COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
+             COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
+             COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+      FROM customer GROUP BY c_nationkey""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

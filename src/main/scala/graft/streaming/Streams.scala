@@ -118,6 +118,11 @@ object Streams {
       keys = Seq("appid", "author_steamid"),
       order = Seq(col("review_timestamp")))
 
+  /** ST2 core: review_summaries INSERT IGNORE by recommendationid
+    * (tasks/steam_review_task_improved.py:479-486). */
+  def reviewSummariesMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Relational.insertIgnore(existing, incoming, keys = Seq("recommendationid"))
+
   // ---- streaming wrappers ----
 
   /** ST5-ST8: exactly-once file watching (replaces the 5 s size-poll loops). */

@@ -1,0 +1,48 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import graft.Tables
+
+/** The composed (no-extensions) physical paths must stay result-identical to
+  * the native plan nodes — they're what runs in sessions built without
+  * GraftExtensions. */
+class FallbackPathsSpec extends SparkSpec {
+
+  private def withNativeOff[T](f: => T): T = {
+    spark.conf.set("spark.graft.native.allpairs", "false")
+    try f finally spark.conf.set("spark.graft.native.allpairs", "true")
+  }
+
+  test("embedding near-dup: composed NLJ fallback equals native node") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val native = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(_.toSeq).toSet
+    val composed = withNativeOff {
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(composed == native && native.nonEmpty)
+  }
+
+  test("bitmap jaccard: composed NLJ fallback equals native node") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2)
+      .collect().map(_.toSeq).toSet
+    val composed = withNativeOff {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(composed == native && native.nonEmpty)
+  }
+
+  test("reviewSummariesMerge is insert-ignore by recommendationid (ST2)") {
+    import spark.implicits._
+    val existing = Seq(("r1", 1, "old")).toDF("recommendationid", "appid", "review")
+    val incoming = Seq(("r1", 1, "DUP"), ("r2", 2, "new"), ("r2", 2, "dup-in-batch"))
+      .toDF("recommendationid", "appid", "review")
+    val out = graft.streaming.Streams.reviewSummariesMerge(existing, incoming)
+    assert(out.count() == 2)
+    assert(out.filter($"recommendationid" === "r1").head().getString(2) == "old")
+  }
+}

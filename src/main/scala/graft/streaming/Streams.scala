@@ -123,6 +123,41 @@ object Streams {
   def reviewSummariesMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
     Relational.insertIgnore(existing, incoming, keys = Seq("recommendationid"))
 
+  // ---- streaming near-duplicate filtering (training-data pipelines) ----
+
+  final case class BandedDoc(doc_id: Long, band: Int, band_hash: String)
+  final case class DedupVerdict(doc_id: Long, is_duplicate: Boolean)
+
+  /** Streaming MinHash-LSH dedup: keep a document iff none of its LSH bands
+    * was seen before. State is keyed on (band, band_hash) — bounded by the
+    * number of distinct band buckets, not documents — and survives restarts
+    * via the checkpoint. A doc is emitted once per band; downstream keeps
+    * docs where no band flagged a duplicate (groupBy doc agg max).
+    *
+    * Approximate by construction (same guarantees as batch MinHash-LSH):
+    * collisions = near-duplicates with high probability. The batch form is
+    * Dedup.minhashLshCandidates; this is its incremental arrival-order form —
+    * first arrival wins, later near-dups are flagged. */
+  def streamingBandDedup(bands: org.apache.spark.sql.Dataset[BandedDoc])
+  : org.apache.spark.sql.Dataset[DedupVerdict] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), docs: Iterator[BandedDoc], state: GroupState[Long]) => {
+          val sorted = docs.toSeq.sortBy(_.doc_id)
+          state.getOption match {
+            case Some(_) =>
+              // bucket already claimed by an earlier doc -> all dups
+              sorted.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
+            case None if sorted.nonEmpty =>
+              state.update(sorted.head.doc_id)
+              Iterator(DedupVerdict(sorted.head.doc_id, is_duplicate = false)) ++
+                sorted.tail.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
+            case None => Iterator.empty
+          }
+        })
+  }
+
   // ---- streaming wrappers ----
 
   /** ST5-ST8: exactly-once file watching (replaces the 5 s size-poll loops). */

@@ -47,8 +47,10 @@ object Engine {
                  queryVec: Seq[Float], k: Int,
                  lshThresholdRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.functions._
+    // compare against the clamped probe itself: with a threshold beyond
+    // Int range, count() could never exceed it and LSH became unreachable
     val probe = math.min(lshThresholdRows + 1, Int.MaxValue.toLong - 1).toInt
-    if (emb.limit(probe).count() > lshThresholdRows)
+    if (emb.limit(probe).count() >= probe)
       Similarity.lshTopK(emb, idCol, vecCol, queryVec, k)
     else
       Similarity.bruteForceTopK(

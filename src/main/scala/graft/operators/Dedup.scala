@@ -90,12 +90,16 @@ object Dedup {
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabN = sh.select("sh").distinct().count()
-    val out =
-      if (vocabN > 0 && vocabN <= maxBitmapVocab)
-        jaccardBitmap(sh, vocabN.toInt, threshold) // materializes docBits
-      else jaccardInvertedIndex(sh, threshold) // recomputes shingles post-unpersist
-    sh.unpersist(blocking = false)
-    out
+    if (vocabN > 0 && vocabN <= maxBitmapVocab) {
+      val out = jaccardBitmap(sh, vocabN.toInt, threshold) // materializes docBits
+      sh.unpersist(blocking = false) // safe: docBits cache replaces it
+      out
+    } else {
+      // the returned lazy plan reads sh three times (sizes + both join
+      // sides) — keep the cache alive for it; callers processing many
+      // corpora reclaim it with spark.catalog.clearCache()
+      jaccardInvertedIndex(sh, threshold)
+    }
   }
 
   private def jaccardBitmap(sh: DataFrame, vocabN: Int, threshold: Double): DataFrame = {

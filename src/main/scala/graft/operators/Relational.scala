@@ -29,6 +29,13 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Dedup keep-FIRST per key by explicit arrival order (MySQL INSERT IGNORE
+    * first-row-wins semantics). */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** W3 top-N rows per key (review cap). Window row_number: single shuffle on
     * key; AQE handles skewed keys. `order` must be a total order (include a
     * unique tiebreaker) for deterministic output. */

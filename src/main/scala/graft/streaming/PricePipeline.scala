@@ -55,11 +55,15 @@ object PricePipeline {
         Streams.priceBatchMerge(games, state, ticks)
       missingGames.write.mode("append").parquet(s"$warehouseDir/games")
       val existingPrices = readOr(spark, s"$warehouseDir/prices", pricesSchema)
+      // anti-join on the FULL row: a replayed batch inserts nothing, while a
+      // genuinely different payload at the same (game_id, timestamp) —
+      // e.g. a corrected resend — still lands
+      val allCols = Seq("game_id", "price_cents", "discount",
+        "initial_price_cents", "timestamp")
       priceRows.select(
         col("appid").as("game_id"), col("price_cents"), col("discount"),
         col("initial_price_cents"), col("ts").as("timestamp"))
-        .join(existingPrices.select("game_id", "timestamp"),
-          Seq("game_id", "timestamp"), "left_anti")
+        .join(existingPrices.select(allCols.map(col): _*), allCols, "left_anti")
         .write.mode("append").parquet(s"$warehouseDir/prices")
       // state is a full-replace merge: write-new-then-swap for atomicity
       val tmp = s"$warehouseDir/crawl_state__tmp"

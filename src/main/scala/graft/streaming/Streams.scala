@@ -52,13 +52,14 @@ object Streams {
       .select(col("payload.before").as("before"), col("payload.after").as("after"))
       .filter(col("after").isNotNull)
 
-  /** ST4 change filter: any of the three compared fields differs, or the row
-    * is new (before IS NULL -> reference skips notify; we mirror that). */
+  /** ST4 change filter: any of the three compared fields differs (null-safe —
+    * NULL -> value transitions are changes), or the row is new (before IS
+    * NULL -> reference skips notify; we mirror that). */
   def cdcChanged(decoded: DataFrame): DataFrame =
     decoded.filter(col("before").isNotNull &&
-      (col("before.price") =!= col("after.price") ||
-        col("before.discount") =!= col("after.discount") ||
-        col("before.initial_price") =!= col("after.initial_price")))
+      (!(col("before.price") <=> col("after.price")) ||
+        !(col("before.discount") <=> col("after.discount")) ||
+        !(col("before.initial_price") <=> col("after.initial_price"))))
 
   // ---- stateful dedup (ST4/ST9) ----
 
@@ -119,9 +120,16 @@ object Streams {
       order = Seq(col("review_timestamp")))
 
   /** ST2 core: review_summaries INSERT IGNORE by recommendationid
-    * (tasks/steam_review_task_improved.py:479-486). */
-  def reviewSummariesMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
-    Relational.insertIgnore(existing, incoming, keys = Seq("recommendationid"))
+    * (tasks/steam_review_task_improved.py:479-486). `arrivalOrder` makes the
+    * within-batch duplicate pick deterministic (first arrival wins, like
+    * MySQL INSERT IGNORE) — dropDuplicates alone picks arbitrarily. */
+  def reviewSummariesMerge(existing: DataFrame, incoming: DataFrame,
+                           arrivalOrder: org.apache.spark.sql.Column): DataFrame = {
+    val deduped = Relational.dedupKeepFirst(incoming,
+      Seq("recommendationid"), Seq(arrivalOrder))
+    existing.unionByName(
+      deduped.join(existing.select("recommendationid"), Seq("recommendationid"), "left_anti"))
+  }
 
   // ---- streaming near-duplicate filtering (training-data pipelines) ----
 

@@ -32,8 +32,8 @@ class MoneyFuzzSpec extends SparkSpec {
   test("toCents matches the reference port on 2000 fuzzed inputs") {
     val rnd = new scala.util.Random(7)
     val shapes = Seq[() => String](
-      () => s"${rnd.nextInt(10000)},${rnd.nextInt(100)}%02d",
       () => f"${rnd.nextInt(10000)},${rnd.nextInt(100)}%02d",
+      () => f"${rnd.nextInt(10000)}.${rnd.nextInt(100)}%02d",
       () => s"${rnd.nextInt(10000)}.${rnd.nextInt(100)}",
       () => s"${rnd.nextInt(100000)}",
       () => s"  ${rnd.nextInt(100)},${rnd.nextInt(10)}  ",
@@ -43,7 +43,7 @@ class MoneyFuzzSpec extends SparkSpec {
       () => "   ",
       () => "abc" + rnd.nextInt(10),
       () => s"${rnd.nextInt(100)}x${rnd.nextInt(100)}",
-      () => s"-${rnd.nextInt(1000)},${rnd.nextInt(100)}%02d",
+      () => f"-${rnd.nextInt(1000)},${rnd.nextInt(100)}%02d", // negative comma-decimal
       () => s"-${rnd.nextInt(1000)}")
     val inputs = (1 to 2000).map(_ => shapes(rnd.nextInt(shapes.size))()).distinct
     val got = inputs.toDF("v")

@@ -36,13 +36,19 @@ class FallbackPathsSpec extends SparkSpec {
     assert(composed == native && native.nonEmpty)
   }
 
-  test("reviewSummariesMerge is insert-ignore by recommendationid (ST2)") {
+  test("reviewSummariesMerge: insert-ignore with deterministic first-arrival pick (ST2)") {
     import spark.implicits._
-    val existing = Seq(("r1", 1, "old")).toDF("recommendationid", "appid", "review")
-    val incoming = Seq(("r1", 1, "DUP"), ("r2", 2, "new"), ("r2", 2, "dup-in-batch"))
-      .toDF("recommendationid", "appid", "review")
-    val out = graft.streaming.Streams.reviewSummariesMerge(existing, incoming)
+    import org.apache.spark.sql.functions.col
+    val existing = Seq(("r1", 1, "old", 1L)).toDF("recommendationid", "appid", "review", "arrival")
+    val incoming = Seq(
+      ("r1", 1, "DUP", 2L),
+      ("r2", 2, "second-arrival", 4L),
+      ("r2", 2, "first-arrival", 3L))
+      .toDF("recommendationid", "appid", "review", "arrival")
+    val out = graft.streaming.Streams.reviewSummariesMerge(existing, incoming, col("arrival"))
     assert(out.count() == 2)
     assert(out.filter($"recommendationid" === "r1").head().getString(2) == "old")
+    // INSERT IGNORE semantics: the FIRST in-batch duplicate wins
+    assert(out.filter($"recommendationid" === "r2").head().getString(2) == "first-arrival")
   }
 }

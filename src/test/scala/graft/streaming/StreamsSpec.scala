@@ -28,9 +28,11 @@ class StreamsSpec extends SparkSpec {
       // real change
       """{"payload":{"before":{"game_id":2,"discount":0,"price":19.99,"initial_price":19.99,"timestamp":1.6e12},"after":{"game_id":2,"discount":50,"price":9.99,"initial_price":19.99,"timestamp":1.7e12}}}""",
       // no-op
-      """{"payload":{"before":{"game_id":3,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.6e12},"after":{"game_id":3,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.7e12}}}"""))
+      """{"payload":{"before":{"game_id":3,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.6e12},"after":{"game_id":3,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.7e12}}}""",
+      // null -> value transition in one compared field is a change (null-safe compare)
+      """{"payload":{"before":{"game_id":4,"discount":0,"price":null,"initial_price":5.0,"timestamp":1.6e12},"after":{"game_id":4,"discount":0,"price":5.0,"initial_price":5.0,"timestamp":1.7e12}}}"""))
     val changed = Streams.cdcChanged(Streams.decodeCdc(msgs))
-    assert(changed.select("after.game_id").as[Int].collect().toSeq == Seq(2))
+    assert(changed.select("after.game_id").as[Int].collect().toSeq.sorted == Seq(2, 4))
   }
 
   test("monotoneDedup drops stale replays across micro-batches (ST4/ST9)") {

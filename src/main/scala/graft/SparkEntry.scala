@@ -594,6 +594,40 @@ object SparkEntry {
              COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
       FROM customer GROUP BY c_nationkey""")),
 
+    Q("q50_sessionize", (s, dir) => {
+      // gaps-and-islands sessionization (batch twin of the streaming
+      // session_window): new session when the gap to the previous event of
+      // the same user exceeds 30 minutes; per-session metrics
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("new_session",
+          when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 1800, 1)
+            .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sessions GROUP BY user_id, session_id""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -5,9 +5,10 @@ package graft
 class QueriesSmokeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("oracle SQL exists for every query or is explicitly rows-only") {
+  test("every registered query carries an oracle (full coverage invariant)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.forall(n => n.contains("lsh") || n.contains("ivf")), rowsOnly)
+    assert(rowsOnly.isEmpty, s"queries without oracle SQL: $rowsOnly")
+    assert(SparkEntry.queries.size == 50)
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

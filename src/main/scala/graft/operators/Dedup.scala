@@ -80,8 +80,11 @@ object Dedup {
     *    materialize. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double,
-                        maxBitmapVocab: Int = 1 << 16): DataFrame = {
-    // The vocabulary probe is an action anyway (adaptive strategy choice), so
+                        maxBitmapVocab: Int = 1 << 16,
+                        maxBitmapDocs: Long = 1L << 20,
+                        maxBitmapBytes: Long = 1L << 30): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0, s"jaccard threshold in [0,1], got $threshold")
+    // The dispatch probe is an action anyway (adaptive strategy choice), so
     // persist the exploded shingles across probe + docBits build, then drop
     // them. Only docBits (one small row per doc) stays cached — it backs the
     // lazily-executed pair scan; callers running many corpora through one
@@ -89,24 +92,42 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocabN = sh.select("sh").distinct().count()
-    if (vocabN > 0 && vocabN <= maxBitmapVocab) {
+    // Dispatch gates on BOTH dimensions: the bitmap path materializes one
+    // bitset row per document and broadcasts/collects the lot, so a small
+    // vocabulary alone (templated or short docs — exactly what dedup sees at
+    // web scale) must not route a billion-document corpus onto it. Estimated
+    // in-memory bitset table size caps the total as well.
+    val stats = sh.agg(countDistinct(col("sh")).as("v"),
+      countDistinct(col("id")).as("d")).head()
+    val vocabN = stats.getLong(0)
+    val docsN = stats.getLong(1)
+    val estBitmapBytes = docsN * ((vocabN / 64 + 1) * 8 + 32) // bitset words + row overhead
+    if (vocabN > 0 && vocabN <= maxBitmapVocab &&
+        docsN <= maxBitmapDocs && estBitmapBytes <= maxBitmapBytes) {
       val out = jaccardBitmap(sh, vocabN.toInt, threshold) // materializes docBits
       sh.unpersist(blocking = false) // safe: docBits cache replaces it
       out
     } else {
-      // the returned lazy plan reads sh three times (sizes + both join
-      // sides) — keep the cache alive for it; callers processing many
-      // corpora reclaim it with spark.catalog.clearCache()
+      // the returned lazy plan reads sh several times (document frequencies,
+      // prefix index, per-doc sets) — keep the cache alive for it; callers
+      // processing many corpora reclaim it with spark.catalog.clearCache()
       jaccardInvertedIndex(sh, threshold)
     }
   }
 
   private def jaccardBitmap(sh: DataFrame, vocabN: Int, threshold: Double): DataFrame = {
     import graft.plans.VectorExpressions._
-    import org.apache.spark.sql.expressions.Window
-    val vocab = sh.select("sh").distinct()
-      .withColumn("sid", (row_number().over(Window.orderBy("sh")) - 1).cast("int"))
+    require(vocabN <= (1 << 16),
+      s"bitmap path is capped at 64Ki vocabulary ids ($vocabN given) — " +
+        "the dispatch in ngramJaccardPairs must route larger vocabularies to the inverted index")
+    val spark = sh.sparkSession
+    import spark.implicits._
+    // dense vocab ids WITHOUT a single-partition global window: distributed
+    // sort + zipWithIndex numbers by partition offsets (two light jobs over a
+    // <=64Ki-row table, no WindowExec-on-one-partition hotspot)
+    val vocab = sh.select("sh").distinct().sort("sh")
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (s, i) => (s, i.toInt) }.toDF("sh", "sid")
     val docBits = sh.join(broadcast(vocab), "sh")
       .groupBy("id").agg(collect_list(col("sid")).as("sids"), count(lit(1)).as("n"))
       .select(col("id"), bitsetFromIndices(col("sids"), vocabN).as("bits"), col("n"))
@@ -128,14 +149,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact inverted-index Jaccard with prefix filtering (Chaudhuri et al.
+    * SSJoin ICDE'06; Bayardo et al. All-Pairs WWW'07; Xiao et al. PPJoin
+    * WWW'08): under a global shingle order, J(a,b) >= t implies
+    * |a∩b| >= ceil(t·|a|), and if none of the overlap fell in a's first
+    * |a| - ceil(t·|a|) + 1 shingles the whole overlap would have to fit in the
+    * remaining ceil(t·|a|) - 1 — contradiction. So indexing ONLY each doc's
+    * prefix under the shared order preserves every qualifying pair exactly.
+    *
+    * The order is (document frequency ASC, shingle ASC): each doc's prefix
+    * holds its RAREST shingles, so a stop-bigram shared by 10^6 documents is
+    * indexed by almost none of them — the hot-key quadratic blowup of the
+    * naive shingle self-join never materializes. Verification runs exact set
+    * intersection (codegen'd array_intersect) over candidates only; per-doc
+    * size tables ride along un-hinted (AQE broadcasts them when small; at
+    * 100 TB a per-document table is exactly what cannot be broadcast). */
   private def jaccardInvertedIndex(sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("doc_a", "sh").join(sh.toDF("doc_b", "sh"), Seq("sh"))
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("r", row_number().over(byDoc.orderBy("df", "sh")))
+    // the 1e-9 nudge makes a float-boundary ceil err toward a LONGER prefix
+    // (more candidates, never fewer) — exactness is one-sided safe
+    val prefixLen = col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1
+    val prefix = ranked.filter(col("r") <= prefixLen).select("id", "sh", "n")
+    val cand = prefix.toDF("doc_a", "sh", "n_a")
+      .join(prefix.toDF("doc_b", "sh", "n_b"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.toDF("doc_a", "n_a")), "doc_a")
-      .join(broadcast(sizes.toDF("doc_b", "n_b")), "doc_b")
+      // size filter: J >= t also requires t·max(|a|,|b|) <= min(|a|,|b|)
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
+      .select("doc_a", "doc_b").distinct()
+    val docSets = sh.groupBy("id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(docSets.toDF("doc_a", "set_a", "n_a"), "doc_a")
+      .join(docSets.toDF("doc_b", "set_b", "n_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -160,13 +212,22 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force
     * (inverted by LSH at scale — see Similarity.lshNearDupPairs); kept as the
-    * correctness baseline. Deterministic double arithmetic (see VectorFunctions). */
+    * correctness baseline. Deterministic double arithmetic (see VectorFunctions).
+    *
+    * The native exec and the broadcast form both hold one full corpus copy per
+    * executor, so the "broadcastable corpus" contract is ENFORCED by a row
+    * count probe, not assumed: above `maxBruteForceRows` the pair scan runs as
+    * a distributed cartesian — still exact, still O(N²) compute, but no
+    * driver/executor collect of the corpus. Beyond brute force entirely,
+    * Similarity.lshNearDupPairs is the sub-quadratic scale path. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxBruteForceRows: Long = 1L << 20): DataFrame = {
+    val rowsN = emb.count() // dispatch probe — cheap vs the O(N²) scan it gates
     // GraftExtensions sessions plan this as the native AllPairsCosineExec
     // (primitive pair loop, no join machinery); the composed fallback is the
     // same math through the codegen'd DotProduct expression.
-    if (graft.plans.AllPairsCosine.enabled(emb))
+    if (rowsN <= maxBruteForceRows && graft.plans.AllPairsCosine.enabled(emb))
       return graft.plans.AllPairsCosine.pairs(emb, idCol, vecCol, threshold)
     // norms once per vector (not per pair); the pair loop is one codegen'd
     // dot product + a multiply — identical doubles to VF.cosine's formula
@@ -174,7 +235,10 @@ object Dedup {
       sqrt(VF.dot(col(vecCol), col(vecCol))).as("nrm"))
     val a = base.toDF("id_a", "v_a", "n_a")
     val b = base.toDF("id_b", "v_b", "n_b")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val joined =
+      if (rowsN <= maxBruteForceRows) a.join(broadcast(b), col("id_a") < col("id_b"))
+      else a.join(b, col("id_a") < col("id_b")) // beyond-broadcast: distributed cartesian
+    joined
       .withColumn("cos", round(
         when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(null).cast("double"))
           .otherwise(VF.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))

@@ -73,6 +73,10 @@ case class AllPairsCosineExec(child: SparkPlan, threshold: Double, roundScale: I
     val bc = sparkContext.broadcast(corpus)
     val th = threshold
     val scale = roundScale
+    // HALF_UP rounding at `scale` can raise a value by at most half an ulp of
+    // that scale; anything below th - that margin cannot round up to >= th, so
+    // the reject path (the overwhelming majority) never allocates a BigDecimal
+    val preTh = th - (0.5 * math.pow(10, -scale) + 1e-12)
     val slices = math.max(1, math.min(sparkContext.defaultParallelism, corpus.length))
     sparkContext.parallelize(0 until slices, slices).mapPartitions { sliceIt =>
       val all = bc.value
@@ -91,13 +95,16 @@ case class AllPairsCosineExec(child: SparkPlan, threshold: Double, roundScale: I
               var i = 0
               while (i < n) { dot += va(i) * vb(i); i += 1 }
               val cos = dot / (na * nb)
-              // identical to Spark round(): BigDecimal.valueOf = canonical repr
-              val rounded = java.math.BigDecimal.valueOf(cos)
-                .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
-              if (rounded >= th) {
-                out.update(0, idA); out.update(1, idB); out.update(2, rounded)
-                Iterator.single(proj(out).copy(): InternalRow)
-              } else Iterator.empty
+              if (cos < preTh) Iterator.empty
+              else {
+                // identical to Spark round(): BigDecimal.valueOf = canonical repr
+                val rounded = java.math.BigDecimal.valueOf(cos)
+                  .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (rounded >= th) {
+                  out.update(0, idA); out.update(1, idB); out.update(2, rounded)
+                  Iterator.single(proj(out).copy(): InternalRow)
+                } else Iterator.empty
+              }
             }
         }
       }
@@ -144,6 +151,9 @@ case class AllPairsJaccardExec(child: SparkPlan, threshold: Double, roundScale: 
     val bc = sparkContext.broadcast(corpus)
     val th = threshold
     val scale = roundScale
+    // same prefilter as the cosine exec: below th minus half an ulp of the
+    // rounding scale can never round up past th — skip the BigDecimal
+    val preTh = th - (0.5 * math.pow(10, -scale) + 1e-12)
     val slices = math.max(1, math.min(sparkContext.defaultParallelism, corpus.length))
     sparkContext.parallelize(0 until slices, slices).mapPartitions { sliceIt =>
       val all = bc.value
@@ -163,12 +173,15 @@ case class AllPairsJaccardExec(child: SparkPlan, threshold: Double, roundScale: 
               if (inter == 0L) Iterator.empty
               else {
                 val j = inter.toDouble / (na + nb - inter)
-                val rounded = java.math.BigDecimal.valueOf(j)
-                  .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
-                if (rounded >= th) {
-                  out.update(0, idA); out.update(1, idB); out.update(2, rounded)
-                  Iterator.single(proj(out).copy(): InternalRow)
-                } else Iterator.empty
+                if (j < preTh) Iterator.empty
+                else {
+                  val rounded = java.math.BigDecimal.valueOf(j)
+                    .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+                  if (rounded >= th) {
+                    out.update(0, idA); out.update(1, idB); out.update(2, rounded)
+                    Iterator.single(proj(out).copy(): InternalRow)
+                  } else Iterator.empty
+                }
               }
             }
         }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-guard dispatch tests: every gate in the adaptive Jaccard / embedding
+  * near-dup strategy choice is forced and the strategies are asserted
+  * equivalent (the point of adaptive dispatch: identical answers, different
+  * physical plans).
+  */
+class DedupDispatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // varied-overlap corpus: dup pair, near-dup, partial overlaps, disjoint doc
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),
+    (3L, "alpha beta gamma delta epsilon eta"),
+    (4L, "alpha beta gamma other words here now"),
+    (5L, "totally unrelated text about engines and planes"),
+    (6L, "beta gamma delta epsilon zeta alpha")
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("bitmap and prefix-filtered inverted index agree at multiple thresholds") {
+    for (t <- Seq(0.0, 0.1, 0.3, 0.5, 0.8, 1.0)) {
+      val bitmap = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t))
+      val inverted = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t,
+        maxBitmapVocab = 1)) // vocab gate -> inverted index
+      assert(bitmap == inverted, s"threshold $t: bitmap=$bitmap inverted=$inverted")
+    }
+  }
+
+  test("document-count gate routes a small-vocab corpus off the bitmap path") {
+    val t = 0.3
+    val viaDocsGate = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t,
+      maxBitmapDocs = 2) // 6 docs > 2 -> must take the inverted index
+    // the inverted-index plan never touches the native all-pairs exec or the
+    // docBits broadcast scan
+    val planStr = viaDocsGate.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("AllPairsJaccard"), planStr.take(500))
+    assert(pairSet(viaDocsGate) == pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t)))
+  }
+
+  test("byte-estimate gate routes off the bitmap path") {
+    val t = 0.3
+    val viaBytesGate = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t,
+      maxBitmapBytes = 64) // 6 docs never fit 64 bytes of bitsets
+    assert(!viaBytesGate.queryExecution.optimizedPlan.toString.contains("AllPairsJaccard"))
+    assert(pairSet(viaBytesGate) == pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, t)))
+  }
+
+  test("prefix filter drops hot shingles from the index but loses no pairs") {
+    // every doc shares the hot bigram "x x"; only true near-dups qualify
+    val hot = Seq(
+      (1L, "x x a b c d e"),
+      (2L, "x x a b c d f"),
+      (3L, "x x p q r s t"),
+      (4L, "x x p q r s u"),
+      (5L, "x x m n o w z")
+    ).toDF("doc_id", "text")
+    val t = 0.5
+    val inverted = pairSet(Dedup.ngramJaccardPairs(hot, "doc_id", "text", 2, t,
+      maxBitmapVocab = 1))
+    val bitmap = pairSet(Dedup.ngramJaccardPairs(hot, "doc_id", "text", 2, t))
+    assert(inverted == bitmap)
+    assert(inverted.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  private lazy val vecs = {
+    val mk = (seed: Int) => Array.tabulate(8)(i => (seed * 7 + i).toFloat / 10f)
+    val near = mk(1).clone(); near(0) += 0.001f
+    Seq((0L, mk(1).toSeq), (1L, near.toSeq), (2L, mk(5).toSeq), (3L, mk(9).toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("embedding brute-force gate: beyond-cap path avoids broadcast/native, same result") {
+    val inCap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+    val overCap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+      maxBruteForceRows = 2) // 4 rows > 2
+    val planStr = overCap.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("AllPairsCosine"), planStr.take(500))
+    assert(!planStr.toLowerCase.contains("broadcast"), planStr.take(500))
+    assert(pairSet(overCap) == pairSet(inCap))
+    assert(pairSet(inCap).map(p => (p._1, p._2)).contains((0L, 1L)))
+  }
+}

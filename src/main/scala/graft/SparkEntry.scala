@@ -389,6 +389,13 @@ object SparkEntry {
       Dedup.simhash(T(s, dir, "documents"), "doc_id", "text", bits = 32),
       Some(TextOracle.simhashSql(32))),
 
+    Q("q51_simhash_near_dup", (s, dir) =>
+      // SimHash's lookup half: all pairs within hamming distance 3, via
+      // lossless (maxHamming+1)-band candidate generation + popcount verify
+      Dedup.simhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 32),
+      Some(TextOracle.simhashNearDupSql(bits = 32, maxHamming = 3))),
+
     // ---- Similarity search ---------------------------------------------------
     Q("q33_cosine_topk", (s, dir) => {
       val emb = T(s, dir, "embeddings")

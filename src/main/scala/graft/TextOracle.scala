@@ -54,22 +54,39 @@ object TextOracle {
     FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
   }
 
-  def simhashSql(bits: Int): String = {
+  /** CTE chain ending in sim(doc_id, simhash) — shared by the fingerprint
+    * query and the hamming-banding near-dup lookup. */
+  private def simhashCtes(bits: Int): String = {
     val vCols = (0 until bits)
       .map(i => s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
       .mkString(",\n             ")
     val shExpr = (0 until bits)
       .map(i => s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""
-    WITH toks AS (
+    s"""toks AS (
       SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
       FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
     h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hv FROM toks),
     v AS (SELECT doc_id, $vCols
-          FROM h GROUP BY doc_id)
-    SELECT doc_id, $shExpr AS simhash FROM v"""
+          FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, $shExpr AS simhash FROM v)"""
   }
+
+  def simhashSql(bits: Int): String =
+    s"""
+    WITH ${simhashCtes(bits)}
+    SELECT doc_id, simhash FROM sim"""
+
+  /** Exact all-pairs-within-hamming oracle: the banding is lossless (pigeonhole
+    * over maxHamming+1 bands), so the oracle is simply the brute-force pair
+    * filter — no need to reproduce the banding itself. */
+  def simhashNearDupSql(bits: Int, maxHamming: Int): String =
+    s"""
+    WITH ${simhashCtes(bits)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"""
 
   /** dot/norm folded left-to-right over doubles — same association order as
     * VectorFunctions.dot's aggregate(), so bit-identical before round(6). */

@@ -210,6 +210,44 @@ object Dedup {
     v.select(col(idCol), sh.as("simhash"))
   }
 
+  /** SimHash near-duplicate lookup — the missing half of the fingerprint:
+    * all pairs within `maxHamming` bit flips, found by hamming-distance
+    * banding. The fingerprint is split into `maxHamming + 1` contiguous bit
+    * bands; by pigeonhole, two fingerprints differing in <= maxHamming bits
+    * agree EXACTLY on at least one band, so the band self-equi-join (keyed on
+    * small (band, value) buckets — never all pairs) is a lossless candidate
+    * generator, then a popcount verifies. Shuffle shape matches MinHash-LSH
+    * banding: explode + bucket join, no quadratic key. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int, bits: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val numBands = maxHamming + 1
+    val fp = simhash(docs, idCol, textCol, bits)
+    // distribute bits over bands as evenly as possible: wide bands first
+    val base = bits / numBands
+    val widths = (0 until numBands).map(b => base + (if (b < bits % numBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until numBands).map { b =>
+      val mask = (1L << widths(b)) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val bands = fp.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = bands.toDF("doc_a", "band", "bv")
+    val b = bands.toDF("doc_b", "band", "bv")
+    val cand = a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(fp.toDF("doc_a", "sim_a"), "doc_a")
+      .join(fp.toDF("doc_b", "sim_b"), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force
     * (inverted by LSH at scale — see Similarity.lshNearDupPairs); kept as the
     * correctness baseline. Deterministic double arithmetic (see VectorFunctions).

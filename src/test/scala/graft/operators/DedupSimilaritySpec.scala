@@ -42,6 +42,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.getDouble(2) == 0.5)
   }
 
+  test("simhashNearDupPairs: banding is lossless vs brute-force hamming filter") {
+    val corpus = docs.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (6L, "spark query engines shuffle completely different content about")
+    ).toDF("doc_id", "text"))
+    for (d <- Seq(0, 3, 8)) {
+      val banded = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force: all pairs, popcount(xor) <= d
+      val fp = Dedup.simhash(corpus, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val brute = (for {
+        (ia, sa) <- fp; (ib, sb) <- fp if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= d
+      } yield (ia, ib, h.toLong)).toSet
+      assert(banded == brute, s"maxHamming=$d")
+      if (d >= 0) assert(banded.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    }
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

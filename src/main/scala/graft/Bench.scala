@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private final case class R(name: String, time: Double, median: Double,
+                             rows: Long, ok: Boolean)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,19 +21,30 @@ object Bench {
     Tables.events(spark, sfDir).count()
     // min of N runs: ambient load on the shared box swings single runs by
     // 2-3x; best-observed is the stable, standard microbench statistic
+    // (median also reported so one spike is visible as min/median spread)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // a failed run is recorded as a FAILURE, never as a timing — folding a
+      // fast-fail elapsed into min would make regressions look like speedups
+      val attempts: Seq[(Option[Long], Double)] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { val n = fn(spark, sfDir).count(); (Some(n), (System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          (None, (System.nanoTime() - t0) / 1e9)
+        }
       }
-      name -> times.min
+      val ok = attempts.collect { case (Some(n), t) => (n, t) }
+      if (ok.nonEmpty) R(name, ok.map(_._2).min, median(ok.map(_._2)), ok.head._1, ok = true)
+      else R(name, -1.0, -1.0, -1L, ok = false)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map(r => s""""${r.name}":${r.time}""").mkString("{", ",", "}")
+    val med = results.map(r => s""""${r.name}":${r.median}""").mkString("{", ",", "}")
+    val rows = results.map(r => s""""${r.name}":${r.rows}""").mkString("{", ",", "}")
+    val failed = results.filterNot(_.ok).map(r => s""""${r.name}"""").mkString("[", ",", "]")
+    val total = results.filter(_.ok).map(_.time).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(!_.ok)) sys.exit(1)
   }
 }

@@ -145,19 +145,36 @@ object Relational {
       .groupBy(col(key)).agg(sum(col("__partial")).as(s"sum_$valueCol"))
 
   /** J10 lookup-or-create surrogate keys: assign dense ids to names missing
-    * from `dim`, continuing after max(existing id). Deterministic
-    * (row_number over name order), unlike monotonically_increasing_id.
-    * The existing dim is broadcast; new-key numbering is a single small sort. */
+    * from `dim`, continuing after max(existing id). Deterministic (name
+    * order), unlike monotonically_increasing_id. The existing dim is
+    * broadcast. New ids take the dim id column's OWN type (an int dim stays
+    * int, a long dim stays long) with an explicit overflow guard — no silent
+    * wraparound near Int.MaxValue. Numbering uses a distributed sort +
+    * zipWithIndex instead of a single-partition global window; new keys per
+    * batch are dim churn, inherently small, but the assignment is distributed
+    * regardless. */
   def lookupOrCreate(dim: DataFrame, idCol: String, nameCol: String,
                      names: DataFrame): DataFrame = {
-    val maxId = coalesce(max(col(idCol)), lit(0L))
-    val base = dim.agg(maxId.as("__max")).
-
-      crossJoin(names.select(col(nameCol)).distinct()
-        .join(broadcast(dim.select(nameCol)), Seq(nameCol), "left_anti"))
-    val w = Window.orderBy(col(nameCol))
-    val created = base.withColumn(idCol, (col("__max") + row_number().over(w)).cast("int"))
-      .select(col(idCol), col(nameCol))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val idType = dim.schema(idCol).dataType
+    val spark = dim.sparkSession
+    val maxId = dim.agg(coalesce(max(col(idCol).cast("long")), lit(0L))).head().getLong(0)
+    val newNames = names.select(col(nameCol)).distinct()
+      .join(broadcast(dim.select(nameCol)), Seq(nameCol), "left_anti")
+      .sort(col(nameCol))
+    if (idType == IntegerType) {
+      val newCount = newNames.count()
+      require(maxId + newCount <= Int.MaxValue.toLong,
+        s"surrogate ids for IntegerType '$idCol' would overflow Int.MaxValue " +
+          s"(max existing $maxId + $newCount new) — widen the dim id column to BIGINT")
+    }
+    val indexed = newNames.rdd.zipWithIndex
+      .map { case (r, i) => Row(r.get(0), maxId + i + 1) }
+    val created = spark.createDataFrame(indexed,
+      StructType(Seq(newNames.schema(nameCol),
+        StructField("__newid", LongType, nullable = false))))
+      .select(col("__newid").cast(idType).as(idCol), col(nameCol))
     dim.select(col(idCol), col(nameCol)).unionByName(created)
   }
 }

@@ -22,9 +22,30 @@ object PricePipeline {
     org.apache.spark.sql.types.StructField("value",
       org.apache.spark.sql.types.StringType)))
 
-  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  /** Recover from a swap interrupted between renames: if the destination is
+    * missing, restore the fully-written new state (__tmp with _SUCCESS — the
+    * merge that produced it had completed) or, failing that, the displaced
+    * previous state (__old). Without this, an interrupted swap silently
+    * rebuilds empty state and wipes the watermarks. */
+  private def recoverSwap(path: String): Unit = {
+    val dst = new java.io.File(path)
+    if (!dst.exists()) {
+      val tmp = new java.io.File(path + "__tmp")
+      val old = new java.io.File(path + "__old")
+      if (tmp.exists() && new java.io.File(tmp, "_SUCCESS").exists()) {
+        require(tmp.renameTo(dst), s"state recovery failed: $tmp -> $dst")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+      } else if (old.exists()) {
+        require(old.renameTo(dst), s"state recovery failed: $old -> $dst")
+      }
+    }
+  }
+
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    recoverSwap(path)
     if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private val gamesSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("game_id",
@@ -65,16 +86,21 @@ object PricePipeline {
         col("initial_price_cents"), col("ts").as("timestamp"))
         .join(existingPrices.select(allCols.map(col): _*), allCols, "left_anti")
         .write.mode("append").parquet(s"$warehouseDir/prices")
-      // state is a full-replace merge: write-new-then-swap for atomicity
+      // state is a full-replace merge: write-new-then-swap. Every rename is
+      // checked and a crash between the renames is recoverable (recoverSwap
+      // restores __tmp-with-_SUCCESS or __old on the next read) — an
+      // interrupted swap can no longer silently reset the watermarks.
       val tmp = s"$warehouseDir/crawl_state__tmp"
       mergedState.write.mode("overwrite").parquet(tmp)
       val dst = new java.io.File(s"$warehouseDir/crawl_state")
+      val tmpF = new java.io.File(tmp)
       if (dst.exists()) {
         val old = new java.io.File(s"$warehouseDir/crawl_state__old")
-        dst.renameTo(old)
-        new java.io.File(tmp).renameTo(dst)
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        require(dst.renameTo(old), s"state swap failed: $dst -> $old")
+        require(tmpF.renameTo(dst), s"state swap failed: $tmp -> $dst")
         org.apache.commons.io.FileUtils.deleteDirectory(old)
-      } else new java.io.File(tmp).renameTo(dst)
+      } else require(tmpF.renameTo(dst), s"state swap failed: $tmp -> $dst")
     } finally ticks.unpersist()
   }
 

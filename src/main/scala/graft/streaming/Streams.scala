@@ -87,6 +87,49 @@ object Streams {
         })
   }
 
+  /** TTL form of monotoneDedup: identical high-water-mark semantics within
+    * the retention window, but keys idle past `stateTtl` IN EVENT TIME (the
+    * watermark drives eviction, so retention is data-defined and replayable,
+    * not wall-clock) have their state removed — state stays bounded by the
+    * active-key set instead of growing with every key ever seen.
+    *
+    * Output semantics are EXACTLY the non-TTL form's: a key only evicts once
+    * the watermark passes hwm + ttl, and any later event the watermark still
+    * admits (ts > watermark >= hwm + ttl > hwm) would have passed the
+    * high-water-mark check anyway — every event the TTL form could wrongly
+    * re-accept is already dropped as late data. The reference's
+    * forever-growing cdc_state.json semantics remain available via the
+    * non-TTL monotoneDedup (it also accepts arbitrarily late arrivals, which
+    * this form's watermark discards). `stateTtl` must exceed the watermark
+    * delay for the above argument to hold. */
+  def monotoneDedupTtl(ds: Dataset[CdcChange], watermarkDelay: String,
+                       stateTtl: java.time.Duration): Dataset[CdcChange] = {
+    import ds.sparkSession.implicits._
+    val withWm = ds.withColumn("__event_ts", timestamp_seconds(col("ts")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[CdcChange]
+    withWm.groupByKey(_.game_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, events: Iterator[CdcChange], state: GroupState[Double]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Double.MinValue)
+            val fresh = events.toSeq.sortBy(e => (e.ts, e.new_price)).filter(_.ts > seen)
+            val kept = fresh.foldLeft(List.empty[CdcChange] -> seen) {
+              case ((acc, hwm), e) => if (e.ts > hwm) (e :: acc, e.ts) else (acc, hwm)
+            }
+            if (kept._2 > seen) state.update(kept._2)
+            // timeout must sit strictly above the watermark (Spark enforces
+            // it); clamp for the batch-of-only-stale-events edge
+            if (state.exists)
+              state.setTimeoutTimestamp(math.max(
+                (kept._2.max(seen) * 1000).toLong + stateTtl.toMillis,
+                state.getCurrentWatermarkMs() + 1))
+            kept._1.reverse.iterator
+          }
+        })
+  }
+
   // ---- batch-core merges (ST1-ST3, S11-S15 semantics) ----
 
   /** ST1 core: one micro-batch of price ticks into the warehouse.
@@ -113,11 +156,17 @@ object Streams {
   }
 
   /** ST3/S15 core: review upsert-dedup by (appid, author_steamid), keep the
-    * newest by timestamp, plus crawl_state.last_review_timestamp bump. */
+    * newest by review_timestamp ACROSS existing and incoming — a replayed or
+    * out-of-order old batch can never regress a row that the warehouse already
+    * holds in a newer version. Ties (same timestamp) go to the incoming side,
+    * matching upsert's replace-on-conflict intent. */
   def reviewBatchMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
-    Relational.upsert(existing, incoming,
+    Relational.dedupKeepLast(
+      existing.withColumn("__side", lit(0))
+        .unionByName(incoming.withColumn("__side", lit(1))),
       keys = Seq("appid", "author_steamid"),
-      order = Seq(col("review_timestamp")))
+      order = Seq(col("review_timestamp"), col("__side")))
+      .drop("__side")
 
   /** ST2 core: review_summaries INSERT IGNORE by recommendationid
     * (tasks/steam_review_task_improved.py:479-486). `arrivalOrder` makes the
@@ -162,6 +211,46 @@ object Streams {
               Iterator(DedupVerdict(sorted.head.doc_id, is_duplicate = false)) ++
                 sorted.tail.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
             case None => Iterator.empty
+          }
+        })
+  }
+
+  final case class TimedBandedDoc(doc_id: Long, band: Int, band_hash: String,
+                                  event_ts: java.sql.Timestamp)
+
+  /** TTL form of streamingBandDedup: band buckets idle past `stateTtl` in
+    * event time are evicted, so state is bounded by the buckets touched within
+    * the retention window — at 100 TB the non-TTL form's "bounded by band
+    * buckets" is the corpus itself, which is exactly what must not live in the
+    * state store forever. Within the window, verdicts are identical to
+    * streamingBandDedup; after a bucket evicts, the next arrival claims it
+    * fresh (dedup-within-retention semantics — the standard contract for
+    * streaming near-dup filters). `stateTtl` should exceed the watermark
+    * delay. */
+  def streamingBandDedupTtl(bands: Dataset[TimedBandedDoc], watermarkDelay: String,
+                            stateTtl: java.time.Duration): Dataset[DedupVerdict] = {
+    import bands.sparkSession.implicits._
+    bands.withWatermark("event_ts", watermarkDelay)
+      .as[TimedBandedDoc]
+      .groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, String), docs: Iterator[TimedBandedDoc], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = docs.toSeq.sortBy(d => (d.event_ts.getTime, d.doc_id))
+            val out = state.getOption match {
+              case Some(_) =>
+                sorted.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
+              case None if sorted.nonEmpty =>
+                state.update(sorted.head.doc_id)
+                Iterator(DedupVerdict(sorted.head.doc_id, is_duplicate = false)) ++
+                  sorted.tail.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
+              case None => Iterator.empty
+            }
+            if (state.exists && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                sorted.map(_.event_ts.getTime).max + stateTtl.toMillis)
+            out
           }
         })
   }

@@ -61,6 +61,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq((1, "alpha"), (2, "beta"), (3, "carol"), (4, "delta")))
   }
 
+  test("lookupOrCreate derives the id type from the dim and guards int overflow") {
+    val dimL = Seq((10L, "alpha")).toDF("id", "name")
+    val out = Relational.lookupOrCreate(dimL, "id", "name",
+      Seq("alpha", "beta", "carol").toDF("name"))
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "alpha"), (11L, "beta"), (12L, "carol")))
+    // an int dim near Int.MaxValue must refuse to wrap silently
+    val dimI = Seq((Int.MaxValue - 1, "alpha")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Relational.lookupOrCreate(dimI, "id", "name",
+        Seq("beta", "carol", "delta").toDF("name"))
+    }
+  }
+
   test("notYetProcessed / existingOnly anti and semi joins (J6/J7)") {
     val all = Seq(1, 2, 3, 4).toDF("id")
     val processed = Seq(2, 4).toDF("id")

@@ -61,4 +61,44 @@ class PricePipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$warehouse/prices").count() == 4) // unchanged
     assert(spark.read.parquet(s"$warehouse/games").count() == 3)
   }
+
+  private def epochTs(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  private def stateDf(reviewTs: Long, priceTs: Long) =
+    Seq((1, epochTs(reviewTs), epochTs(priceTs)))
+      .toDF("game_appid", "last_review_timestamp", "last_price_timestamp")
+
+  private def tickBatch(priceTs: Long) =
+    Seq((1, 999L, 0.0, 999L, epochTs(priceTs)))
+      .toDF("appid", "price_cents", "discount", "initial_price_cents", "ts")
+
+  test("interrupted state swap: complete __tmp is recovered, watermarks survive") {
+    val warehouse = Files.createTempDirectory("wh_swap1").toString
+    // crash between the two renames: state displaced to __old, the fully
+    // written (has _SUCCESS) new state still at __tmp, no crawl_state
+    stateDf(100, 100).write.parquet(s"$warehouse/crawl_state__old")
+    stateDf(100, 500).write.parquet(s"$warehouse/crawl_state__tmp")
+    PricePipeline.mergeBatch(spark, warehouse, tickBatch(300))
+    val st = spark.read.parquet(s"$warehouse/crawl_state")
+      .filter(col("game_appid") === 1).head()
+    // recovered __tmp watermark (500) beats the replayed tick (300);
+    // without recovery the state would have reset and landed at 300
+    assert(st.getAs[java.sql.Timestamp]("last_price_timestamp") == epochTs(500))
+    assert(!new java.io.File(s"$warehouse/crawl_state__old").exists())
+  }
+
+  test("interrupted state swap: incomplete __tmp falls back to __old") {
+    val warehouse = Files.createTempDirectory("wh_swap2").toString
+    stateDf(77, 100).write.parquet(s"$warehouse/crawl_state__old")
+    // __tmp without _SUCCESS = write never finished -> must not be trusted
+    val tmpDir = new java.io.File(s"$warehouse/crawl_state__tmp")
+    tmpDir.mkdirs()
+    Files.writeString(Path.of(tmpDir.toString, "part-incomplete"), "junk")
+    PricePipeline.mergeBatch(spark, warehouse, tickBatch(300))
+    val st = spark.read.parquet(s"$warehouse/crawl_state")
+      .filter(col("game_appid") === 1).head()
+    assert(st.getAs[java.sql.Timestamp]("last_price_timestamp") == epochTs(300))
+    // the review watermark from the recovered __old state survives
+    assert(st.getAs[java.sql.Timestamp]("last_review_timestamp") == epochTs(77))
+  }
 }

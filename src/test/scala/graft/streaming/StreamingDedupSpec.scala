@@ -30,6 +30,64 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBandDedupTtl: buckets evict after event-time TTL; within-window verdicts unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[Streams.TimedBandedDoc]
+    val q = Streams.streamingBandDedupTtl(input.toDS(),
+      watermarkDelay = "10 minutes", stateTtl = java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sdedup_ttl").outputMode("append").start()
+    try {
+      // within the window: same verdicts as the non-TTL form
+      input.addData(
+        Streams.TimedBandedDoc(1L, 0, "A", t("2024-01-01 10:00:00")),
+        Streams.TimedBandedDoc(1L, 1, "B", t("2024-01-01 10:00:00")),
+        Streams.TimedBandedDoc(2L, 0, "A", t("2024-01-01 10:00:00")),
+        Streams.TimedBandedDoc(2L, 1, "C", t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark well past bucket timeouts (10:00 + 30 min)
+      input.addData(Streams.TimedBandedDoc(90L, 0, "Z", t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // one more batch so the expired buckets take their timeout call
+      input.addData(Streams.TimedBandedDoc(91L, 0, "Y", t("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      // bucket A was evicted -> a later arrival claims it fresh
+      input.addData(Streams.TimedBandedDoc(3L, 0, "A", t("2024-01-01 12:20:00")))
+      q.processAllAvailable()
+      val verdicts = spark.table("sdedup_ttl").as[Streams.DedupVerdict].collect()
+      val isDup = verdicts.groupBy(_.doc_id)
+        .view.mapValues(_.exists(_.is_duplicate)).toMap
+      assert(isDup(1L) == false && isDup(2L) == true) // within-window unchanged
+      assert(isDup(3L) == false) // post-eviction arrival is fresh
+    } finally q.stop()
+  }
+
+  test("monotoneDedupTtl: state rows evict after TTL with output identical to non-TTL form") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.CdcChange]
+    val q = Streams.monotoneDedupTtl(input.toDS(),
+      watermarkDelay = "10 minutes", stateTtl = java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("mono_ttl").outputMode("append").start()
+    try {
+      input.addData(
+        Streams.CdcChange(1, ts = 99000.0, 99, 99, 0, 0),
+        Streams.CdcChange(1, ts = 100000.0, 10, 9, 0, 10)) // increasing chain: both emitted
+      q.processAllAvailable()
+      // watermark to 103000-600 s, beyond key 1's timeout (100000+1800 s)
+      input.addData(Streams.CdcChange(2, ts = 103000.0, 1, 2, 0, 0))
+      q.processAllAvailable()
+      // expired key 1 takes its timeout call in this batch
+      input.addData(Streams.CdcChange(3, ts = 103100.0, 1, 2, 0, 0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 2, s"key 1 should be evicted, state rows = $stateRows")
+      val out = spark.table("mono_ttl").as[Streams.CdcChange].collect()
+      // output identical to the non-TTL semantics
+      assert(out.map(c => (c.game_id, c.ts)).toSet ==
+        Set((1, 99000.0), (1, 100000.0), (2, 103000.0), (3, 103100.0)))
+    } finally q.stop()
+  }
+
   test("band construction from documents feeds the streaming filter") {
     // batch-side banding via the same signature/band code as the batch LSH
     val docs = Seq(

@@ -87,6 +87,21 @@ class StreamsSpec extends SparkSpec {
     assert(out.filter(col("appid") === 1).head().getAs[String]("review") == "updated")
   }
 
+  test("reviewBatchMerge: replayed old batch cannot regress a newer existing row") {
+    val existing = Seq((1, "s1", "newest", ts("2024-02-01 00:00:00")))
+      .toDF("appid", "author_steamid", "review", "review_timestamp")
+    val staleReplay = Seq((1, "s1", "stale", ts("2024-01-01 00:00:00")))
+      .toDF("appid", "author_steamid", "review", "review_timestamp")
+    val out = Streams.reviewBatchMerge(existing, staleReplay)
+    assert(out.count() == 1)
+    assert(out.head().getAs[String]("review") == "newest")
+    // equal timestamps: incoming side wins (upsert replace-on-conflict)
+    val sameTs = Seq((1, "s1", "rewrite", ts("2024-02-01 00:00:00")))
+      .toDF("appid", "author_steamid", "review", "review_timestamp")
+    assert(Streams.reviewBatchMerge(existing, sameTs)
+      .head().getAs[String]("review") == "rewrite")
+  }
+
   test("windowedCounts: event-time tumbling windows via streaming (extension)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]

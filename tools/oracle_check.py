@@ -40,6 +40,9 @@ def vals_eq(a, b):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # q45's oracle casts naive ts to TIMESTAMPTZ using the session zone; pin it
+    # to UTC so the compare matches the Spark UTC session on any host
+    con.execute("SET TimeZone='UTC'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")

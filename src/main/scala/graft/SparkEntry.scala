@@ -502,6 +502,10 @@ object SparkEntry {
       // J10 surrogate-key lookup-or-create (load_game_mysql.py:37-58),
       // deterministic dense ids instead of MySQL lastrowid
       val part = T(s, dir, "part")
+      // fixture dim: global window is intentional and bounded (25 distinct
+      // brands) — it mirrors the oracle's ROW_NUMBER() OVER (ORDER BY brand)
+      // exactly; the operator under test (lookupOrCreate) assigns its ids via
+      // distributed sort + zipWithIndex, no global window
       val dim = part.filter(col("p_partkey") <= 500).select(col("p_brand").as("brand")).distinct()
         .withColumn("brand_id", row_number().over(Window.orderBy(col("brand"))).cast("int"))
       val names = part.select(col("p_brand").as("brand"))

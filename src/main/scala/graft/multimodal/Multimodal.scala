@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real and tested — schemas, the batched
   * mapPartitions seam (the Scala analogue of mapInPandas: the decoder sees an
   * iterator per partition so vectorized native libs amortize setup), and
-  * partitioning behavior. The pixel/sample decoding itself is STUBBED with a
-  * deterministic md5-derived fake (this container ships no image/audio
-  * codecs); swapping in a real codec is implementing one trait method.
+  * partitioning behavior. Two REAL pure-JVM decoders are included — 24-bit
+  * BI_RGB BMP (BmpImageDecoder) and 16-bit PCM WAV (WavAudioDecoder) — for
+  * formats parseable without native codecs; FakeImageDecoder remains the
+  * deterministic codec-free stand-in for compressed formats (JPEG/PNG/opus
+  * libs don't ship in this container): implementing one trait method swaps a
+  * real codec in.
   */
 object Multimodal {
 
@@ -53,6 +56,139 @@ object Multimodal {
           embedding = Array.tabulate(8)(i => (h(i) & 0xff) / 255.0f))
       }
     }
+  }
+
+  /** REAL decoder for uncompressed 24-bit BI_RGB BMP — pure JVM, no native
+    * codecs. Parses BITMAPFILEHEADER + BITMAPINFOHEADER, walks the 4-byte
+    * padded (bottom-up or top-down) pixel rows, and derives the 8-dim feature
+    * embedding from actual pixels: mean R/G/B, overall brightness, and the
+    * four quadrant brightnesses. Malformed / non-24-bit / compressed payloads
+    * are skipped (the skip-on-parse-failure policy). Deterministic: pure
+    * integer walk + fixed-order double accumulation. */
+  object BmpImageDecoder extends ImageDecoder {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32(bytes, 10)
+      val width = i32(bytes, 18)
+      val heightRaw = i32(bytes, 22)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30) // 0 = BI_RGB
+      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+      val height = math.abs(heightRaw)
+      val bottomUp = heightRaw > 0
+      val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      if (pixelOff < 0 || pixelOff.toLong + rowBytes.toLong * height > bytes.length) return None
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val quad = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < height) { // y = row from the TOP of the image
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val base = pixelOff + srcRow * rowBytes
+        var x = 0
+        while (x < width) {
+          val o = base + x * 3 // BGR byte order
+          val bl = bytes(o) & 0xff
+          val g = bytes(o + 1) & 0xff
+          val r = bytes(o + 2) & 0xff
+          sr += r; sg += g; sb += bl
+          val qi = (if (y < (height + 1) / 2) 0 else 2) + (if (x < (width + 1) / 2) 0 else 1)
+          quad(qi) += (r + g + bl) / (3.0 * 255.0)
+          quadN(qi) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      val emb = Array(
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+        ((sr + sg + sb) / (3.0 * 255.0 * n)).toFloat,
+        (if (quadN(0) > 0) quad(0) / quadN(0) else 0.0).toFloat,
+        (if (quadN(1) > 0) quad(1) / quadN(1) else 0.0).toFloat,
+        (if (quadN(2) > 0) quad(2) / quadN(2) else 0.0).toFloat,
+        (if (quadN(3) > 0) quad(3) / quadN(3) else 0.0).toFloat)
+      Some(ImageFeatures(id, width, height, channels = 3, embedding = emb))
+    }
+
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[ImageFeatures] =
+      batch.flatMap { case (id, bytes) => decode(id, bytes) }
+  }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                                 n_frames: Long, duration_ms: Long, rms: Double)
+
+  /** Audio decoder seam, same batched shape as ImageDecoder. */
+  trait AudioDecoder extends Serializable {
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[AudioFeatures]
+  }
+
+  /** REAL decoder for RIFF/WAVE 16-bit PCM — pure JVM. Walks the chunk list
+    * for fmt/data, then computes frame count, duration, and RMS amplitude
+    * (normalized to [-1, 1]) over the actual samples. Non-PCM / non-16-bit /
+    * truncated payloads are skipped. */
+  object WavAudioDecoder extends AudioDecoder {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+      var data: Option[(Int, Int)] = None     // (offset, size)
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id4 = tag(bytes, off)
+        val size = i32(bytes, off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (id4 == "fmt " && size >= 16) {
+          if (u16(bytes, off + 8) != 1) return None // PCM only
+          fmt = Some((u16(bytes, off + 10), i32(bytes, off + 12), u16(bytes, off + 22)))
+        } else if (id4 == "data") data = Some((off + 8, size))
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((channels, rate, bits)), Some((dOff, dSize)))
+            if bits == 16 && channels > 0 && rate > 0 =>
+          val nSamples = dSize / 2
+          val nFrames = nSamples.toLong / channels
+          var ss = 0.0
+          var i = 0
+          while (i < nSamples) {
+            val s = ((bytes(dOff + 2 * i) & 0xff) |
+              (bytes(dOff + 2 * i + 1) << 8)).toShort / 32768.0
+            ss += s * s
+            i += 1
+          }
+          val rms = if (nSamples > 0) math.sqrt(ss / nSamples) else 0.0
+          Some(AudioFeatures(id, rate, channels, nFrames,
+            duration_ms = nFrames * 1000L / rate, rms = rms))
+        case _ => None
+      }
+    }
+
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[AudioFeatures] =
+      batch.flatMap { case (id, bytes) => decode(id, bytes) }
+  }
+
+  /** Audio decode seam: binary column -> typed features (same narrow,
+    * batched mapPartitions shape as decodeImages). */
+  def decodeAudio(media: DataFrame, decoder: AudioDecoder = WavAudioDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content"))
+      .filter(col("content").isNotNull && length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => decoder.decodeBatch(it))
+      .toDF()
   }
 
   /** Decode seam: binary column -> typed features via the batched decoder.

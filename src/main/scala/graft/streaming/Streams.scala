@@ -17,6 +17,48 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  // ---- transport binding (S16/S17) ----
+
+  /** True when the spark-sql-kafka connector is on the classpath. This
+    * environment ships none, so the binding stays a runtime probe: the
+    * `.format("kafka")` string needs no compile-time dependency, and the
+    * fallback keeps every pipeline runnable (and testable) wire-agnostic. */
+  lazy val kafkaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: Throwable => false }
+
+  /** S17 wire source: a Kafka subscription when the connector is present
+    * (reference: kafka/consumers/kafka_consumer_prices.py:37, topics from
+    * config/settings.py:23-33), else a JSONL file-watch over `fallbackPath`
+    * with the IDENTICAL (value: string) shape — downstream decodes are
+    * transport-agnostic either way. */
+  def wireSource(spark: SparkSession, topic: String, bootstrapServers: String,
+                 fallbackPath: String): DataFrame =
+    if (kafkaAvailable)
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(col("value").cast("string").as("value"))
+    else spark.readStream.text(fallbackPath).select(col("value"))
+
+  /** S16 wire sink for encodeJson output (single `value` column): Kafka when
+    * present (reference: kafka/producers/kafka_producer_prices.py:68), else
+    * exactly-once JSONL files at `fallbackPath`. */
+  def wireSink(encoded: DataFrame, topic: String, bootstrapServers: String,
+               fallbackPath: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    if (kafkaAvailable)
+      encoded.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    else
+      encoded.writeStream.format("text")
+        .option("path", fallbackPath)
+        .option("checkpointLocation", checkpoint)
+
   // ---- decode (S17/S18) ----
 
   /** Kafka-wire JSON decode: value -> typed columns (F11). */

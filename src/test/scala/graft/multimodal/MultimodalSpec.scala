@@ -55,4 +55,68 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 3) // 300 bytes / 100
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  /** Hand-built 2x2 24-bit bottom-up BMP: top row red+green, bottom row
+    * blue+white. Row stride = 8 (2*3 padded to 4-byte boundary). */
+  private def tinyBmp: Array[Byte] = {
+    val rowBytes = 8
+    val pixelOff = 54
+    val size = pixelOff + rowBytes * 2
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(pixelOff)
+    b.putInt(40).putInt(2).putInt(2) // BITMAPINFOHEADER, w=2, h=2 (bottom-up)
+    b.putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+    b.putInt(rowBytes * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: file row 0 = image BOTTOM row: blue(0,0,255), white — BGR order
+    b.put(Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0))
+    // file row 1 = image TOP row: red(255,0,0), green(0,255,0)
+    b.put(Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0))
+    b.array()
+  }
+
+  test("BmpImageDecoder decodes real pixels: dims, channel means, quadrants") {
+    val f = Multimodal.BmpImageDecoder.decode(7L, tinyBmp).get
+    assert(f.width == 2 && f.height == 2 && f.channels == 3)
+    // pixels: top (255,0,0),(0,255,0); bottom (0,0,255),(255,255,255)
+    assert(math.abs(f.embedding(0) - 0.5f) < 1e-6) // mean R = (255+0+0+255)/4/255
+    assert(math.abs(f.embedding(1) - 0.5f) < 1e-6) // mean G
+    assert(math.abs(f.embedding(2) - 0.5f) < 1e-6) // mean B
+    assert(math.abs(f.embedding(4) - 1f / 3f) < 1e-6) // top-left = red brightness
+    assert(math.abs(f.embedding(7) - 1.0f) < 1e-6)    // bottom-right = white
+    // malformed and non-BMP payloads are skipped, not thrown
+    assert(Multimodal.BmpImageDecoder.decode(8L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.BmpImageDecoder.decode(9L, tinyBmp.take(40)).isEmpty)
+  }
+
+  test("decodeImages with the real BMP decoder over the binary column") {
+    val bmpMedia = Seq((1L, tinyBmp), (2L, Array[Byte](9, 9))).toDF("media_id", "content")
+    val out = Multimodal.decodeImages(bmpMedia, Multimodal.BmpImageDecoder)
+    assert(out.count() == 1) // malformed row skipped
+    assert(out.head().getAs[Int]("width") == 2)
+  }
+
+  /** 16-bit PCM mono WAV, 8000 Hz, 4 frames of constant +16384 (rms 0.5). */
+  private def tinyWav: Array[Byte] = {
+    val nFrames = 4
+    val dataSize = nFrames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (1 to nFrames).foreach(_ => b.putShort(16384))
+    b.array()
+  }
+
+  test("WavAudioDecoder decodes real PCM: rate, frames, duration, rms") {
+    val a = Multimodal.WavAudioDecoder.decode(3L, tinyWav).get
+    assert(a.sample_rate == 8000 && a.channels == 1 && a.n_frames == 4L)
+    assert(a.duration_ms == 0L) // 4 frames @ 8 kHz = 0.5 ms, floors to 0
+    assert(math.abs(a.rms - 0.5) < 1e-9) // constant 16384/32768
+    assert(Multimodal.WavAudioDecoder.decode(4L, Array[Byte](1)).isEmpty)
+    val audioMedia = Seq((5L, tinyWav)).toDF("media_id", "content")
+    val out = Multimodal.decodeAudio(audioMedia)
+    assert(out.head().getAs[Double]("rms") > 0.49)
+  }
 }

@@ -121,6 +121,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wireSource/wireSink: jar-less env probes false and round-trips via fallback (S16/S17)") {
+    implicit val sqlCtx = spark.sqlContext
+    assert(!Streams.kafkaAvailable) // /opt/spark/jars ships no spark-sql-kafka
+    val dir = java.nio.file.Files.createTempDirectory("wire").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("wk1").toString
+    val input = MemoryStream[(Int, String)]
+    val encoded = Streams.encodeJson(input.toDF().toDF("appid", "kind"))
+    val qOut = Streams.wireSink(encoded, "prices", "unused:9092", dir, ck1).start()
+    try {
+      input.addData((1, "price"), (2, "price"))
+      qOut.processAllAvailable()
+    } finally qOut.stop()
+    // consume the produced wire files through the source half
+    val src = Streams.wireSource(spark, "prices", "unused:9092", dir)
+    val decoded = Streams.decodeJson(src, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("appid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType))))
+    val qIn = decoded.writeStream.format("memory").queryName("wire_rt").outputMode("append").start()
+    try {
+      qIn.processAllAvailable()
+      assert(spark.table("wire_rt").collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        Set((1, "price"), (2, "price")))
+    } finally qIn.stop()
+  }
+
   test("notifyBatch drives the webhook seam with a stub (S19)") {
     val changes = Seq(Streams.CdcChange(1, 100.0, 10, 9, 0, 10),
       Streams.CdcChange(2, 100.0, 5, 4, 0, 10)).toDS()

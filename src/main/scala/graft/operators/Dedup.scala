@@ -233,19 +233,19 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("bv"))
     }
-    val bands = fp.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = bands.toDF("doc_a", "band", "bv")
-    val b = bands.toDF("doc_b", "band", "bv")
-    val cand = a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(fp.toDF("doc_a", "sim_a"), "doc_a")
-      .join(fp.toDF("doc_b", "sim_b"), "doc_b")
+    // band rows CARRY the fingerprint (8 bytes) so the bucket self-join alone
+    // yields verifiable pairs — no candidate-distinct shuffle and no pair ->
+    // fingerprint lookup joins; the popcount filter runs streaming off the
+    // join and only surviving pairs reach the final distinct
+    val bands = fp.select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = bands.toDF("doc_a", "sim_a", "band", "bv")
+    val b = bands.toDF("doc_b", "sim_b", "band", "bv")
+    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force

@@ -236,7 +236,14 @@ object Streams {
     * Approximate by construction (same guarantees as batch MinHash-LSH):
     * collisions = near-duplicates with high probability. The batch form is
     * Dedup.minhashLshCandidates; this is its incremental arrival-order form —
-    * first arrival wins, later near-dups are flagged. */
+    * first arrival wins, later near-dups are flagged.
+    *
+    * State sizing at scale: prefer streamingBandDedupTtl (event-time
+    * eviction), and run large retained state on the RocksDB store —
+    * spark.sql.streaming.stateStore.providerClass =
+    * o.a.s.sql.execution.streaming.state.RocksDBStateStoreProvider — which
+    * spills to local disk with incremental checkpointing (StreamingDedupSpec
+    * exercises this operator on that provider). */
   def streamingBandDedup(bands: org.apache.spark.sql.Dataset[BandedDoc])
   : org.apache.spark.sql.Dataset[DedupVerdict] = {
     import bands.sparkSession.implicits._

@@ -52,4 +52,14 @@ class PlanSpec extends SparkSpec {
   test("global top-k plans as TakeOrderedAndProject, not full sort (q19)") {
     assert(plan("q19_global_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("simhash banding joins on buckets — no cartesian/NLJ pair scan (q51)") {
+    val p = plan("q51_simhash_near_dup")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // the popcount verify is an expression over the joined rows, not a
+    // second pass: no more than the one band equi-join plus the final distinct
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size <= 2, p.take(600))
+  }
 }

@@ -19,6 +19,8 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccardPairs(oneDoc, "doc_id", "text", 2, 0.5).count() == 0)
     assert(Dedup.minhashLshCandidates(oneDoc, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDupPairs(emptyDocs, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.simhashNearDupPairs(oneDoc, "doc_id", "text", 3).count() == 0)
   }
 
   test("all-identical corpus: every pair is a candidate with jaccard 1.0") {

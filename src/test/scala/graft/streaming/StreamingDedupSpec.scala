@@ -88,6 +88,33 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state runs on the RocksDB store provider (scale config)") {
+    // at 100 TB the dedup state outgrows the default HDFS-backed in-memory
+    // store; RocksDB spills to local disk with incremental checkpointing —
+    // prove the operator works unchanged on it and the provider engages
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.BandedDoc]
+      val q = Streams.streamingBandDedup(input.toDS())
+        .writeStream.format("memory").queryName("sdedup_rocks").outputMode("append").start()
+      try {
+        input.addData(Streams.BandedDoc(1L, 0, "A"), Streams.BandedDoc(2L, 0, "A"))
+        q.processAllAvailable()
+        val v = spark.table("sdedup_rocks").as[Streams.DedupVerdict].collect()
+        assert(v.map(d => d.doc_id -> d.is_duplicate).toMap == Map(1L -> false, 2L -> true))
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metrics.toString.contains("rocksdb"), s"provider not engaged: $metrics")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("band construction from documents feeds the streaming filter") {
     // batch-side banding via the same signature/band code as the batch LSH
     val docs = Seq(

@@ -426,6 +426,16 @@ object SparkEntry {
         Similarity.hyperplanes(4, 64)).select("vec_id", "ivf_list"),
       Some(TextOracle.ivfAssignSql(nLists = 4, dims = 64))),
 
+    Q("q52_ivf_topk", (s, dir) => {
+      // IVF probing search: only the nprobe lists nearest the query are
+      // scanned (completes the ANN triangle: brute q33, LSH q35, IVF here)
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        qv, k = 10, Similarity.hyperplanes(4, 64), nprobe = 2)
+    }, Some(TextOracle.ivfTopkSql(k = 10, nLists = 4, dims = 64, nprobe = 2))),
+
     // ---- batch 3: remaining SURVEY §2 rows -----------------------------------
     Q("q37_staging_filter", (s, dir) =>
       // P1 staging projection + non-empty filter (stg_games.sql:3-14)

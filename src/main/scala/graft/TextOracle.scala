@@ -161,6 +161,43 @@ object TextOracle {
     FROM d"""
   }
 
+  /** IVF probing-search oracle: per-vector distances + CASE-argmin assignment
+    * (as ivfAssignSql), probe set = the nprobe centroids nearest the QUERY
+    * (ranked in SQL, ties to the lower index), then cosine top-k over the
+    * probed lists only — verifies probe selection, not just assignment. */
+  def ivfTopkSql(k: Int, nLists: Int, dims: Int, nprobe: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+    val d2cols = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * (${planeDotSql("embedding", i, dims)}) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val probeCase = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, embedding, $d2cols
+      FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 CASE $cases END AS ivf_list,
+                 ${(0 until nLists).map(i => s"d$i").mkString(", ")}
+          FROM d),
+    qrow AS (SELECT * FROM a WHERE vec_id = 0),
+    probes AS (
+      SELECT t.i FROM qrow, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)
+      ORDER BY CASE t.i $probeCase END, t.i
+      LIMIT $nprobe)
+    SELECT a.vec_id,
+           round(${dotExpr("a.embedding", "qrow.embedding")}
+                 / (sqrt(${dotExpr("a.embedding", "a.embedding")})
+                    * sqrt(${dotExpr("qrow.embedding", "qrow.embedding")})), 6) AS cos
+    FROM a, qrow
+    WHERE a.ivf_list IN (SELECT i FROM probes) AND a.vec_id <> 0
+    ORDER BY cos DESC, a.vec_id LIMIT $k"""
+  }
+
   def langIdSql: String = {
     val langs = Seq("en", "de", "fr", "es")
     val hitCols = langs.map(l =>

@@ -90,4 +90,37 @@ object Similarity {
     }
     emb.withColumn(listCol, least(dists: _*).getField("i"))
   }
+
+  /** Query-side squared distance to a centroid, folded LEFT TO RIGHT over
+    * doubles — the same association order as the codegen'd DotProduct and the
+    * SQL oracles, so probe selection is bit-identical across engines. */
+  private def queryD2(q: Seq[Float], c: Seq[Double]): Double = {
+    val qq = q.indices.foldLeft(0.0)((acc, i) => acc + q(i).toDouble * q(i).toDouble)
+    val qc = c.indices.foldLeft(0.0)((acc, i) => acc + q(i).toDouble * c(i))
+    val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+    qq - 2.0 * qc + cc
+  }
+
+  /** IVF probing search: score only the vectors whose coarse list is among
+    * the `nprobe` centroids nearest the query (ties to the lower index).
+    * Probe selection is a driver-side loop over the tiny centroid table; the
+    * corpus side is one scan with a pushable `ivf_list IN (...)` filter —
+    * at 100 TB the assigned table is written `partitionBy(ivf_list)` and a
+    * query reads nprobe partitions, not the corpus. Recall/latency dial:
+    * nprobe = centroids.size degrades to exact brute force. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
+              nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (queryD2(queryVec, c), i) }
+      .sortBy { case (d2, i) => (d2, i) }.take(nprobe).map(_._2)
+    val q = typedLit(queryVec)
+    ivfAssign(emb, vecCol, centroids)
+      .filter(col("ivf_list").isInCollection(probes))
+      .withColumn("cos", round(VF.cosine(col(vecCol), q), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

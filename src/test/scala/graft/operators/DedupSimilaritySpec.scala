@@ -104,6 +104,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(bf))
   }
 
+  test("ivfTopK: full-probe equals brute force; partial probe is a subset with same scores") {
+    val emb = (0L to 19L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 17).toFloat - 8f).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = Array.tabulate(8)(d => (d % 5).toFloat - 2f).toSeq
+    val cents = Similarity.hyperplanes(4, 8)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", typedLit(q), 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20, cents, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full == brute) // nprobe = nLists degrades to exact brute force
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20, cents, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(partial.nonEmpty && partial.length < 20) // genuinely pruned
+    partial.foreach { case (id, cos) => assert(brute(id) == cos) } // scores exact
+  }
+
   test("ivfAssign: identical vectors land in the same list, deterministic") {
     val a = Similarity.ivfAssign(vecs, "embedding", Similarity.hyperplanes(3, 8))
       .select("vec_id", "ivf_list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

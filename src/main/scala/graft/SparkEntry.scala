@@ -385,6 +385,25 @@ object SparkEntry {
         numHashes = 8, bandRows = 2, shingleN = 2),
       Some(TextOracle.minhashSql(numHashes = 8, bandRows = 2))),
 
+    Q("q53_containment", (s, dir) => {
+      // cross-corpus n-gram containment (benchmark decontamination): probe
+      // side = every 10th doc, corpus = the rest
+      val docs = T(s, dir, "documents")
+      Dedup.containmentPairs(
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        probe = docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 2, threshold = 0.2)
+    }, Some(TextOracle.containmentSql(0.2))),
+
+    Q("q54_dedup_clusters", (s, dir) =>
+      // near-dup pairs -> per-doc cluster labels (connected components by
+      // min-label propagation; the keep-one-representative resolution step)
+      Dedup.resolveClusters(
+        Dedup.minhashLshCandidates(T(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, bandRows = 2, shingleN = 2),
+        "doc_a", "doc_b"),
+      Some(TextOracle.dedupClustersSql(numHashes = 8, bandRows = 2))),
+
     Q("q32_simhash", (s, dir) =>
       Dedup.simhash(T(s, dir, "documents"), "doc_id", "text", bits = 32),
       Some(TextOracle.simhashSql(32))),

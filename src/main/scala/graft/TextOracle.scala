@@ -72,6 +72,51 @@ object TextOracle {
     sim AS (SELECT doc_id, $shExpr AS simhash FROM v)"""
   }
 
+  /** Cross-corpus containment: corpus = doc_id % 10 <> 0, probe = % 10 = 0,
+    * containment = |corpus ∩ probe| / |probe| over distinct bigram shingles. */
+  def containmentSql(threshold: Double): String = s"""
+    WITH $shingleCte,
+    cs AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
+    ps AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 10 = 0),
+    pn AS (SELECT probe_id, COUNT(*) AS n_p FROM ps GROUP BY probe_id),
+    i AS (SELECT corpus_id, probe_id, COUNT(*) AS inter
+          FROM cs JOIN ps ON cs.s = ps.s GROUP BY corpus_id, probe_id)
+    SELECT corpus_id, probe_id,
+           round(CAST(inter AS DOUBLE) / n_p, 6) AS containment
+    FROM i JOIN pn USING (probe_id)
+    WHERE round(CAST(inter AS DOUBLE) / n_p, 6) >= $threshold"""
+
+  /** Connected components over the MinHash-LSH candidate pairs: label = min
+    * doc id in the component, via recursive transitive closure. */
+  def dedupClustersSql(numHashes: Int, bandRows: Int): String = {
+    val sigCols = (0 until numHashes)
+      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
+    val numBands = numHashes / bandRows
+    val bandSelects = (0 until numBands).map { b =>
+      val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH RECURSIVE $shingleCte,
+    sig AS (
+      SELECT doc_id, $sigCols
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src"""
+  }
+
   def simhashSql(bits: Int): String =
     s"""
     WITH ${simhashCtes(bits)}

@@ -62,6 +62,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: probe coverage fraction, threshold honored") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),       // contains all of probe 10's bigrams
+      (2L, "a b c x y z w v")        // contains 2 of probe 10's 4 bigrams
+    ).toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c d e")).toDF("doc_id", "text") // 4 bigrams
+    val out = Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 10L, 1.0), (2L, 10L, 0.5)))
+    val strict = Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 10L)))
+  }
+
+  test("resolveClusters: min-label connected components over pair edges") {
+    // components: {1,2,3,4} (chain), {7,9}, singleton edges absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a long chain still converges (diameter ~ rounds)
+    val chain = (1L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(chain, "doc_a", "doc_b")
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(labels == Seq(1L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

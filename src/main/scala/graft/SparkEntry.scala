@@ -668,6 +668,55 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sessions GROUP BY user_id, session_id""")),
 
+    Q("q55_range_join", (s, dir) => {
+      // bucketized range join (equi-join on bucket + residual predicate, not
+      // a nested-loop theta join); overlapping account-balance bands derived
+      // from nation so a customer can match up to 3 ranges
+      val ranges = T(s, dir, "nation").select(col("n_nationkey").as("range_id"),
+        (col("n_nationkey") * 450.0 - 1000.0).as("lo"),
+        (col("n_nationkey") * 450.0 + 350.0).as("hi"))
+      Relational.rangeJoin(T(s, dir, "customer"), "c_acctbal",
+        ranges, "lo", "hi", bucketWidth = 500.0)
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal_sum"))
+    }, Some("""
+      WITH r AS (
+        SELECT n_nationkey AS range_id, n_nationkey * 450.0 - 1000.0 AS lo,
+               n_nationkey * 450.0 + 350.0 AS hi
+        FROM nation)
+      SELECT range_id, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer JOIN r ON c_acctbal >= lo AND c_acctbal < hi
+      GROUP BY range_id""")),
+
+    Q("q56_cube", (s, dir) =>
+      // full cube subtotals (q48's rollup sibling; OLAP extension)
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    Q("q57_sliding_frame", (s, dir) => {
+      // rows-frame sliding aggregate (trailing 4-event sum/count per user) —
+      // the window-frame surface beyond plain partition windows; exact
+      // decimal arithmetic keeps the rolling sums engine-identical
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, Window.currentRow)
+      T(s, dir, "events").select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("roll_sum"),
+        count(col("value")).over(w).as("roll_n"))
+    }, Some("""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+             COUNT(value) OVER w AS roll_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -131,6 +131,29 @@ object Relational {
     matched.select(out: _*)
   }
 
+  /** Range join (left.value ∈ [right.lo, right.hi)), bucketized: Spark plans
+    * a naive theta join as BroadcastNestedLoop/cartesian — O(|L|·|R|) compares
+    * and a broadcast-size cliff. Instead, left rows key on
+    * floor(value/bucketWidth) and each right range EXPLODES to the buckets it
+    * spans, turning the theta join into an equi-join on the bucket id + a
+    * residual predicate — shuffle-partitionable, AQE-skew-splittable, exact.
+    * Each left row lives in exactly one bucket, so no pair dedup is needed.
+    * Pick bucketWidth near the typical range width: spanned-buckets-per-range
+    * (the explode factor) stays O(1) while bucket population stays balanced. */
+  def rangeJoin(left: DataFrame, leftVal: String,
+                right: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val lb = left.withColumn("__b", floor(col(leftVal) / bucketWidth).cast("long"))
+    val rb = right
+      .withColumn("__b", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    lb.join(rb, Seq("__b"))
+      .filter(col(leftVal) >= col(loCol) && col(leftVal) < col(hiCol))
+      .drop("__b")
+  }
+
   /** Skew-safe two-phase aggregation: salt the hot key space, partial-agg on
     * (key, salt), then final-agg on key. Identical result to a direct
     * groupBy-sum for exact types (long/decimal — order-independent); for

@@ -76,6 +76,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: bucketized equi-join matches the theta-join semantics exactly") {
+    val left = Seq((1, 5.0), (2, 10.0), (3, 25.0), (4, -3.0), (5, 10.0)).toDF("id", "v")
+    val ranges = Seq((100, 0.0, 10.0), (200, 5.0, 30.0), (300, -10.0, 0.0))
+      .toDF("rid", "lo", "hi")
+    for (width <- Seq(1.0, 7.0, 100.0)) { // result must be width-independent
+      val got = Relational.rangeJoin(left, "v", ranges, "lo", "hi", width)
+        .select("id", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      // hand-checked theta join: v >= lo && v < hi (10.0 excluded from [0,10))
+      assert(got == Set((1, 100), (1, 200), (2, 200), (3, 200), (5, 200), (4, 300)),
+        s"width $width")
+    }
+    // the plan is an equi-join, not a nested-loop/cartesian pair scan
+    val plan = Relational.rangeJoin(left, "v", ranges, "lo", "hi", 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("notYetProcessed / existingOnly anti and semi joins (J6/J7)") {
     val all = Seq(1, 2, 3, 4).toDF("id")
     val processed = Seq(2, 4).toDF("id")

@@ -717,6 +717,20 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")),
 
+    Q("q58_percentile_disc", (s, dir) =>
+      // discrete percentiles (ANSI smallest-value-with-cume_dist>=p picks an
+      // ACTUAL element — no interpolation arithmetic to diverge between
+      // engines, unlike percentile_cont)
+      T(s, dir, "events").groupBy(col("user_id"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+          count(col("value")).as("n_vals")),
+      Some("""
+      SELECT user_id, quantile_disc(value, 0.5) AS p50,
+             quantile_disc(value, 0.95) AS p95, COUNT(value) AS n_vals
+      FROM events GROUP BY user_id""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -319,6 +319,16 @@ object Streams {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Gap-based event-time session windows — the streaming twin of the batch
+    * gaps-and-islands sessionization (q50): a session closes once the
+    * watermark passes last-event + gap, so state per (user, open session) is
+    * bounded by the watermark, and results are final on emit. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    watermark: String, gap: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

@@ -121,6 +121,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts: gap-based session windows close at the watermark (q50 streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Int, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionCounts(events, "ts", "user_id",
+      watermark = "10 minutes", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then one 2 h later
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1, 1.0),
+        (ts("2024-01-01 00:05:00"), 1, 2.0),
+        (ts("2024-01-01 02:00:00"), 1, 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 05:00:00"), 2, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select(col("user_id"), col("n_events"), col("session_value")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out.contains((1, 2L, 3.0))) // first session: both events merged
+      assert(out.contains((1, 1L, 4.0))) // 2 h gap opened a second session
+    } finally q.stop()
+  }
+
   test("wireSource/wireSink: jar-less env probes false and round-trips via fallback (S16/S17)") {
     implicit val sqlCtx = spark.sqlContext
     assert(!Streams.kafkaAvailable) // /opt/spark/jars ships no spark-sql-kafka

@@ -226,9 +226,12 @@ object Dedup {
     val ps = probe.select(col(idCol).as("probe_id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
     val pn = ps.groupBy("probe_id").agg(count(lit(1)).as("n_p"))
-    cs.join(ps, "sh")
+    // the probe side is the benchmark — small by contract — so BROADCAST it:
+    // the 100-TB corpus shingle table never shuffles; only matched (corpus,
+    // probe) pair counts enter the aggregate exchange
+    cs.join(broadcast(ps), "sh")
       .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("inter"))
-      .join(pn, "probe_id")
+      .join(broadcast(pn), "probe_id")
       .withColumn("containment",
         round(col("inter").cast("double") / col("n_p"), 6))
       .filter(col("containment") >= threshold)

@@ -65,12 +65,23 @@ object Multimodal {
     * four quadrant brightnesses. Malformed / non-24-bit / compressed payloads
     * are skipped (the skip-on-parse-failure policy). Deterministic: pure
     * integer walk + fixed-order double accumulation. */
-  object BmpImageDecoder extends ImageDecoder {
-    private def u16(b: Array[Byte], o: Int): Int =
+  /** Shared little-endian primitive readers for the binary decoders. */
+  private object LE {
+    def u16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def i32(b: Array[Byte], o: Int): Int =
+    def i32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  object BmpImageDecoder extends ImageDecoder {
+    import LE.{i32, u16}
+
+    /** Dimension sanity cap: declared sizes beyond this are corrupt/crafted
+      * headers (and would overflow the Int row arithmetic below). */
+    private val MaxDim = 1 << 20
 
     private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
       if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
@@ -80,10 +91,16 @@ object Multimodal {
       val bpp = u16(bytes, 28)
       val compression = i32(bytes, 30) // 0 = BI_RGB
       if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
-      val height = math.abs(heightRaw)
+      // abs in Long: heightRaw == Int.MinValue must reject, not wrap negative
+      val heightL = math.abs(heightRaw.toLong)
+      if (width > MaxDim || heightL > MaxDim) return None
+      val height = heightL.toInt
       val bottomUp = heightRaw > 0
-      val rowBytes = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-      if (pixelOff < 0 || pixelOff.toLong + rowBytes.toLong * height > bytes.length) return None
+      // Long math end to end: a crafted width can overflow Int here and slip
+      // a negative rowBytes past the bounds check otherwise
+      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
+      val rowBytes = rowBytesL.toInt // <= bytes.length after the check
       var sr = 0.0; var sg = 0.0; var sb = 0.0
       val quad = new Array[Double](4)
       val quadN = new Array[Long](4)
@@ -133,13 +150,7 @@ object Multimodal {
     * (normalized to [-1, 1]) over the actual samples. Non-PCM / non-16-bit /
     * truncated payloads are skipped. */
   object WavAudioDecoder extends AudioDecoder {
-    private def u16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def i32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    private def tag(b: Array[Byte], o: Int): String =
-      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    import LE.{i32, tag, u16}
 
     private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
       if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
@@ -149,7 +160,9 @@ object Multimodal {
       while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
         val id4 = tag(bytes, off)
         val size = i32(bytes, off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) return None
+        // compare in Long: a crafted size near Int.MaxValue wraps the Int sum
+        // negative and would slip past the bounds check into the sample loop
+        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
         if (id4 == "fmt " && size >= 16) {
           if (u16(bytes, off + 8) != 1) return None // PCM only
           fmt = Some((u16(bytes, off + 10), i32(bytes, off + 12), u16(bytes, off + 22)))

@@ -102,7 +102,10 @@ object Dedup {
     val vocabN = stats.getLong(0)
     val docsN = stats.getLong(1)
     val estBitmapBytes = docsN * ((vocabN / 64 + 1) * 8 + 32) // bitset words + row overhead
-    if (vocabN > 0 && vocabN <= maxBitmapVocab &&
+    // the bitset encoding itself caps at 64Ki ids — clamp the tunable so a
+    // larger caller value widens nothing (it would throw inside jaccardBitmap)
+    val vocabCap = math.min(maxBitmapVocab, 1 << 16)
+    if (vocabN > 0 && vocabN <= vocabCap &&
         docsN <= maxBitmapDocs && estBitmapBytes <= maxBitmapBytes) {
       val out = jaccardBitmap(sh, vocabN.toInt, threshold) // materializes docBits
       sh.unpersist(blocking = false) // safe: docBits cache replaces it
@@ -248,21 +251,35 @@ object Dedup {
     * their own clusters and need no rows here. */
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
                       maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not persist): each round's plan references the prior
-    // round twice, so without lineage truncation the logical plan doubles
-    // per iteration — checkpointing keeps the plan O(1) per round, which is
-    // what makes the loop viable at any scale (and is why iterative Spark
-    // algorithms always truncate lineage)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    // Lineage truncation with explicit block handles: each round's plan
+    // references the prior round twice, so without truncation the logical
+    // plan DOUBLES per iteration. Round-tripping through a persisted RDD +
+    // LogicalRDD keeps the plan O(1) per round AND lets the loop free the
+    // previous round's blocks — a localCheckpoint chain would strand every
+    // round's blocks in the block manager until GC.
+    def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (edges, edgesRdd) = pin(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var (labels, labelsRdd) = pin(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    // exact decimal sum; null means the frame is empty (no pairs -> no work)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var prevSum = labelSum(labels)
+    if (prevSum == null) {
+      edgesRdd.unpersist(blocking = false)
+      return labels.select(col("id"), col("label").as("cluster_id"))
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -276,23 +293,26 @@ object Dedup {
       // remaining tree height each round, so convergence is O(log diameter)
       // rounds instead of O(diameter): the difference between 5 and 50 waves
       // of jobs on a web-scale dup graph with long chains
-      val next = stepped.join(
+      val (next, nextRdd) = pin(stepped.join(
         stepped.select(col("id").as("label"), col("label").as("hop")),
         Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
-        .localCheckpoint(eager = false) // the sum action below materializes it
+          least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
       // labels only move down, so the (exact, decimal) sum strictly decreases
-      // until fixpoint — one cheap agg per round (which doubles as the
-      // checkpoint materialization: a single Spark job per round)
+      // until fixpoint — one cheap agg per round, which also materializes the
+      // freshly pinned round so the previous round's blocks can be freed
       val nextSum = labelSum(next)
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
+    edgesRdd.unpersist(blocking = false)
     require(converged, s"resolveClusters did not converge in $maxIter rounds — " +
       "component diameter exceeds maxIter; raise it (labels only move monotonically down)")
+    // the final round's blocks back the returned frame; freed when it is GC'd
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -315,7 +335,8 @@ object Dedup {
     val widths = (0 until numBands).map(b => base + (if (b < bits % numBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until numBands).map { b =>
-      val mask = (1L << widths(b)) - 1
+      // a full-64-bit band needs an explicit all-ones mask: 1L << 64 wraps to 1
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band"),
         shiftright(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("bv"))
     }
@@ -343,11 +364,17 @@ object Dedup {
     * count probe, not assumed: above `maxBruteForceRows` the pair scan runs as
     * a distributed cartesian — still exact, still O(N²) compute, but no
     * driver/executor collect of the corpus. Beyond brute force entirely,
-    * Similarity.lshNearDupPairs is the sub-quadratic scale path. */
+    * Similarity.lshNearDupPairs is the sub-quadratic scale path.
+    *
+    * The dispatch probe is one count() at call time — cheap against a
+    * table-backed or persisted input, but a caller holding an expensive
+    * derived plan should persist it first (or pass `knownRows`) so the probe
+    * and the pair scan don't each recompute the pipeline. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double,
-                            maxBruteForceRows: Long = 1L << 20): DataFrame = {
-    val rowsN = emb.count() // dispatch probe — cheap vs the O(N²) scan it gates
+                            maxBruteForceRows: Long = 1L << 20,
+                            knownRows: Option[Long] = None): DataFrame = {
+    val rowsN = knownRows.getOrElse(emb.count())
     // GraftExtensions sessions plan this as the native AllPairsCosineExec
     // (primitive pair loop, no join machinery); the composed fallback is the
     // same math through the codegen'd DotProduct expression.

@@ -34,12 +34,21 @@ object JdbcSink {
     try f(conn) finally conn.close()
   }
 
-  /** Stage the (key-deduped) batch and return the staging table name. */
-  private def stage(batch: DataFrame, url: String, table: String,
-                    props: java.util.Properties): String = {
-    val staging = table + "__stage"
+  /** Stage the batch under a per-invocation unique name (two concurrent
+    * writers to one target must not overwrite each other's staging mid-merge),
+    * run `merge`, and drop the staging table afterwards. */
+  private def withStaging(batch: DataFrame, url: String, table: String,
+                          props: java.util.Properties)(
+      merge: (java.sql.Connection, String) => Unit): Unit = {
+    val staging = table + "__stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     batch.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
-    staging
+    withConnection(url, props) { conn =>
+      try merge(conn, staging)
+      finally
+        try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () } // best-effort cleanup
+    }
   }
 
   /** S11 upsert (INSERT .. ON DUPLICATE KEY UPDATE): last-writer-wins merge
@@ -51,7 +60,6 @@ object JdbcSink {
                   props: java.util.Properties = new java.util.Properties): Unit = {
     val deduped = Relational.dedupKeepLast(batch, keys, order)
     ensureTable(deduped, url, table, props)
-    val staging = stage(deduped, url, table, props)
     val cols = deduped.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
@@ -59,7 +67,7 @@ object JdbcSink {
     val insCols = cols.map(q).mkString(", ")
     val insVals = cols.map(c => s"s.${q(c)}").mkString(", ")
     val matched = if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setSql " else ""
-    withConnection(url, props) { conn =>
+    withStaging(deduped, url, table, props) { (conn, staging) =>
       conn.createStatement().executeUpdate(
         s"MERGE INTO $table t USING $staging s ON $on " +
           matched +
@@ -74,12 +82,11 @@ object JdbcSink {
                         props: java.util.Properties = new java.util.Properties): Unit = {
     val deduped = Relational.dedupKeepFirst(batch, keys, order)
     ensureTable(deduped, url, table, props)
-    val staging = stage(deduped, url, table, props)
     val cols = deduped.columns.toSeq
     val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val insCols = cols.map(q).mkString(", ")
     val insVals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    withConnection(url, props) { conn =>
+    withStaging(deduped, url, table, props) { (conn, staging) =>
       conn.createStatement().executeUpdate(
         s"MERGE INTO $table t USING $staging s ON $on " +
           s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)")

@@ -88,6 +88,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.BmpImageDecoder.decode(9L, tinyBmp.take(40)).isEmpty)
   }
 
+  test("decoders reject crafted overflow headers instead of reading out of bounds") {
+    // BMP declaring width 0x40000000: Int row arithmetic would wrap negative
+    val bigW = tinyBmp.clone()
+    val bw = java.nio.ByteBuffer.wrap(bigW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bw.putInt(18, 0x40000000)
+    assert(Multimodal.BmpImageDecoder.decode(1L, bigW).isEmpty)
+    // height = Int.MinValue: abs() stays negative in Int
+    val minH = tinyBmp.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.BmpImageDecoder.decode(2L, minH).isEmpty)
+    // WAV declaring a data chunk of ~Int.MaxValue bytes: off+8+size wraps
+    val bigChunk = tinyWav.clone()
+    java.nio.ByteBuffer.wrap(bigChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x7ffffff0)
+    assert(Multimodal.WavAudioDecoder.decode(3L, bigChunk).isEmpty)
+  }
+
   test("decodeImages with the real BMP decoder over the binary column") {
     val bmpMedia = Seq((1L, tinyBmp), (2L, Array[Byte](9, 9))).toDF("media_id", "content")
     val out = Multimodal.decodeImages(bmpMedia, Multimodal.BmpImageDecoder)

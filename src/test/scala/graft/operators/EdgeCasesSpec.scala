@@ -21,6 +21,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.minhashLshCandidates(oneDoc, "doc_id", "text").count() == 0)
     assert(Dedup.simhashNearDupPairs(emptyDocs, "doc_id", "text", 3).count() == 0)
     assert(Dedup.simhashNearDupPairs(oneDoc, "doc_id", "text", 3).count() == 0)
+    // no near-dup pairs -> empty cluster table, not an NPE
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.resolveClusters(noPairs, "doc_a", "doc_b").count() == 0)
+  }
+
+  test("simhashNearDupPairs: single full-width band (maxHamming=0, bits=64) stays lossless") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup -> hamming 0
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 0, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 0L))) // a 64-bit band mask must not collapse buckets
   }
 
   test("all-identical corpus: every pair is a candidate with jaccard 1.0") {

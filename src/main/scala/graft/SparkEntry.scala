@@ -731,6 +731,36 @@ object SparkEntry {
              quantile_disc(value, 0.95) AS p95, COUNT(value) AS n_vals
       FROM events GROUP BY user_id""")),
 
+    Q("q59_hash_split", (s, dir) =>
+      // deterministic 90/8/2 corpus split by id hash — stable under corpus
+      // growth and across engines, unlike randomSplit
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 90, "val" -> 8, "test" -> 2)).as("split")),
+      Some("""
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 98 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents""")),
+
+    Q("q60_token_packing", (s, dir) =>
+      // per-shard contiguous context-window packing (8 shards, 512-token
+      // budget): one partitioned window, no global sort
+      graft.operators.Sampling.contiguousBins(
+        T(s, dir, "documents"), "doc_id", "text", shards = 8, tokenBudget = 512),
+      Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+               CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
+      FROM t""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, stable under corpus growth, percentages honored") {
+    val small = (1L to 200L).toDF("id")
+    val cuts = Seq("train" -> 90, "val" -> 10)
+    val assign1 = small.select(col("id"), Sampling.hashSplit(col("id"), cuts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growing the corpus must not move any existing assignment
+    val grown = (1L to 400L).toDF("id")
+      .select(col("id"), Sampling.hashSplit(col("id"), cuts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assign1.foreach { case (id, s) => assert(grown(id) == s) }
+    // split sizes roughly match percentages (hash-uniform, 400 ids)
+    val trainFrac = grown.values.count(_ == "train").toDouble / grown.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // every row gets a split; bad percentages rejected
+    assert(grown.values.forall(s => s == "train" || s == "val"))
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(col("id"), Seq("a" -> 50, "b" -> 30))
+    }
+  }
+
+  test("contiguousBins: budget respected within shards, oversized docs isolated") {
+    val docs = Seq(
+      (1L, "a b c d"),            // 4 tokens
+      (2L, "a b c"),              // 3
+      (3L, ("x " * 20).trim),     // 20 (over budget of 10 -> own bins)
+      (4L, "a b"),                // 2
+      (5L, "")                    // 0 tokens
+    ).toDF("doc_id", "text")
+    val out = Sampling.contiguousBins(docs, "doc_id", "text", shards = 1, tokenBudget = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (id, n_tokens, bin)
+    // single shard, ordered by id: tokens-before 0,4,7,27,29 -> bins 0,0,0,2,2
+    assert(out.toSeq == Seq((1L, 4L, 0L), (2L, 3L, 0L), (3L, 20L, 0L), (4L, 2L, 2L), (5L, 0L, 2L)))
+    // multi-shard: every doc appears exactly once and bins restart per shard
+    val sharded = Sampling.contiguousBins(docs, "doc_id", "text", shards = 3, tokenBudget = 10)
+    assert(sharded.count() == 5)
+    assert(sharded.groupBy("shard").agg(min(col("bin")).as("m"))
+      .collect().forall(_.getLong(1) == 0L))
+  }
+}

@@ -252,20 +252,18 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
                       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.rdd.RDD
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.storage.StorageLevel
-    val spark = pairs.sparkSession
     // Lineage truncation with explicit block handles: each round's plan
     // references the prior round twice, so without truncation the logical
-    // plan DOUBLES per iteration. Round-tripping through a persisted RDD +
-    // LogicalRDD keeps the plan O(1) per round AND lets the loop free the
-    // previous round's blocks — a localCheckpoint chain would strand every
-    // round's blocks in the block manager until GC.
-    def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+    // plan DOUBLES per iteration. Pinning through a persisted InternalRow
+    // RDD + LogicalRDD keeps the plan O(1) per round, skips the df.rdd Row
+    // serialization round trip, AND lets the loop free the previous round's
+    // blocks — a localCheckpoint chain would strand every round's blocks in
+    // the block manager until GC.
+    def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) =
+      org.apache.spark.sql.GraftBridge.pinInternal(df, StorageLevel.MEMORY_AND_DISK)
     val (edges, edgesRdd) = pin(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))

@@ -51,6 +51,13 @@ object TextFunctions {
     * engines — md5 is bit-identical everywhere, unlike seeded hashes). */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  /** First 8 md5 hex digits as a non-negative 32-bit value in a long — the
+    * shared deterministic bucket hash (simhash token hashes, split buckets,
+    * pack shards). DuckDB equivalent: CAST(('0x' || substr(md5(x),1,8)) AS
+    * BIGINT). */
+  def md5Prefix32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Word n-gram shingles (n>=1) over whitespace tokens, as distinct set.
     * Built with zip_with over shifted slices, NOT transform(idx, i ->
     * element_at(t, i)): in the latter the token array lives inside the lambda

@@ -203,7 +203,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(array_distinct(TF.tokens(col(textCol)))).as("__t"))
-      .withColumn("__h", conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h", TF.md5Prefix32(col("__t")))
     val aggs = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }

@@ -16,14 +16,16 @@ object Sampling {
   /** Deterministic train/val/test-style split by id hash: the first 8 md5
     * hex digits of the id, mod 100, compared against cumulative percentage
     * cut points. Stable under corpus growth and across engines (md5, not a
-    * seeded hash). `cuts` maps split name -> percentage; entries are applied
-    * in the given order and must sum to 100. */
+    * seeded hash). `cuts` maps split name -> positive percentage; entries
+    * are applied in the given order and must sum to 100. A null id lands in
+    * the LAST split (the CASE-fallthrough branch, matching SQL semantics). */
   def hashSplit(id: Column, cuts: Seq[(String, Int)]): Column = {
     require(cuts.map(_._2).sum == 100, "split percentages must sum to 100")
-    val bucket = pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+    require(cuts.forall(_._2 > 0), "split percentages must be positive")
+    val bucket = pmod(TF.md5Prefix32(id.cast("string")), lit(100))
     val cumulative = cuts.scanLeft(0)(_ + _._2).tail
     cuts.map(_._1).zip(cumulative).reverse
-      .foldLeft(lit(null).cast("string")) { case (acc, (name, upTo)) =>
+      .foldLeft(lit(cuts.last._1)) { case (acc, (name, upTo)) =>
         when(bucket < upTo, lit(name)).otherwise(acc)
       }
   }
@@ -34,13 +36,15 @@ object Sampling {
     * no driver loop — which is what makes packing viable at corpus scale
     * (true first-fit-decreasing is inherently sequential; per-shard
     * contiguous fill is the standard distributed approximation, and shard
-    * count = parallelism). Documents longer than the budget get a bin of
-    * their own and overflow it (callers chunk upstream). */
+    * count = parallelism). A document is labeled by the bin its FIRST token
+    * falls in; an over-budget document overflows that bin, and the next
+    * boundary realigns at the following budget multiple (so subsequent bins
+    * stay budget-aligned) — callers chunk oversized docs upstream if strict
+    * per-bin caps are required. */
   def contiguousBins(docs: DataFrame, idCol: String, textCol: String,
                      shards: Int, tokenBudget: Long): DataFrame = {
     require(shards >= 1 && tokenBudget >= 1)
-    val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(shards))
+    val shard = pmod(TF.md5Prefix32(col(idCol).cast("string")), lit(shards))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), shard.as("shard"),

@@ -42,12 +42,15 @@ object JdbcSink {
       merge: (java.sql.Connection, String) => Unit): Unit = {
     val staging = table + "__stage_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    batch.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
-    withConnection(url, props) { conn =>
-      try merge(conn, staging)
-      finally
-        try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
-        catch { case _: java.sql.SQLException => () } // best-effort cleanup
+    try {
+      batch.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+      withConnection(url, props)(conn => merge(conn, staging))
+    } finally {
+      // best-effort cleanup on EVERY path — a staging write that failed
+      // mid-way must not leak a uniquely-named partial table per retry
+      try withConnection(url, props)(
+        _.createStatement().executeUpdate(s"DROP TABLE $staging"))
+      catch { case _: java.sql.SQLException => () }
     }
   }
 

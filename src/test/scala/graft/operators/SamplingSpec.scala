@@ -24,9 +24,13 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(col("id"), Seq("a" -> 50, "b" -> 30))
     }
+    // sums to 100 but is nonsense — must be rejected, not silently all-train
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(col("id"), Seq("a" -> 101, "b" -> -1))
+    }
   }
 
-  test("contiguousBins: budget respected within shards, oversized docs isolated") {
+  test("contiguousBins: start-offset binning per shard; over-budget docs overflow their bin") {
     val docs = Seq(
       (1L, "a b c d"),            // 4 tokens
       (2L, "a b c"),              // 3

@@ -70,6 +70,17 @@ class DedupDispatchSpec extends SparkSpec {
     assert(inverted.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("inverted index reproduces the oracle-verified bitmap result on real testdata") {
+    // the driver corpus always dispatches to the bitmap path (vocab ~916),
+    // so force the prefix-filtered inverted index over the SAME data and
+    // assert it reproduces the hash-verified q30 result exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bitmap = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2))
+    val inverted = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2,
+      maxBitmapVocab = 1))
+    assert(bitmap.nonEmpty && bitmap == inverted)
+  }
+
   private lazy val vecs = {
     val mk = (seed: Int) => Array.tabulate(8)(i => (seed * 7 + i).toFloat / 10f)
     val near = mk(1).clone(); near(0) += 0.001f

@@ -761,6 +761,48 @@ object SparkEntry {
                                              ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
       FROM t""")),
 
+    Q("q61_time_range_frame", (s, dir) => {
+      // RANGE frame over event time: trailing-hour sum per user — time-based,
+      // not row-based, so sparse and bursty users both get true 1 h windows
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("ts").cast("double")).cast("long").as("epoch_s"),
+          col("value"))
+        .withColumn("hour_sum",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .withColumn("hour_n", count(col("value")).over(w))
+        .select("event_id", "user_id", "hour_sum", "hour_n")
+    }, Some("""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+             COUNT(value) OVER w AS hour_n
+      FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
+    Q("q62_edit_verify", (s, dir) => {
+      // fuzzy-dedup verification: LSH candidate pairs re-checked by BOUNDED
+      // edit distance over normalized 64-char prefixes (bounding makes the
+      // O(len^2) DP constant-cost per pair — the standard trick that keeps
+      // edit-distance verify viable over web-scale candidate sets)
+      val docs = T(s, dir, "documents")
+      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        numHashes = 8, bandRows = 2, shingleN = 2)
+      val norm = docs.select(col("doc_id"),
+        substring(TF.normalizeText(col("text")), 1, 64).as("prefix"))
+      cand
+        .join(norm.toDF("doc_a", "prefix_a"), "doc_a")
+        .join(norm.toDF("doc_b", "prefix_b"), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("prefix_a"), col("prefix_b")))
+        .filter(col("edit_dist") <= 8)
+        .select("doc_a", "doc_b", "edit_dist")
+    }, Some(TextOracle.editVerifySql(numHashes = 8, bandRows = 2,
+      prefixLen = 64, maxDist = 8))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -117,6 +117,34 @@ object TextOracle {
     FROM reach GROUP BY src"""
   }
 
+  /** Bounded-edit-distance verification of the MinHash-LSH candidates:
+    * levenshtein over normalized 64-char prefixes, threshold-filtered. */
+  def editVerifySql(numHashes: Int, bandRows: Int, prefixLen: Int, maxDist: Int): String = {
+    val sigCols = (0 until numHashes)
+      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
+    val numBands = numHashes / bandRows
+    val bandSelects = (0 until numBands).map { b =>
+      val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
+    }.mkString("\n      UNION ALL ")
+    val normExpr = "substr(trim(regexp_replace(regexp_replace(lower(text), " +
+      s"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), 1, $prefixLen)"
+    s"""
+    WITH $shingleCte,
+    sig AS (
+      SELECT doc_id, $sigCols
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    norm AS (SELECT doc_id, $normExpr AS prefix FROM documents)
+    SELECT doc_a, doc_b, levenshtein(na.prefix, nb.prefix) AS edit_dist
+    FROM cand JOIN norm na ON na.doc_id = doc_a JOIN norm nb ON nb.doc_id = doc_b
+    WHERE levenshtein(na.prefix, nb.prefix) <= $maxDist"""
+  }
+
   def simhashSql(bits: Int): String =
     s"""
     WITH ${simhashCtes(bits)}

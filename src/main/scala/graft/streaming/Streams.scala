@@ -329,6 +329,21 @@ object Streams {
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
 
+  /** Watermarked stream-stream inner join: match right-stream rows to
+    * left-stream rows on a key within a bounded event-time skew. The time
+    * bound lives INSIDE the join condition — that is what lets Spark compute
+    * a state watermark and evict buffered rows, so join state is bounded by
+    * (watermark delay + skew) x arrival rate, not stream lifetime. Column
+    * names must be disjoint (the reference-shaped use: enrich price ticks
+    * with the review row that preceded them). */
+  def streamJoinWithin(left: DataFrame, leftKey: String, leftTs: String,
+                       right: DataFrame, rightKey: String, rightTs: String,
+                       watermark: String, within: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs - INTERVAL $within AND $rightTs <= $leftTs"))
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

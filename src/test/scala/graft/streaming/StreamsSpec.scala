@@ -170,6 +170,32 @@ class StreamsSpec extends SparkSpec {
     } finally qIn.stop()
   }
 
+  test("streamJoinWithin: stream-stream join bounded by event-time skew") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Int, java.sql.Timestamp)]
+    val buys = MemoryStream[(Int, java.sql.Timestamp, Double)]
+    val joined = Streams.streamJoinWithin(
+      buys.toDF().toDF("b_user", "b_ts", "amount"), "b_user", "b_ts",
+      clicks.toDF().toDF("c_user", "c_ts"), "c_user", "c_ts",
+      watermark = "10 minutes", within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1, ts("2024-01-01 00:00:00")),  // within 30 min of the purchase
+        (1, ts("2024-01-01 02:00:00")),  // AFTER the purchase -> excluded
+        (2, ts("2024-01-01 00:00:00")))  // 3 h before purchase -> excluded
+      buys.addData(
+        (1, ts("2024-01-01 00:20:00"), 9.99),
+        (2, ts("2024-01-01 03:00:00"), 5.00))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select("b_user", "c_ts").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1))).toSet
+      assert(out == Set((1, ts("2024-01-01 00:00:00"))))
+    } finally q.stop()
+  }
+
   test("notifyBatch drives the webhook seam with a stub (S19)") {
     val changes = Seq(Streams.CdcChange(1, 100.0, 10, 9, 0, 10),
       Streams.CdcChange(2, 100.0, 5, 4, 0, 10)).toDS()

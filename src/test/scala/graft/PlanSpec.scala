@@ -53,6 +53,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("q19_global_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("containment joins broadcast the probe side — corpus shingles never shuffle (q53)") {
+    val p = plan("q53_containment")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("range join plans as an equi-join on the bucket, not a nested loop (q55)") {
+    val p = plan("q55_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("sliding/range window frames run in one shuffle per window spec (q57/q61)") {
+    for (q <- Seq("q57_sliding_frame", "q61_time_range_frame")) {
+      val p = plan(q)
+      // one exchange keyed on user_id feeds the window — no extra shuffles
+      assert("Exchange".r.findAllIn(p).size == 1, s"$q: ${p.take(400)}")
+    }
+  }
+
   test("simhash banding joins on buckets — no cartesian/NLJ pair scan (q51)") {
     val p = plan("q51_simhash_near_dup")
     assert(!p.contains("CartesianProduct"), p.take(400))

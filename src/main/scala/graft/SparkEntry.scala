@@ -803,6 +803,20 @@ object SparkEntry {
     }, Some(TextOracle.editVerifySql(numHashes = 8, bandRows = 2,
       prefixLen = 64, maxDist = 8))),
 
+    Q("q63_clean_corpus", (s, dir) => {
+      // the composed LLM-data cleaning pass: exact-dedup keep-first ∧
+      // predicted-English ∧ quality threshold — every stage individually
+      // oracle-verified (q29/q27/q26), here verified END TO END
+      val docs = T(s, dir, "documents")
+      val keep = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .filter(TF.langId(col("text")) === "en")
+        .filter(TF.qualityScore(col("text")) >= 0.5)
+        .select("doc_id", "lang", "source")
+    }, Some(TextOracle.cleanCorpusSql(0.5))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -271,23 +271,52 @@ object TextOracle {
     ORDER BY cos DESC, a.vec_id LIMIT $k"""
   }
 
-  def langIdSql: String = {
+  /** CTE chain ending in lid(doc_id, lang, lang_pred) — shared by the langid
+    * query and the clean-corpus composition. */
+  private def langIdCtes: String = {
     val langs = Seq("en", "de", "fr", "es")
     val hitCols = langs.map(l =>
       s"len(list_filter(toks, x -> x IN (${stopList(l)}))) AS h_$l").mkString(",\n             ")
     val cases = langs.map(l => s"WHEN best > 0 AND h_$l = best THEN '$l'").mkString("\n           ")
-    s"""
-    WITH t AS (
+    s"""lt AS (
       SELECT doc_id, lang,
              list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
       FROM documents),
-    h AS (SELECT doc_id, lang, $hitCols
-          FROM t),
-    g AS (SELECT doc_id, lang, h_en, h_de, h_fr, h_es,
-                 greatest(h_en, h_de, h_fr, h_es) AS best FROM h)
-    SELECT doc_id, lang,
-           CASE $cases
-           ELSE 'und' END AS lang_pred
-    FROM g"""
+    lh AS (SELECT doc_id, lang, $hitCols
+           FROM lt),
+    lg AS (SELECT doc_id, lang, h_en, h_de, h_fr, h_es,
+                  greatest(h_en, h_de, h_fr, h_es) AS best FROM lh),
+    lid AS (SELECT doc_id, lang,
+                   CASE $cases
+                   ELSE 'und' END AS lang_pred
+            FROM lg)"""
   }
+
+  def langIdSql: String =
+    s"""
+    WITH $langIdCtes
+    SELECT doc_id, lang, lang_pred FROM lid"""
+
+  /** Composed LLM-data cleaning pass: exact-dup removal (keep min id per
+    * content hash) ∧ predicted-English ∧ quality >= threshold. Reuses the
+    * q26/q27 expression idioms verbatim so the composition stays
+    * hash-exact. */
+  def cleanCorpusSql(minQuality: Double): String = s"""
+    WITH $langIdCtes,
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    q AS (
+      SELECT doc_id,
+             round(least(length(text) / 500.0, 1.0) * 0.4
+                   + least((CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+                          x -> x IN ($enStop))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\\s+'))) * 4.0, 1.0) * 0.4
+                   + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text)) * 4.0, 1.0)) * 0.2, 6) AS quality
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN keep ON keep.doc_id = d.doc_id
+    JOIN lid ON lid.doc_id = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE lid.lang_pred = 'en' AND q.quality >= $minQuality"""
 }

@@ -343,15 +343,11 @@ object SparkEntry {
       Some(s"""
       WITH t AS (
         SELECT doc_id, text,
-               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS praw,
-               CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
-                    x -> x IN (${TextOracle.enStop}))) AS DOUBLE)
-                 / len(regexp_split_to_array(trim(text), '\\s+')) AS sraw
+               ${TextOracle.prawSql} AS praw,
+               ${TextOracle.srawSql} AS sraw
         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
       SELECT doc_id, round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
-             round(least(length(text) / 500.0, 1.0) * 0.4
-                   + least(sraw * 4.0, 1.0) * 0.4
-                   + (1.0 - least(praw * 4.0, 1.0)) * 0.2, 6) AS quality
+             ${TextOracle.qualityFromRawSql} AS quality
       FROM t""")),
 
     Q("q27_langid", (s, dir) =>
@@ -362,10 +358,8 @@ object SparkEntry {
     Q("q28_fingerprint", (s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         TF.fingerprint(col("text")).as("fingerprint")),
-      Some("""
-      SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                 '\s+', ' ', 'g'))) AS fingerprint
+      Some(s"""
+      SELECT doc_id, md5(${TextOracle.normalizeSql("text")}) AS fingerprint
       FROM documents""")),
 
     // ---- Deduplication suite -------------------------------------------------

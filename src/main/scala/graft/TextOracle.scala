@@ -35,7 +35,10 @@ object TextOracle {
     FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
     WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= $threshold"""
 
-  def minhashSql(numHashes: Int, bandRows: Int): String = {
+  /** CTE chain ending in cand(doc_a, doc_b) — the MinHash-LSH candidate
+    * pairs, shared by q31/q54/q62 so the banding scheme has ONE SQL
+    * transcription to keep in sync with Dedup.minhashLshCandidates. */
+  private def candCtes(numHashes: Int, bandRows: Int): String = {
     val sigCols = (0 until numHashes)
       .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
     val numBands = numHashes / bandRows
@@ -43,16 +46,21 @@ object TextOracle {
       val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""
-    WITH $shingleCte,
+    s"""$shingleCte,
     sig AS (
       SELECT doc_id, $sigCols
       FROM sh GROUP BY doc_id),
     bands AS (
-      $bandSelects)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
+
+  def minhashSql(numHashes: Int, bandRows: Int): String =
+    s"""
+    WITH ${candCtes(numHashes, bandRows)}
+    SELECT doc_a, doc_b FROM cand"""
 
   /** CTE chain ending in sim(doc_id, simhash) — shared by the fingerprint
     * query and the hamming-banding near-dup lookup. */
@@ -89,23 +97,8 @@ object TextOracle {
   /** Connected components over the MinHash-LSH candidate pairs: label = min
     * doc id in the component, via recursive transitive closure. */
   def dedupClustersSql(numHashes: Int, bandRows: Int): String = {
-    val sigCols = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
-    val numBands = numHashes / bandRows
-    val bandSelects = (0 until numBands).map { b =>
-      val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
-    }.mkString("\n      UNION ALL ")
     s"""
-    WITH RECURSIVE $shingleCte,
-    sig AS (
-      SELECT doc_id, $sigCols
-      FROM sh GROUP BY doc_id),
-    bands AS (
-      $bandSelects),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION SELECT doc_b, doc_a FROM cand),
@@ -117,33 +110,19 @@ object TextOracle {
     FROM reach GROUP BY src"""
   }
 
+  /** DuckDB equivalent of TextFunctions.normalizeText — ONE transcription,
+    * shared by the fingerprint (q28) and edit-verify (q62) oracles. */
+  def normalizeSql(col: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
   /** Bounded-edit-distance verification of the MinHash-LSH candidates:
     * levenshtein over normalized 64-char prefixes, threshold-filtered. */
-  def editVerifySql(numHashes: Int, bandRows: Int, prefixLen: Int, maxDist: Int): String = {
-    val sigCols = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
-    val numBands = numHashes / bandRows
-    val bandSelects = (0 until numBands).map { b =>
-      val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
-    }.mkString("\n      UNION ALL ")
-    val normExpr = "substr(trim(regexp_replace(regexp_replace(lower(text), " +
-      s"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), 1, $prefixLen)"
-    s"""
-    WITH $shingleCte,
-    sig AS (
-      SELECT doc_id, $sigCols
-      FROM sh GROUP BY doc_id),
-    bands AS (
-      $bandSelects),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-    norm AS (SELECT doc_id, $normExpr AS prefix FROM documents)
+  def editVerifySql(numHashes: Int, bandRows: Int, prefixLen: Int, maxDist: Int): String = s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    norm AS (SELECT doc_id, substr(${normalizeSql("text")}, 1, $prefixLen) AS prefix FROM documents)
     SELECT doc_a, doc_b, levenshtein(na.prefix, nb.prefix) AS edit_dist
     FROM cand JOIN norm na ON na.doc_id = doc_a JOIN norm nb ON nb.doc_id = doc_b
     WHERE levenshtein(na.prefix, nb.prefix) <= $maxDist"""
-  }
 
   def simhashSql(bits: Int): String =
     s"""
@@ -297,6 +276,17 @@ object TextOracle {
     WITH $langIdCtes
     SELECT doc_id, lang, lang_pred FROM lid"""
 
+  /** DuckDB equivalents of the TF.qualityScore components — ONE
+    * transcription each, shared by the q26 and q63 oracles. */
+  def prawSql: String =
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)"
+  def srawSql: String =
+    s"CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)), " +
+      s"x -> x IN ($enStop))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+'))"
+  def qualityFromRawSql: String =
+    "round(least(length(text) / 500.0, 1.0) * 0.4 + least(sraw * 4.0, 1.0) * 0.4" +
+      " + (1.0 - least(praw * 4.0, 1.0)) * 0.2, 6)"
+
   /** Composed LLM-data cleaning pass: exact-dup removal (keep min id per
     * content hash) ∧ predicted-English ∧ quality >= threshold. Reuses the
     * q26/q27 expression idioms verbatim so the composition stays
@@ -305,14 +295,9 @@ object TextOracle {
     WITH $langIdCtes,
     keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
     q AS (
-      SELECT doc_id,
-             round(least(length(text) / 500.0, 1.0) * 0.4
-                   + least((CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
-                          x -> x IN ($enStop))) AS DOUBLE)
-                       / len(regexp_split_to_array(trim(text), '\\s+'))) * 4.0, 1.0) * 0.4
-                   + (1.0 - least((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                       / length(text)) * 4.0, 1.0)) * 0.2, 6) AS quality
-      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+      SELECT doc_id, $qualityFromRawSql AS quality
+      FROM (SELECT doc_id, text, $prawSql AS praw, $srawSql AS sraw
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0))
     SELECT d.doc_id, d.lang, d.source
     FROM documents d
     JOIN keep ON keep.doc_id = d.doc_id

@@ -67,8 +67,9 @@ class PlanSpec extends SparkSpec {
   test("sliding/range window frames run in one shuffle per window spec (q57/q61)") {
     for (q <- Seq("q57_sliding_frame", "q61_time_range_frame")) {
       val p = plan(q)
-      // one exchange keyed on user_id feeds the window — no extra shuffles
-      assert("Exchange".r.findAllIn(p).size == 1, s"$q: ${p.take(400)}")
+      // one SHUFFLE exchange keyed on user_id feeds the window — the bare
+      // substring would also match BroadcastExchange/ReusedExchange
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q: ${p.take(400)}")
     }
   }
 

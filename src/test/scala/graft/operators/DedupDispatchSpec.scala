@@ -74,7 +74,7 @@ class DedupDispatchSpec extends SparkSpec {
     // the driver corpus always dispatches to the bitmap path (vocab ~916),
     // so force the prefix-filtered inverted index over the SAME data and
     // assert it reproduces the hash-verified q30 result exactly
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bitmap = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2))
     val inverted = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2,
       maxBitmapVocab = 1))

@@ -192,7 +192,7 @@ object Relational {
         s"surrogate ids for IntegerType '$idCol' would overflow Int.MaxValue " +
           s"(max existing $maxId + $newCount new) — widen the dim id column to BIGINT")
     }
-    val indexed = newNames.rdd.zipWithIndex
+    val indexed = newNames.rdd.zipWithIndex()
       .map { case (r, i) => Row(r.get(0), maxId + i + 1) }
     val created = spark.createDataFrame(indexed,
       StructType(Seq(newNames.schema(nameCol),

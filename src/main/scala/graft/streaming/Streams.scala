@@ -70,7 +70,7 @@ object Streams {
     * The engine is wire-agnostic: tests write this to files/memory, a real
     * deployment adds .format("kafka") + bootstrap servers. */
   def encodeJson(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** ST1 ingress: price-tick messages — type dispatch (P7) + required-field
     * validity (P8) + money parsing (F1-F4). */

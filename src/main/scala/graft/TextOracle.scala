@@ -39,17 +39,24 @@ object TextOracle {
     * pairs, shared by q31/q54/q62 so the banding scheme has ONE SQL
     * transcription to keep in sync with Dedup.minhashLshCandidates. */
   private def candCtes(numHashes: Int, bandRows: Int): String = {
+    // Kirsch-Mitzenmacher two-hash family, exactly as minhashSignature:
+    // h_j(s) = a + j*b with a/b = first/second 8 md5 hex digits of the shingle
     val sigCols = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || s)) AS h$j").mkString(",\n             ")
+      .map(j => s"min(a + $j * b) AS h$j").mkString(",\n             ")
     val numBands = numHashes / bandRows
     val bandSelects = (0 until numBands).map { b =>
       val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
     }.mkString("\n      UNION ALL ")
     s"""$shingleCte,
+    shh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
+             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b
+      FROM sh),
     sig AS (
       SELECT doc_id, $sigCols
-      FROM sh GROUP BY doc_id),
+      FROM shh GROUP BY doc_id),
     bands AS (
       $bandSelects),
     cand AS (

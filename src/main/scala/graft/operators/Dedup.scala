@@ -34,14 +34,22 @@ object Dedup {
     docs.groupBy(TF.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Per-(doc, minhash-index) signature table: k independent min-hashes over
-    * word-`n`-gram shingles, h_j(doc) = min over shingles of md5(j ++ ":" ++ s).
+  /** Per-(doc, minhash-index) signature table: k min-hashes over word-`n`-gram
+    * shingles from ONE md5 per shingle — h_j(s) = a(s) + j·b(s) with a, b the
+    * first/second 8 hex digits of md5(s) (the two-hash scheme of Kirsch &
+    * Mitzenmacher, "Less hashing, same performance", 2006). At 100 TB the
+    * signature build is per-byte hash cost, so 1 digest instead of k is the
+    * difference that matters; values stay < 2^36 (no overflow anywhere).
     * Single explode + single groupBy(doc) with k min() partial aggs. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleN: Int): DataFrame = {
     val sh = docs.select(col(idCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__m", md5(col("__sh")))
+      .select(col(idCol),
+        conv(substring(col("__m"), 1, 8), 16, 10).cast("long").as("__a"),
+        conv(substring(col("__m"), 9, 8), 16, 10).cast("long").as("__b"))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("__sh")))).as(s"h$j"))
+      min(col("__a") + lit(j.toLong) * col("__b")).as(s"h$j"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -811,6 +811,62 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }, Some(TextOracle.cleanCorpusSql(0.5))),
 
+    Q("q64_repetition", (s, dir) =>
+      // Gopher-style repetition filter signal: duplicate word-bigram fraction
+      // per doc — high scores flag templated/boilerplate text before training
+      graft.operators.TextStats.repetitionStats(
+        T(s, dir, "documents"), "doc_id", "text", shingleN = 2),
+      Some(TextOracle.repetitionSql)),
+
+    Q("q65_pii_scan", (s, dir) => {
+      // PII scan + redaction. The synthetic corpus has no PII, so scan text
+      // plus a deterministic doc_id-derived contact tail on a subset of rows
+      // (positives and negatives both occur); the regex layer is generic
+      val ct = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TF.piiCount(ct, TF.emailPattern).as("n_email"),
+          TF.piiCount(ct, TF.phonePattern).as("n_phone"),
+          md5(TF.redactPii(ct)).as("red_hash"))
+    }, Some(TextOracle.piiSql)),
+
+    Q("q66_tfidf_topk", (s, dir) =>
+      graft.operators.TextStats.tfidfTopK(T(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some(TextOracle.tfidfSql(3))),
+
+    Q("q67_bm25", (s, dir) =>
+      graft.operators.TextStats.bm25(T(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "query", "merge")),
+      Some(TextOracle.bm25Sql(Seq("spark", "query", "merge"), k1 = 1.2, b = 0.75))),
+
+    Q("q68_chunk_overlap", (s, dir) =>
+      // overlapping context-window chunking: 64-token windows every 48 tokens
+      graft.operators.TextStats.chunkTokens(T(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48),
+      Some(TextOracle.chunkSql(chunkSize = 64, stride = 48))),
+
+    Q("q69_stratified_sample", (s, dir) =>
+      // per-language top-20% by quality score — integer-exact cut, no RNG
+      graft.operators.Sampling.stratifiedTopFrac(
+        T(s, dir, "documents")
+          .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+          .select(col("doc_id"), col("lang"), TF.qualityScore(col("text")).as("quality")),
+        "lang", col("quality"), "doc_id", num = 1, den = 5),
+      Some(TextOracle.stratifiedSampleSql(1, 5))),
+
+    Q("q70_rolling_hash", (s, dir) =>
+      // order-sensitive Rabin-Karp fingerprint (the set fingerprints q28/q32
+      // can't distinguish token reorderings; this one does)
+      graft.operators.TextStats.rollingHash(T(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracle.rollingHashSql(base = 31L, mod = 1000000007L))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -294,6 +294,118 @@ object TextOracle {
     "round(least(length(text) / 500.0, 1.0) * 0.4 + least(sraw * 4.0, 1.0) * 0.4" +
       " + (1.0 - least(praw * 4.0, 1.0)) * 0.2, 6)"
 
+  // ---- Corpus-statistics oracles (TextStats / Sampling round-3 ops) --------
+
+  /** Non-empty whitespace tokens of documents.text — matches TF.tokens over
+    * non-null, non-blank docs (the domain every TextStats op filters to). */
+  private val toksCte: String = """
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)"""
+
+  /** Word-bigram multiset (duplicates kept) — TF.shinglesAll(_, 2). */
+  def repetitionSql: String = s"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents))
+    SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
+           round(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM g GROUP BY doc_id"""
+
+  def tfidfSql(k: Int): String = s"""
+    WITH $toksCte,
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    sc AS (
+      SELECT doc_id, term, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          FROM sc)
+    SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= $k"""
+
+  /** BM25 with per-term CASE columns summed in fixed order — the same
+    * left-to-right double addition as TextStats.bm25's reduceLeft. */
+  def bm25Sql(terms: Seq[String], k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val sCols = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN sc END) AS s$i"
+    }.mkString(",\n             ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""
+    WITH $toksCte,
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ($termList) GROUP BY doc_id, term),
+    tfd AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
+            FROM tf JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) df USING (term)),
+    sc AS (
+      SELECT dl.doc_id, tfd.term,
+             ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+             * ((tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))) AS sc
+      FROM dl LEFT JOIN tfd ON tfd.doc_id = dl.doc_id CROSS JOIN stats),
+    agg AS (SELECT doc_id, $sCols
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, round($total, 6) AS bm25 FROM agg"""
+  }
+
+  def rollingHashSql(base: Long, mod: Long): String = s"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END,
+               tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT))),
+             (acc, x) -> (acc * $base + x) % $mod) AS roll_hash
+    FROM documents"""
+
+  def chunkSql(chunkSize: Int, stride: Int): String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    s AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, $stride)) AS s FROM t)
+    SELECT doc_id, (s - 1) // $stride AS chunk_idx,
+           CAST(len(t[s:s + ${chunkSize - 1}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[s:s + ${chunkSize - 1}], ' ')) AS chunk_hash
+    FROM s"""
+
+  def stratifiedSampleSql(num: Int, den: Int): String = s"""
+    WITH q AS (
+      SELECT doc_id, lang, $qualityFromRawSql AS quality
+      FROM (SELECT doc_id, lang, text, $prawSql AS praw, $srawSql AS sraw
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+    r AS (SELECT doc_id, lang, quality,
+                 row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM q)
+    SELECT doc_id, lang, quality FROM r WHERE rn * $den <= n * $num"""
+
+  /** The synthetic corpus carries no PII, so the scan target is text plus a
+    * deterministic doc_id-derived contact tail on a subset of rows — positives
+    * AND negatives both occur; the regex layer under test is generic. */
+  def piiSql: String = {
+    val email = TextFunctions.emailPattern
+    val phone = TextFunctions.phonePattern
+    s"""
+    WITH c AS (
+      SELECT doc_id,
+             text || (CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                           ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 0
+                           THEN ' call 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END) AS ct
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ct, '$email')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(ct, '$phone')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(ct, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g')) AS red_hash
+    FROM c"""
+  }
+
   /** Composed LLM-data cleaning pass: exact-dup removal (keep min id per
     * content hash) ∧ predicted-English ∧ quality >= threshold. Reuses the
     * q26/q27 expression idioms verbatim so the composition stays

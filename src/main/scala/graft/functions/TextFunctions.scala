@@ -76,6 +76,36 @@ object TextFunctions {
     }
   }
 
+  /** Word n-gram shingles WITH duplicates (repetition analysis needs the
+    * multiset — `shingles` deduplicates for set-similarity ops). */
+  def shinglesAll(c: Column, n: Int): Column = {
+    require(n >= 1)
+    val t = tokens(c)
+    if (n == 1) t
+    else {
+      val m = greatest(size(t) - (n - 1), lit(0))
+      var grams: Column = slice(t, lit(1), m)
+      for (k <- 1 until n)
+        grams = zip_with(grams, slice(t, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+      grams
+    }
+  }
+
+  // ---- PII scanning (regex layer; patterns shared with the q65 oracle) ----
+
+  /** Email / phone literal patterns — deliberately simple enough to behave
+    * identically under Java regex (Spark) and RE2 (DuckDB). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "555-[0-9]{4}"
+
+  /** Count of pattern matches in the text (0 for null). */
+  def piiCount(c: Column, pattern: String): Column =
+    coalesce(size(regexp_extract_all(c, lit(pattern), lit(0))), lit(0)).cast("long")
+
+  /** Redaction: emails then phones replaced by bracket placeholders. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
+
   // ---- Language ID (n-gram/stopword heuristic) ----
 
   /** Tiny per-language stopword lists for the heuristic classifier. */

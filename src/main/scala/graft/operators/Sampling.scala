@@ -30,6 +30,24 @@ object Sampling {
       }
   }
 
+  /** Stratified top-fraction sampling: within each stratum keep the best
+    * `num/den` fraction of rows by `scoreCol` (ties broken by the unique
+    * `tieCol`, so the cut is a total order). The keep test `rn·den <= n·num`
+    * is pure integer arithmetic — no float rank boundary to diverge between
+    * engines or runs. One shuffle on the stratum key; count and row_number
+    * share the same window exchange. Deterministic under reruns AND under
+    * per-stratum growth of the corpus (unlike sampleBy's RNG). */
+  def stratifiedTopFrac(df: DataFrame, strataCol: String, scoreCol: Column,
+                        tieCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= num, s"fraction num/den must be in (0,1], got $num/$den")
+    val w = Window.partitionBy(col(strataCol)).orderBy(scoreCol.desc, col(tieCol))
+    val wc = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") * den <= col("__n") * num)
+      .drop("__rn", "__n")
+  }
+
   /** Contiguous per-shard context-window packing: documents are sharded by
     * id hash, and within each shard assigned to consecutive token-budget
     * bins by running token count. One partitioned window — no global sort,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for training-data curation: repetition
+  * filtering, TF-IDF / BM25 term scoring, rolling-hash fingerprints, and
+  * overlapping context-window chunking. All pure DataFrame plans — shuffles
+  * keyed on (doc) or (term) with map-side partial aggregation, no driver
+  * materialization — so every one of them runs at corpus scale.
+  *
+  * Determinism: scores are a fixed-order chain of IEEE double ops rounded to
+  * 6 places at the end; hashes are md5-derived. Engine-independent, which is
+  * what makes the exact DuckDB oracles in TextOracle possible.
+  */
+object TextStats {
+
+  /** Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
+    * Models", table A1): fraction of duplicate word n-grams per document.
+    * Templated/boilerplate docs score high and get filtered before training.
+    * One explode + one groupBy(doc): n_grams = total n-grams, n_distinct =
+    * distinct, dup_frac = 1 - distinct/total. Docs with < n tokens emit no
+    * n-grams and are absent (nothing to judge). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int): DataFrame =
+    docs.select(col(idCol), explode(TF.shinglesAll(col(textCol), shingleN)).as("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("__sh")).as("n_distinct"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+
+  /** Top-k terms per document by TF-IDF (raw term count × ln(N/df)).
+    * Shuffle shape: one groupBy(doc, term) for tf, one groupBy(term) for df
+    * (both with partial aggs — the hot-term skew of natural text collapses
+    * map-side), a broadcast of the 1-row corpus count, and one window over
+    * doc. Ranking orders by the ROUNDED score (then term) so the total order
+    * is engine-exact. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = docs.select(col(idCol).as("doc_id"), explode(TF.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = toks.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
+  }
+
+  /** BM25 relevance of every document for a fixed query-term set (Robertson &
+    * Zaragoza 2009, §3.4). Per-term partial scores land in FIXED columns (one
+    * per query term, via conditional agg) and are summed left-to-right, so the
+    * floating-point addition order is identical in every engine — a plain
+    * SUM() over a group would be partition-order-dependent.
+    * Shuffles: groupBy(doc) for lengths, groupBy(doc, term) for tf (the tf
+    * scan pre-filters to the query terms — at 100 TB the filter prunes the
+    * explode output to ~nothing before any exchange), broadcast 1-row corpus
+    * stats. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct)
+    val toks = docs.select(col(idCol).as("doc_id"), explode(TF.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = dl.join(tf.join(dfT, "term"), Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))))
+    val termCols = queryTerms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
+    val total = queryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    scored.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("bm25"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
+    * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
+    * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set
+    * fingerprints (q28/q32) — token reorderings produce different hashes.
+    * Pure codegen'd expression, no shuffle at all; all arithmetic stays below
+    * 2^36 (acc < M < 2^30, h < 2^32), so no overflow in any engine. */
+  def rollingHash(docs: DataFrame, idCol: String, textCol: String,
+                  base: Long = 31L, mod: Long = 1000000007L): DataFrame = {
+    require(base > 0 && mod > 1 && mod <= (1L << 30) && base * mod + (1L << 32) > 0)
+    docs.select(col(idCol),
+      aggregate(
+        transform(TF.tokens(col(textCol)), t => TF.md5Prefix32(t)),
+        lit(0L),
+        (acc, x) => (acc * base + x) % mod).as("roll_hash"))
+  }
+
+  /** Overlapping context-window chunking: token windows of `chunkSize` every
+    * `stride` tokens (stride < chunkSize ⇒ overlap), the standard prep step
+    * for fixed-context training and embedding indexing. One explode per
+    * chunk-start — rows scale with chunks, not chunks × chunkSize; the chunk
+    * content itself stays an md5, not materialized text. No shuffle. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1)
+    val chunk = slice(col("__t"), col("__s"), lit(chunkSize))
+    docs.select(col(idCol), TF.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), size(col("__t")), lit(stride))).as("__s"))
+      .select(col(idCol),
+        ((col("__s") - 1) / stride).cast("long").as("chunk_idx"),
+        size(chunk).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+  }
+}

@@ -867,6 +867,20 @@ object SparkEntry {
       graft.operators.TextStats.rollingHash(T(s, dir, "documents"), "doc_id", "text"),
       Some(TextOracle.rollingHashSql(base = 31L, mod = 1000000007L))),
 
+    Q("q71_pq_assign", (s, dir) =>
+      // product-quantization codes: 64-dim float -> 4 subspace centroid ids
+      Similarity.pqAssign(T(s, dir, "embeddings"), "embedding",
+        Similarity.pqCodebooks(numSub = 4, ksub = 8, subDims = 16))
+        .select("vec_id", "code0", "code1", "code2", "code3"),
+      Some(TextOracle.pqAssignSql(numSub = 4, ksub = 8, subDims = 16))),
+
+    Q("q72_kmeans", (s, dir) =>
+      // two deterministic Lloyd rounds (semantic-dedup / codebook training);
+      // engine-exact via LTR distance folds + decimal centroid means
+      graft.operators.Clustering.kmeansLloyd(T(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2),
+      Some(TextOracle.kmeansSql(k = 4, iters = 2, dims = 64))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

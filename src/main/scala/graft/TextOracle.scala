@@ -257,6 +257,69 @@ object TextOracle {
     ORDER BY cos DESC, a.vec_id LIMIT $k"""
   }
 
+  /** PQ code assignment: per subspace, the same d² + CASE-argmin construction
+    * as ivfAssignSql, over the embedding slice for that subspace. */
+  def pqAssignSql(numSub: Int, ksub: Int, subDims: Int): String = {
+    val books = graft.operators.Similarity.pqCodebooks(numSub, ksub, subDims)
+    val dCols = (for { m <- 0 until numSub; i <- 0 until ksub } yield {
+      val off = m * subDims
+      val c = books(m)(i)
+      val ss = c.map(x => x * x).sum
+      val sliceStr = s"embedding[${off + 1}:${off + subDims}]"
+      val cdot = (0 until subDims)
+        .map(d => s"CAST(embedding[${off + d + 1}] AS DOUBLE) * ${c(d)}").mkString(" + ")
+      s"(${dotExpr(sliceStr, sliceStr)} - 2.0 * ($cdot) + $ss) AS d${m}_$i"
+    }).mkString(",\n             ")
+    val codeCases = (0 until numSub).map { m =>
+      val cases = (0 until ksub).map { i =>
+        val conds = ((i + 1) until ksub).map(j => s"d${m}_$i <= d${m}_$j")
+        if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+      }.mkString("\n           ")
+      s"CASE $cases END AS code$m"
+    }.mkString(",\n           ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, $dCols
+      FROM embeddings)
+    SELECT vec_id, $codeCases
+    FROM d"""
+  }
+
+  /** Lloyd k-means transcription, CTE chain per round: assignment = LTR
+    * per-dim fold (list_sum), update = exact DECIMAL(25,10) means — mirrors
+    * Clustering.kmeansLloyd op for op (see its determinism notes). */
+  def kmeansSql(k: Int, iters: Int, dims: Int): String = {
+    def assignCtes(r: Int, cPrev: String): String = s"""
+    d$r AS (
+      SELECT e.vec_id, $cPrev.cluster,
+             list_sum(list_transform(range(1, ${dims + 1}),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - $cPrev.c[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - $cPrev.c[i]))) AS d2
+      FROM e CROSS JOIN $cPrev),
+    a$r AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d$r) WHERE rn = 1)"""
+    def updateCtes(r: Int): String = s"""
+    u$r AS (
+      SELECT cluster, dim, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS cd
+      FROM (SELECT a$r.cluster, t.i AS dim, CAST(e.embedding[t.i] AS DECIMAL(25,10)) AS val
+            FROM e JOIN a$r USING (vec_id), range(1, ${dims + 1}) t(i))
+      GROUP BY cluster, dim),
+    c$r AS (SELECT cluster, list(cd ORDER BY dim) AS c FROM u$r GROUP BY cluster)"""
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      assignCtes(r, prev) + (if (r < iters) "," + updateCtes(r) else "")
+    }.mkString(",")
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+           FROM embeddings WHERE vec_id < $k),$rounds
+    SELECT vec_id, cluster FROM a$iters"""
+  }
+
   /** CTE chain ending in lid(doc_id, lang, lang_pred) — shared by the langid
     * query and the clean-corpus composition. */
   private def langIdCtes: String = {

@@ -91,6 +91,46 @@ object Similarity {
     emb.withColumn(listCol, least(dists: _*).getField("i"))
   }
 
+  /** Deterministic per-subspace PQ codebooks: centroid `c` of subspace `m`,
+    * dim `d` gets weight from the first hex nibble of md5("pq{m}_{c}_{d}"),
+    * mapped to [-7.5, 7.5] — same engine-reproducible construction as
+    * `hyperplanes`, keyed per subspace so the books differ. */
+  def pqCodebooks(numSub: Int, ksub: Int, subDims: Int): Seq[Seq[Seq[Double]]] = {
+    val mdsrc = java.security.MessageDigest.getInstance("MD5")
+    (0 until numSub).map { m =>
+      (0 until ksub).map { c =>
+        (0 until subDims).map { d =>
+          val h = mdsrc.digest(s"pq${m}_${c}_$d".getBytes("UTF-8"))
+          ((h(0) >> 4) & 0xf).toDouble - 7.5
+        }
+      }
+    }
+  }
+
+  /** Product-quantization coarse codes (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the vector is
+    * split into `numSub` contiguous subvectors and each is assigned to its
+    * nearest centroid in that subspace's codebook — compressing a D-dim float
+    * vector to numSub small ints (here 4×3 bits). Codebooks are tiny literals
+    * (codegen'd, broadcast-free); one scan, no shuffle, argmin ties to the
+    * lower centroid index — the same plan shape as `ivfAssign` per subspace.
+    * Codebook training (k-means per subspace upstream) is out of scope, as
+    * with IVF. */
+  def pqAssign(emb: DataFrame, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    val subDims = codebooks.head.head.size
+    codebooks.zipWithIndex.foldLeft(emb) { case (df, (cents, m)) =>
+      val sub = slice(col(vecCol), m * subDims + 1, subDims)
+      val dists = cents.zipWithIndex.map { case (c, i) =>
+        val d2 = VF.dot(sub, sub) - lit(2.0) * VF.dot(sub, typedLit(c)) +
+          lit(c.map(x => x * x).sum)
+        struct(d2.as("d2"), lit(i).as("i"))
+      }
+      df.withColumn(s"code$m", least(dists: _*).getField("i"))
+    }
+  }
+
   /** Query-side squared distance to a centroid, folded LEFT TO RIGHT over
     * doubles — the same association order as the codegen'd DotProduct and the
     * SQL oracles, so probe selection is bit-identical across engines. */

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("kmeansLloyd: separates two obvious blobs regardless of init spread") {
+    // ids 0,1 seed the two init centroids; blob A near (0,0), blob B near (10,10)
+    val df = vecs(
+      0L -> Seq(0.1f, 0.0f), 1L -> Seq(9.9f, 10.1f),
+      2L -> Seq(0.2f, 0.1f), 3L -> Seq(10.2f, 9.8f),
+      4L -> Seq(0.0f, 0.3f), 5L -> Seq(9.7f, 10.0f))
+    val out = Clustering.kmeansLloyd(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 2L, 4L).map(out) == Set(0))
+    assert(Set(1L, 3L, 5L).map(out) == Set(1))
+  }
+
+  test("kmeansLloyd: deterministic across reruns (no RNG anywhere)") {
+    val df = vecs((0L to 19L).map(i =>
+      i -> Seq((i % 7).toFloat / 3f, (i % 5).toFloat / 2f, (i % 3).toFloat)): _*)
+    val a = Clustering.kmeansLloyd(df, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val b = Clustering.kmeansLloyd(df, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    // every vector assigned exactly once
+    assert(a.map(_._1) == (0L to 19L))
+  }
+
+  test("pqAssign: codes are true per-subspace argmins with low-index ties") {
+    val books = Similarity.pqCodebooks(numSub = 2, ksub = 4, subDims = 3)
+    val df = vecs(
+      0L -> Seq(0.5f, -1f, 2f, 3f, 0f, -2f),
+      1L -> Seq(-7f, 7f, 0f, 1f, 1f, 1f))
+    val rows = Similarity.pqAssign(df, "embedding", books)
+      .select("vec_id", "code0", "code1")
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+    // recompute the argmin in plain Scala (same LTR fold) and compare
+    for ((id, v) <- Seq(0L -> Seq(0.5f, -1f, 2f, 3f, 0f, -2f),
+                        1L -> Seq(-7f, 7f, 0f, 1f, 1f, 1f));
+         m <- 0 until 2) {
+      val sub = v.slice(m * 3, m * 3 + 3).map(_.toDouble)
+      val d2s = books(m).map { c =>
+        val self = sub.foldLeft(0.0)((a, x) => a + x * x)
+        val cdot = sub.indices.foldLeft(0.0)((a, i) => a + sub(i) * c(i))
+        self - 2.0 * cdot + c.map(x => x * x).sum
+      }
+      val expect = d2s.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(rows(id)(m) == expect, s"vec $id subspace $m")
+    }
+  }
+
+  test("pqCodebooks: deterministic, distinct across subspaces, right shape") {
+    val a = Similarity.pqCodebooks(4, 8, 16)
+    val b = Similarity.pqCodebooks(4, 8, 16)
+    assert(a == b)
+    assert(a.size == 4 && a.forall(_.size == 8) && a.forall(_.forall(_.size == 16)))
+    assert(a(0) != a(1), "subspace codebooks must differ (keyed by subspace)")
+    assert(a.flatten.flatten.forall(w => w >= -7.5 && w <= 7.5))
+  }
+}

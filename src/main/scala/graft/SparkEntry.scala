@@ -881,6 +881,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, iters = 2),
       Some(TextOracle.kmeansSql(k = 4, iters = 2, dims = 64))),
 
+    Q("q73_semantic_dedup", (s, dir) => {
+      // SemDeDup-style composition (Abbas et al. 2023): k-means clusters as
+      // the blocking function, exact cosine pairs WITHIN a cluster only —
+      // pair work drops from O(N²) to O(N²/k); real corpora dial k up so a
+      // cluster fits an executor (here k=4 over the small test table)
+      val emb = T(s, dir, "embeddings")
+      val labels = graft.operators.Clustering.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val base = emb.join(labels, "vec_id")
+      val a = base.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = base.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
+        .filter(col("cos") >= 0.4)
+        .select("id_a", "id_b", "cluster", "cos")
+    }, Some(TextOracle.semanticDedupSql(k = 4, iters = 2, dims = 64, threshold = 0.4))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -39,10 +39,13 @@ object TextOracle {
     * pairs, shared by q31/q54/q62 so the banding scheme has ONE SQL
     * transcription to keep in sync with Dedup.minhashLshCandidates. */
   private def candCtes(numHashes: Int, bandRows: Int): String = {
-    // Kirsch-Mitzenmacher two-hash family, exactly as minhashSignature:
-    // h_j(s) = a + j*b with a/b = first/second 8 md5 hex digits of the shingle
-    val sigCols = (0 until numHashes)
-      .map(j => s"min(a + $j * b) AS h$j").mkString(",\n             ")
+    // Carter-Wegman universal family mod P, exactly as minhashSignature:
+    // x = first 8 md5 hex digits mod P, h_j = (a_j*x + b_j) mod P with the
+    // same fixed per-index constants (embedded as literals on both sides)
+    val P = graft.operators.Dedup.MinhashP
+    val sigCols = graft.operators.Dedup.minhashConsts(numHashes).zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * x + $b) % $P) AS h$j" }
+      .mkString(",\n             ")
     val numBands = numHashes / bandRows
     val bandSelects = (0 until numBands).map { b =>
       val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
@@ -51,8 +54,7 @@ object TextOracle {
     s"""$shingleCte,
     shh AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS a,
-             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS b
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % $P AS x
       FROM sh),
     sig AS (
       SELECT doc_id, $sigCols
@@ -287,8 +289,10 @@ object TextOracle {
 
   /** Lloyd k-means transcription, CTE chain per round: assignment = LTR
     * per-dim fold (list_sum), update = exact DECIMAL(25,10) means — mirrors
-    * Clustering.kmeansLloyd op for op (see its determinism notes). */
-  def kmeansSql(k: Int, iters: Int, dims: Int): String = {
+    * Clustering.kmeansLloyd op for op (see its determinism notes). Returns
+    * the full CTE body (no WITH) ending in a$iters(vec_id, cluster), shared
+    * by the plain k-means query and the semantic-dedup composition. */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     def assignCtes(r: Int, cPrev: String): String = s"""
     d$r AS (
       SELECT e.vec_id, $cPrev.cluster,
@@ -312,13 +316,30 @@ object TextOracle {
       val prev = if (r == 1) "c0" else s"c${r - 1}"
       assignCtes(r, prev) + (if (r < iters) "," + updateCtes(r) else "")
     }.mkString(",")
-    s"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
     c0 AS (SELECT CAST(vec_id AS INT) AS cluster,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-           FROM embeddings WHERE vec_id < $k),$rounds
-    SELECT vec_id, cluster FROM a$iters"""
+           FROM embeddings WHERE vec_id < $k),$rounds"""
   }
+
+  def kmeansSql(k: Int, iters: Int, dims: Int): String = s"""
+    WITH ${kmeansCtes(k, iters, dims)}
+    SELECT vec_id, cluster FROM a$iters"""
+
+  /** SemDeDup-style composition (Abbas et al. 2023): k-means as the blocking
+    * function, exact cosine pairs WITHIN clusters only. Same cosine formula
+    * as nearDupSql. */
+  def semanticDedupSql(k: Int, iters: Int, dims: Int, threshold: Double): String = s"""
+    WITH ${kmeansCtes(k, iters, dims)},
+    lbl AS (SELECT e.vec_id, e.embedding, a$iters.cluster
+            FROM e JOIN a$iters USING (vec_id)),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,
+             round(${dotExpr("x.embedding", "y.embedding")}
+                   / (sqrt(${dotExpr("x.embedding", "x.embedding")})
+                      * sqrt(${dotExpr("y.embedding", "y.embedding")})), 6) AS cos
+      FROM lbl x JOIN lbl y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+    SELECT id_a, id_b, cluster, cos FROM p WHERE cos >= $threshold"""
 
   /** CTE chain ending in lid(doc_id, lang, lang_pred) — shared by the langid
     * query and the clean-corpus composition. */

@@ -34,22 +34,42 @@ object Dedup {
     docs.groupBy(TF.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Modulus for the minhash universal-hash family: the Mersenne prime
+    * 2^31−1. Small enough that a_j·x stays < 2^62 (no 64-bit overflow in any
+    * engine) yet a_j·x wraps it ~2^30 times, which is what actually
+    * decorrelates the per-index orderings. */
+  val MinhashP: Long = 2147483647L
+
+  /** Fixed per-hash-index constants (a_j ∈ [1, P−1], b_j ∈ [0, P−1]) derived
+    * from md5("mh{j}") — deterministic, engine-independent, and embedded as
+    * LITERALS in both the Spark plan and the SQL oracle. */
+  def minhashConsts(numHashes: Int): Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numHashes).map { j =>
+      val big = BigInt(1, md.digest(s"mh$j".getBytes("UTF-8")))
+      (((big >> 64) % (MinhashP - 1)).toLong + 1, (big % MinhashP).toLong)
+    }
+  }
+
   /** Per-(doc, minhash-index) signature table: k min-hashes over word-`n`-gram
-    * shingles from ONE md5 per shingle — h_j(s) = a(s) + j·b(s) with a, b the
-    * first/second 8 hex digits of md5(s) (the two-hash scheme of Kirsch &
-    * Mitzenmacher, "Less hashing, same performance", 2006). At 100 TB the
-    * signature build is per-byte hash cost, so 1 digest instead of k is the
-    * difference that matters; values stay < 2^36 (no overflow anywhere).
+    * shingles from ONE md5 per shingle — x(s) = first 8 md5 hex digits mod P,
+    * h_j(s) = (a_j·x + b_j) mod P with fixed per-index constants (the
+    * Carter-Wegman universal family mod a prime, the standard minhash
+    * construction). At 100 TB the signature build is per-byte hash cost, so 1
+    * digest + k multiply-mods instead of k digests is the difference that
+    * matters. NOT h_j = a(s) + j·b(s) (Kirsch-Mitzenmacher double hashing):
+    * without modular wrap-around that family's per-index orderings correlate
+    * (one shingle tends to minimize every h_j), which measurably inflates LSH
+    * false-positive candidates (~4.5× on the test corpus).
     * Single explode + single groupBy(doc) with k min() partial aggs. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleN: Int): DataFrame = {
     val sh = docs.select(col(idCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
-      .withColumn("__m", md5(col("__sh")))
       .select(col(idCol),
-        conv(substring(col("__m"), 1, 8), 16, 10).cast("long").as("__a"),
-        conv(substring(col("__m"), 9, 8), 16, 10).cast("long").as("__b"))
-    val aggs = (0 until numHashes).map(j =>
-      min(col("__a") + lit(j.toLong) * col("__b")).as(s"h$j"))
+        (conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long") % MinhashP).as("__x"))
+    val aggs = minhashConsts(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("__x") + lit(b)) % MinhashP).as(s"h$j")
+    }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

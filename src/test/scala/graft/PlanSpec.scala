@@ -82,4 +82,39 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).size <= 2, p.take(600))
   }
+
+  test("chunking and PQ are pure scans — no exchange at all (q68/q71)") {
+    for (q <- Seq("q68_chunk_overlap", "q71_pq_assign")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: ${p.take(400)}")
+    }
+  }
+
+  test("rolling hash is one codegen'd scan, no shuffle, no UDF (q70)") {
+    val p = plan("q70_rolling_hash")
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"), p.take(400))
+    assert(p.contains("*("), p.take(200)) // whole-stage codegen
+  }
+
+  test("stratified sample: rank and count share ONE window exchange (q69)") {
+    val p = plan("q69_stratified_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(500))
+  }
+
+  test("tfidf/bm25 broadcast the 1-row corpus stats, never shuffle them in (q66/q67)") {
+    for (q <- Seq("q66_tfidf_topk", "q67_bm25")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: ${p.take(400)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(400)}")
+    }
+  }
+
+  test("kmeans assignment joins centroids broadcast — corpus never shuffles for assign (q72)") {
+    val p = plan("q72_kmeans")
+    // the only hash exchanges are the k·D-row update aggregations and the
+    // final per-vector argmin — the embedding scan side stays unshuffled
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
 }

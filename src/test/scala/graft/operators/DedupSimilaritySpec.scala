@@ -35,6 +35,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b && b != 4L || a != 4L })
   }
 
+  test("minhash banding false-positive volume stays near the independent-family rate") {
+    // Regression guard for the hash-family bug class: a family whose
+    // per-index orderings correlate (e.g. h_j = a + j*b without modular
+    // wrap) makes bands agree spuriously and candidate volume explode
+    // (observed ~4.5x on this corpus). The real testdata documents are the
+    // adversarial input — templated near-dup text.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      numHashes = 8, bandRows = 2, shingleN = 2).count()
+    // independent families land ~700-900 here; the broken family gave 4052
+    assert(n < 1500, s"candidate blowup: $n pairs — minhash orderings correlated?")
+    assert(n > 100, s"suspiciously few candidates ($n) — banding broken?")
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // bigrams: {a b, b c, c d} vs {a b, b c, c e}: inter=2, union=4 -> 0.5

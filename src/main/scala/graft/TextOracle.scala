@@ -277,11 +277,12 @@ object TextOracle {
         val conds = ((i + 1) until ksub).map(j => s"d${m}_$i <= d${m}_$j")
         if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
       }.mkString("\n           ")
-      s"CASE $cases END AS code$m"
+      // short vectors -> NULL codes, as pqAssign
+      s"CASE WHEN len(embedding) >= ${numSub * subDims} THEN (CASE $cases END) END AS code$m"
     }.mkString(",\n           ")
     s"""
     WITH d AS (
-      SELECT vec_id, $dCols
+      SELECT vec_id, embedding, $dCols
       FROM embeddings)
     SELECT vec_id, $codeCases
     FROM d"""
@@ -317,9 +318,9 @@ object TextOracle {
       assignCtes(r, prev) + (if (r < iters) "," + updateCtes(r) else "")
     }.mkString(",")
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
-    c0 AS (SELECT CAST(vec_id AS INT) AS cluster,
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-           FROM embeddings WHERE vec_id < $k),$rounds"""
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),$rounds"""
   }
 
   def kmeansSql(k: Int, iters: Int, dims: Int): String = s"""
@@ -429,7 +430,7 @@ object TextOracle {
     sc AS (
       SELECT dl.doc_id, tfd.term,
              ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-             * ((tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))) AS sc
+             * ((tf * CAST(${k1 + 1} AS DOUBLE)) / (tf + $k1 * (${1 - b} + $b * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))) AS sc
       FROM dl LEFT JOIN tfd ON tfd.doc_id = dl.doc_id CROSS JOIN stats),
     agg AS (SELECT doc_id, $sCols
             FROM sc GROUP BY doc_id)

@@ -58,26 +58,15 @@ object TextFunctions {
   def md5Prefix32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Word n-gram shingles (n>=1) over whitespace tokens, as distinct set.
-    * Built with zip_with over shifted slices, NOT transform(idx, i ->
+  /** Word n-gram shingles (n>=1) over whitespace tokens, as distinct set. */
+  def shingles(c: Column, n: Int): Column = array_distinct(shinglesAll(c, n))
+
+  /** Word n-gram shingles WITH duplicates (repetition analysis needs the
+    * multiset; `shingles` wraps this in array_distinct for set-similarity
+    * ops). Built with zip_with over shifted slices, NOT transform(idx, i ->
     * element_at(t, i)): in the latter the token array lives inside the lambda
     * body and Catalyst re-evaluates the split() per element (O(len·grams));
     * slice arguments are evaluated once per row. */
-  def shingles(c: Column, n: Int): Column = {
-    require(n >= 1)
-    val t = tokens(c)
-    if (n == 1) array_distinct(t)
-    else {
-      val m = greatest(size(t) - (n - 1), lit(0))
-      var grams: Column = slice(t, lit(1), m)
-      for (k <- 1 until n)
-        grams = zip_with(grams, slice(t, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
-      array_distinct(grams)
-    }
-  }
-
-  /** Word n-gram shingles WITH duplicates (repetition analysis needs the
-    * multiset — `shingles` deduplicates for set-similarity ops). */
   def shinglesAll(c: Column, n: Int): Column = {
     require(n >= 1)
     val t = tokens(c)

@@ -28,13 +28,19 @@ object Clustering {
 
   /** `iters` Lloyd rounds from the deterministic init; returns (id, cluster)
     * after the FINAL assignment. Init centroids are the vectors with the k
-    * smallest ids (in double). */
+    * SMALLEST ids (in double), labeled cluster 0..k−1 in id order — robust
+    * to 1-based, sparse, or hash-derived id spaces (a value filter `id < k`
+    * would silently under- or zero-initialize those). The k-row sort+limit
+    * is a TakeOrdered, not a global sort; the single-partition window that
+    * numbers it touches k rows only. */
   def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
     val asDouble = transform(col(vecCol), x => x.cast("double"))
-    var centroids = emb.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("cluster"), asDouble.as("c"))
+    val wInit = Window.orderBy(col(idCol))
+    var centroids = emb.select(col(idCol), asDouble.as("c"))
+      .orderBy(col(idCol)).limit(k)
+      .select((row_number().over(wInit) - 1).as("cluster"), col("c"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(emb, idCol, vecCol, centroids)

@@ -42,7 +42,9 @@ object Sampling {
     require(num >= 1 && den >= num, s"fraction num/den must be in (0,1], got $num/$den")
     val w = Window.partitionBy(col(strataCol)).orderBy(scoreCol.desc, col(tieCol))
     val wc = Window.partitionBy(col(strataCol))
-    df.withColumn("__rn", row_number().over(w))
+    // row_number() is IntegerType: widen BEFORE multiplying, or a stratum
+    // beyond Int.MaxValue/den rows wraps negative and silently passes the cut
+    df.withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wc))
       .filter(col("__rn") * den <= col("__n") * num)
       .drop("__rn", "__n")

@@ -120,6 +120,12 @@ object Similarity {
                codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
     val subDims = codebooks.head.head.size
+    // uniform geometry or the slice offsets below are meaningless
+    require(codebooks.forall(_.forall(_.size == subDims)),
+      "all codebook centroids must share one subvector dimensionality")
+    // a vector shorter than the PQ geometry gets NULL codes, not the silent
+    // smallest-norm-centroid garbage that empty slices would produce
+    val longEnough = size(col(vecCol)) >= codebooks.size * subDims
     codebooks.zipWithIndex.foldLeft(emb) { case (df, (cents, m)) =>
       val sub = slice(col(vecCol), m * subDims + 1, subDims)
       val dists = cents.zipWithIndex.map { case (c, i) =>
@@ -127,7 +133,8 @@ object Similarity {
           lit(c.map(x => x * x).sum)
         struct(d2.as("d2"), lit(i).as("i"))
       }
-      df.withColumn(s"code$m", least(dists: _*).getField("i"))
+      df.withColumn(s"code$m",
+        when(longEnough, least(dists: _*).getField("i")))
     }
   }
 

@@ -63,6 +63,10 @@ object TextStats {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct)
+    // terms feed generated column names and oracle SQL string literals —
+    // keep them free of quoting/field-access metacharacters
+    require(queryTerms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"query terms must be [A-Za-z0-9_-]+: $queryTerms")
     val toks = docs.select(col(idCol).as("doc_id"), explode(TF.tokens(col(textCol))).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
@@ -77,8 +81,12 @@ object TextStats {
       .withColumn("s",
         col("idf") * ((col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))))
-    val termCols = queryTerms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
-    val total = queryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    // positional column names (s0, s1, ...) — a term is data, not an
+    // identifier; this also matches the oracle transcription exactly
+    val termCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s$i")
+    }
+    val total = queryTerms.indices.map(i => coalesce(col(s"s$i"), lit(0.0))).reduceLeft(_ + _)
     scored.groupBy("doc_id").agg(termCols.head, termCols.tail: _*)
       .select(col("doc_id"), round(total, 6).as("bm25"))
   }
@@ -91,7 +99,11 @@ object TextStats {
     * 2^36 (acc < M < 2^30, h < 2^32), so no overflow in any engine. */
   def rollingHash(docs: DataFrame, idCol: String, textCol: String,
                   base: Long = 31L, mod: Long = 1000000007L): DataFrame = {
-    require(base > 0 && mod > 1 && mod <= (1L << 30) && base * mod + (1L << 32) > 0)
+    // acc < mod, token hash < 2^32: acc*base + h must fit a signed 64-bit —
+    // checked with division (a product-form guard would itself overflow)
+    require(base > 0 && mod > 1 &&
+      mod - 1 <= (Long.MaxValue - ((1L << 32) - 1)) / base,
+      s"base=$base mod=$mod can overflow the 64-bit fold")
     docs.select(col(idCol),
       aggregate(
         transform(TF.tokens(col(textCol)), t => TF.md5Prefix32(t)),

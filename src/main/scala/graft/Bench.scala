@@ -22,7 +22,10 @@ object Bench {
     // min of N runs: ambient load on the shared box swings single runs by
     // 2-3x; best-observed is the stable, standard microbench statistic
     // (median also reported so one spike is visible as min/median spread)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // default 3: with min-of-2 a single ambient spike on the shared box can
+    // still own a query's number (both runs land in the same busy window);
+    // three samples make the min a stable statistic at ~1.5x the wall cost
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run is recorded as a FAILURE, never as a timing — folding a
       // fast-fail elapsed into min would make regressions look like speedups

@@ -898,6 +898,21 @@ object SparkEntry {
         .select("id_a", "id_b", "cluster", "cos")
     }, Some(TextOracle.semanticDedupSql(k = 4, iters = 2, dims = 64, threshold = 0.4))),
 
+    Q("q74_ngram_vocab", (s, dir) =>
+      // corpus-wide vocabulary mining: most frequent word bigrams. Hot grams
+      // collapse in the map-side partial agg; the global top-k is a
+      // TakeOrderedAndProject, never a full sort of the vocabulary
+      T(s, dir, "documents")
+        .select(explode(TF.shinglesAll(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(100),
+      Some("""
+      WITH g AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
+      SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+      ORDER BY n DESC, gram LIMIT 100""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -100,6 +100,45 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens properties: full coverage, stride-exact overlap, budget cap (many shapes)") {
+    val sizes = Seq(1, 2, 3, 47, 48, 49, 63, 64, 65, 100, 200)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(t => s"w$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val rows = TextStats.chunkTokens(docs, "doc_id", "text", chunkSize = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((n, i) <- sizes.zipWithIndex) {
+      val cs = rows.filter(_._1 == i.toLong).sortBy(_._2)
+      val expectChunks = (n + 47) / 48  // ceil(n/stride): starts at 1, 49, ...
+      assert(cs.length == expectChunks, s"n=$n")
+      // contiguous 0-based chunk indexes; each chunk ≤ 64 tokens; the token
+      // count across chunks covers every token at least once (overlap ≥ 0)
+      assert(cs.map(_._2).sameElements(cs.indices.map(_.toLong)), s"n=$n")
+      assert(cs.forall(_._3 <= 64), s"n=$n")
+      val covered = cs.zipWithIndex.map { case ((_, _, len), k) => k * 48L + len }.max
+      assert(covered >= n, s"n=$n: last covered token $covered")
+    }
+  }
+
+  test("rollingHash differential vs plain-Scala reference over token shapes") {
+    def md5p32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def ref(text: String): Long = {
+      val toks = text.trim match { case "" => Nil; case t => t.split("\\s+").toList }
+      toks.foldLeft(0L)((acc, t) => (acc * 31L + md5p32(t)) % 1000000007L)
+    }
+    val texts = Seq("", "  ", "one", "one two three", "a a a a a",
+      "Unicode tökens ünd émojis", "x " * 300 + "tail", "  padded   inside  ")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextStats.rollingHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(got(i.toLong) == ref(t), s"text '$t'")
+  }
+
   test("pii scan: counts and redaction agree; clean text untouched") {
     val df = Seq(
       (1L, "mail me at a.b+c@site-x.io or 555-1234 now"),

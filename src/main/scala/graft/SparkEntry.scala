@@ -913,6 +913,31 @@ object SparkEntry {
       SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
       ORDER BY n DESC, gram LIMIT 100""")),
 
+    Q("q75_training_pipeline", (s, dir) => {
+      // the WHOLE training-data pipeline as one verified query:
+      // clean (lang ∧ quality) → LSH near-dup clusters, keep min-id rep
+      // (exact dups share every band, so they're subsumed) → overlapping
+      // chunking → growth-stable split. Stage queries: q63/q31/q54/q68/q59
+      val docs = T(s, dir, "documents")
+      val clean = docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .filter(TF.langId(col("text")) === "en")
+        .filter(TF.qualityScore(col("text")) >= 0.5)
+        .select("doc_id", "text")
+      val labels = Dedup.resolveClusters(
+        Dedup.minhashLshCandidates(clean, "doc_id", "text",
+          numHashes = 8, bandRows = 2, shingleN = 2), "doc_a", "doc_b")
+      val reps = clean
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select("doc_id", "text")
+      graft.operators.TextStats.chunkTokens(reps, "doc_id", "text",
+        chunkSize = 64, stride = 48)
+        .withColumn("split", graft.operators.Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 90, "val" -> 8, "test" -> 2)))
+    }, Some(TextOracle.trainingPipelineSql(minQuality = 0.5,
+      chunkSize = 64, stride = 48, numHashes = 8, bandRows = 2))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

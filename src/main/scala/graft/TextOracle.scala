@@ -15,14 +15,16 @@ object TextOracle {
 
   def enStop: String = stopList("en")
 
-  /** Word-bigram distinct shingles of `documents.text` — matches
+  /** Word-bigram distinct shingles of `src`(doc_id, text) — matches
     * TextFunctions.shingles(_, 2): whitespace split of trimmed text, then
     * (t[i], t[i+1]) pairs joined by one space, distinct. */
-  private val shingleCte: String = """
+  private def shingleCteFrom(src: String): String = s"""
     sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))"""
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src))"""
+
+  private val shingleCte: String = shingleCteFrom("documents")
 
   def jaccardSql(threshold: Double): String = s"""
     WITH $shingleCte,
@@ -38,7 +40,10 @@ object TextOracle {
   /** CTE chain ending in cand(doc_a, doc_b) — the MinHash-LSH candidate
     * pairs, shared by q31/q54/q62 so the banding scheme has ONE SQL
     * transcription to keep in sync with Dedup.minhashLshCandidates. */
-  private def candCtes(numHashes: Int, bandRows: Int): String = {
+  private def candCtes(numHashes: Int, bandRows: Int): String =
+    candCtesFrom(numHashes, bandRows, "documents")
+
+  private def candCtesFrom(numHashes: Int, bandRows: Int, src: String): String = {
     // Carter-Wegman universal family mod P, exactly as minhashSignature:
     // x = first 8 md5 hex digits mod P, h_j = (a_j*x + b_j) mod P with the
     // same fixed per-index constants (embedded as literals on both sides)
@@ -51,7 +56,7 @@ object TextOracle {
       val slots = (0 until bandRows).map(r => s"h${b * bandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($slots) AS bh FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""$shingleCte,
+    s"""${shingleCteFrom(src)},
     shh AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % $P AS x
@@ -490,6 +495,46 @@ object TextOracle {
            md5(regexp_replace(regexp_replace(ct, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g')) AS red_hash
     FROM c"""
   }
+
+  /** The full training-data pipeline in ONE verified query: language/quality
+    * clean → MinHash-LSH near-dup clustering, keep each cluster's min-id
+    * representative (exact dups share every band, so they are subsumed) →
+    * overlapping context-window chunking → growth-stable hash split. Every
+    * stage reuses the stage oracles' shared CTE transcriptions. */
+  def trainingPipelineSql(minQuality: Double, chunkSize: Int, stride: Int,
+                          numHashes: Int, bandRows: Int): String = s"""
+    WITH RECURSIVE $langIdCtes,
+    q AS (
+      SELECT doc_id, $qualityFromRawSql AS quality
+      FROM (SELECT doc_id, text, $prawSql AS praw, $srawSql AS sraw
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+    clean AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN lid ON lid.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+      WHERE lid.lang_pred = 'en' AND q.quality >= $minQuality),
+    ${candCtesFrom(numHashes, bandRows, "clean")},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION SELECT doc_b, doc_a FROM cand),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    lbl AS (SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src),
+    reps AS (
+      SELECT c.doc_id, c.text FROM clean c LEFT JOIN lbl ON lbl.id = c.doc_id
+      WHERE lbl.id IS NULL OR lbl.cluster_id = c.doc_id),
+    rt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM reps),
+    st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, $stride)) AS s FROM rt)
+    SELECT doc_id, (s - 1) // $stride AS chunk_idx,
+           CAST(len(t[s:s + ${chunkSize - 1}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[s:s + ${chunkSize - 1}], ' ')) AS chunk_hash,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM st"""
 
   /** Composed LLM-data cleaning pass: exact-dup removal (keep min id per
     * content hash) ∧ predicted-English ∧ quality >= threshold. Reuses the

@@ -731,11 +731,9 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id"),
         graft.operators.Sampling.hashSplit(col("doc_id"),
           Seq("train" -> 90, "val" -> 8, "test" -> 2)).as("split")),
-      Some("""
+      Some(s"""
       SELECT doc_id,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
-                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 98 THEN 'val'
-                  ELSE 'test' END AS split
+             ${TextOracle.splitCaseSql("doc_id", Seq("train" -> 90, "val" -> 8, "test" -> 2))} AS split
       FROM documents""")),
 
     Q("q60_token_packing", (s, dir) =>
@@ -915,19 +913,28 @@ object SparkEntry {
 
     Q("q75_training_pipeline", (s, dir) => {
       // the WHOLE training-data pipeline as one verified query:
-      // clean (lang ∧ quality) → LSH near-dup clusters, keep min-id rep
-      // (exact dups share every band, so they're subsumed) → overlapping
-      // chunking → growth-stable split. Stage queries: q63/q31/q54/q68/q59
+      // clean (lang ∧ quality) → exact dedup ∧ LSH near-dup clusters, keep
+      // min-id rep → overlapping chunking → growth-stable split. The exact
+      // stage is NOT subsumed by LSH: docs with < shingleN tokens emit no
+      // shingles and never band, so identical short docs need the md5 pass.
+      // Stage queries: q63/q29/q31/q54/q68/q59
       val docs = T(s, dir, "documents")
       val clean = docs
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
         .filter(TF.langId(col("text")) === "en")
         .filter(TF.qualityScore(col("text")) >= 0.5)
         .select("doc_id", "text")
+        // clean feeds the LSH signature build (materialized by the cluster
+        // loop) AND the reps join — persist so the langid/quality expression
+        // chain runs once, not twice (callers reclaim via clearCache)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exactKeep = Dedup.exactGroups(clean, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
       val labels = Dedup.resolveClusters(
         Dedup.minhashLshCandidates(clean, "doc_id", "text",
           numHashes = 8, bandRows = 2, shingleN = 2), "doc_a", "doc_b")
       val reps = clean
+        .join(exactKeep, Seq("doc_id"), "left_semi")
         .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select("doc_id", "text")
@@ -936,7 +943,8 @@ object SparkEntry {
         .withColumn("split", graft.operators.Sampling.hashSplit(col("doc_id"),
           Seq("train" -> 90, "val" -> 8, "test" -> 2)))
     }, Some(TextOracle.trainingPipelineSql(minQuality = 0.5,
-      chunkSize = 64, stride = 48, numHashes = 8, bandRows = 2))),
+      chunkSize = 64, stride = 48, numHashes = 8, bandRows = 2,
+      cuts = Seq("train" -> 90, "val" -> 8, "test" -> 2)))),
 
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)

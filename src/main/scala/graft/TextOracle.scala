@@ -108,20 +108,29 @@ object TextOracle {
     FROM i JOIN pn USING (probe_id)
     WHERE round(CAST(inter AS DOUBLE) / n_p, 6) >= $threshold"""
 
-  /** Connected components over the MinHash-LSH candidate pairs: label = min
-    * doc id in the component, via recursive transitive closure. */
-  def dedupClustersSql(numHashes: Int, bandRows: Int): String = {
-    s"""
-    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
+  /** Transitive-closure labeling over cand(doc_a, doc_b) → lbl(id,
+    * cluster_id) — ONE transcription of the min-label connected-components
+    * scheme, shared by q54 and the q75 pipeline composition. Requires a
+    * WITH RECURSIVE prefix on the enclosing query. */
+  private val closureCtes: String = """
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION SELECT doc_b, doc_a FROM cand),
     reach AS (
       SELECT src, dst FROM edges
       UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-    SELECT src AS id, least(src, MIN(dst)) AS cluster_id
-    FROM reach GROUP BY src"""
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    lbl AS (
+      SELECT src AS id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)"""
+
+  /** Connected components over the MinHash-LSH candidate pairs: label = min
+    * doc id in the component, via recursive transitive closure. */
+  def dedupClustersSql(numHashes: Int, bandRows: Int): String = {
+    s"""
+    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
+    $closureCtes
+    SELECT id, cluster_id FROM lbl"""
   }
 
   /** DuckDB equivalent of TextFunctions.normalizeText — ONE transcription,
@@ -452,15 +461,37 @@ object TextOracle {
              (acc, x) -> (acc * $base + x) % $mod) AS roll_hash
     FROM documents"""
 
-  def chunkSql(chunkSize: Int, stride: Int): String = s"""
-    WITH t AS (
+  /** Chunk CTEs over `src`(doc_id, text) ending in cs(doc_id, t, s), plus
+    * the projection fragment — ONE transcription of the chunk scheme,
+    * shared by q68 and the q75 pipeline composition. */
+  private def chunkCtes(src: String, stride: Int): String = s"""
+    ct AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-    s AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, $stride)) AS s FROM t)
-    SELECT doc_id, (s - 1) // $stride AS chunk_idx,
+      FROM $src WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    cs AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, $stride)) AS s FROM ct)"""
+
+  private def chunkCols(chunkSize: Int, stride: Int): String =
+    s"""doc_id, (s - 1) // $stride AS chunk_idx,
            CAST(len(t[s:s + ${chunkSize - 1}]) AS BIGINT) AS n_tokens,
-           md5(array_to_string(t[s:s + ${chunkSize - 1}], ' ')) AS chunk_hash
-    FROM s"""
+           md5(array_to_string(t[s:s + ${chunkSize - 1}], ' ')) AS chunk_hash"""
+
+  def chunkSql(chunkSize: Int, stride: Int): String = s"""
+    WITH ${chunkCtes("documents", stride)}
+    SELECT ${chunkCols(chunkSize, stride)}
+    FROM cs"""
+
+  /** hashSplit CASE over an id expression — ONE transcription of the
+    * md5-bucket split (q59 and the q75 pipeline composition). `cuts` are
+    * (name, percent) applied in order, as Sampling.hashSplit. */
+  def splitCaseSql(idExpr: String, cuts: Seq[(String, Int)]): String = {
+    require(cuts.map(_._2).sum == 100 && cuts.forall(_._2 > 0))
+    val bucket = s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    val whens = cuts.dropRight(1).zip(cuts.scanLeft(0)(_ + _._2).tail)
+      .map { case ((name, _), upTo) => s"WHEN $bucket < $upTo THEN '$name'" }
+      .mkString("\n                ")
+    s"""CASE $whens
+                ELSE '${cuts.last._1}' END"""
+  }
 
   def stratifiedSampleSql(num: Int, den: Int): String = s"""
     WITH q AS (
@@ -497,12 +528,15 @@ object TextOracle {
   }
 
   /** The full training-data pipeline in ONE verified query: language/quality
-    * clean → MinHash-LSH near-dup clustering, keep each cluster's min-id
-    * representative (exact dups share every band, so they are subsumed) →
-    * overlapping context-window chunking → growth-stable hash split. Every
-    * stage reuses the stage oracles' shared CTE transcriptions. */
+    * clean → exact dedup ∧ MinHash-LSH near-dup clustering, keep each
+    * cluster's min-id representative → overlapping context-window chunking →
+    * growth-stable hash split. The exact stage is NOT subsumed by LSH: docs
+    * with < shingleN tokens emit no shingles and never band, so identical
+    * short docs need the md5 pass. Every stage reuses the stage oracles'
+    * shared CTE transcriptions. */
   def trainingPipelineSql(minQuality: Double, chunkSize: Int, stride: Int,
-                          numHashes: Int, bandRows: Int): String = s"""
+                          numHashes: Int, bandRows: Int,
+                          cuts: Seq[(String, Int)]): String = s"""
     WITH RECURSIVE $langIdCtes,
     q AS (
       SELECT doc_id, $qualityFromRawSql AS quality
@@ -513,28 +547,18 @@ object TextOracle {
       JOIN lid ON lid.doc_id = d.doc_id
       JOIN q ON q.doc_id = d.doc_id
       WHERE lid.lang_pred = 'en' AND q.quality >= $minQuality),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
     ${candCtesFrom(numHashes, bandRows, "clean")},
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM cand
-      UNION SELECT doc_b, doc_a FROM cand),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    lbl AS (SELECT src AS id, least(src, MIN(dst)) AS cluster_id
-            FROM reach GROUP BY src),
+    $closureCtes,
     reps AS (
-      SELECT c.doc_id, c.text FROM clean c LEFT JOIN lbl ON lbl.id = c.doc_id
+      SELECT c.doc_id, c.text FROM clean c
+      JOIN keep ON keep.doc_id = c.doc_id
+      LEFT JOIN lbl ON lbl.id = c.doc_id
       WHERE lbl.id IS NULL OR lbl.cluster_id = c.doc_id),
-    rt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM reps),
-    st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, $stride)) AS s FROM rt)
-    SELECT doc_id, (s - 1) // $stride AS chunk_idx,
-           CAST(len(t[s:s + ${chunkSize - 1}]) AS BIGINT) AS n_tokens,
-           md5(array_to_string(t[s:s + ${chunkSize - 1}], ' ')) AS chunk_hash,
-           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
-                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 98 THEN 'val'
-                ELSE 'test' END AS split
-    FROM st"""
+    ${chunkCtes("reps", stride)}
+    SELECT ${chunkCols(chunkSize, stride)},
+           ${splitCaseSql("doc_id", cuts)} AS split
+    FROM cs"""
 
   /** Composed LLM-data cleaning pass: exact-dup removal (keep min id per
     * content hash) ∧ predicted-English ∧ quality >= threshold. Reuses the

@@ -44,21 +44,16 @@ class StreamingTextOpsSpec extends SparkSpec {
     assert(streamed(f, "chunk_stream") == f(docs).collect().toSet)
   }
 
-  test("rollingHash + quality + langid: identical rows on stream and batch") {
+  test("rollingHash: identical rows on stream and batch (the operator itself streams)") {
     val f = (df: org.apache.spark.sql.DataFrame) =>
       TextStats.rollingHash(df, "doc_id", "text")
-        .join(df.select(col("doc_id"),
-          TF.qualityScore(col("text")).as("q"), TF.langId(col("text")).as("lang")), "doc_id")
-    // the join side is the same micro-batch frame — stream-side stateless ops
-    val g = (df: org.apache.spark.sql.DataFrame) =>
+    assert(streamed(f, "rh_stream") == f(docs).collect().toSet)
+  }
+
+  test("quality + langid scoring: identical rows on stream and batch") {
+    val f = (df: org.apache.spark.sql.DataFrame) =>
       df.select(col("doc_id"),
-        TF.qualityScore(col("text")).as("q"), TF.langId(col("text")).as("lang"),
-        aggregate(transform(TF.tokens(col("text")), t => TF.md5Prefix32(t)),
-          lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L).as("roll_hash"))
-    assert(streamed(g, "rh_stream") ==
-      g(docs).collect().toSet)
-    // and the batch operator agrees with the inlined streaming expression
-    assert(f(docs).select("doc_id", "roll_hash").collect().toSet ==
-      g(docs).select(col("doc_id"), col("roll_hash")).collect().toSet)
+        TF.qualityScore(col("text")).as("q"), TF.langId(col("text")).as("lang"))
+    assert(streamed(f, "ql_stream") == f(docs).collect().toSet)
   }
 }

@@ -56,6 +56,20 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("pqAssign: vectors shorter than the PQ geometry get NULL codes, not garbage") {
+    val books = Similarity.pqCodebooks(numSub = 2, ksub = 2, subDims = 3)
+    val df = vecs(0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f), 1L -> Seq(1f, 2f))
+    val rows = Similarity.pqAssign(df, "embedding", books)
+      .select("vec_id", "code0", "code1").collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(rows(0L) == ((false, false)))
+    assert(rows(1L) == ((true, true)))
+    // non-uniform codebook geometry is rejected outright
+    intercept[IllegalArgumentException] {
+      Similarity.pqAssign(df, "embedding", Seq(Seq(Seq(1.0, 2.0)), Seq(Seq(1.0))))
+    }
+  }
+
   test("pqCodebooks: deterministic, distinct across subspaces, right shape") {
     val a = Similarity.pqCodebooks(4, 8, 16)
     val b = Similarity.pqCodebooks(4, 8, 16)

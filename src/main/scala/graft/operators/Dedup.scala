@@ -244,18 +244,85 @@ object Dedup {
   /** Cross-corpus n-gram containment — the decontamination check every
     * training pipeline runs before a benchmark release: for each (corpus doc,
     * probe doc) pair sharing shingles, containment = |corpus ∩ probe| /
-    * |probe| (fraction of the PROBE covered). The probe side (benchmark /
-    * eval suite) is small by definition, so the shingle join is effectively
-    * a semi-broadcast lookup against the corpus scan — one shuffle keyed on
-    * the shingle, pair rows only for docs that actually overlap. */
+    * |probe| (fraction of the PROBE covered). Adaptive physical strategy,
+    * identical results either way:
+    *
+    *  - small SHARED vocabulary (gated like ngramJaccardPairs: vocab ids fit
+    *    a bitset, probe bitmap fits a broadcast): encode both sides as
+    *    bitsets over a joint vocab, broadcast the probe bitsets, and count
+    *    intersections with the codegen'd popcount — the dense-overlap shape
+    *    (templated/boilerplate corpora) where the shingle join's fan-out is
+    *    quadratic-ish per hot shingle.
+    *  - otherwise (the sparse 100 TB web-text shape): shingle-keyed join
+    *    against the BROADCAST probe shingles — the corpus never shuffles and
+    *    pair rows exist only for docs that actually overlap. */
   def containmentPairs(corpus: DataFrame, probe: DataFrame,
                        idCol: String, textCol: String,
-                       shingleN: Int, threshold: Double): DataFrame = {
+                       shingleN: Int, threshold: Double,
+                       maxBitmapVocab: Int = 1 << 16,
+                       maxProbeDocs: Long = 1L << 20,
+                       maxBitmapBytes: Long = 1L << 30): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0)
     val cs = corpus.select(col(idCol).as("corpus_id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
     val ps = probe.select(col(idCol).as("probe_id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dispatch probe: the probe side is small by contract, so its stats are
+    // cheap; the corpus vocab is bounded by the JOINT distinct-shingle count,
+    // probed here without materializing corpus state
+    val stats = ps.agg(countDistinct(col("sh")).as("pv"),
+      countDistinct(col("probe_id")).as("pd")).head()
+    val probeVocab = stats.getLong(0)
+    val probeDocs = stats.getLong(1)
+    // only shingles PRESENT IN THE PROBE matter for containment — corpus
+    // shingles outside the probe vocab can never intersect, so the joint
+    // vocab is exactly the probe vocab (this also keeps the corpus scan's
+    // bitsets small regardless of corpus vocabulary size)
+    val vocabCap = math.min(maxBitmapVocab, 1 << 16)
+    val estProbeBytes = probeDocs * ((probeVocab / 64 + 1) * 8 + 32)
+    val out = if (probeVocab > 0 && probeVocab <= vocabCap &&
+        probeDocs <= maxProbeDocs && estProbeBytes <= maxBitmapBytes)
+      containmentBitmap(cs, ps, probeVocab.toInt, threshold)
+    else
+      containmentJoin(cs, ps, threshold)
+    out
+  }
+
+  /** Bitset path: joint vocab = the probe's distinct shingles (anything else
+    * cannot intersect); probe bitsets broadcast; corpus bitsets built in the
+    * scan and popcount-intersected — a codegen'd BroadcastNestedLoopJoin of
+    * |corpus docs| × |probe docs| with no shingle-join fan-out. */
+  private def containmentBitmap(cs: DataFrame, ps: DataFrame,
+                                vocabN: Int, threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions._
+    val spark = cs.sparkSession
+    import spark.implicits._
+    val vocab = ps.select("sh").distinct().sort("sh")
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (s, i) => (s, i.toInt) }.toDF("sh", "sid")
+    def bits(side: DataFrame, id: String) =
+      side.join(broadcast(vocab), "sh")
+        .groupBy(id).agg(collect_list(col("sid")).as("sids"), count(lit(1)).as("n"))
+        .select(col(id), bitsetFromIndices(col("sids"), vocabN).as("bits"), col("n"))
+    // n_p = the probe doc's FULL distinct-shingle count (containment
+    // denominator), not its in-vocab count — they coincide by construction
+    // (the vocab IS the probe's shingles)
+    val pBits = bits(ps, "probe_id").withColumnRenamed("bits", "bits_p")
+      .withColumnRenamed("n", "n_p")
+    val cBits = bits(cs, "corpus_id").select(col("corpus_id"), col("bits").as("bits_c"))
+    cBits.crossJoin(broadcast(pBits))
+      .withColumn("inter", bitsetIntersectCount(col("bits_c"), col("bits_p")))
+      .filter(col("inter") > 0)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_p"), 6))
+      .filter(col("containment") >= threshold)
+      .select("corpus_id", "probe_id", "containment")
+  }
+
+  /** Join path (the sparse-overlap default at corpus scale). */
+  private def containmentJoin(cs: DataFrame, ps: DataFrame,
+                              threshold: Double): DataFrame = {
     val pn = ps.groupBy("probe_id").agg(count(lit(1)).as("n_p"))
     // the probe side is the benchmark — small by contract — so BROADCAST it:
     // the 100-TB corpus shingle table never shuffles; only matched (corpus,

@@ -88,6 +88,32 @@ class DedupDispatchSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("containment bitmap and shingle-join paths agree; gates route between them") {
+    val corpus = docs.filter(col("doc_id") =!= 2L)
+    val probe = docs.filter(col("doc_id") === 2L || col("doc_id") === 5L)
+    for (t <- Seq(0.0, 0.2, 0.5, 1.0)) {
+      val bitmap = pairSet(Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, t))
+      val joined = pairSet(Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, t,
+        maxBitmapVocab = 0)) // gate forces the shingle-join path
+      assert(bitmap == joined, s"threshold $t")
+      assert(t > 0.5 || bitmap.nonEmpty, s"threshold $t produced no pairs")
+    }
+    // the bitmap path really is a broadcast pair scan, not a shingle join
+    val plan = Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("containment agrees across paths on real testdata (q53 shape)") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = real.filter(col("doc_id") % 10 =!= 0)
+    val probe = real.filter(col("doc_id") % 10 === 0)
+    val bitmap = pairSet(Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, 0.2))
+    val joined = pairSet(Dedup.containmentPairs(corpus, probe, "doc_id", "text", 2, 0.2,
+      maxBitmapVocab = 0))
+    assert(bitmap == joined && bitmap.nonEmpty)
+  }
+
   test("embedding brute-force gate: beyond-cap path avoids broadcast/native, same result") {
     val inCap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
     val overCap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9,

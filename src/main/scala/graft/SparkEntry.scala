@@ -959,7 +959,9 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    // flagship: the full training-data pipeline composition (q75) — every
+    // expression in its path is ANSI-safe (the driver's session has ANSI on)
+    queries("q75_training_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, QFn] =
     registry.map(q => q.name -> q.fn).toMap

@@ -904,12 +904,7 @@ object SparkEntry {
         .select(explode(TF.shinglesAll(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram")).limit(100),
-      Some("""
-      WITH g AS (
-        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
-        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents))
-      SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
-      ORDER BY n DESC, gram LIMIT 100""")),
+      Some(TextOracle.ngramVocabSql(limit = 100))),
 
     Q("q75_training_pipeline", (s, dir) => {
       // the WHOLE training-data pipeline as one verified query:

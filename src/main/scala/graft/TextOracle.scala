@@ -402,15 +402,26 @@ object TextOracle {
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
       FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)"""
 
-  /** Word-bigram multiset (duplicates kept) — TF.shinglesAll(_, 2). */
-  def repetitionSql: String = s"""
-    WITH g AS (
+  /** Word-bigram MULTISET (duplicates kept) — the DuckDB transcription of
+    * TF.shinglesAll(_, 2). ONE copy of the gram generation, shared by every
+    * oracle that consumes raw bigrams (repetition, vocabulary mining). */
+  private val bigramMultisetCte: String = """
+    g AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents))
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents))"""
+
+  def repetitionSql: String = s"""
+    WITH $bigramMultisetCte
     SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
            round(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS dup_frac
     FROM g GROUP BY doc_id"""
+
+  /** Corpus-wide most-frequent word bigrams (q74). */
+  def ngramVocabSql(limit: Int): String = s"""
+    WITH $bigramMultisetCte
+    SELECT g AS gram, COUNT(*) AS n FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT $limit"""
 
   def tfidfSql(k: Int): String = s"""
     WITH $toksCte,

@@ -129,12 +129,7 @@ object Dedup {
       countDistinct(col("id")).as("d")).head()
     val vocabN = stats.getLong(0)
     val docsN = stats.getLong(1)
-    val estBitmapBytes = docsN * ((vocabN / 64 + 1) * 8 + 32) // bitset words + row overhead
-    // the bitset encoding itself caps at 64Ki ids — clamp the tunable so a
-    // larger caller value widens nothing (it would throw inside jaccardBitmap)
-    val vocabCap = math.min(maxBitmapVocab, 1 << 16)
-    if (vocabN > 0 && vocabN <= vocabCap &&
-        docsN <= maxBitmapDocs && estBitmapBytes <= maxBitmapBytes) {
+    if (bitmapEligible(vocabN, docsN, maxBitmapVocab, maxBitmapDocs, maxBitmapBytes)) {
       val out = jaccardBitmap(sh, vocabN.toInt, threshold) // materializes docBits
       sh.unpersist(blocking = false) // safe: docBits cache replaces it
       out
@@ -144,6 +139,19 @@ object Dedup {
       // processing many corpora reclaim it with spark.catalog.clearCache()
       jaccardInvertedIndex(sh, threshold)
     }
+  }
+
+  /** Shared bitmap-path eligibility — ONE copy of the gate math for the
+    * Jaccard and containment dispatches. The 64Ki clamp exists because the
+    * bitset encoding itself caps at 64Ki vocab ids: a larger caller value
+    * must widen nothing (it would throw inside the bitset builder). The byte
+    * estimate is bitset words + per-row overhead for the table that gets
+    * broadcast/collected. */
+  private def bitmapEligible(vocabN: Long, docsN: Long, maxVocab: Int,
+                             maxDocs: Long, maxBytes: Long): Boolean = {
+    val vocabCap = math.min(maxVocab, 1 << 16)
+    val estBytes = docsN * ((vocabN / 64 + 1) * 8 + 32)
+    vocabN > 0 && vocabN <= vocabCap && docsN <= maxDocs && estBytes <= maxBytes
   }
 
   private def jaccardBitmap(sh: DataFrame, vocabN: Int, threshold: Double): DataFrame = {
@@ -261,32 +269,39 @@ object Dedup {
                        shingleN: Int, threshold: Double,
                        maxBitmapVocab: Int = 1 << 16,
                        maxProbeDocs: Long = 1L << 20,
-                       maxBitmapBytes: Long = 1L << 30): DataFrame = {
+                       maxBitmapBytes: Long = 1L << 30,
+                       maxPairScan: Long = 1L << 26,
+                       knownCorpusDocs: Option[Long] = None): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0)
     val cs = corpus.select(col(idCol).as("corpus_id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
+    // ps backs whichever output plan is chosen (lazily, possibly re-read per
+    // action) — cache it; callers running many probes through one session
+    // reclaim with spark.catalog.clearCache(). The corpus side is
+    // deliberately NOT persisted: at corpus scale a second scan is cheaper
+    // than spilling the shingle table.
     val ps = probe.select(col(idCol).as("probe_id"),
       explode(TF.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // dispatch probe: the probe side is small by contract, so its stats are
-    // cheap; the corpus vocab is bounded by the JOINT distinct-shingle count,
-    // probed here without materializing corpus state
+    // dispatch: probe stats are cheap by contract. Only shingles PRESENT IN
+    // THE PROBE matter for containment — corpus shingles outside the probe
+    // vocab can never intersect — so the joint vocab is exactly the probe
+    // vocab. The bitmap pair scan is |corpus docs| × |probe docs|, so it
+    // additionally needs a corpus-cardinality bound: pass `knownCorpusDocs`
+    // to skip the counting scan, or let the probe count it; an unbounded
+    // sparse corpus must stay on the join path (its fan-out is the cheaper
+    // shape there).
     val stats = ps.agg(countDistinct(col("sh")).as("pv"),
       countDistinct(col("probe_id")).as("pd")).head()
     val probeVocab = stats.getLong(0)
     val probeDocs = stats.getLong(1)
-    // only shingles PRESENT IN THE PROBE matter for containment — corpus
-    // shingles outside the probe vocab can never intersect, so the joint
-    // vocab is exactly the probe vocab (this also keeps the corpus scan's
-    // bitsets small regardless of corpus vocabulary size)
-    val vocabCap = math.min(maxBitmapVocab, 1 << 16)
-    val estProbeBytes = probeDocs * ((probeVocab / 64 + 1) * 8 + 32)
-    val out = if (probeVocab > 0 && probeVocab <= vocabCap &&
-        probeDocs <= maxProbeDocs && estProbeBytes <= maxBitmapBytes)
+    lazy val corpusDocs = knownCorpusDocs.getOrElse(
+      cs.agg(countDistinct(col("corpus_id"))).head().getLong(0))
+    if (bitmapEligible(probeVocab, probeDocs, maxBitmapVocab, maxProbeDocs, maxBitmapBytes)
+        && probeDocs > 0 && corpusDocs <= maxPairScan / probeDocs)
       containmentBitmap(cs, ps, probeVocab.toInt, threshold)
     else
       containmentJoin(cs, ps, threshold)
-    out
   }
 
   /** Bitset path: joint vocab = the probe's distinct shingles (anything else
@@ -310,6 +325,9 @@ object Dedup {
     // (the vocab IS the probe's shingles)
     val pBits = bits(ps, "probe_id").withColumnRenamed("bits", "bits_p")
       .withColumnRenamed("n", "n_p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pBits.count() // small by the dispatch gate; once it's cached the probe
+    ps.unpersist(blocking = false) // shingles are no longer needed
     val cBits = bits(cs, "corpus_id").select(col("corpus_id"), col("bits").as("bits_c"))
     cBits.crossJoin(broadcast(pBits))
       .withColumn("inter", bitsetIntersectCount(col("bits_c"), col("bits_p")))

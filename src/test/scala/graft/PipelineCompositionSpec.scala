@@ -9,14 +9,24 @@ class PipelineCompositionSpec extends SparkSpec {
   import spark.implicits._
 
   private def runPipeline(rows: Seq[(Long, String)]): Array[(Long, String)] = {
-    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
-    rows.toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    try SparkEntry.queries("q75_training_pipeline")(spark, dir)
-      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1)))
-    finally spark.catalog.clearCache() // q75 persists its clean subtree
+    val dir = java.nio.file.Files.createTempDirectory("pipe")
+    // q75 persists its clean subtree and the cluster loop pins per-round
+    // RDDs; release ONLY what this run materialized — a blanket clearCache
+    // would evict caches other suites sharing the session have built
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("q75_training_pipeline")(spark, dir.toString)
+        .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1)))
+    } finally {
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cachedBefore(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 
   // prose-y filler that passes the en-langid and quality gates

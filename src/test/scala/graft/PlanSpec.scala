@@ -53,10 +53,30 @@ class PlanSpec extends SparkSpec {
     assert(plan("q19_global_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("containment joins broadcast the probe side — corpus shingles never shuffle (q53)") {
+  test("q53 routes to the bitmap path here — probe bitsets broadcast into a popcount NLJ") {
+    // the synthetic corpus's vocab (~916 bigrams) passes every bitmap gate,
+    // so q53's plan is the pair scan: corpus bitsets × broadcast(probe
+    // bitsets), never a sort-merge shuffle of either side
     val p = plan("q53_containment")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("containment JOIN path broadcasts the probe side — corpus shingles never shuffle") {
+    // force the sparse-corpus shape (maxPairScan=0 disqualifies the bitmap
+    // pair scan) and pin the plan the 100 TB path must produce: probe
+    // shingles broadcast into the corpus scan, no shuffle of corpus shingle
+    // rows — the only exchanges are the matched-pair count aggregation and
+    // the (tiny, subsequently broadcast) probe-size aggregation
+    val docs = Tables.documents(spark, dir)
+    val p = operators.Dedup.containmentPairs(
+      corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      probe = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "doc_id", "text", shingleN = 2, threshold = 0.2, maxPairScan = 0L)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(400))
     assert(!p.contains("SortMergeJoin"), p.take(400))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(600))
   }
 
   test("range join plans as an equi-join on the bucket, not a nested loop (q55)") {

@@ -23,6 +23,11 @@ object SparkEntry {
   type QFn = (SparkSession, String) => DataFrame
   private final case class Q(name: String, fn: QFn, oracle: Option[String])
 
+  /** q79 target mixture: the 20 synthetic sources, half at 8%, half at 2% —
+    * shared by the query and its oracle so the thresholds match exactly. */
+  private val mixtureWeights: Seq[(String, Int)] =
+    (0 until 10).map(i => s"src$i" -> 8) ++ (10 until 20).map(i => s"src$i" -> 2)
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => Tables.events(s, dir) // ns->µs truncation, see Tables
@@ -940,6 +945,42 @@ object SparkEntry {
     }, Some(TextOracle.trainingPipelineSql(minQuality = 0.5,
       chunkSize = 64, stride = 48, numHashes = 8, bandRows = 2,
       cuts = Seq("train" -> 90, "val" -> 8, "test" -> 2)))),
+
+    Q("q76_dup_spans", (s, dir) =>
+      // cross-doc duplicated 8-token windows (Lee et al. 2021 exact-substring
+      // signal) — catches partial copies that whole-doc dedup (q28/q29) and
+      // set-similarity (q30/q31) miss
+      graft.operators.TextStats.dupSpans(T(s, dir, "documents"), "doc_id", "text", k = 8),
+      Some(TextOracle.dupSpansSql(k = 8))),
+
+    Q("q77_unigram_nll", (s, dir) =>
+      // CCNet-style LM quality scoring with the corpus's own unigram model
+      // (no external LM ships here; swapping pretrained probs is a join swap)
+      graft.operators.TextStats.unigramNll(T(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracle.unigramNllSql)),
+
+    Q("q78_int8_quant", (s, dir) =>
+      // scalar int8 embedding compression + exact reconstruction error;
+      // per-dim stats are a dims-row shuffle + 1-row broadcast, encode is a
+      // pure scan expression — no corpus shuffle at any scale
+      Similarity.int8Quantize(T(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(TextOracle.int8QuantizeSql(dims = 64))),
+
+    Q("q79_mixture_balance", (s, dir) =>
+      // deterministic source-mixture balancing (Pile-style data mixing):
+      // heavy half of the sources to 8% each, tail half to 2% each
+      graft.operators.Sampling.mixtureBalance(
+        T(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", SparkEntry.mixtureWeights)
+        .select("doc_id", "source"),
+      Some(TextOracle.mixtureBalanceSql(SparkEntry.mixtureWeights))),
+
+    Q("q80_gopher_rules", (s, dir) =>
+      // Gopher rule suite (Rae et al. 2021 table A1), each rule as its own
+      // auditable 0/1 flag + the conjunction; all codegen'd, no shuffle
+      graft.operators.TextStats.gopherRules(T(s, dir, "documents"), "doc_id", "text",
+        minWords = 20, maxWords = 1000),
+      Some(TextOracle.gopherRulesSql(minWords = 20, maxWords = 1000))),
 
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)

@@ -571,6 +571,124 @@ object TextOracle {
            ${splitCaseSql("doc_id", cuts)} AS split
     FROM cs"""
 
+  /** Cross-document duplicated k-token windows (q76) — TextStats.dupSpans. */
+  def dupSpansSql(k: Int): String = s"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    w AS (
+      SELECT doc_id, md5(array_to_string(t[s:s + ${k - 1}], ' ')) AS wh
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS s
+            FROM b WHERE len(t) >= $k)),
+    ph AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wh),
+    f AS (SELECT doc_id, COUNT(*) AS nw,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS ndup
+          FROM w JOIN ph USING (wh) GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(ndup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN coalesce(nw, 0) > 0
+                THEN round(CAST(ndup AS DOUBLE) / nw, 6) ELSE 0.0 END AS dup_frac
+    FROM b LEFT JOIN f USING (doc_id)"""
+
+  /** Corpus-unigram-LM NLL per doc (q77) — TextStats.unigramNll. Token
+    * log-probs are rounded to 6dp then summed as DECIMAL: exact and
+    * order-independent, the float-determinism pattern of the header. The
+    * TOTAL is reported (exact decimal→double), never the mean — total/n
+    * can be an exact decimal half-tie where engine round rules differ. */
+  def unigramNllSql: String = s"""
+    WITH $toksCte,
+    vc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vc),
+    lp AS (
+      SELECT doc_id,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM toks JOIN vc USING (term) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(-SUM(lp) AS DOUBLE) AS nll_total
+    FROM lp GROUP BY doc_id"""
+
+  /** Scalar int8 quantization codes + reconstruction error (q78) —
+    * Similarity.int8Quantize. Per-dim expressions are generated (like the
+    * kmeans/pq oracles); the error sum is written left-associative to match
+    * the engine's LTR aggregate fold. */
+  def int8QuantizeSql(dims: Int): String = {
+    def x(d: Int) = s"CAST(embedding[$d] AS DOUBLE)"
+    val statCols = (1 to dims).map(d =>
+      s"MIN(${x(d)}) AS mn$d, MAX(${x(d)}) AS mx$d").mkString(",\n             ")
+    val codeCols = (1 to dims).map(d =>
+      s"CASE WHEN mx$d - mn$d = 0.0 THEN 0 ELSE " +
+        s"CAST(round((${x(d)} - mn$d) * 255.0 / (mx$d - mn$d), 0) AS INT) END AS c$d")
+      .mkString(",\n             ")
+    val codeList = (1 to dims).map(d => s"c$d").mkString(", ")
+    val errSum = (1 to dims).map { d =>
+      val r = s"(mn$d + CAST(c$d AS DOUBLE) * (mx$d - mn$d) / 255.0)"
+      s"(${x(d)} - $r) * (${x(d)} - $r)"
+    }.mkString(" + ")
+    s"""
+    WITH s AS (
+      SELECT $statCols
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, embedding,
+             $codeCols
+      FROM embeddings CROSS JOIN s)
+    SELECT vec_id,
+           md5(concat_ws(' ', $codeList)) AS code_hash,
+           round(0.0 + $errSum, 6) AS recon_err
+    FROM c CROSS JOIN s"""
+  }
+
+  /** Deterministic mixture balancing (q79) — Sampling.mixtureBalance.
+    * Integer (//) threshold arithmetic mirrors the engine's `div`. */
+  def mixtureBalanceSql(weights: Seq[(String, Int)]): String = {
+    val values = weights.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+    s"""
+    WITH w(source, pct) AS (VALUES $values),
+    n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    j AS (SELECT n.source, pct, ns FROM n JOIN w USING (source)),
+    c AS (SELECT MIN((100 * ns) // pct) AS cf FROM j),
+    t AS (SELECT source, (pct * 10000 * cf) // ns AS th FROM j CROSS JOIN c)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN t USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < th"""
+  }
+
+  /** Gopher rule flags (q80) — TextStats.gopherRules. */
+  def gopherRulesSql(minWords: Int, maxWords: Int): String = s"""
+    WITH b AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(t, tk -> CAST(length(tk) AS BIGINT))),
+                         (a, q) -> a + q) AS DOUBLE) / len(t) END AS mean_len,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, tk -> regexp_matches(tk, '[A-Za-z]')))
+                       AS DOUBLE) / len(t) END AS alpha_frac,
+             (length(text) - length(replace(text, '#', ''))) +
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+             len(list_filter(t, tk -> lower(tk) IN ($enStop))) AS stop_hits
+      FROM b),
+    f AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words >= $minWords AND n_words <= $maxWords THEN 1 ELSE 0 END AS r_words,
+             CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END AS r_mean_len,
+             CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN (CASE WHEN n_words = 0 THEN 0.0
+                             ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+                  THEN 1 ELSE 0 END AS r_symbol,
+             CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+      FROM m)
+    SELECT doc_id, n_words, r_words, r_mean_len, r_alpha, r_symbol, r_stop,
+           r_words * r_mean_len * r_alpha * r_symbol * r_stop AS keep
+    FROM f"""
+
   /** Composed LLM-data cleaning pass: exact-dup removal (keep min id per
     * content hash) ∧ predicted-English ∧ quality >= threshold. Reuses the
     * q26/q27 expression idioms verbatim so the composition stays

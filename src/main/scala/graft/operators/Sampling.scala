@@ -50,6 +50,44 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic mixture balancing: thin each stratum (source/domain) so
+    * the kept corpus approaches target mixture `weights` (name -> percent,
+    * summing to 100) — the data-mixing step of pre-training corpus assembly
+    * (e.g. The Pile's per-source weights, Gao et al. 2021). The output size
+    * is the largest C such that no stratum is oversampled: C = min_s
+    * floor(100·n_s / pct_s); stratum s then keeps ≈ pct_s·C/100 rows via an
+    * md5-bucket threshold — the same hash gate as [[hashSplit]], so
+    * membership is reproducible run to run, and NESTED under corpus growth:
+    * a stratum's threshold only moves monotonically, so rows slide in or
+    * out at the boundary — never an arbitrary reshuffle (in particular,
+    * while the limiting stratum is unchanged, other strata growing leaves
+    * every prior keep decision intact). Keeps are exact in expectation
+    * (hash thinning), not exact quotas: exact quotas need a per-stratum
+    * rank, which is a single-reducer sort per stratum at corpus scale.
+    * All threshold arithmetic is 64-bit integer (pct·10⁴ ≤ 10⁶ times
+    * C ≤ n rows stays < 2⁶³ up to ~10¹² rows) — no float rank boundary.
+    * Strata absent from `weights` are dropped. Plan: one partial-agg count
+    * per stratum, two tiny broadcasts, one scan filter — no big shuffle. */
+  def mixtureBalance(df: DataFrame, strataCol: String, idCol: String,
+                     weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100, "mixture percentages must sum to 100")
+    require(weights.forall(_._2 > 0), "mixture percentages must be positive")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate stratum")
+    val s = df.sparkSession
+    import s.implicits._
+    val wdf = weights.toDF(strataCol, "__pct")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))
+      .join(broadcast(wdf), strataCol)
+    // `div` (not `/`): exact BIGINT division — double division loses integer
+    // precision past 2^53 and the floor would be wrong near boundaries
+    val cfloor = counts.select(min(expr("(100 * __ns) div __pct")).as("__cf"))
+    val th = counts.crossJoin(broadcast(cfloor))
+      .select(col(strataCol), expr("(__pct * 10000 * __cf) div __ns").as("__th"))
+    df.join(broadcast(th), strataCol)
+      .filter(pmod(TF.md5Prefix32(col(idCol).cast("string")), lit(1000000L)) < col("__th"))
+      .drop("__th")
+  }
+
   /** Contiguous per-shard context-window packing: documents are sharded by
     * id hash, and within each shard assigned to consecutive token-budget
     * bins by running token count. One partitioned window — no global sort,

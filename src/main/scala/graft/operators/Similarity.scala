@@ -138,6 +138,49 @@ object Similarity {
     }
   }
 
+  /** Scalar int8 quantization of the embedding column: per-dimension corpus
+    * min/max define a 256-step grid, code_d = round(255·(x_d−min_d)/span_d);
+    * the vector compresses 4× (float32 → uint8 per dim) — the standard
+    * storage/serving trick for billion-vector ANN indexes (and the scalar
+    * sibling of [[pqAssign]]). Output: the code vector (as an md5 of its
+    * space-joined form — stable to compare, cheap to ship) plus the exact
+    * reconstruction squared error, the quality dial.
+    * Plan shape at scale: posexplode → groupBy(dim) collapses map-side to
+    * ≤dims rows per task (a dims-row shuffle TOTAL, regardless of corpus
+    * size), the assembled stats are a ONE-ROW broadcast, and encoding is a
+    * pure per-row expression over the scan — no corpus shuffle anywhere.
+    * Determinism: min/max/−/·/÷/round on doubles are IEEE-exact and
+    * identically defined in DuckDB, and the error fold is LEFT TO RIGHT —
+    * bit-identical across engines, no rounding slack needed. */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val dims = emb.select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(min(col("__x").cast("double")).as("__mn"),
+        max(col("__x").cast("double")).as("__mx"))
+    val stats = dims
+      .agg(sort_array(collect_list(struct(col("__d"), col("__mn"), col("__mx")))).as("__s"))
+      .select(transform(col("__s"), e => e.getField("__mn")).as("__mns"),
+        transform(col("__s"), e => e.getField("__mx")).as("__mxs"))
+    // per-dim (min, span) pairs; a zero span (constant dimension) encodes 0
+    val pre = zip_with(col("__mns"), col("__mxs"),
+      (m, x) => struct(m.as("mn"), (x - m).as("sp")))
+    emb.crossJoin(broadcast(stats))
+      .withColumn("__pre", pre)
+      .withColumn("__codes", zip_with(asDouble, col("__pre"), (x, p) =>
+        when(p.getField("sp") === 0.0, lit(0))
+          .otherwise(round((x - p.getField("mn")) * 255.0 / p.getField("sp"), 0)
+            .cast("int"))))
+      .withColumn("__recon", zip_with(col("__codes"), col("__pre"), (c, p) =>
+        p.getField("mn") + c.cast("double") * p.getField("sp") / 255.0))
+      .select(col(idCol),
+        md5(concat_ws(" ", transform(col("__codes"), c => c.cast("string"))))
+          .as("code_hash"),
+        round(aggregate(zip_with(asDouble, col("__recon"),
+          (x, r) => (x - r) * (x - r)), lit(0.0), (a, e) => a + e), 6)
+          .as("recon_err"))
+  }
+
   /** Query-side squared distance to a centroid, folded LEFT TO RIGHT over
     * doubles — the same association order as the codegen'd DotProduct and the
     * SQL oracles, so probe selection is bit-identical across engines. */

@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-statistics operators for training-data curation: repetition
   * filtering, TF-IDF / BM25 term scoring, rolling-hash fingerprints, and
@@ -109,6 +110,114 @@ object TextStats {
         transform(TF.tokens(col(textCol)), t => TF.md5Prefix32(t)),
         lit(0L),
         (acc, x) => (acc * base + x) % mod).as("roll_hash"))
+  }
+
+  /** Cross-document duplicated-span signal (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the exact-substring pass,
+    * approximated at token granularity): hash every k-token window (stride 1);
+    * a window whose hash occurs in more than one DISTINCT document is a
+    * duplicated span. Per doc: window count, duplicated-window count, dup
+    * fraction. This catches partial copies that whole-doc fingerprints
+    * (q28/q29) and set-similarity (q30/q31) miss — a page that quotes three
+    * boilerplate paragraphs dups those windows only.
+    * Scale: window rows ≈ token count (linear, stride 1); the per-hash
+    * distinct-doc agg is map-side combinable (hot boilerplate collapses
+    * early); the flag join-back keys on the window hash with ONE row per hash
+    * on the aggregated side — fan-out stays linear, residual hot-key skew is
+    * AQE's skew-join case. Docs shorter than k tokens emit no windows and
+    * report (0, 0, 0.0) — they are whole-doc dedup's job, not span dedup's. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
+    val win = slice(col("__t"), col("__s"), lit(k))
+    val windows = base
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__s"))
+      .select(col(idCol), md5(concat_ws(" ", win)).as("__wh"))
+    val perHash = windows.groupBy(col("__wh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val perDoc = windows.join(perHash, "__wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+    base.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(col("n_dup").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Per-document negative log-likelihood under the corpus's own unigram LM
+    * with add-one smoothing: p(t) = (count(t)+1)/(N+V). The distributed
+    * stand-in for CCNet-style perplexity quality filtering (Wenzek et al.
+    * 2020) — no external LM ships in this container, so the corpus itself is
+    * the model; swapping in pretrained probabilities is a join-table change.
+    * Low NLL ⇒ common, prose-like text; high NLL ⇒ rare-token noise.
+    * Determinism: ln() is correctly rounded in both engines (verified
+    * bit-identical for this value range), each token's log-prob is rounded
+    * to 6dp and summed as DECIMAL(18,6) — exact and ORDER-INDEPENDENT, so
+    * the shuffle's nondeterministic row order can't change the hash. The
+    * output is the exact TOTAL (decimal→double, a proven-identical cast),
+    * not the mean: mean = total/n can land on an exact decimal half-tie
+    * (observed: 210.926201/62) where the engines' round-on-double tie rules
+    * disagree — callers divide by n_tokens themselves.
+    * Scale: vocab agg is map-side combinable; the token→count join fans out
+    * one row per token (vocab side is 1 row/term — linear, stopword-key skew
+    * is AQE's case); corpus totals are a 1-row broadcast. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("__tk"))
+    val vocab = toks.groupBy(col("__tk")).agg(count(lit(1)).as("__c"))
+    val totals = vocab.agg(sum(col("__c")).cast("long").as("__n"), count(lit(1)).as("__v"))
+    toks.join(vocab, "__tk")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log((col("__c") + 1).cast("double") / (col("__n") + col("__v")).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(col("__lp"))).cast("double").as("nll_total"))
+  }
+
+  /** Gopher quality-rule suite (Rae et al. 2021, table A1): the standard
+    * hand-tuned pre-training document filters, each reported as its own 0/1
+    * flag plus the conjunction, so downstream can audit WHY a doc was cut.
+    * Rules: word count in [minWords, maxWords]; mean word length in [3, 10];
+    * ≥80% of words contain an alphabetic char; symbol-to-word ratio (# and
+    * … sequences) ≤ 0.1; ≥2 English stopwords. Pure per-row expression
+    * trees — no shuffle, whole-stage codegen end to end. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 20, maxWords: Int = 1000): DataFrame = {
+    val t = col(textCol)
+    val toks = TF.tokens(t)
+    val nWords = size(toks).cast("long")
+    val flag = (c: Column) => when(c, 1).otherwise(0)
+    val meanLen = TF.meanTokenLen(t)
+    val alphaFrac = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, tk => tk.rlike("[A-Za-z]"))).cast("double") / size(toks))
+    // occurrences of '#' plus occurrences of the three-dot ellipsis
+    val nSym = (length(t) - length(regexp_replace(t, "#", ""))) +
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symRatio = when(nWords === 0, lit(0.0))
+      .otherwise(nSym.cast("double") / nWords)
+    val stopHits = TF.stopwordHits(transform(toks, tk => lower(tk)), TF.stopwords("en"))
+    docs
+      .filter(t.isNotNull && length(trim(t)) > 0)
+      .select(col(idCol), nWords.as("n_words"),
+        flag(nWords >= minWords && nWords <= maxWords).as("r_words"),
+        flag(meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+        flag(alphaFrac >= 0.8).as("r_alpha"),
+        flag(symRatio <= 0.1).as("r_symbol"),
+        flag(stopHits >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") * col("r_mean_len") * col("r_alpha") * col("r_symbol") * col("r_stop"))
   }
 
   /** Overlapping context-window chunking: token windows of `chunkSize` every

@@ -78,4 +78,28 @@ class ClusteringSpec extends SparkSpec {
     assert(a(0) != a(1), "subspace codebooks must differ (keyed by subspace)")
     assert(a.flatten.flatten.forall(w => w >= -7.5 && w <= 7.5))
   }
+
+  test("int8Quantize: grid endpoints exact, constant dims code 0, error matches replay") {
+    val data = Seq(
+      0L -> Seq(0.0f, 10.0f),   // dim1 min -> code 0
+      1L -> Seq(1.0f, 10.0f),   // dim1 max -> code 255
+      2L -> Seq(0.5f, 10.0f))   // dim1 mid -> round(127.5) = 128 (half away)
+    val df = vecs(data: _*)
+    val out = Similarity.int8Quantize(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    // dim2 is constant: span 0 -> code 0, reconstructs exactly
+    assert(out(0L)._1 == md5("0 0") && out(0L)._2 == 0.0)
+    assert(out(1L)._1 == md5("255 0") && out(1L)._2 == 0.0)
+    assert(out(2L)._1 == md5("128 0"))
+    // replay the reconstruction arithmetic exactly: 0.5 -> 128/255
+    val recon = 0.0 + 128.0 * 1.0 / 255.0
+    val e = (0.5 - recon) * (0.5 - recon)
+    assert(out(2L)._2 ==
+      BigDecimal(0.0 + e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // grid-endpoint property holds for every vector: codes in [0, 255]
+    assert(out.values.forall(_._2 >= 0.0))
+  }
 }

@@ -30,6 +30,40 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureBalance: exact integer thresholds, nested under non-limiting growth") {
+    // replicate the md5 bucket gate in plain Scala
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val rows = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b")) :+ ((99L, "zzz"))
+    val df = rows.toDF("id", "src")
+    val weights = Seq("a" -> 75, "b" -> 25)
+    // n_a = n_b = 20: C = min(floor(2000/75), floor(2000/25)) = min(26, 80) = 26
+    // th_a = 75*10000*26 div 20 = 975000; th_b = 25*10000*26 div 20 = 325000
+    val kept = Sampling.mixtureBalance(df, "src", "id", weights)
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    val expect = rows.collect {
+      case (id, "a") if bucket(id) < 975000L => id
+      case (id, "b") if bucket(id) < 325000L => id
+    }.toSet
+    assert(kept == expect)
+    assert(!kept.contains(99L)) // stratum absent from the weights is dropped
+    // b grows but a stays limiting (C still 26): a's keep set is unchanged
+    // and b's new, lower-threshold keep set nests inside the old one
+    val grown = df.union(Seq((200L, "b"), (201L, "b"), (202L, "b"), (203L, "b")).toDF("id", "src"))
+    val kept2 = Sampling.mixtureBalance(grown, "src", "id", weights)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("src"))).toList
+    assert(kept2.collect { case (id, "a") => id }.toSet == expect.filter(_ <= 20))
+    assert(kept2.collect { case (id, "b") => id }.toSet.subsetOf(
+      expect.filter(_ > 20) ++ Set(200L, 201L, 202L, 203L)))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureBalance(df, "src", "id", Seq("a" -> 60, "b" -> 30))
+    }
+  }
+
   test("contiguousBins: start-offset binning per shard; over-budget docs overflow their bin") {
     val docs = Seq(
       (1L, "a b c d"),            // 4 tokens

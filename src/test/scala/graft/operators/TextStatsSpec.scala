@@ -155,4 +155,60 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, "no contact info at all")))
     assert(out(3L) == ((2L, 2L, "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]")))
   }
+
+  test("dupSpans: cross-doc shared windows flagged, within-doc repeats are not dups") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // k=3 windows: abc bcd cde def
+      (2L, "x y a b c d q"),    // xya yab abc bcd cdq — shares abc, bcd with doc 1
+      (3L, "m n o m n o m n"),  // 6 windows, all repeats of mno/nom/onm WITHIN doc 3 only
+      (4L, "p q"),              // < k tokens -> zero windows, zero dups
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.dupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((5L, 2L, 0.4)))
+    // within-doc repetition is q64's signal, not a cross-doc dup
+    assert(out(3L) == ((6L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(!out.contains(5L))
+  }
+
+  test("unigramNll: exact add-one totals; rare tokens cost more than common ones") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, " "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1; N=5, V=3
+    def lp(c: Long): BigDecimal =
+      BigDecimal(math.log((c + 1).toDouble / 8.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val out = TextStats.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, (-(lp(2) * 3)).toDouble)))            // a a b, all count 2
+    assert(out(2L) == ((2L, (-(lp(2) + lp(1))).toDouble)))        // b(2) c(1)
+    assert(!out.contains(3L) && !out.contains(4L))                // blank/null filtered
+    // per-token cost of the rare token exceeds the common one
+    assert(-lp(1) > -lp(2))
+  }
+
+  test("gopherRules: each rule trips on its own pathology; clean prose passes all") {
+    val good = "the quick brown fox and the lazy dog ran down to the " +
+      "river for a long cool drink of water in the morning sun today" // 25 words, stopwords, alpha
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short for the corpus"),                        // 5 words -> r_words=0
+      (3L, ("superlongword " * 25).trim),                      // mean len 13 -> r_mean_len=0
+      (4L, ("1 2 3 4 5 " * 5).trim + " " + good),              // 25 numerics dilute alpha
+      (5L, ("# " * 10).trim + " " + good),                     // 10 of 35 words are '#'
+      (6L, ("lorem ipsum dolor sit amet " * 5).trim)           // no stopwords -> r_stop=0
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs, "doc_id", "text", minWords = 20, maxWords = 1000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._6 == 0)
+    assert(out(3L)._2 == 0)
+    assert(out(4L)._3 == 0 && out(4L)._6 == 0)  // 26/51 alpha words < 0.8
+    assert(out(5L)._4 == 0)                     // 10 symbols / 36 words > 0.1
+    assert(out(6L)._5 == 0)
+  }
 }

@@ -44,11 +44,14 @@ class MetricsSpec extends SparkSpec {
     try {
       input.addData(1, 2, 3)
       q.processAllAvailable()
-      val deadline = System.currentTimeMillis + 10000 // listener bus is async
-      while (pushed.synchronized(pushed.isEmpty) && System.currentTimeMillis < deadline)
+      // listener bus is async AND a zero-row batch progress may arrive before
+      // the data batch's — wait for the condition, not for the first event
+      def sawRows() = pushed.synchronized(
+        pushed.exists { case (m, v) => m == "num_input_rows" && v >= 3.0 })
+      val deadline = System.currentTimeMillis + 30000
+      while (!sawRows() && System.currentTimeMillis < deadline)
         Thread.sleep(50)
-      val byName = pushed.synchronized(pushed.toMap)
-      assert(byName.contains("num_input_rows") && byName("num_input_rows") >= 3.0)
+      assert(sawRows(), s"pushed=${pushed.synchronized(pushed.toList)}")
     } finally {
       q.stop()
       spark.streams.removeListener(l)

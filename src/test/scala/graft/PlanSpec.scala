@@ -137,4 +137,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(400))
     assert(!p.contains("SortMergeJoin"), p.take(400))
   }
+
+  test("int8 quantize: the only hash exchange is the dims-row stats agg (q78)") {
+    val p = plan("q78_int8_quant")
+    // one Exchange hashpartitioning(__d) + one SinglePartition assemble —
+    // the corpus side must never hash-shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(600))
+  }
+
+  test("gopher rules are one codegen'd scan — no exchange, no UDF (q80)") {
+    val p = plan("q80_gopher_rules")
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"), p.take(400))
+    assert(p.contains("*("), p.take(200)) // whole-stage codegen
+  }
+
+  test("mixture balance filters the scan against broadcast thresholds (q79)") {
+    val p = plan("q79_mixture_balance")
+    // per-source counts aggregate map-side; the full table joins thresholds
+    // via broadcast hash join — never a sort-merge shuffle of the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("dup spans: every exchange is keyed (window hash or doc) — no global sort (q76)") {
+    val p = plan("q76_dup_spans")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Exchange SinglePartition"),
+      p.take(600))
+  }
 }

@@ -982,6 +982,14 @@ object SparkEntry {
         minWords = 20, maxWords = 1000),
       Some(TextOracle.gopherRulesSql(minWords = 20, maxWords = 1000))),
 
+    Q("q81_dsir_weights", (s, dir) =>
+      // DSIR data-selection weights: target = the English slice; feature
+      // space is hashed (8191 buckets) so the count table broadcasts at any
+      // corpus size — the scale-robust sibling of q77's open-vocab join
+      graft.operators.TextStats.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+        targetFilter = col("lang") === "en", buckets = 8191),
+      Some(TextOracle.dsirWeightsSql(targetLang = "en", buckets = 8191))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

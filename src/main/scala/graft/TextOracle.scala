@@ -656,6 +656,34 @@ object TextOracle {
             % 1000000 < th"""
   }
 
+  /** DSIR importance weights (q81) — TextStats.dsirWeights with the target
+    * defined as lang = '<targetLang>'. Feature hashing, the smoothed ratio
+    * chain, and the decimal sum mirror the engine expression for expression. */
+  def dsirWeightsSql(targetLang: String, buckets: Int): String = s"""
+    WITH b0 AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    f AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $buckets AS b
+      FROM (SELECT doc_id, (lang = '$targetLang') AS is_t,
+                   unnest(list_concat(t,
+                     list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM b0)),
+    c AS (SELECT b, COUNT(*) AS cs,
+                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+          FROM f GROUP BY b),
+    tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt FROM c),
+    lr AS (
+      SELECT doc_id,
+             CAST(round(ln(
+               (CAST(ct + 1 AS DOUBLE) / CAST(nt + $buckets AS DOUBLE)) /
+               (CAST(cs + 1 AS DOUBLE) / CAST(ns + $buckets AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS lr
+      FROM f JOIN c USING (b) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(lr) AS DOUBLE) AS dsir_total
+    FROM lr GROUP BY doc_id"""
+
   /** Gopher rule flags (q80) — TextStats.gopherRules. */
   def gopherRulesSql(minWords: Int, maxWords: Int): String = s"""
     WITH b AS (

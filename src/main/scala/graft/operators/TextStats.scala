@@ -186,6 +186,42 @@ object TextStats {
         (-sum(col("__lp"))).cast("double").as("nll_total"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): per-doc log-likelihood ratio of a
+    * TARGET bag-of-hashed-ngrams model vs the SOURCE (whole-corpus) model,
+    * features = unigrams ∪ bigrams hashed into `buckets` bins, both models
+    * add-one smoothed. Docs whose feature profile looks like the target
+    * (rows matching `targetFilter`) get positive weights; downstream
+    * resamples ∝ exp(weight). Unlike [[unigramNll]]'s open vocabulary, the
+    * feature table is BOUNDED at `buckets` rows — it broadcasts at any
+    * corpus size, so scoring is one scan + one broadcast join + one doc agg,
+    * no skew-prone term shuffle. Same decimal-sum determinism as q77. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2)
+    val feats = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), targetFilter.as("__is_t"),
+        explode(concat(TF.tokens(col(textCol)), TF.shinglesAll(col(textCol), 2))).as("__g"))
+      .select(col(idCol), col("__is_t"),
+        pmod(TF.md5Prefix32(col("__g")), lit(buckets.toLong)).as("__b"))
+    val counts = feats.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cs"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
+    val totals = counts.agg(sum(col("__cs")).cast("long").as("__ns"),
+      sum(col("__ct")).cast("long").as("__nt"))
+    feats.join(broadcast(counts), "__b")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log(
+          ((col("__ct") + 1).cast("double") / (col("__nt") + buckets).cast("double")) /
+          ((col("__cs") + 1).cast("double") / (col("__ns") + buckets).cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("__lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("__lr")).cast("double").as("dsir_total"))
+  }
+
   /** Gopher quality-rule suite (Rae et al. 2021, table A1): the standard
     * hand-tuned pre-training document filters, each reported as its own 0/1
     * flag plus the conjunction, so downstream can audit WHY a doc was cut.

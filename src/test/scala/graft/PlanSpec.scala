@@ -160,6 +160,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("dsir: the bounded bucket table broadcasts — no term-keyed corpus shuffle (q81)") {
+    val p = plan("q81_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("dup spans: every exchange is keyed (window hash or doc) — no global sort (q76)") {
     val p = plan("q76_dup_spans")
     assert(!p.contains("Exchange rangepartitioning") && !p.contains("Exchange SinglePartition"),

@@ -190,6 +190,45 @@ class TextStatsSpec extends SparkSpec {
     assert(-lp(1) > -lp(2))
   }
 
+  test("dsirWeights: exact replay of the hashed-ngram likelihood ratio; target-like docs score higher") {
+    val B = 101
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha"),
+      (2L, "en", "alpha beta"),
+      (3L, "de", "zeta eta theta"),
+      (4L, "de", "alpha beta alpha")) // same text as doc 1, non-target lang
+      .toDF("doc_id", "lang", "text")
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    def feats(text: String): Seq[Long] = {
+      val t = text.split("\\s+").toSeq
+      (t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket)
+    }
+    val all = Seq(1L -> ("en", "alpha beta alpha"), 2L -> ("en", "alpha beta"),
+      3L -> ("de", "zeta eta theta"), 4L -> ("de", "alpha beta alpha"))
+    val cs = all.flatMap { case (_, (_, tx)) => feats(tx) }.groupBy(identity).view.mapValues(_.size)
+    val ct = all.filter(_._2._1 == "en").flatMap { case (_, (_, tx)) => feats(tx) }
+      .groupBy(identity).view.mapValues(_.size)
+    val ns = cs.values.sum.toLong; val nt = ct.values.sum.toLong
+    def lr(b: Long): BigDecimal = BigDecimal(math.log(
+      ((ct.getOrElse(b, 0) + 1).toDouble / (nt + B)) /
+      ((cs(b) + 1).toDouble / (ns + B))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = all.map { case (id, (_, tx)) =>
+      id -> ((feats(tx).size.toLong, feats(tx).map(lr).sum.toDouble))
+    }.toMap
+    val out = TextStats.dsirWeights(docs, "doc_id", "text", col("lang") === "en", B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == expect)
+    // target-vocab text outscores non-target vocab; identical text scores
+    // identically regardless of ITS OWN label (the model is corpus-level)
+    assert(out(1L)._2 > out(3L)._2)
+    assert(out(1L)._2 == out(4L)._2)
+  }
+
   test("gopherRules: each rule trips on its own pathology; clean prose passes all") {
     val good = "the quick brown fox and the lazy dog ran down to the " +
       "river for a long cool drink of water in the morning sun today" // 25 words, stopwords, alpha

@@ -982,6 +982,12 @@ object SparkEntry {
         minWords = 20, maxWords = 1000),
       Some(TextOracle.gopherRulesSql(minWords = 20, maxWords = 1000))),
 
+    Q("q82_dedup_spans", (s, dir) =>
+      // the transform half of q76: drop non-canonical duplicated 8-token
+      // spans and rebuild the text (Lee et al. keep-one-occurrence dedup)
+      graft.operators.TextStats.removeDupSpans(T(s, dir, "documents"), "doc_id", "text", k = 8),
+      Some(TextOracle.removeDupSpansSql(k = 8))),
+
     Q("q81_dsir_weights", (s, dir) =>
       // DSIR data-selection weights: target = the English slice; feature
       // space is hashed (8191 buckets) so the count table broadcasts at any

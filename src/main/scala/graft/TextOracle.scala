@@ -591,6 +591,36 @@ object TextOracle {
                 THEN round(CAST(ndup AS DOUBLE) / nw, 6) ELSE 0.0 END AS dup_frac
     FROM b LEFT JOIN f USING (doc_id)"""
 
+  /** Duplicated-span removal (q82) — TextStats.removeDupSpans. Canonical
+    * occurrence resolved in two steps (min doc, then min start within it)
+    * so both engines agree without struct-min semantics. */
+  def removeDupSpansSql(k: Int): String = s"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    w AS (
+      SELECT doc_id, s, md5(array_to_string(t[s:s + ${k - 1}], ' ')) AS wh
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS s
+            FROM b WHERE len(t) >= $k)),
+    m1 AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS cdoc
+           FROM w GROUP BY wh),
+    m2 AS (SELECT wh, MIN(s) AS cpos FROM w JOIN m1 USING (wh)
+           WHERE doc_id = cdoc GROUP BY wh),
+    fl AS (SELECT doc_id, s FROM w JOIN m1 USING (wh) JOIN m2 USING (wh)
+           WHERE nd > 1 AND NOT (doc_id = cdoc AND s = cpos)),
+    dr AS (SELECT DISTINCT doc_id, p
+           FROM (SELECT doc_id, unnest(range(s, s + $k)) AS p FROM fl)),
+    tk AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p FROM b),
+    kept AS (
+      SELECT tk.doc_id, COUNT(*) AS n_kept,
+             md5(array_to_string(list(tok ORDER BY tk.p), ' ')) AS kept_hash
+      FROM tk LEFT JOIN dr ON tk.doc_id = dr.doc_id AND tk.p = dr.p
+      WHERE dr.p IS NULL GROUP BY tk.doc_id)
+    SELECT b.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(kept_hash, md5('')) AS kept_hash
+    FROM b LEFT JOIN kept USING (doc_id)"""
+
   /** Corpus-unigram-LM NLL per doc (q77) — TextStats.unigramNll. Token
     * log-probs are rounded to 6dp then summed as DECIMAL: exact and
     * order-independent, the float-determinism pattern of the header. The

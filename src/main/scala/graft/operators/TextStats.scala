@@ -153,6 +153,58 @@ object TextStats {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the transform half of [[dupSpans]] (Lee et
+    * al. 2021 keep-one-occurrence semantics, token-granular): for every
+    * k-token window hash, the canonical occurrence is the least
+    * (doc, start); token positions covered by any NON-canonical duplicated
+    * window are dropped and the text is rebuilt from the survivors.
+    * Approximation note (documented, deterministic): the canonical
+    * occurrence itself can be partially eaten when it overlaps a DIFFERENT
+    * duplicated span — exact one-copy preservation needs interval
+    * stitching, which this operator trades away for pure keyed-shuffle
+    * shapes. Output: token counts before/after and an md5 of the rebuilt
+    * text (content stays hashed, never re-materialized wholesale).
+    * Scale: window and token rows are both linear in corpus tokens; every
+    * exchange is keyed (window hash / doc / (doc,pos)); the rebuild is a
+    * per-doc sort_array over surviving tokens — no global sort anywhere. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
+    val windows = base
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__s"))
+      .select(col(idCol), col("__s"),
+        md5(concat_ws(" ", slice(col("__t"), col("__s"), lit(k)))).as("__wh"))
+    val m1 = windows.groupBy(col("__wh"))
+      .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__cdoc"))
+    val m2 = windows.join(m1, "__wh")
+      .filter(col(idCol) === col("__cdoc"))
+      .groupBy(col("__wh")).agg(min(col("__s")).as("__cpos"))
+    val flagged = windows.join(m1, "__wh").join(m2, "__wh")
+      .filter(col("__nd") > 1 &&
+        !(col(idCol) === col("__cdoc") && col("__s") === col("__cpos")))
+    val drops = flagged
+      .select(col(idCol), explode(sequence(col("__s"), col("__s") + (k - 1))).as("__p"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"))
+    val kept = toks.join(drops, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("__p"), col("__tok")))),
+            e => e.getField("__tok")))).as("kept_hash"))
+    base.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_hash"), md5(lit(""))).as("kept_hash"))
+  }
+
   /** Per-document negative log-likelihood under the corpus's own unigram LM
     * with add-one smoothing: p(t) = (count(t)+1)/(N+V). The distributed
     * stand-in for CCNet-style perplexity quality filtering (Wenzek et al.

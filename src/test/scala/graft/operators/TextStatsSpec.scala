@@ -174,6 +174,26 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.contains(5L))
   }
 
+  test("removeDupSpans: canonical occurrence survives, copies are cut, rebuild is exact") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val docs = Seq(
+      (1L, "a b c d e f"),          // canonical owner (min doc) of the shared spans
+      (2L, "z z a b c d z q w"),    // embeds "a b c d" -> its positions 3..6 cut
+      (3L, "a b c d e f"),          // full copy of doc 1 -> fully cut
+      (4L, "x y"),                  // < k tokens: no windows, untouched
+      (5L, "m n o p m n o p")       // within-doc repeat only: nd=1, untouched
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6L, 6L, md5("a b c d e f"))))
+    assert(out(2L) == ((9L, 5L, md5("z z z q w"))))
+    assert(out(3L) == ((6L, 0L, md5(""))))
+    assert(out(4L) == ((2L, 2L, md5("x y"))))
+    assert(out(5L) == ((8L, 8L, md5("m n o p m n o p"))))
+  }
+
   test("unigramNll: exact add-one totals; rare tokens cost more than common ones") {
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, " "), (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -56,4 +56,10 @@ class StreamingTextOpsSpec extends SparkSpec {
         TF.qualityScore(col("text")).as("q"), TF.langId(col("text")).as("lang"))
     assert(streamed(f, "ql_stream") == f(docs).collect().toSet)
   }
+
+  test("gopherRules: identical rows on stream and batch (pure scan, streams as-is)") {
+    val f = (df: org.apache.spark.sql.DataFrame) =>
+      TextStats.gopherRules(df, "doc_id", "text", minWords = 5, maxWords = 100)
+    assert(streamed(f, "gopher_stream") == f(docs).collect().toSet)
+  }
 }

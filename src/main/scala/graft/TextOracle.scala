@@ -573,13 +573,7 @@ object TextOracle {
 
   /** Cross-document duplicated k-token windows (q76) — TextStats.dupSpans. */
   def dupSpansSql(k: Int): String = s"""
-    WITH b AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-    w AS (
-      SELECT doc_id, md5(array_to_string(t[s:s + ${k - 1}], ' ')) AS wh
-      FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS s
-            FROM b WHERE len(t) >= $k)),
+    WITH ${windowCtes(k)},
     ph AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wh),
     f AS (SELECT doc_id, COUNT(*) AS nw,
                  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS ndup
@@ -591,17 +585,23 @@ object TextOracle {
                 THEN round(CAST(ndup AS DOUBLE) / nw, 6) ELSE 0.0 END AS dup_frac
     FROM b LEFT JOIN f USING (doc_id)"""
 
-  /** Duplicated-span removal (q82) — TextStats.removeDupSpans. Canonical
-    * occurrence resolved in two steps (min doc, then min start within it)
-    * so both engines agree without struct-min semantics. */
-  def removeDupSpansSql(k: Int): String = s"""
-    WITH b AS (
+  /** b/w CTEs shared by the span ops (q76/q82) — ONE transcription of
+    * TextStats.tokenWindows: b = tokenized non-empty docs, w = stride-1
+    * k-token windows (doc_id, s, wh). */
+  private def windowCtes(k: Int): String = s"""
+    b AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
     w AS (
       SELECT doc_id, s, md5(array_to_string(t[s:s + ${k - 1}], ' ')) AS wh
       FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS s
-            FROM b WHERE len(t) >= $k)),
+            FROM b WHERE len(t) >= $k))"""
+
+  /** Duplicated-span removal (q82) — TextStats.removeDupSpans. Canonical
+    * occurrence resolved in two steps (min doc, then min start within it)
+    * so both engines agree without struct-min semantics. */
+  def removeDupSpansSql(k: Int): String = s"""
+    WITH ${windowCtes(k)},
     m1 AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS cdoc
            FROM w GROUP BY wh),
     m2 AS (SELECT wh, MIN(s) AS cpos FROM w JOIN m1 USING (wh)
@@ -677,9 +677,11 @@ object TextOracle {
     s"""
     WITH w(source, pct) AS (VALUES $values),
     n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
-    j AS (SELECT n.source, pct, ns FROM n JOIN w USING (source)),
+    j AS (SELECT w.source, pct, coalesce(ns, 0) AS ns
+          FROM w LEFT JOIN n USING (source)),
     c AS (SELECT MIN((100 * ns) // pct) AS cf FROM j),
-    t AS (SELECT source, (pct * 10000 * cf) // ns AS th FROM j CROSS JOIN c)
+    t AS (SELECT source, (pct * 10000 * cf) // ns AS th
+          FROM j CROSS JOIN c WHERE ns > 0)
     SELECT d.doc_id, d.source
     FROM documents d JOIN t USING (source)
     WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

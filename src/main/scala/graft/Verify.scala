@@ -8,6 +8,9 @@ object Verify {
     // optional 3rd+ args: run only the named queries (local iteration aid;
     // the driver always passes exactly two)
     val (Array(sfDir, outDir), only) = args.splitAt(2)
+    // a typo'd name must fail loudly, not silently select nothing
+    require(only.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${only.filterNot(SparkEntry.queries.contains).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(cpus)
     new java.io.File(outDir).mkdirs()

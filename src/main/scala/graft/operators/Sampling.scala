@@ -66,8 +66,12 @@ object Sampling {
     * rank, which is a single-reducer sort per stratum at corpus scale.
     * All threshold arithmetic is 64-bit integer (pct·10⁴ ≤ 10⁶ times
     * C ≤ n rows stays < 2⁶³ up to ~10¹² rows) — no float rank boundary.
-    * Strata absent from `weights` are dropped. Plan: one partial-agg count
-    * per stratum, two tiny broadcasts, one scan filter — no big shuffle. */
+    * Strata absent from `weights` are dropped. A WEIGHTED stratum absent
+    * from the DATA makes the target mixture unsatisfiable — its n_s = 0
+    * forces C = 0 and the output is EMPTY, per the formula, rather than
+    * silently rebalancing over the strata that happen to exist. Plan: one
+    * partial-agg count per stratum, two tiny broadcasts, one scan filter —
+    * no big shuffle. */
   def mixtureBalance(df: DataFrame, strataCol: String, idCol: String,
                      weights: Seq[(String, Int)]): DataFrame = {
     require(weights.map(_._2).sum == 100, "mixture percentages must sum to 100")
@@ -76,12 +80,15 @@ object Sampling {
     val s = df.sparkSession
     import s.implicits._
     val wdf = weights.toDF(strataCol, "__pct")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))
-      .join(broadcast(wdf), strataCol)
+    // LEFT join from the weights: a weighted stratum with no rows stays
+    // visible with __ns = 0, so it participates in (and zeroes) the min
+    val counts = broadcast(wdf)
+      .join(df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns")), Seq(strataCol), "left")
+      .withColumn("__ns", coalesce(col("__ns"), lit(0L)))
     // `div` (not `/`): exact BIGINT division — double division loses integer
     // precision past 2^53 and the floor would be wrong near boundaries
     val cfloor = counts.select(min(expr("(100 * __ns) div __pct")).as("__cf"))
-    val th = counts.crossJoin(broadcast(cfloor))
+    val th = counts.filter(col("__ns") > 0).crossJoin(broadcast(cfloor))
       .select(col(strataCol), expr("(__pct * 10000 * __cf) div __ns").as("__th"))
     df.join(broadcast(th), strataCol)
       .filter(pmod(TF.md5Prefix32(col(idCol).cast("string")), lit(1000000L)) < col("__th"))

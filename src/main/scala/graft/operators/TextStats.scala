@@ -112,6 +112,24 @@ object TextStats {
         (acc, x) => (acc * base + x) % mod).as("roll_hash"))
   }
 
+  /** ONE transcription of the k-token window geometry shared by the span
+    * ops (q76 signal / q82 transform): `base` = non-empty docs with their
+    * token arrays, `windows` = stride-1 k-token windows as (id, __s start,
+    * __wh md5-of-window-text). Mirrored by TextOracle.windowCtes. */
+  private def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): (DataFrame, DataFrame) = {
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
+    val windows = base
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__s"))
+      .select(col(idCol), col("__s"),
+        md5(concat_ws(" ", slice(col("__t"), col("__s"), lit(k)))).as("__wh"))
+    (base, windows)
+  }
+
   /** Cross-document duplicated-span signal (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better" — the exact-substring pass,
     * approximated at token granularity): hash every k-token window (stride 1);
@@ -128,15 +146,7 @@ object TextStats {
     * report (0, 0, 0.0) — they are whole-doc dedup's job, not span dedup's. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1)
-    val base = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
-    val win = slice(col("__t"), col("__s"), lit(k))
-    val windows = base
-      .filter(size(col("__t")) >= k)
-      .select(col(idCol), col("__t"),
-        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__s"))
-      .select(col(idCol), md5(concat_ws(" ", win)).as("__wh"))
+    val (base, windows) = tokenWindows(docs, idCol, textCol, k)
     val perHash = windows.groupBy(col("__wh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
     val perDoc = windows.join(perHash, "__wh")
@@ -169,15 +179,7 @@ object TextStats {
     * per-doc sort_array over surviving tokens — no global sort anywhere. */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1)
-    val base = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
-    val windows = base
-      .filter(size(col("__t")) >= k)
-      .select(col(idCol), col("__t"),
-        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__s"))
-      .select(col(idCol), col("__s"),
-        md5(concat_ws(" ", slice(col("__t"), col("__s"), lit(k)))).as("__wh"))
+    val (base, windows) = tokenWindows(docs, idCol, textCol, k)
     val m1 = windows.groupBy(col("__wh"))
       .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__cdoc"))
     val m2 = windows.join(m1, "__wh")
@@ -295,7 +297,8 @@ object TextStats {
       (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
     val symRatio = when(nWords === 0, lit(0.0))
       .otherwise(nSym.cast("double") / nWords)
-    val stopHits = TF.stopwordHits(transform(toks, tk => lower(tk)), TF.stopwords("en"))
+    // stopwordHits lowercases each token itself — no pre-transform needed
+    val stopHits = TF.stopwordHits(toks, TF.stopwords("en"))
     docs
       .filter(t.isNotNull && length(trim(t)) > 0)
       .select(col(idCol), nWords.as("n_words"),

@@ -62,6 +62,10 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.mixtureBalance(df, "src", "id", Seq("a" -> 60, "b" -> 30))
     }
+    // a weighted stratum with NO rows makes the mixture unsatisfiable:
+    // C = 0 -> empty output, never a silent rebalance over present strata
+    assert(Sampling.mixtureBalance(df, "src", "id",
+      Seq("a" -> 40, "b" -> 40, "ghost" -> 20)).isEmpty)
   }
 
   test("contiguousBins: start-offset binning per shard; over-budget docs overflow their bin") {

@@ -256,7 +256,7 @@ class TextStatsSpec extends SparkSpec {
       (1L, good),
       (2L, "too short for the corpus"),                        // 5 words -> r_words=0
       (3L, ("superlongword " * 25).trim),                      // mean len 13 -> r_mean_len=0
-      (4L, ("1 2 3 4 5 " * 5).trim + " " + good),              // 25 numerics dilute alpha
+      (4L, ("1 2 3 4 5 " * 5).trim + " " + good),              // 25 of 50 words numeric
       (5L, ("# " * 10).trim + " " + good),                     // 10 of 35 words are '#'
       (6L, ("lorem ipsum dolor sit amet " * 5).trim)           // no stopwords -> r_stop=0
     ).toDF("doc_id", "text")
@@ -266,8 +266,8 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1L) == ((1, 1, 1, 1, 1, 1)))
     assert(out(2L)._1 == 0 && out(2L)._6 == 0)
     assert(out(3L)._2 == 0)
-    assert(out(4L)._3 == 0 && out(4L)._6 == 0)  // 26/51 alpha words < 0.8
-    assert(out(5L)._4 == 0)                     // 10 symbols / 36 words > 0.1
+    assert(out(4L)._3 == 0 && out(4L)._6 == 0)  // 25/50 alpha words < 0.8
+    assert(out(5L)._4 == 0)                     // 10 symbols / 35 words > 0.1
     assert(out(6L)._5 == 0)
   }
 }

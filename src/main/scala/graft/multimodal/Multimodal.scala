@@ -219,9 +219,83 @@ object Multimodal {
   }
 
   /** Resize on the decoded representation (stub math on fake features —
-    * the plumbing point is the schema contract, not the resampling kernel). */
+    * the plumbing point is the schema contract, not the resampling kernel).
+    * For a REAL pixel resample on the pure-JVM BMP path, see
+    * [[resizeImages]] / [[BmpResizer]]. */
   def resize(features: DataFrame, w: Int, h: Int): DataFrame =
     features.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** REAL image resize for the 24-bit BMP path: nearest-neighbor resample
+    * with pure integer source mapping (srcX = ⌊xD·srcW/dstW⌋), re-encoded
+    * as a canonical bottom-up BI_RGB BMP. Bytes are deterministic — same
+    * input produces identical output on any executor, so a retried task is
+    * safe. Malformed / non-24-bit payloads are skipped (the decode policy).
+    * Nearest-neighbor is the honest kernel choice here: it needs no
+    * filtering-window float conventions, so the output is bit-reproducible
+    * and the oracle-style replay in the spec can assert exact pixels. */
+  object BmpResizer {
+    import LE.{i32, u16}
+    private val MaxDim = 1 << 20
+
+    private[multimodal] def resize(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+      require(dstW >= 1 && dstH >= 1 && dstW <= MaxDim && dstH <= MaxDim)
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32(bytes, 10)
+      val srcW = i32(bytes, 18)
+      val heightRaw = i32(bytes, 22)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30)
+      if (bpp != 24 || compression != 0 || srcW <= 0 || heightRaw == 0) return None
+      val srcHL = math.abs(heightRaw.toLong)
+      if (srcW > MaxDim || srcHL > MaxDim) return None
+      val srcH = srcHL.toInt
+      val bottomUp = heightRaw > 0
+      val srcRowL = ((srcW.toLong * 3 + 3) / 4) * 4
+      if (pixelOff < 0 || pixelOff.toLong + srcRowL * srcH > bytes.length) return None
+      val srcRow = srcRowL.toInt
+      val dstRow = ((dstW * 3 + 3) / 4) * 4
+      val out = java.nio.ByteBuffer.allocate(54 + dstRow * dstH)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dstRow * dstH).putInt(0).putInt(54)
+      out.putInt(40).putInt(dstW).putInt(dstH) // canonical bottom-up
+      out.putShort(1).putShort(24).putInt(0)
+      out.putInt(dstRow * dstH).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val arr = out.array()
+      var yD = 0 // destination row from the TOP of the image
+      while (yD < dstH) {
+        // Long products: both factors are <= 2^20 but their product is not
+        val ySrcTop = ((yD.toLong * srcH) / dstH).toInt
+        val srcFileRow = if (bottomUp) srcH - 1 - ySrcTop else ySrcTop
+        val srcBase = pixelOff + srcFileRow * srcRow
+        val dstBase = 54 + (dstH - 1 - yD) * dstRow
+        var xD = 0
+        while (xD < dstW) {
+          val xS = ((xD.toLong * srcW) / dstW).toInt
+          val so = srcBase + xS * 3
+          val do_ = dstBase + xD * 3
+          arr(do_) = bytes(so); arr(do_ + 1) = bytes(so + 1); arr(do_ + 2) = bytes(so + 2)
+          xD += 1
+        }
+        yD += 1
+      }
+      Some(arr)
+    }
+  }
+
+  /** Binary column -> resized binary column (24-bit BMP payloads), batched
+    * per partition like the decoders; malformed rows are skipped. Narrow
+    * plan, no shuffle — resizing 100 TB of images is exactly as
+    * parallelizable as scanning them. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content"))
+      .filter(col("content").isNotNull && length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        BmpResizer.resize(bytes, w, h).map(rb => (id, rb, w, h))
+      })
+      .toDF("media_id", "content", "width", "height")
+  }
 
   /** Frame sampling for video: every nth chunk of the binary payload as a
     * frame row (stub chunking in place of a container demuxer). Generates

@@ -113,6 +113,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head().getAs[Int]("width") == 2)
   }
 
+  test("BmpResizer: real nearest-neighbor pixels, upscale preserves means, 1x1 picks top-left") {
+    // 2x2 -> 4x4: every source pixel duplicated 2x2, so channel means and
+    // quadrant brightnesses are EXACTLY those of the source
+    val up = Multimodal.BmpResizer.resize(tinyBmp, 4, 4).get
+    val f4 = Multimodal.BmpImageDecoder.decode(1L, up).get
+    val f2 = Multimodal.BmpImageDecoder.decode(1L, tinyBmp).get
+    assert(f4.width == 4 && f4.height == 4)
+    assert(f4.embedding.toSeq == f2.embedding.toSeq)
+    // 2x2 -> 1x1: nearest maps (0,0) -> source top-left = pure red
+    val one = Multimodal.BmpResizer.resize(tinyBmp, 1, 1).get
+    val f1 = Multimodal.BmpImageDecoder.decode(1L, one).get
+    assert(f1.width == 1 && f1.height == 1)
+    assert(f1.embedding(0) == 1.0f && f1.embedding(1) == 0.0f && f1.embedding(2) == 0.0f)
+    // same-size resize round-trips the canonical encoding byte-for-byte
+    assert(Multimodal.BmpResizer.resize(tinyBmp, 2, 2).get.toSeq == tinyBmp.toSeq)
+    // malformed payloads are skipped, and the DataFrame op mirrors that
+    assert(Multimodal.BmpResizer.resize(Array[Byte](1, 2), 2, 2).isEmpty)
+    import spark.implicits._
+    val media = Seq((1L, tinyBmp), (2L, Array[Byte](9, 9))).toDF("media_id", "content")
+    val resized = Multimodal.resizeImages(media, 3, 3)
+    assert(resized.count() == 1)
+    val r = resized.head()
+    assert(r.getAs[Int]("width") == 3 &&
+      Multimodal.BmpImageDecoder.decode(1L, r.getAs[Array[Byte]]("content")).get.width == 3)
+  }
+
   /** 16-bit PCM mono WAV, 8000 Hz, 4 frames of constant +16384 (rms 0.5). */
   private def tinyWav: Array[Byte] = {
     val nFrames = 4

@@ -113,6 +113,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head().getAs[Int]("width") == 2)
   }
 
+  /** Hand-built RIFF/AVI: LIST/movi with two raw video frames ('00db', one
+    * odd-sized to exercise even padding), one compressed frame ('00dc'),
+    * and an audio chunk ('01wb') that must be skipped. */
+  private def tinyAvi: Array[Byte] = {
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    val sub = chunk("00db", Array[Byte](1, 2, 3)) ++ chunk("01wb", Array[Byte](9, 9)) ++
+      chunk("00dc", Array[Byte](4, 5, 6, 7)) ++ chunk("00db", Array[Byte](7, 8, 9))
+    val movi = java.nio.ByteBuffer.allocate(12 + sub.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    movi.put("LIST".getBytes("US-ASCII")).putInt(4 + sub.length)
+      .put("movi".getBytes("US-ASCII")).put(sub)
+    val body = movi.array()
+    val riff = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    riff.array()
+  }
+
+  test("AviFrameExtractor: real demux — video chunks in order, audio skipped, malformed empty") {
+    val fs = Multimodal.AviFrameExtractor.frames(tinyAvi)
+    assert(fs.map(_._1) == Seq(0, 1, 2))
+    def bytesOf(f: (Int, Int, Int)) = tinyAvi.slice(f._2, f._2 + f._3).toSeq
+    assert(bytesOf(fs(0)) == Seq[Byte](1, 2, 3))      // raw frame, odd size
+    assert(bytesOf(fs(1)) == Seq[Byte](4, 5, 6, 7))   // compressed frame kept as bytes
+    assert(bytesOf(fs(2)) == Seq[Byte](7, 8, 9))
+    assert(Multimodal.AviFrameExtractor.frames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.AviFrameExtractor.frames(tinyAvi.take(30)).isEmpty)
+    // crafted chunk size past the buffer: truncated walk, no out-of-bounds
+    val crafted = tinyAvi.clone()
+    java.nio.ByteBuffer.wrap(crafted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(28, 0x7ffffff0) // first subchunk's declared size (12 RIFF + 12 LIST/movi + 4cc)
+    assert(Multimodal.AviFrameExtractor.frames(crafted).isEmpty)
+
+    import spark.implicits._
+    val media = Seq((1L, "video", tinyAvi), (2L, "video", Array[Byte](0, 1)),
+      (3L, "audio", tinyAvi)).toDF("media_id", "modality", "content")
+    val out = Multimodal.sampleFramesAvi(media, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    // every 2nd frame of media 1 only: idx 0 and 2
+    assert(out.toSet == Set((1L, 0, Seq[Byte](1, 2, 3)), (1L, 2, Seq[Byte](7, 8, 9))))
+  }
+
   test("BmpResizer: real nearest-neighbor pixels, upscale preserves means, 1x1 picks top-left") {
     // 2x2 -> 4x4: every source pixel duplicated 2x2, so channel means and
     // quadrant brightnesses are EXACTLY those of the source

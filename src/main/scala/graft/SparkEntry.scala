@@ -996,6 +996,25 @@ object SparkEntry {
         targetFilter = col("lang") === "en", buckets = 8191),
       Some(TextOracle.dsirWeightsSql(targetLang = "en", buckets = 8191))),
 
+    Q("q83_knn_join", (s, dir) => {
+      // batch kNN join (hard-negative mining / retrieval): every 25th vector
+      // is a probe; per-probe top-5 over the whole corpus via the bounded
+      // map-side-combining heap — the corpus is scanned once, never shuffled
+      val emb = T(s, dir, "embeddings")
+      Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+    }, Some(TextOracle.knnJoinSql(k = 5, probeMod = 25))),
+
+    Q("q84_ivf_knn_join", (s, dir) => {
+      // IVF-blocked batch kNN join: candidates restricted to the probe's own
+      // coarse list (nprobe=1) — the blocked/approximate twin of q83
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, Similarity.hyperplanes(4, 64), excludeSelf = true)
+    }, Some(TextOracle.ivfKnnJoinSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -273,6 +273,64 @@ object TextOracle {
     ORDER BY cos DESC, a.vec_id LIMIT $k"""
   }
 
+  /** Batch kNN join: probe set = every `probeMod`-th vector; per-probe
+    * cosine rank over the full corpus (self excluded), row_number ties to
+    * the lower neighbor id — mirrors Similarity.knnJoin's (cos desc, id asc)
+    * order over the 6-decimal-rounded score. */
+  def knnJoinSql(k: Int, probeMod: Int): String = s"""
+    WITH probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings WHERE vec_id % $probeMod = 0),
+    cand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+
+  /** IVF-blocked batch kNN join oracle: every vector gets the ivfAssignSql
+    * d²/CASE-argmin list, candidates must share the probe's list (nprobe=1
+    * blocking), then the same per-probe row_number rank as knnJoinSql. */
+  def ivfKnnJoinSql(k: Int, nLists: Int, dims: Int, probeMod: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * (${planeDotSql("embedding", i, dims)}) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, embedding, $d2
+      FROM embeddings),
+    a AS (SELECT vec_id, embedding, CASE $cases END AS ivf_list FROM d),
+    probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv, ivf_list
+      FROM a WHERE vec_id % $probeMod = 0),
+    cand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM a e JOIN probe p ON e.ivf_list = p.ivf_list
+      WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+  }
+
   /** PQ code assignment: per subspace, the same d² + CASE-argmin construction
     * as ivfAssignSql, over the embedding slice for that subspace. */
   def pqAssignSql(numSub: Int, ksub: Int, subDims: Int): String = {

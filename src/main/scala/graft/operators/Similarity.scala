@@ -213,4 +213,97 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Bounded per-key top-k aggregator over (cos, id) candidates: the keyed
+    * generalization of `TakeOrderedAndProject`. The buffer is a best-first
+    * list capped at k, so PARTIAL aggregation (ObjectHashAggregate map-side
+    * combine) reduces each corpus partition to at most k rows per probe
+    * BEFORE the exchange — shuffle volume is probes x partitions x k, never
+    * candidates. Order: (cos desc, id asc) over the already-ROUNDED score,
+    * so ranking ties break identically to the SQL oracle's row_number. */
+  private final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      if (buf.size >= k && !better(x, buf.last)) buf
+      else {
+        val (hd, tl) = buf.span(better(_, x))
+        (hd ++ (x +: tl)).take(k)
+      }
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.foldLeft(a)(reduce)
+    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Batch kNN join (the retrieval/hard-negative-mining primitive): EVERY
+    * probe row gets its k nearest corpus rows by cosine. The probe side is
+    * small by contract (a query/seed set) and is BROADCAST against one corpus
+    * scan; per-probe top-k runs through `TopKAgg`, so the only exchange
+    * carries <= k rows per (probe x corpus partition) — the corpus itself is
+    * never shuffled, and the plan survives a 100 TB corpus untouched.
+    * Output: (probe_id, neighbor_id, cos, rank) with rank 1..k by
+    * (cos desc, neighbor_id asc) on the 6-decimal-rounded score. */
+  def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
+              probe: DataFrame, probeId: String, probeVec: String,
+              k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val cand = corpus
+      .select(col(corpusId).cast("long").as("__nid"), col(corpusVec).as("__cv"))
+      .crossJoin(broadcast(
+        probe.select(col(probeId).cast("long").as("probe_id"), col(probeVec).as("__pv"))))
+    val filtered = if (excludeSelf) cand.filter(col("__nid") =!= col("probe_id")) else cand
+    filtered
+      .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
+      .filter(col("cos").isNotNull) // zero-norm vectors have no defined angle
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cos"), col("__nid")).as("__topk"))
+      .select(col("probe_id"), posexplode(col("__topk")).as(Seq("__pos", "__nb")))
+      .select(col("probe_id"),
+        col("__nb._2").as("neighbor_id"),
+        col("__nb._1").as("cos"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  /** IVF-accelerated batch kNN join: both sides take coarse-list assignment
+    * against the broadcast centroid table and candidates come ONLY from the
+    * probe's own list (nprobe=1 blocking) — the list equi-join replaces the
+    * cross product, cutting scored candidates ~|lists|-fold at the cost of
+    * recall at list borders. Same bounded top-k aggregation, same exchange
+    * shape; at 100 TB the corpus side is written `partitionBy(ivf_list)` so
+    * each probe's candidates are one partition read. */
+  def ivfKnnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 probe: DataFrame, probeId: String, probeVec: String,
+                 k: Int, centroids: Seq[Seq[Double]],
+                 excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val c = ivfAssign(
+      corpus.select(col(corpusId).cast("long").as("__nid"), col(corpusVec).as("__cv")),
+      "__cv", centroids)
+    val p = ivfAssign(
+      probe.select(col(probeId).cast("long").as("probe_id"), col(probeVec).as("__pv")),
+      "__pv", centroids)
+    val cand = c.join(broadcast(p), Seq("ivf_list"))
+    val filtered = if (excludeSelf) cand.filter(col("__nid") =!= col("probe_id")) else cand
+    filtered
+      .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cos"), col("__nid")).as("__topk"))
+      .select(col("probe_id"), posexplode(col("__topk")).as(Seq("__pos", "__nb")))
+      .select(col("probe_id"),
+        col("__nb._2").as("neighbor_id"),
+        col("__nb._1").as("cos"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
 }

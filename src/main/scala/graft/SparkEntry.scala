@@ -794,8 +794,11 @@ object SparkEntry {
       cand
         .join(norm.toDF("doc_a", "prefix_a"), "doc_a")
         .join(norm.toDF("doc_b", "prefix_b"), "doc_b")
-        .withColumn("edit_dist", levenshtein(col("prefix_a"), col("prefix_b")))
-        .filter(col("edit_dist") <= 8)
+        // the thresholded form runs the BANDED DP (O(maxDist*len) per pair,
+        // -1 when the distance exceeds the bound) — ~8x less work per
+        // candidate than the full O(len^2) table at maxDist=8, len=64
+        .withColumn("edit_dist", levenshtein(col("prefix_a"), col("prefix_b"), 8))
+        .filter(col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
     }, Some(TextOracle.editVerifySql(numHashes = 8, bandRows = 2,
       prefixLen = 64, maxDist = 8))),

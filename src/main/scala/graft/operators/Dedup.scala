@@ -74,9 +74,18 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: docs sharing any band (md5 of r consecutive
-    * signature slots) become candidate pairs. Shuffles: signature groupBy,
-    * then a self-equi-join on (band_idx, band_hash) — candidates only, never
-    * all pairs. bandRows * numBands == numHashes. */
+    * signature slots) become candidate pairs. Pair generation GROUPS each
+    * (band_idx, band_hash) bucket and emits the a<b combinations from the
+    * sorted member list, rather than self-joining the band table — a band
+    * self-join evaluates the whole signature pipeline (shingle explode + one
+    * md5 per shingle, the dominant cost) once PER SIDE, because exchange
+    * reuse does not fire across the join's two independently-planned
+    * subtrees. Shuffles: signature groupBy, bucket groupBy, pair distinct —
+    * signatures are computed exactly once. Pair volume is identical to the
+    * self-join (sum of bucket-size-choose-2, the LSH candidate set by
+    * definition); a degenerate bucket (e.g. a boilerplate band shared by
+    * millions of docs) is quadratic under EITHER shape — upstream exact
+    * dedup (q29) is the standard guard. bandRows * numBands == numHashes. */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 8, bandRows: Int = 2,
                            shingleN: Int = 2): DataFrame = {
@@ -89,10 +98,16 @@ object Dedup {
     }
     val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = bands.toDF(Seq("doc_a", "band", "bh"): _*)
-    val b = bands.toDF(Seq("doc_b", "band", "bh"): _*)
-    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    bands.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      // ids is ascending and duplicate-free (one row per doc per band), so
+      // pairing each element with its suffix yields exactly the a<b pairs
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
+          .as("doc_b"))
+      .distinct()
   }
 
   /** Exact word-n-gram Jaccard similarity for all pairs with jaccard >=

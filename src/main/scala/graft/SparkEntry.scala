@@ -1009,6 +1009,27 @@ object SparkEntry {
         k = 5, excludeSelf = true)
     }, Some(TextOracle.knnJoinSql(k = 5, probeMod = 25))),
 
+    Q("q85_incremental_lsh", (s, dir) => {
+      // daily-ingest dedup: batch (every 10th doc) vs the stored LSH index
+      // of the rest + within-batch pairs — corpus signatures NOT recomputed
+      val docs = T(s, dir, "documents")
+      val index = Dedup.lshBands(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", numHashes = 8, bandRows = 2, shingleN = 2)
+      Dedup.incrementalLshCandidates(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", index, numHashes = 8, bandRows = 2, shingleN = 2)
+    }, Some(TextOracle.incrementalMinhashSql(numHashes = 8, bandRows = 2, mod = 10))),
+
+    Q("q86_incremental_keep", (s, dir) => {
+      // the ingest decision on q85's candidates: batch docs that survive —
+      // corpus near-dups always drop, within-batch dups keep the min id
+      val docs = T(s, dir, "documents")
+      val index = Dedup.lshBands(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", numHashes = 8, bandRows = 2, shingleN = 2)
+      Dedup.incrementalKeep(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", index, numHashes = 8, bandRows = 2, shingleN = 2)
+        .select("doc_id")
+    }, Some(TextOracle.incrementalKeepSql(numHashes = 8, bandRows = 2, mod = 10))),
+
     Q("q84_ivf_knn_join", (s, dir) => {
       // IVF-blocked batch kNN join: candidates restricted to the probe's own
       // coarse list (nprobe=1) — the blocked/approximate twin of q83

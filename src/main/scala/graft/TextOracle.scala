@@ -76,6 +76,28 @@ object TextOracle {
     WITH ${candCtes(numHashes, bandRows)}
     SELECT doc_a, doc_b FROM cand"""
 
+  /** Incremental-dedup oracle: the full-corpus banding is identical to
+    * (stored index ∪ batch bands), so incremental candidates are exactly the
+    * full candidate set minus within-corpus pairs — batch = doc_id % mod = 0. */
+  def incrementalMinhashSql(numHashes: Int, bandRows: Int, mod: Int): String =
+    s"""
+    WITH ${candCtes(numHashes, bandRows)}
+    SELECT doc_a, doc_b FROM cand
+    WHERE doc_a % $mod = 0 OR doc_b % $mod = 0"""
+
+  /** Incremental-keep oracle (Dedup.incrementalKeep): batch docs dropped when
+    * pairing with any corpus doc, or with a smaller batch doc (pairs are
+    * (min, max), so "the max side is a batch doc" covers the latter). */
+  def incrementalKeepSql(numHashes: Int, bandRows: Int, mod: Int): String =
+    s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    dups AS (
+      SELECT doc_b AS id FROM cand WHERE doc_b % $mod = 0
+      UNION
+      SELECT doc_a FROM cand WHERE doc_a % $mod = 0 AND doc_b % $mod <> 0)
+    SELECT doc_id FROM documents
+    WHERE doc_id % $mod = 0 AND doc_id NOT IN (SELECT id FROM dups)"""
+
   /** CTE chain ending in sim(doc_id, simhash) — shared by the fingerprint
     * query and the hamming-banding near-dup lookup. */
   private def simhashCtes(bits: Int): String = {

@@ -86,9 +86,14 @@ object Dedup {
     * definition); a degenerate bucket (e.g. a boilerplate band shared by
     * millions of docs) is quadratic under EITHER shape — upstream exact
     * dedup (q29) is the standard guard. bandRows * numBands == numHashes. */
-  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           numHashes: Int = 8, bandRows: Int = 2,
-                           shingleN: Int = 2): DataFrame = {
+  /** The persistable LSH index rows for a corpus: one (id, band_idx,
+    * band_hash) row per document per band. This is what a production
+    * pipeline stores (partitioned/bucketed by (band, bh)) so that daily
+    * batches dedup against the corpus WITHOUT recomputing its signatures —
+    * see incrementalLshCandidates. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               numHashes: Int = 8, bandRows: Int = 2,
+               shingleN: Int = 2): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val numBands = numHashes / bandRows
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleN)
@@ -96,8 +101,14 @@ object Dedup {
       val slots = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
     }
-    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 8, bandRows: Int = 2,
+                           shingleN: Int = 2): DataFrame = {
+    val bands = lshBands(docs, idCol, textCol, numHashes, bandRows, shingleN)
     bands.groupBy("band", "bh")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -108,6 +119,67 @@ object Dedup {
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
           .as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental dedup — the daily-ingest shape at 100 TB: candidate pairs
+    * for a NEW batch against an EXISTING corpus whose `lshBands` index is
+    * already materialized, plus pairs within the batch itself. The corpus's
+    * signatures are NOT recomputed (per-byte md5 over 100 TB is exactly the
+    * cost you must not pay per batch): only the batch is signed, and its
+    * band rows — small by contract — BROADCAST against the stored index, so
+    * the index is scanned in place and never shuffled. With the index table
+    * bucketed by (band, bh) the probe is a bucket-local lookup. Output:
+    * (doc_a, doc_b) with doc_a < doc_b, each pair having >= 1 batch-side
+    * doc; within-corpus pairs are the ONE-TIME backfill
+    * (minhashLshCandidates), not a per-batch cost. */
+  def incrementalLshCandidates(newDocs: DataFrame, idCol: String, textCol: String,
+                               index: DataFrame,
+                               numHashes: Int = 8, bandRows: Int = 2,
+                               shingleN: Int = 2): DataFrame = {
+    val nb = lshBands(newDocs, idCol, textCol, numHashes, bandRows, shingleN)
+    val oldNew = index.toDF("__old", "band", "bh")
+      .join(broadcast(nb.toDF("__new", "band", "bh")), Seq("band", "bh"))
+      // re-ingest of an already-indexed id must not emit a self-pair
+      .filter(col("__old") =!= col("__new"))
+      .select(least(col("__old"), col("__new")).as("doc_a"),
+        greatest(col("__old"), col("__new")).as("doc_b"))
+    val newNew = nb.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
+          .as("doc_b"))
+    oldNew.union(newNew).distinct()
+  }
+
+  /** The ingest decision on top of incrementalLshCandidates: which batch
+    * docs survive. A batch doc is dropped when it near-dups ANY corpus doc
+    * (the corpus is already ingested — it always wins) or a SMALLER-id batch
+    * doc (min-partner rule, the arrival-order analogue of
+    * streamingBandDedup; chains resolve greedily — full transitive
+    * resolution is resolveClusters' job on the backfill pass). The batch id
+    * set is broadcast for the membership marks, so nothing here shuffles
+    * with corpus size. */
+  def incrementalKeep(newDocs: DataFrame, idCol: String, textCol: String,
+                      index: DataFrame,
+                      numHashes: Int = 8, bandRows: Int = 2,
+                      shingleN: Int = 2): DataFrame = {
+    val cands = incrementalLshCandidates(newDocs, idCol, textCol, index,
+      numHashes, bandRows, shingleN)
+    val bIds = newDocs.select(col(idCol).as("__bid")).distinct()
+    // pairs are (min, max): the max side is a dup whenever it is a batch doc
+    // (its partner is smaller — corpus or batch); the min side is a dup only
+    // when its partner is a corpus doc (corpus wins regardless of id order)
+    val dupMax = cands
+      .join(broadcast(bIds.withColumnRenamed("__bid", "doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("__dup"))
+    val dupMin = cands
+      .join(broadcast(bIds.withColumnRenamed("__bid", "doc_a")), Seq("doc_a"), "left_semi")
+      .join(broadcast(bIds.withColumnRenamed("__bid", "doc_b")), Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as("__dup"))
+    val dups = dupMax.union(dupMin).distinct()
+    newDocs.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")
   }
 
   /** Exact word-n-gram Jaccard similarity for all pairs with jaccard >=

@@ -344,6 +344,26 @@ object Streams {
         expr(s"$leftKey = $rightKey AND " +
           s"$rightTs >= $leftTs - INTERVAL $within AND $rightTs <= $leftTs"))
 
+  /** Streaming ingest dedup against a STORED corpus LSH index — the
+    * stream-shaped twin of Dedup.incrementalKeep (q86). Each micro-batch
+    * runs the batch probe core: batch band rows broadcast against the
+    * lake-resident index, survivors flow to `sink`. Stateless in the state
+    * store — the index IS the state, living where 100 TB of it belongs (the
+    * lake, appended by the same pipeline after each batch commits);
+    * within-stream cross-batch dups are streamingBandDedup's job or are
+    * caught once the index append lands. `sink` runs in foreachBatch with
+    * the standard idempotent-merge contract (replays re-filter identically
+    * because the index only grows). */
+  def indexDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                       index: org.apache.spark.sql.DataFrame,
+                       numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2)
+                      (sink: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.Dedup.incrementalKeep(
+        batch, idCol, textCol, index, numHashes, bandRows, shingleN))
+    }
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

@@ -1030,6 +1030,33 @@ object SparkEntry {
         .select("doc_id")
     }, Some(TextOracle.incrementalKeepSql(numHashes = 8, bandRows = 2, mod = 10))),
 
+    Q("q87_data_card", (s, dir) =>
+      // the per-source corpus report every curation run publishes: volume,
+      // token mass, length distribution (DISCRETE percentiles — actual
+      // elements, engine-divergence-free), language spread. One partial-agg
+      // shuffle keyed on source; group count bounds shuffle volume
+      T(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          // empty/null text counts 0 tokens on BOTH sides (DuckDB's split of
+          // '' yields [''], so the guard must live in the SQL too)
+          sum(when(col("text").isNotNull && length(trim(col("text"))) > 0,
+            TF.tokenCount(col("text"))).otherwise(lit(0L))).as("total_tokens"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50_chars"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("p95_chars"),
+          countDistinct(col("lang")).as("n_langs")),
+      Some("""
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+             SUM(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+                 THEN CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 ELSE 0 END) AS total_tokens,
+             quantile_disc(n_chars, 0.5) AS p50_chars,
+             quantile_disc(n_chars, 0.95) AS p95_chars,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source""")),
+
     Q("q84_ivf_knn_join", (s, dir) => {
       // IVF-blocked batch kNN join: candidates restricted to the probe's own
       // coarse list (nprobe=1) — the blocked/approximate twin of q83

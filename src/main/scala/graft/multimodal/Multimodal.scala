@@ -137,6 +137,80 @@ object Multimodal {
       batch.flatMap { case (id, bytes) => decode(id, bytes) }
   }
 
+  /** Grid-pooled image embedding from REAL pixels — the bridge from binary
+    * image columns into the similarity stack (kNN join q83, ANN, embedding
+    * dedup): the image is partitioned into gridW x gridH cells by pure
+    * integer mapping (cell = ⌊x·gridW/width⌋), and the embedding is the
+    * per-cell mean R, G, B normalized to [0,1] — 3·gridW·gridH dims, cells
+    * row-major from the image TOP, RGB within a cell. Deterministic
+    * (fixed-order accumulation, integer cell mapping) so a retried task and
+    * a re-run produce identical vectors. Same 24-bit BI_RGB envelope and
+    * skip-on-parse-failure policy as BmpImageDecoder. */
+  final class BmpGridEmbedder(gridW: Int, gridH: Int) extends ImageDecoder {
+    require(gridW >= 1 && gridH >= 1, s"grid must be >= 1x1, got ${gridW}x$gridH")
+    import LE.{i32, u16}
+
+    private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32(bytes, 10)
+      val width = i32(bytes, 18)
+      val heightRaw = i32(bytes, 22)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30)
+      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+      val heightL = math.abs(heightRaw.toLong)
+      if (width > (1 << 20) || heightL > (1 << 20)) return None
+      val height = heightL.toInt
+      val bottomUp = heightRaw > 0
+      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
+      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
+      val rowBytes = rowBytesL.toInt
+      val cells = gridW * gridH
+      val sums = new Array[Double](cells * 3)
+      val counts = new Array[Long](cells)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val base = pixelOff + srcRow * rowBytes
+        val cy = (y.toLong * gridH / height).toInt
+        var x = 0
+        while (x < width) {
+          val o = base + x * 3 // BGR byte order
+          val cell = cy * gridW + (x.toLong * gridW / width).toInt
+          sums(cell * 3) += (bytes(o + 2) & 0xff)     // R
+          sums(cell * 3 + 1) += (bytes(o + 1) & 0xff) // G
+          sums(cell * 3 + 2) += (bytes(o) & 0xff)     // B
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val emb = new Array[Float](cells * 3)
+      var c = 0
+      while (c < cells) {
+        if (counts(c) > 0) {
+          var k = 0
+          while (k < 3) {
+            emb(c * 3 + k) = (sums(c * 3 + k) / counts(c) / 255.0).toFloat
+            k += 1
+          }
+        } // a cell narrower than the grid (width < gridW) stays 0f
+        c += 1
+      }
+      Some(ImageFeatures(id, width, height, channels = 3, embedding = emb))
+    }
+
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[ImageFeatures] =
+      batch.flatMap { case (id, bytes) => decode(id, bytes) }
+  }
+
+  /** Binary image column -> embedding column, ready for Similarity.knnJoin /
+    * lshNearDupPairs / ivfAssign. One narrow mapPartitions — no shuffle; at
+    * 100 TB this is the scan stage of the multimodal pipeline. */
+  def imageEmbeddings(media: DataFrame, gridW: Int = 4, gridH: Int = 4): DataFrame =
+    decodeImages(media, new BmpGridEmbedder(gridW, gridH))
+      .select(col("media_id"), col("embedding"))
+
   final case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
                                  n_frames: Long, duration_ms: Long, rms: Double)
 

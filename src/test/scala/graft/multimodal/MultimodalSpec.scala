@@ -212,4 +212,45 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeAudio(audioMedia)
     assert(out.head().getAs[Double]("rms") > 0.49)
   }
+
+  /** Solid-color w x h 24-bit bottom-up BMP. */
+  private def solidBmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val pixelOff = 54
+    val buf = java.nio.ByteBuffer.allocate(pixelOff + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(pixelOff + rowBytes * h).putInt(0).putInt(pixelOff)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24).putInt(0)
+    buf.putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach(_ => buf.put(b.toByte).put(g.toByte).put(r.toByte))
+      (w * 3 until rowBytes).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  test("BmpGridEmbedder pools real pixels: 2x2 grid of a 2x2 image IS its corners") {
+    val e = new Multimodal.BmpGridEmbedder(2, 2).decode(1L, tinyBmp).get.embedding
+    // cells row-major from the TOP, RGB within cell: red, green, blue, white
+    assert(e.map(v => math.round(v)).toSeq ==
+      Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 1f, 1f, 1f).map(v => math.round(v)))
+    // malformed payloads skip, same policy as the 8-dim decoder
+    assert(new Multimodal.BmpGridEmbedder(2, 2).decode(2L, Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("imageEmbeddings feed the similarity stack: nearest neighbor is the near-dup image") {
+    val media = Seq(
+      (1L, solidBmp(8, 6, 200, 10, 10)),  // red-ish
+      (2L, solidBmp(4, 4, 190, 20, 15)),  // near-dup of 1 (different size!)
+      (3L, solidBmp(8, 8, 10, 10, 220))   // blue
+    ).toDF("media_id", "content")
+    val emb = Multimodal.imageEmbeddings(media, gridW = 2, gridH = 2)
+    assert(emb.count() == 3)
+    val probe = emb.filter(col("media_id") === 1L)
+    val nn = graft.operators.Similarity.knnJoin(emb, "media_id", "embedding",
+      probe, "media_id", "embedding", k = 1, excludeSelf = true)
+      .head()
+    assert(nn.getLong(1) == 2L) // the other red image, despite different dims
+  }
 }

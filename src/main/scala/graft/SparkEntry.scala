@@ -1030,6 +1030,13 @@ object SparkEntry {
         .select("doc_id")
     }, Some(TextOracle.incrementalKeepSql(numHashes = 8, bandRows = 2, mod = 10))),
 
+    Q("q88_lsh_quality", (s, dir) =>
+      // the banding-tuning measurement: LSH candidate precision/recall vs
+      // exact-Jaccard truth — run on a sample before a full corpus pass
+      Dedup.lshQualityReport(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bandRows = 2, shingleN = 2, threshold = 0.2),
+      Some(TextOracle.lshQualitySql(numHashes = 8, bandRows = 2, threshold = 0.2))),
+
     Q("q87_data_card", (s, dir) =>
       // the per-source corpus report every curation run publishes: volume,
       // token mass, length distribution (DISCRETE percentiles — actual

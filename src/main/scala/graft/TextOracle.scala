@@ -85,6 +85,29 @@ object TextOracle {
     SELECT doc_a, doc_b FROM cand
     WHERE doc_a % $mod = 0 OR doc_b % $mod = 0"""
 
+  /** LSH quality report oracle: candidate set (shared banding CTEs) scored
+    * against exact-Jaccard truth (shared shingle CTE — candCtes defines
+    * `sh`), reduced to one row of counts + precision/recall. */
+  def lshQualitySql(numHashes: Int, bandRows: Int, threshold: Double): String = s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= $threshold),
+    hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision,
+           round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall"""
+
   /** Incremental-keep oracle (Dedup.incrementalKeep): batch docs dropped when
     * pairing with any corpus doc, or with a smaller batch doc (pairs are
     * (min, max), so "the max side is a batch doc" covers the latter). */

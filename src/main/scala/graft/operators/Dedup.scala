@@ -182,6 +182,34 @@ object Dedup {
     newDocs.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")
   }
 
+  /** LSH tuning report: precision/recall of the MinHash-LSH candidate set
+    * against exact n-gram-Jaccard truth at `threshold` — the measurement a
+    * pipeline runs (on a sample) to pick numHashes/bandRows before
+    * committing a 100 TB pass. Composes the two already-exact operators and
+    * reduces to ONE row (three count aggregates + a cross join of 1-row
+    * frames); at scale the inputs are the sampled corpus, so every stage is
+    * the sampled-size cost. Recall is against truth pairs, precision against
+    * emitted candidates; both NULL when their denominator is empty. */
+  def lshQualityReport(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, bandRows: Int = 2,
+                       shingleN: Int = 2, threshold: Double = 0.2): DataFrame = {
+    val cand = minhashLshCandidates(docs, idCol, textCol, numHashes, bandRows, shingleN)
+    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN, threshold)
+      .select("doc_a", "doc_b")
+    val hits = cand.intersect(truth)
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nh = hits.agg(count(lit(1)).as("n_hits"))
+    nc.crossJoin(nt).crossJoin(nh).select(
+      col("n_candidates"), col("n_true"), col("n_hits"),
+      when(col("n_candidates") === 0, lit(null).cast("double"))
+        .otherwise(round(col("n_hits").cast("double") / col("n_candidates"), 6))
+        .as("precision"),
+      when(col("n_true") === 0, lit(null).cast("double"))
+        .otherwise(round(col("n_hits").cast("double") / col("n_true"), 6))
+        .as("recall"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for all pairs with jaccard >=
     * threshold. Adaptive physical strategy, same results either way:
     *

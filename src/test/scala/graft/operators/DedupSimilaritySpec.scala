@@ -169,4 +169,20 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("vec_id", "ivf_list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b)
   }
+
+  test("lshQualityReport: exact dups always hit (recall 1 on an all-dup truth set)") {
+    // truth at threshold 1.0 = the exact-dup pair (1,2) only; identical docs
+    // share every band, so LSH always surfaces them: recall must be 1.0
+    val r = Dedup.lshQualityReport(docs, "doc_id", "text", threshold = 1.0).head()
+    assert(r.getLong(1) == 1L) // n_true = the (1,2) pair
+    assert(r.getDouble(4) == 1.0) // recall
+    assert(r.getLong(2) <= r.getLong(0)) // hits <= candidates
+  }
+
+  test("lshQualityReport: empty truth/candidates yield NULL ratios, not division blowups") {
+    val lone = Seq((1L, "just one isolated document here")).toDF("doc_id", "text")
+    val r = Dedup.lshQualityReport(lone, "doc_id", "text", threshold = 0.2).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
 }

@@ -73,19 +73,6 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH banding: docs sharing any band (md5 of r consecutive
-    * signature slots) become candidate pairs. Pair generation GROUPS each
-    * (band_idx, band_hash) bucket and emits the a<b combinations from the
-    * sorted member list, rather than self-joining the band table — a band
-    * self-join evaluates the whole signature pipeline (shingle explode + one
-    * md5 per shingle, the dominant cost) once PER SIDE, because exchange
-    * reuse does not fire across the join's two independently-planned
-    * subtrees. Shuffles: signature groupBy, bucket groupBy, pair distinct —
-    * signatures are computed exactly once. Pair volume is identical to the
-    * self-join (sum of bucket-size-choose-2, the LSH candidate set by
-    * definition); a degenerate bucket (e.g. a boilerplate band shared by
-    * millions of docs) is quadratic under EITHER shape — upstream exact
-    * dedup (q29) is the standard guard. bandRows * numBands == numHashes. */
   /** The persistable LSH index rows for a corpus: one (id, band_idx,
     * band_hash) row per document per band. This is what a production
     * pipeline stores (partitioned/bucketed by (band, bh)) so that daily
@@ -105,21 +92,44 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** All a<b pairs of ids sharing a (band, bh) bucket. The band table is
+    * pinned (MEMORY_AND_DISK) and MATERIALIZED before the self-join: the
+    * signature pipeline underneath (shingle explode + one md5 per shingle —
+    * the dominant cost) executes exactly ONCE, where a plain self-join plans
+    * and runs it once per side (exchange reuse never fires across join
+    * subtrees, and with AQE both sides can even race). Joining the pinned
+    * rows keeps every buffer bounded and spillable — no collect_list of a
+    * whole bucket, so a degenerate boilerplate bucket costs quadratic
+    * OUTPUT (inherent to the candidate set) but never an unspillable
+    * mega-row. The cache entry stays for plan reuse; callers running many
+    * corpora through one session reclaim with spark.catalog.clearCache()
+    * (same contract as ngramJaccardPairs' docBits). */
+  private def bucketPairs(bands: DataFrame, idCol: String): DataFrame = {
+    val pinned = bands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count() // materialize so both join sides read the cache
+    bucketPairsPinned(pinned, idCol)
+  }
+
+  /** The self-join half of bucketPairs, for callers that already pinned the
+    * band table (incrementalLshCandidates shares one pin across its probe
+    * and within-batch branches). */
+  private def bucketPairsPinned(pinned: DataFrame, idCol: String): DataFrame = {
+    val a = pinned.select(col(idCol).as("doc_a"), col("band"), col("bh"))
+    val b = pinned.select(col(idCol).as("doc_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash + LSH banding: docs sharing any band (md5 of r consecutive
+    * signature slots) become candidate pairs — bucketPairs over the band
+    * table, signatures computed once. Shuffle volume is docs × bands; only
+    * colliding buckets produce join fan-out, never all pairs.
+    * bandRows * numBands == numHashes. */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 8, bandRows: Int = 2,
-                           shingleN: Int = 2): DataFrame = {
-    val bands = lshBands(docs, idCol, textCol, numHashes, bandRows, shingleN)
-    bands.groupBy("band", "bh")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      // ids is ascending and duplicate-free (one row per doc per band), so
-      // pairing each element with its suffix yields exactly the a<b pairs
-      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
-      .select(col("doc_a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
-          .as("doc_b"))
-      .distinct()
-  }
+                           shingleN: Int = 2): DataFrame =
+    bucketPairs(lshBands(docs, idCol, textCol, numHashes, bandRows, shingleN), idCol)
 
   /** Incremental dedup — the daily-ingest shape at 100 TB: candidate pairs
     * for a NEW batch against an EXISTING corpus whose `lshBands` index is
@@ -136,21 +146,18 @@ object Dedup {
                                index: DataFrame,
                                numHashes: Int = 8, bandRows: Int = 2,
                                shingleN: Int = 2): DataFrame = {
+    // one pin serves the index probe AND the within-batch self-join: the
+    // batch is signed exactly once (same contract as bucketPairs)
     val nb = lshBands(newDocs, idCol, textCol, numHashes, bandRows, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nb.count()
     val oldNew = index.toDF("__old", "band", "bh")
       .join(broadcast(nb.toDF("__new", "band", "bh")), Seq("band", "bh"))
       // re-ingest of an already-indexed id must not emit a self-pair
       .filter(col("__old") =!= col("__new"))
       .select(least(col("__old"), col("__new")).as("doc_a"),
         greatest(col("__old"), col("__new")).as("doc_b"))
-    val newNew = nb.groupBy("band", "bh")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
-      .select(col("doc_a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - lit(1)))
-          .as("doc_b"))
-    oldNew.union(newNew).distinct()
+    oldNew.union(bucketPairsPinned(nb, idCol)).distinct()
   }
 
   /** The ingest decision on top of incrementalLshCandidates: which batch

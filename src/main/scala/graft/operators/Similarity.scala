@@ -224,8 +224,13 @@ object Similarity {
   private final class TopKAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // total order even on NaN (Double.compare, NaN greatest) — the callers
+    // filter NaN out, but a partial order here would silently corrupt the
+    // sorted-buffer invariant for any direct caller that does not
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     def zero: Seq[(Double, Long)] = Vector.empty
     def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
       if (buf.size >= k && !better(x, buf.last)) buf
@@ -263,7 +268,7 @@ object Similarity {
     val filtered = if (excludeSelf) cand.filter(col("__nid") =!= col("probe_id")) else cand
     filtered
       .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
-      .filter(col("cos").isNotNull) // zero-norm vectors have no defined angle
+      .filter(col("cos").isNotNull && !isnan(col("cos"))) // zero-norm / overflowed vectors have no defined angle
       .groupBy(col("probe_id"))
       .agg(topk(col("cos"), col("__nid")).as("__topk"))
       .select(col("probe_id"), posexplode(col("__topk")).as(Seq("__pos", "__nb")))
@@ -297,7 +302,7 @@ object Similarity {
     val filtered = if (excludeSelf) cand.filter(col("__nid") =!= col("probe_id")) else cand
     filtered
       .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
-      .filter(col("cos").isNotNull)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .groupBy(col("probe_id"))
       .agg(topk(col("cos"), col("__nid")).as("__topk"))
       .select(col("probe_id"), posexplode(col("__topk")).as(Seq("__pos", "__nb")))

@@ -56,4 +56,24 @@ object Engine {
       Similarity.bruteForceTopK(
         emb, idCol, vecCol, typedLit(queryVec), k)
   }
+
+  /** Build (or refresh) the persistent near-dup index for a corpus — run
+    * once per corpus, store bucketed by (band, bh); then ingest batches
+    * with [[ingestDedup]] at per-batch cost. */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.lshBands(docs, idCol, textCol)
+
+  /** Per-batch ingest dedup against a stored index: returns the batch docs
+    * that survive (corpus near-dups drop; within-batch dups keep min id).
+    * Append the survivors' lshBands rows to the index after committing. */
+  def ingestDedup(batch: DataFrame, idCol: String, textCol: String,
+                  index: DataFrame): DataFrame =
+    Dedup.incrementalKeep(batch, idCol, textCol, index)
+
+  /** Batch retrieval: every probe row gets its k nearest corpus rows by
+    * cosine (hard-negative mining / retrieval augmentation). */
+  def retrieveKnn(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  probe: DataFrame, probeId: String, probeVec: String,
+                  k: Int): DataFrame =
+    Similarity.knnJoin(corpus, corpusId, corpusVec, probe, probeId, probeVec, k)
 }

@@ -76,6 +76,41 @@ class KnnJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(probe_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("property: heap aggregation == declarative window rank on random corpora") {
+    // the risky part of a hand-rolled Aggregator is merge order under
+    // partitioning; pin it against the declarative row_number reference on
+    // deterministic pseudo-random data WITH planted exact ties, across
+    // different partition counts (different merge trees)
+    val rnd = new scala.util.Random(42)
+    val dims = 8
+    val corpus = (0L until 200L).map { i =>
+      // every 4th vector duplicates its predecessor -> exact cosine ties
+      if (i % 4 == 3) (i, lastVec) else { lastVec = Array.fill(dims)(rnd.nextFloat() - 0.3f); (i, lastVec) }
+    }.toDF("vec_id", "embedding")
+    val probe = corpus.filter(col("vec_id") % 40 === 0)
+    for (parts <- Seq(1, 7, 32)) {
+      val c = corpus.repartition(parts)
+      val got = Similarity.knnJoin(c, "vec_id", "embedding",
+        probe, "vec_id", "embedding", k = 7, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2))).toSet
+      val cand = c.crossJoin(broadcast(probe.select(col("vec_id").as("probe_id"),
+          col("embedding").as("pv"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(graft.functions.VectorFunctions.cosine(
+          col("embedding"), col("pv")), 6))
+        .filter(col("cos").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      val ref = cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 7)
+        .collect().map(r => (r.getLong(r.fieldIndex("probe_id")),
+          r.getLong(r.fieldIndex("rank")), r.getLong(r.fieldIndex("vec_id")),
+          r.getDouble(r.fieldIndex("cos")))).toSet
+      assert(got == ref, s"parts=$parts")
+    }
+  }
+  private var lastVec: Array[Float] = Array.fill(8)(0.1f)
+
   test("ivfKnnJoin agrees with brute force restricted to shared-list candidates") {
     val cents = Similarity.hyperplanes(2, 2)
     val assigned = Similarity.ivfAssign(

@@ -329,4 +329,96 @@ object TextStats {
         size(chunk).cast("long").as("n_tokens"),
         md5(concat_ws(" ", chunk)).as("chunk_hash"))
   }
+
+  /** One BPE merge applied to a segmentation, left-to-right non-overlapping —
+    * the reference semantics of Sennrich et al. 2016's merge step. */
+  private[operators] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE tokenizer TRAINING (Sennrich, Haddow & Birch 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `numMerges` merge
+    * rules from the corpus. ONE corpus pass builds the word-frequency dict —
+    * the classical BPE training set, bounded by VOCABULARY size, not corpus
+    * size, so at 100 TB the iteration runs over a table of unique words with
+    * map-side-combined counts, never the corpus. Each round is one
+    * distributed aggregation over the dict (adjacent symbol pairs weighted
+    * by word freq), a 1-ROW driver pick of the global best pair (count desc,
+    * then lexicographic (left, right) — fully deterministic), and a narrow
+    * rewrite of the segmentations; rounds are pinned through InternalRow
+    * RDDs (O(1) plan, previous round's blocks freed — the resolveClusters
+    * loop discipline). Words carry the Sennrich end-of-word marker "</w>" as
+    * a separate final symbol. Stops early when no pair occurs twice.
+    * Returns the ordered merge table (rank, left, right, pair_count). */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val explodeSyms = udf((w: String) => w.split("").toSeq :+ "</w>")
+    def pin(df: DataFrame) =
+      org.apache.spark.sql.GraftBridge.pinInternal(df, StorageLevel.MEMORY_AND_DISK)
+    var (words, wordsRdd) = pin(
+      docs.select(explode(TF.tokens(col(textCol))).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as("freq"))
+        .select(explodeSyms(col("__w")).as("syms"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairs = words
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+      // the global argmax is ONE row — the only driver materialization
+      val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val applyMerge = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
+        val (next, nextRdd) = pin(words.select(applyMerge(col("syms")).as("syms"), col("freq")))
+        next.count() // materialize before freeing the previous round
+        wordsRdd.unpersist(blocking = false)
+        words = next
+        wordsRdd = nextRdd
+        rank += 1
+      }
+    }
+    wordsRdd.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** BPE ENCODE with a learned merge table: tokenize, split to chars +
+    * "</w>", replay the merges in rank order, count the resulting subword
+    * units per document. The merge list is a driver-side constant shipped in
+    * the closure (vocabulary-bounded by construction); the encode itself is
+    * one narrow scan — no shuffle, corpus-scale safe. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges.toIndexedSeq
+    val enc = udf((text: String) => {
+      val toks =
+        if (text == null || text.trim.isEmpty) Seq.empty[String]
+        else text.trim.split("\\s+").toSeq
+      var total = 0L
+      toks.foreach { w =>
+        var syms: Seq[String] = w.split("").toSeq :+ "</w>"
+        ms.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
+        total += syms.length
+      }
+      total
+    })
+    docs.select(col(idCol), enc(col(textCol)).as("n_bpe_tokens"))
+  }
 }

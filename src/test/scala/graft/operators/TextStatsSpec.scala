@@ -270,4 +270,34 @@ class TextStatsSpec extends SparkSpec {
     assert(out(5L)._4 == 0)                     // 10 symbols / 35 words > 0.1
     assert(out(6L)._5 == 0)
   }
+
+  test("bpeTrain learns the classic Sennrich merges in deterministic order") {
+    // word freqs: low:5 lower:2 newest:6 widest:3 — the paper's worked
+    // example. (e,s)/(s,t)/(t,</w>) all count 9; lexicographic tie-break
+    // picks (e,s) first, then (es,t), then (est,</w>), then the l-o chain.
+    val docs = Seq((1L, Array.fill(5)("low").mkString(" ")),
+      (2L, "lower lower"),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(docs, "doc_id", "text", numMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("bpeTrain stops early when no pair repeats; bpeEncode replays merges") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text") // every pair count 1
+    assert(TextStats.bpeTrain(tiny, "doc_id", "text", numMerges = 10).count() == 0)
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
+    val enc = TextStats.bpeEncode(
+      Seq((1L, "newest low"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // newest -> n,e,w,est</w> (4); low -> low,</w> (2)
+    assert(enc(1L) == 6L)
+    assert(enc(2L) == 0L && enc(3L) == 0L)
+  }
 }

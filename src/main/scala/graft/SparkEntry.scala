@@ -1030,6 +1030,23 @@ object SparkEntry {
         .select("doc_id")
     }, Some(TextOracle.incrementalKeepSql(numHashes = 8, bandRows = 2, mod = 10))),
 
+    Q("q89_weighted_sample", (s, dir) =>
+      // quality-weighted corpus subsampling: inclusion probability
+      // proportional to doc length, expectation ~500 docs. Pure IEEE
+      // arithmetic on an md5 coin — no pow/ln whose libm rounding diverges
+      graft.operators.Sampling.weightedSample(
+        T(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), targetK = 500),
+      Some("""
+      WITH tot AS (
+        SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS W
+        FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0)
+      SELECT doc_id, n_chars
+      FROM documents, tot
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+        AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+            < LEAST(1.0, (500.0 * CAST(n_chars AS DOUBLE)) / W) * 4294967296.0""")),
+
     Q("q88_lsh_quality", (s, dir) =>
       // the banding-tuning measurement: LSH candidate precision/recall vs
       // exact-Jaccard truth — run on a sample before a full corpus pass

@@ -4,6 +4,7 @@ import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Dataset-assembly operators for training pipelines: deterministic splits
   * and context-window packing. Everything is hash- or key-derived — no
@@ -28,6 +29,36 @@ object Sampling {
       .foldLeft(lit(cuts.last._1)) { case (acc, (name, upTo)) =>
         when(bucket < upTo, lit(name)).otherwise(acc)
       }
+  }
+
+  /** Deterministic WEIGHTED sampling (Poisson/Bernoulli form): keep each row
+    * independently with probability p_i = min(1, targetK·w_i / W), giving an
+    * expected sample size of ~targetK with inclusion probability
+    * proportional to weight — the corpus-subsampling primitive behind
+    * quality-weighted data mixing. The coin is the row id's md5 (stable
+    * under reruns, growth-independent per id); the inclusion test compares
+    * the 32-bit hash integer against p_i·2³² using only IEEE +,·,/ (exactly
+    * rounded, hence bit-identical in any engine — deliberately NO pow/ln,
+    * whose libm rounding differs across engines; the expectation-exact
+    * tradeoff is the same one mixtureBalance documents). W is the exact
+    * DECIMAL weight total cast to double once, broadcast as a 1-row frame —
+    * one partial-agg pass plus one scan, no shuffle of the corpus. Rows
+    * with null/non-positive weight are excluded. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     targetK: Long): DataFrame = {
+    require(targetK >= 1, s"targetK must be >= 1, got $targetK")
+    val w = weightCol.cast("double")
+    // NaN sorts ABOVE every double in Spark comparisons, so `> 0.0` alone
+    // would admit NaN weights (and a NaN coin threshold admits every row)
+    val totals = df.select(w.as("__w"))
+      .filter(col("__w").isNotNull && !isnan(col("__w")) && col("__w") > 0.0)
+      .agg(sum(col("__w").cast(DecimalType(38, 6))).cast("double").as("__W"))
+    df.filter(w.isNotNull && !isnan(w) && w > 0.0)
+      .crossJoin(broadcast(totals))
+      .withColumn("__p", least(lit(1.0), lit(targetK.toDouble) * w / col("__W")))
+      .filter(TF.md5Prefix32(col(idCol).cast("string")).cast("double") <
+        col("__p") * lit(4294967296.0))
+      .drop("__W", "__p")
   }
 
   /** Stratified top-fraction sampling: within each stratum keep the best

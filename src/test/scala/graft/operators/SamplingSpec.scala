@@ -87,4 +87,28 @@ class SamplingSpec extends SparkSpec {
     assert(sharded.groupBy("shard").agg(min(col("bin")).as("m"))
       .collect().forall(_.getLong(1) == 0L))
   }
+
+  test("weightedSample: deterministic, weight-proportional, p=1 rows always kept") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 1.0 else 9.0)) ++
+      Seq((3000L, 0.0), (3001L, -5.0), (3002L, Double.NaN))
+    val df = rows.toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", col("w"), targetK = 200)
+      .collect().map(_.getLong(0)).toSet
+    // reruns are identical (md5 coin, no RNG)
+    val again = Sampling.weightedSample(df, "id", col("w"), targetK = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+    // zero/negative/NaN weights never sampled
+    assert(!kept.contains(3000L) && !kept.contains(3001L) && !kept.contains(3002L))
+    // heavy rows are ~9x more likely: expected ~20 light, ~180 heavy
+    val light = kept.count(_ <= 1000L)
+    val heavy = kept.count(i => i > 1000L && i <= 2000L)
+    assert(light >= 5 && light <= 45, s"light=$light")
+    assert(heavy >= 130 && heavy <= 230, s"heavy=$heavy")
+    // a row whose weight >= W/k has p=1 and must ALWAYS be present
+    val whale = df.union(Seq((5000L, 1e9)).toDF("id", "w"))
+    assert(Sampling.weightedSample(whale, "id", col("w"), targetK = 10)
+      .filter(col("id") === 5000L).count() == 1)
+  }
 }

@@ -1030,6 +1030,20 @@ object SparkEntry {
         .select("doc_id")
     }, Some(TextOracle.incrementalKeepSql(numHashes = 8, bandRows = 2, mod = 10))),
 
+    Q("q90_decontaminate", (s, dir) => {
+      // the decontamination TRANSFORM (q53 is the report): drop every
+      // training doc containing any benchmark doc above threshold — one
+      // anti-join on the flagged ids, corpus scanned once more
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val flagged = Dedup.containmentPairs(
+        corpus = corpus, probe = docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 2, threshold = 0.2)
+        .select(col("corpus_id").as("doc_id")).distinct()
+      corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }, Some(TextOracle.decontaminateSql(0.2))),
+
     Q("q89_weighted_sample", (s, dir) =>
       // quality-weighted corpus subsampling: inclusion probability
       // proportional to doc length, expectation ~500 docs. Pure IEEE

@@ -153,6 +153,23 @@ object TextOracle {
     FROM i JOIN pn USING (probe_id)
     WHERE round(CAST(inter AS DOUBLE) / n_p, 6) >= $threshold"""
 
+  /** Decontamination TRANSFORM oracle: the training corpus minus every doc
+    * whose containment of ANY probe (benchmark) doc reaches the threshold —
+    * containmentSql's CTEs plus the anti-join. */
+  def decontaminateSql(threshold: Double): String = s"""
+    WITH $shingleCte,
+    cs AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
+    ps AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 10 = 0),
+    pn AS (SELECT probe_id, COUNT(*) AS n_p FROM ps GROUP BY probe_id),
+    i AS (SELECT corpus_id, probe_id, COUNT(*) AS inter
+          FROM cs JOIN ps ON cs.s = ps.s GROUP BY corpus_id, probe_id),
+    contaminated AS (
+      SELECT DISTINCT corpus_id
+      FROM i JOIN pn USING (probe_id)
+      WHERE round(CAST(inter AS DOUBLE) / n_p, 6) >= $threshold)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM contaminated)"""
+
   /** Transitive-closure labeling over cand(doc_a, doc_b) → lbl(id,
     * cluster_id) — ONE transcription of the min-label connected-components
     * scheme, shared by q54 and the q75 pipeline composition. Requires a

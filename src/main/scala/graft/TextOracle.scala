@@ -139,15 +139,20 @@ object TextOracle {
     sim AS (SELECT doc_id, $shExpr AS simhash FROM v)"""
   }
 
-  /** Cross-corpus containment: corpus = doc_id % 10 <> 0, probe = % 10 = 0,
-    * containment = |corpus ∩ probe| / |probe| over distinct bigram shingles. */
-  def containmentSql(threshold: Double): String = s"""
-    WITH $shingleCte,
+  /** CTE chain ending in i(corpus_id, probe_id, inter) + pn(probe_id, n_p) —
+    * ONE transcription of the containment split/count scheme, shared by the
+    * q53 report and the q90 transform so they can never desync. */
+  private val containmentCtes: String = s"""$shingleCte,
     cs AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
     ps AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 10 = 0),
     pn AS (SELECT probe_id, COUNT(*) AS n_p FROM ps GROUP BY probe_id),
     i AS (SELECT corpus_id, probe_id, COUNT(*) AS inter
-          FROM cs JOIN ps ON cs.s = ps.s GROUP BY corpus_id, probe_id)
+          FROM cs JOIN ps ON cs.s = ps.s GROUP BY corpus_id, probe_id)"""
+
+  /** Cross-corpus containment: corpus = doc_id % 10 <> 0, probe = % 10 = 0,
+    * containment = |corpus ∩ probe| / |probe| over distinct bigram shingles. */
+  def containmentSql(threshold: Double): String = s"""
+    WITH $containmentCtes
     SELECT corpus_id, probe_id,
            round(CAST(inter AS DOUBLE) / n_p, 6) AS containment
     FROM i JOIN pn USING (probe_id)
@@ -157,12 +162,7 @@ object TextOracle {
     * whose containment of ANY probe (benchmark) doc reaches the threshold —
     * containmentSql's CTEs plus the anti-join. */
   def decontaminateSql(threshold: Double): String = s"""
-    WITH $shingleCte,
-    cs AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 10 <> 0),
-    ps AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 10 = 0),
-    pn AS (SELECT probe_id, COUNT(*) AS n_p FROM ps GROUP BY probe_id),
-    i AS (SELECT corpus_id, probe_id, COUNT(*) AS inter
-          FROM cs JOIN ps ON cs.s = ps.s GROUP BY corpus_id, probe_id),
+    WITH $containmentCtes,
     contaminated AS (
       SELECT DISTINCT corpus_id
       FROM i JOIN pn USING (probe_id)

@@ -43,7 +43,8 @@ object Sampling {
     * tradeoff is the same one mixtureBalance documents). W is the exact
     * DECIMAL weight total cast to double once, broadcast as a 1-row frame —
     * one partial-agg pass plus one scan, no shuffle of the corpus. Rows
-    * with null/non-positive weight are excluded. */
+    * with null/NaN/non-positive weight are excluded; so are rows with a
+    * null id (no id, no coin — the null comparison is never true). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      targetK: Long): DataFrame = {
     require(targetK >= 1, s"targetK must be >= 1, got $targetK")

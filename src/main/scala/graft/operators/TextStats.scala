@@ -356,12 +356,17 @@ object TextStats {
     * loop discipline). Words carry the Sennrich end-of-word marker "</w>" as
     * a separate final symbol. Stops early when no pair occurs twice.
     * Returns the ordered merge table (rank, left, right, pair_count). */
-  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-               numMerges: Int): DataFrame = {
+  /** The train/encode contract for a word's initial segmentation: one symbol
+    * per character plus the Sennrich end-of-word marker as a separate final
+    * symbol. Shared so train and encode can never disagree. */
+  private[operators] def toSyms(w: String): Seq[String] =
+    w.split("").toSeq :+ "</w>"
+
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import org.apache.spark.storage.StorageLevel
-    val explodeSyms = udf((w: String) => w.split("").toSeq :+ "</w>")
+    val explodeSyms = udf((w: String) => toSyms(w))
     def pin(df: DataFrame) =
       org.apache.spark.sql.GraftBridge.pinInternal(df, StorageLevel.MEMORY_AND_DISK)
     var (words, wordsRdd) = pin(
@@ -385,13 +390,17 @@ object TextStats {
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, n))
-        val applyMerge = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
-        val (next, nextRdd) = pin(words.select(applyMerge(col("syms")).as("syms"), col("freq")))
-        next.count() // materialize before freeing the previous round
-        wordsRdd.unpersist(blocking = false)
-        words = next
-        wordsRdd = nextRdd
         rank += 1
+        // the rewrite only feeds the NEXT round's pair count — skip it after
+        // the final accepted merge (a whole dict pass on large numMerges)
+        if (rank < numMerges) {
+          val applyMerge = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
+          val (next, nextRdd) = pin(words.select(applyMerge(col("syms")).as("syms"), col("freq")))
+          next.count() // materialize before freeing the previous round
+          wordsRdd.unpersist(blocking = false)
+          words = next
+          wordsRdd = nextRdd
+        }
       }
     }
     wordsRdd.unpersist(blocking = false)
@@ -399,26 +408,41 @@ object TextStats {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
-  /** BPE ENCODE with a learned merge table: tokenize, split to chars +
-    * "</w>", replay the merges in rank order, count the resulting subword
-    * units per document. The merge list is a driver-side constant shipped in
-    * the closure (vocabulary-bounded by construction); the encode itself is
-    * one narrow scan — no shuffle, corpus-scale safe. */
+  /** BPE ENCODE with a learned merge table: tokenize, split each word via
+    * [[toSyms]], replay the merges in rank order, count the resulting
+    * subword units per document. The merge list is a driver-side constant
+    * shipped in the closure (vocabulary-bounded by construction); the
+    * encode is one narrow scan — no shuffle. Repeated words resolve from a
+    * per-partition memo (Zipf makes the hit rate extreme), so the
+    * merge-replay cost is per DISTINCT word per partition, not per
+    * occurrence. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
     val ms = merges.toIndexedSeq
-    val enc = udf((text: String) => {
-      val toks =
-        if (text == null || text.trim.isEmpty) Seq.empty[String]
-        else text.trim.split("\\s+").toSeq
-      var total = 0L
-      toks.foreach { w =>
-        var syms: Seq[String] = w.split("").toSeq :+ "</w>"
-        ms.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
-        total += syms.length
+    import docs.sparkSession.implicits._
+    val encoded = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Long]()
+        it.map { case (id, text) =>
+          val toks =
+            if (text == null || text.trim.isEmpty) Seq.empty[String]
+            else text.trim.split("\\s+").toSeq
+          var total = 0L
+          toks.foreach { w =>
+            val nUnits =
+              if (memo.containsKey(w)) memo.get(w)
+              else {
+                var syms: Seq[String] = toSyms(w)
+                ms.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
+                memo.put(w, syms.length.toLong)
+                syms.length.toLong
+              }
+            total += nUnits
+          }
+          (id, total)
+        }
       }
-      total
-    })
-    docs.select(col(idCol), enc(col(textCol)).as("n_bpe_tokens"))
+    encoded.toDF(idCol, "n_bpe_tokens")
   }
 }

@@ -279,7 +279,7 @@ class TextStatsSpec extends SparkSpec {
       (2L, "lower lower"),
       (3L, Array.fill(6)("newest").mkString(" ")),
       (4L, "widest widest widest")).toDF("doc_id", "text")
-    val m = TextStats.bpeTrain(docs, "doc_id", "text", numMerges = 5)
+    val m = TextStats.bpeTrain(docs, "text", numMerges = 5)
       .orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq == Seq(
@@ -289,7 +289,7 @@ class TextStatsSpec extends SparkSpec {
 
   test("bpeTrain stops early when no pair repeats; bpeEncode replays merges") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text") // every pair count 1
-    assert(TextStats.bpeTrain(tiny, "doc_id", "text", numMerges = 10).count() == 0)
+    assert(TextStats.bpeTrain(tiny, "text", numMerges = 10).count() == 0)
     val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"))
     val enc = TextStats.bpeEncode(
       Seq((1L, "newest low"), (2L, ""), (3L, null.asInstanceOf[String]))

@@ -1104,6 +1104,53 @@ object SparkEntry {
         k = 5, Similarity.hyperplanes(4, 64), excludeSelf = true)
     }, Some(TextOracle.ivfKnnJoinSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
 
+    Q("q91_salted_join", (s, dir) => {
+      // skew-mitigated join: the hot-key straggler killer at 100 TB. The
+      // large side scatters each supp key over 8 salts, supplier replicates
+      // 8x; the oracle is the PLAIN join — salting must be plan-only
+      Relational.saltedJoin(
+        T(s, dir, "lineitem"), T(s, dir, "supplier"),
+        largeKey = "l_suppkey", smallKey = "s_suppkey",
+        scatterBy = xxhash64(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT s_nationkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey""")),
+
+    Q("q92_semantic_decontaminate", (s, dir) => {
+      // q90's semantic twin: drop corpus vectors within cosine 0.35 of any
+      // benchmark vector — catches paraphrased leakage n-gram overlap misses
+      val emb = T(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(
+        corpus = emb.filter(col("vec_id") % 20 =!= 0),
+        benchmark = emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+        .select("vec_id", "label")
+    }, Some(TextOracle.semanticDecontaminateSql(threshold = 0.35, mod = 20))),
+
+    Q("q93_block_dedup", (s, dir) =>
+      // paragraph-level dedup with doc rebuild (RefinedWeb-style), at fixed
+      // 8-token block granularity since the corpus has no paragraph breaks
+      Dedup.blockDedup(T(s, dir, "documents"), "doc_id", "text", blockWords = 8),
+      Some("""
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      blocks AS (
+        SELECT doc_id, blk, array_to_string(ws[(blk*8+1):(blk*8+8)], ' ') AS block
+        FROM (SELECT doc_id, ws,
+                     unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS blk
+              FROM words)),
+      canon AS (
+        SELECT doc_id, blk, block,
+               row_number() OVER (PARTITION BY block ORDER BY doc_id, blk) AS rn
+        FROM blocks)
+      SELECT doc_id, string_agg(block, ' ' ORDER BY blk) AS text_dedup
+      FROM canon WHERE rn = 1 GROUP BY doc_id""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

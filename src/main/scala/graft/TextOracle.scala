@@ -238,6 +238,19 @@ object TextOracle {
     FROM embeddings, q WHERE vec_id <> 0
     ORDER BY cos DESC, vec_id LIMIT $k"""
 
+  /** q92: corpus rows (vec_id % mod <> 0) surviving semantic decontamination
+    * against the benchmark split (vec_id % mod = 0) — NOT EXISTS mirrors the
+    * left-anti join; NULL cosine (zero norm) fails the predicate both sides. */
+  def semanticDecontaminateSql(threshold: Double, mod: Int): String = s"""
+    SELECT c.vec_id, c.label
+    FROM embeddings c
+    WHERE c.vec_id % $mod <> 0 AND NOT EXISTS (
+      SELECT 1 FROM embeddings b
+      WHERE b.vec_id % $mod = 0
+        AND round(${dotExpr("c.embedding", "b.embedding")}
+                  / (sqrt(${dotExpr("c.embedding", "c.embedding")})
+                     * sqrt(${dotExpr("b.embedding", "b.embedding")})), 6) >= $threshold)"""
+
   def nearDupSql(threshold: Double): String = s"""
     WITH p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

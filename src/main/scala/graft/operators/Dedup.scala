@@ -629,4 +629,68 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Embedding-space decontamination: drop every corpus row whose vector lies
+    * within cosine >= threshold of ANY benchmark vector — the semantic twin of
+    * the n-gram containment transform (q90), catching paraphrased benchmark
+    * leakage that token overlap misses.
+    *
+    * Scale shape: benchmark sets are eval suites (10^3–10^5 rows), bounded by
+    * construction, so the benchmark side BROADCASTS at any corpus size; the
+    * corpus is scanned exactly once through one broadcast anti-join (per-row
+    * work = |benchmark| codegen'd dot products, embarrassingly parallel, no
+    * corpus shuffle at all). Zero-norm vectors yield NULL cosine, which fails
+    * the predicate — they are never flagged, mirroring SQL NOT EXISTS. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val bench = benchmark.select(col(vecCol).as("__bv"),
+      sqrt(VF.dot(col(vecCol), col(vecCol))).as("__bn"))
+    val contaminated = round(
+      when(col("__cn") === 0.0 || col("__bn") === 0.0, lit(null).cast("double"))
+        .otherwise(VF.dot(col(vecCol), col("__bv")) / (col("__cn") * col("__bn"))),
+      6) >= threshold
+    corpus
+      .withColumn("__cn", sqrt(VF.dot(col(vecCol), col(vecCol))))
+      .join(broadcast(bench), contaminated, "left_anti")
+      .drop("__cn")
+  }
+
+  /** Paragraph-level exact dedup with document rebuild (the RefinedWeb /
+    * MassiveText repetition-removal shape): split each doc into contiguous
+    * `blockWords`-token blocks, keep only the CANONICAL occurrence of each
+    * distinct block — the least (doc, blockIdx) — and reassemble documents
+    * from their surviving blocks in original order. Docs whose every block is
+    * a non-canonical duplicate vanish entirely. The synthetic corpus carries
+    * no newline/paragraph delimiters, so blocks are fixed token windows; with
+    * real paragraph breaks, substitute `split(text, "\n\n")` for the windower
+    * and the rest of the plan is unchanged.
+    *
+    * Scale shape: two shuffles, both partial-agg'd and skew-safe — (1) groupBy
+    * the block text with min(struct(doc, idx)): map-side combine collapses a
+    * block duplicated 10^6 times to one row per map partition BEFORE the
+    * exchange (this is why it's an aggregate, not a window rank: WindowExec
+    * would haul every duplicate occurrence to one reducer); (2) groupBy doc to
+    * reassemble — bounded by blocks-per-doc. No join back: the aggregate's
+    * min-struct already carries everything the rebuild needs. */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+                 blockWords: Int): DataFrame = {
+    require(blockWords > 0, s"blockWords must be positive, got $blockWords")
+    val ws = split(col(textCol), " ")
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), ws.as("__ws"))
+      .withColumn("blk", explode(sequence(lit(0),
+        ceil(size(col("__ws")) / lit(blockWords.toDouble)).cast("int") - 1)))
+      .select(col("doc_id"), col("blk"),
+        array_join(slice(col("__ws"), col("blk") * blockWords + 1, lit(blockWords)), " ")
+          .as("block"))
+    blocks
+      .groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("blk"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.blk").as("blk"), col("block"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("blk"), col("block")))),
+          x => x("block")), " ").as("text_dedup"))
+  }
 }

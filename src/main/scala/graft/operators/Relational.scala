@@ -200,4 +200,35 @@ object Relational {
       .select(col("__newid").cast(idType).as(idCol), col(nameCol))
     dim.select(col(idCol), col(nameCol)).unionByName(created)
   }
+
+  /** Skew-mitigated equi-join (salting). A shuffle join hash-partitions on the
+    * key, so one hot key (a viral doc id, a default/sentinel value) lands its
+    * entire row population on ONE reducer — the canonical straggler at 100 TB.
+    * AQE's skew-join split only fires for sort-merge joins over recorded skew;
+    * salting is the explicit, always-on form: the large side scatters each key
+    * over `salts` sub-keys by hashing `scatterBy` (any per-row expression —
+    * a unique id gives the evenest spread), the small side REPLICATES each row
+    * to all `salts` sub-keys, and the join runs on (key, salt). Results are
+    * exactly the plain join's: every (large, small) key match still meets on
+    * precisely one salt. Cost: |small| × salts replication — keep `small`
+    * dimension-sized; the large side is never replicated.
+    *
+    * Inner and left-outer semantics are supported (the salted small side
+    * matches iff the unsalted one would, so left rows survive identically). */
+  def saltedJoin(large: DataFrame, small: DataFrame, largeKey: String,
+                 smallKey: String, scatterBy: Column, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val saltedLarge = large.withColumn("__salt", pmod(xxhash64(scatterBy), lit(salts)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(lit((0 until salts).toArray)))
+    saltedLarge
+      .join(saltedSmall,
+        saltedLarge(largeKey) === saltedSmall(smallKey) &&
+          saltedLarge("__salt") === saltedSmall("__salt"), joinType)
+      .drop(saltedSmall("__salt")).drop(saltedLarge("__salt"))
+      .drop(saltedSmall(smallKey))
+  }
 }

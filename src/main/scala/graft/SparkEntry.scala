@@ -1151,6 +1151,66 @@ object SparkEntry {
       SELECT doc_id, string_agg(block, ' ' ORDER BY blk) AS text_dedup
       FROM canon WHERE rn = 1 GROUP BY doc_id""")),
 
+    Q("q94_blocklist_filter", (s, dir) =>
+      // C4-style bad-word page drop: the list rides the plan as a literal —
+      // one codegen'd scan, no shuffle ('nsfw' shows absent terms are inert)
+      graft.operators.TextStats.blocklistFilter(
+        T(s, dir, "documents"), "text", blocked = Seq("dup", "nsfw"))
+        .select("doc_id", "source"),
+      Some("""
+      SELECT doc_id, source FROM documents
+      WHERE NOT list_has_any(
+        CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(text), '\s+') END,
+        ['dup', 'nsfw'])""")),
+
+    Q("q95_rank_suite", (s, dir) => {
+      // the analytic ranking family beyond row_number: percent_rank /
+      // cume_dist / ntile, one exchange on the partition key, total order
+      // (price, key) so every rank is engine-exact
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             CAST(ntile(4) OVER w AS INT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""")),
+
+    Q("q96_random_projection", (s, dir) =>
+      // JL dim reduction 64->16 with a deterministic ±1 sign matrix: the
+      // scale lever for every embedding op (4x fewer dot flops and shuffle
+      // bytes, distances preserved within (1±ε)). One exchange-free scan
+      Similarity.randomProjection(T(s, dir, "embeddings"), "vec_id", "embedding",
+        outDims = 16, dims = 64),
+      Some(TextOracle.randomProjectionSql(outDims = 16, dims = 64))),
+
+    Q("q97_ann_recall", (s, dir) => {
+      // the measurement every ANN deployment needs before trusting q84 over
+      // q83: recall@k of the IVF-blocked join vs brute-force truth, one row.
+      // hits/truth is one exact-integer division — engine-identical double
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.knnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, excludeSelf = true)
+        .select("probe_id", "neighbor_id")
+      val approx = Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5,
+        Similarity.hyperplanes(4, 64), excludeSelf = true)
+        .select("probe_id", "neighbor_id").withColumn("__hit", lit(1))
+      truth.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("total_hits"))
+        .withColumn("recall",
+          round(col("total_hits").cast("double") / col("n_truth"), 6))
+    }, Some(TextOracle.annRecallSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -238,6 +238,78 @@ object TextOracle {
     FROM embeddings, q WHERE vec_id <> 0
     ORDER BY cos DESC, vec_id LIMIT $k"""
 
+  /** q96: JL random projection with the ±1 sign matrix (sign of the
+    * `hyperplanes` weight = nibble >= 8). ±1 multiplies are exact in IEEE and
+    * both engines fold the sum left-to-right, so components are bit-identical
+    * before round(6). */
+  def randomProjectionSql(outDims: Int, dims: Int): String = {
+    def signSql(p: Int, d: Int): String =
+      s"(CASE WHEN CAST(('0x' || substr(md5('${p}_$d'), 1, 1)) AS INT) >= 8 THEN 1.0 ELSE -1.0 END)"
+    def signDot(p: Int): String =
+      (0 until dims).map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${signSql(p, d)}")
+        .mkString(" + ")
+    val comps = (0 until outDims)
+      .map(p => s"round((${signDot(p)}) / sqrt(CAST($outDims AS DOUBLE)), 6)")
+      .mkString(",\n           ")
+    s"""
+    SELECT vec_id, [$comps] AS proj
+    FROM embeddings"""
+  }
+
+  /** q97: recall of the IVF-blocked kNN join (q84) against brute-force truth
+    * (q83) — one summary row. total_hits/n_truth is a single division of
+    * exact integers, so the double is engine-identical before round(6). */
+  def annRecallSql(k: Int, nLists: Int, dims: Int, probeMod: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * (${planeDotSql("embedding", i, dims)}) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, embedding, $d2
+      FROM embeddings),
+    a AS (SELECT vec_id, embedding, CASE $cases END AS ivf_list FROM d),
+    probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv, ivf_list
+      FROM a WHERE vec_id % $probeMod = 0),
+    tcand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> p.probe_id),
+    truth AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM tcand WHERE cos IS NOT NULL),
+    acand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM a e JOIN probe p ON e.ivf_list = p.ivf_list
+      WHERE e.vec_id <> p.probe_id),
+    approx AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM acand WHERE cos IS NOT NULL),
+    t AS (SELECT probe_id, vec_id FROM truth WHERE rn <= $k),
+    ap AS (SELECT probe_id, vec_id FROM approx WHERE rn <= $k)
+    SELECT COUNT(*) AS n_truth,
+           CAST(SUM(CASE WHEN ap.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_hits,
+           round(CAST(SUM(CASE WHEN ap.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM t LEFT JOIN ap ON t.probe_id = ap.probe_id AND t.vec_id = ap.vec_id"""
+  }
+
   /** q92: corpus rows (vec_id % mod <> 0) surviving semantic decontamination
     * against the benchmark split (vec_id % mod = 0) — NOT EXISTS mirrors the
     * left-anti join; NULL cosine (zero norm) fails the predicate both sides. */

@@ -75,12 +75,34 @@ object Similarity {
       .select("id_a", "id_b", "cos").distinct()
   }
 
+  /** Johnson-Lindenstrauss random projection with a deterministic ±1 sign
+    * matrix (Achlioptas, "Database-friendly random projections", 2001): out
+    * component p = Σ_d x_d·s(p,d) / √outDims, where s(p,d) is the SIGN of the
+    * md5-derived `hyperplanes` weight — engine-reproducible, no RNG, and the
+    * ±1 multiplies are exact in IEEE so both engines fold identical doubles.
+    *
+    * The scale story for every downstream embedding op: a 64→16 projection
+    * cuts dot-product cost and shuffle bytes 4× while JL preserves pairwise
+    * distances within (1±ε). Plan shape: one narrow codegen'd scan — the sign
+    * matrix is literals in the plan, nothing is broadcast or shuffled. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int, dims: Int): DataFrame = {
+    require(outDims > 0, s"outDims must be positive, got $outDims")
+    val signs = hyperplanes(outDims, dims).map(_.map(w => if (w >= 0) 1.0 else -1.0))
+    val scale = math.sqrt(outDims.toDouble)
+    val comps = signs.map(s => round(VF.dot(col(vecCol), typedLit(s)) / lit(scale), 6))
+    emb.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (small, broadcast as literals); probing = scoring only the
     * lists of the closest nprobe centroids. Centroid training is out of scope
     * (k-means over a sample upstream); assignment is the engine-side operator. */
   def ivfAssign(emb: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
                 listCol: String = "ivf_list"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must not be empty")
+    // single centroid: every vector is in list 0 (least() needs >1 args)
+    if (centroids.size == 1) return emb.withColumn(listCol, lit(0))
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cc = typedLit(c)
       // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2 via the codegen'd dot product

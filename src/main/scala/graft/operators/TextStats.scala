@@ -32,6 +32,18 @@ object TextStats {
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
 
+  /** C4-style blocklist filter (Raffel et al. 2020 §2.2 drop pages containing
+    * any word on a bad-word list): keep only docs whose token set is disjoint
+    * from `blocked`. The list is bounded by construction (curated wordlists,
+    * 10^2–10^4 entries), so it rides the plan as an array literal — one
+    * codegen'd scan, no shuffle, no broadcast table. NULL text yields NULL
+    * overlap and is dropped, matching SQL three-valued logic on both sides. */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+                      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must not be empty")
+    docs.filter(!arrays_overlap(TF.tokens(col(textCol)), typedLit(blocked)))
+  }
+
   /** Top-k terms per document by TF-IDF (raw term count × ln(N/df)).
     * Shuffle shape: one groupBy(doc, term) for tf, one groupBy(term) for df
     * (both with partial aggs — the hot-term skew of natural text collapses

@@ -1211,6 +1211,18 @@ object SparkEntry {
           round(col("total_hits").cast("double") / col("n_truth"), 6))
     }, Some(TextOracle.annRecallSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
 
+    Q("q98_zorder", (s, dir) =>
+      // Morton z-value: the two-dimensional layout key behind OPTIMIZE
+      // ZORDER — written range-partitioned on z, min/max file stats prune
+      // scans filtered by EITHER part or supplier. Value math is oracled
+      // here; the layout half (range exchange + in-partition sort) is
+      // plan-pinned in LayoutSpec
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue2(col("l_partkey"), col("l_suppkey"), 16)
+          .as("z")),
+      Some(TextOracle.zorderSql(16))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -238,6 +238,19 @@ object TextOracle {
     FROM embeddings, q WHERE vec_id <> 0
     ORDER BY cos DESC, vec_id LIMIT $k"""
 
+  /** q98: Morton z-value over (l_partkey, l_suppkey) — identical bit
+    * interleave as Layout.zValue2, pure integer ops on both engines. */
+  def zorderSql(bits: Int): String = {
+    val z = (0 until bits).flatMap(i => Seq(
+      s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i})",
+      s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
+      .mkString("\n           | ")
+    s"""
+    SELECT l_orderkey, l_linenumber,
+           $z AS z
+    FROM lineitem"""
+  }
+
   /** q96: JL random projection with the ±1 sign matrix (sign of the
     * `hyperplanes` weight = nibble >= 8). ±1 multiplies are exact in IEEE and
     * both engines fold the sum left-to-right, so components are bit-identical

@@ -129,6 +129,44 @@ object Streams {
         })
   }
 
+  /** transformWithState twin of monotoneDedup — the same per-key
+    * high-water-mark semantics on Spark 4's arbitrary-state API
+    * (StatefulProcessor + typed ValueState). What the new API buys at scale
+    * over flatMapGroupsWithState: state lives in named typed stores on the
+    * RocksDB provider (required — the HDFS-backed store doesn't support it),
+    * TTL is per-state-variable config instead of hand-rolled timeout plumbing,
+    * and schema evolution of state is supported across restarts. Kept as a
+    * twin rather than a replacement: the GroupState form runs on any provider,
+    * and parity between the two is pinned in spec. */
+  final class MonotoneHwmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, CdcChange, CdcChange] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var hwm: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hwm = getHandle.getValueState[Double]("hwm",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[CdcChange],
+                                 timers: TimerValues): Iterator[CdcChange] = {
+      val seen = if (hwm.exists()) hwm.get() else Double.MinValue
+      // same batch-internal ordering as monotoneDedup: replays are stable
+      val fresh = rows.toSeq.sortBy(e => (e.ts, e.new_price)).filter(_.ts > seen)
+      val kept = fresh.foldLeft(List.empty[CdcChange] -> seen) {
+        case ((acc, h), e) => if (e.ts > h) (e :: acc, e.ts) else (acc, h)
+      }
+      if (kept._2 > seen) hwm.update(kept._2)
+      kept._1.reverse.iterator
+    }
+  }
+
+  /** ST4/ST9 on the transformWithState API; semantics identical to
+    * monotoneDedup (spec-pinned on the same event sequences). */
+  def monotoneDedupTws(ds: Dataset[CdcChange]): Dataset[CdcChange] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.game_id)
+      .transformWithState(new MonotoneHwmProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** TTL form of monotoneDedup: identical high-water-mark semantics within
     * the retention window, but keys idle past `stateTtl` IN EVENT TIME (the
     * watermark drives eviction, so retention is data-defined and replayable,

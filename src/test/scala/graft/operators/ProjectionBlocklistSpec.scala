@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Round-3 fourth-wave operators: JL random projection, C4 blocklist filter,
@@ -40,9 +39,9 @@ class ProjectionBlocklistSpec extends SparkSpec {
 
   test("blocklistFilter is one exchange-free scan") {
     val docs = Seq((1, "x y"), (2, "z")).toDF("id", "text")
-    val plan = TextStats.blocklistFilter(docs, "text", Seq("z"))
-      .queryExecution.executedPlan
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    val planStr = TextStats.blocklistFilter(docs, "text", Seq("z"))
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), s"expected no exchange:\n$planStr")
   }
 
   // ---- randomProjection -----------------------------------------------------
@@ -89,9 +88,9 @@ class ProjectionBlocklistSpec extends SparkSpec {
 
   test("randomProjection is one exchange-free scan") {
     val emb = Seq((0L, oneHot(0, 8))).toDF("vec_id", "embedding")
-    val plan = Similarity.randomProjection(emb, "vec_id", "embedding", 4, 8)
-      .queryExecution.executedPlan
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    val planStr = Similarity.randomProjection(emb, "vec_id", "embedding", 4, 8)
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), s"expected no exchange:\n$planStr")
   }
 
   // ---- ANN recall invariant (q97 composition) --------------------------------

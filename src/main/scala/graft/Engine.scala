@@ -76,4 +76,29 @@ object Engine {
                   probe: DataFrame, probeId: String, probeVec: String,
                   k: Int): DataFrame =
     Similarity.knnJoin(corpus, corpusId, corpusVec, probe, probeId, probeVec, k)
+
+  /** Decontaminate a training corpus against a benchmark suite: n-gram
+    * containment (token overlap) AND embedding cosine (paraphrase leakage) —
+    * run both before any eval you intend to trust. Returns the surviving
+    * corpus rows. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 2, containment: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val flagged = Dedup.containmentPairs(corpus, benchmark, idCol, textCol,
+      shingleN, containment)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-space decontamination (the semantic twin of [[decontaminate]]). */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame =
+    Dedup.semanticDecontaminate(corpus, benchmark, idCol, vecCol, threshold)
+
+  /** Paragraph/block-level dedup with document rebuild (RefinedWeb-style). */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+                 blockWords: Int = 64): DataFrame =
+    Dedup.blockDedup(docs, idCol, textCol, blockWords)
 }

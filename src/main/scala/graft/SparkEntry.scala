@@ -1223,6 +1223,22 @@ object SparkEntry {
           .as("z")),
       Some(TextOracle.zorderSql(16))),
 
+    Q("q99_countmin", (s, dir) =>
+      // engine-reproducible Count-Min: per-token truth vs min-over-rows
+      // estimate — the CMS guarantee (est >= true) lands in the data. The
+      // shuffle carries d·w sketch cells, never token rows
+      graft.operators.DeterministicSketches.countMinReport(
+        T(s, dir, "documents"), "text", depth = 4, width = 64),
+      Some(TextOracle.countMinSql(depth = 4, width = 64))),
+
+    Q("q100_hll", (s, dir) =>
+      // engine-reproducible HyperLogLog on l_partkey: 64 md5-derived
+      // registers, integer rank cascade (no log2), exact-in-doubles
+      // indicator sum — estimate and exact count side by side
+      graft.operators.DeterministicSketches.hllReport(
+        T(s, dir, "lineitem"), "l_partkey", m = 64),
+      Some(TextOracle.hllSql(m = 64))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

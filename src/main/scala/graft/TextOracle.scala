@@ -238,6 +238,66 @@ object TextOracle {
     FROM embeddings, q WHERE vec_id <> 0
     ORDER BY cos DESC, vec_id LIMIT $k"""
 
+  /** q99: Count-Min report over document tokens — the d×w counter grid,
+    * truth, and min-over-rows point estimates, all from the same md5 row
+    * hashes as DeterministicSketches.cmBucket. */
+  def countMinSql(depth: Int, width: Int): String = s"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    rows_ AS (SELECT unnest(range(0, $depth)) AS i),
+    cells AS (
+      SELECT tok, i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || tok), 1, 8)) AS BIGINT) % $width AS b
+      FROM toks, rows_),
+    cms AS (SELECT i, b, COUNT(*) AS c FROM cells GROUP BY i, b),
+    truth AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok),
+    probes AS (
+      SELECT t.tok, r.i,
+             CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '_' || t.tok), 1, 8)) AS BIGINT) % $width AS b
+      FROM (SELECT DISTINCT tok FROM toks) t, rows_ r),
+    est AS (
+      SELECT p.tok, MIN(cms.c) AS est_cnt
+      FROM probes p JOIN cms ON p.i = cms.i AND p.b = cms.b
+      GROUP BY p.tok)
+    SELECT truth.tok, truth.true_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt
+    FROM truth JOIN est ON truth.tok = est.tok"""
+
+  /** q100: HLL over l_partkey with the same register/rank derivation as
+    * DeterministicSketches.hllRegisters. The indicator sum is exact in
+    * doubles (all terms are multiples of 2^-(wBits+1), total < m), so no
+    * ordering clause is needed; ln() only fires in the small-range branch. */
+  def hllSql(m: Int): String = {
+    val regBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val wBits = 32 - regBits
+    val rankCase = (1 to wBits)
+      .map(r => s"WHEN w >= ${1L << (wBits - r)} THEN $r")
+      .mkString("\n             ")
+    s"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      FROM lineitem),
+    ranked AS (
+      SELECT hv % $m AS reg,
+             CASE $rankCase ELSE ${wBits + 1} END AS rank
+      FROM (SELECT hv, hv >> $regBits AS w FROM h)),
+    obs AS (SELECT reg, MAX(rank) AS m_j FROM ranked GROUP BY reg),
+    regs AS (
+      SELECT rg.reg, COALESCE(obs.m_j, 0) AS m_j
+      FROM (SELECT unnest(range(0, $m)) AS reg) rg
+      LEFT JOIN obs ON rg.reg = obs.reg),
+    agg AS (
+      SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << m_j) AS DOUBLE)) AS s,
+             CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM regs),
+    exact AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+    SELECT exact.exact_distinct, agg.v AS zero_registers,
+           round(CASE WHEN ((0.7213 / (1.0 + 1.079 / $m.0)) * $m * $m) / s <= 2.5 * $m AND v > 0
+                      THEN $m.0 * ln($m.0 / v)
+                      ELSE ((0.7213 / (1.0 + 1.079 / $m.0)) * $m * $m) / s END, 6) AS hll_estimate
+    FROM agg, exact"""
+  }
+
   /** q98: Morton z-value over (l_partkey, l_suppkey) — identical bit
     * interleave as Layout.zValue2, pure integer ops on both engines. */
   def zorderSql(bits: Int): String = {

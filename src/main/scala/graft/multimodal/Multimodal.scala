@@ -267,6 +267,85 @@ object Multimodal {
       batch.flatMap { case (id, bytes) => decode(id, bytes) }
   }
 
+  final case class AudioEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** Segment-pooled audio embedding from REAL samples — the audio twin of
+    * [[BmpGridEmbedder]], bridging binary audio columns into the similarity
+    * stack (kNN join, ANN, embedding dedup): frames are partitioned into
+    * `segments` equal time slices by pure integer mapping
+    * (slice = ⌊frame·segments/nFrames⌋), and the embedding is per-slice RMS
+    * amplitude in [0, 1] (channels folded together) — an energy-envelope
+    * signature. Deterministic: samples accumulate in stream order within a
+    * slice, so a retried task yields identical vectors. Same 16-bit PCM
+    * envelope and skip policy as [[WavAudioDecoder]]. */
+  final class WavSegmentEmbedder(segments: Int) extends Serializable {
+    require(segments >= 1, s"segments must be >= 1, got $segments")
+    import LE.{i32, tag, u16}
+
+    private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[AudioEmbedding] = {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id4 = tag(bytes, off)
+        val size = i32(bytes, off + 4)
+        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
+        if (id4 == "fmt " && size >= 16) {
+          if (u16(bytes, off + 8) != 1) return None
+          fmt = Some((u16(bytes, off + 10), i32(bytes, off + 12), u16(bytes, off + 22)))
+        } else if (id4 == "data") data = Some((off + 8, size))
+        off += 8 + size + (size & 1)
+      }
+      (fmt, data) match {
+        case (Some((channels, rate, bits)), Some((dOff, dSize)))
+            if bits == 16 && channels > 0 && rate > 0 =>
+          val nFrames = (dSize / 2 / channels).toLong
+          if (nFrames == 0) return None
+          val ss = new Array[Double](segments)
+          val counts = new Array[Long](segments)
+          var f = 0L
+          while (f < nFrames) {
+            val slice = (f * segments / nFrames).toInt
+            var ch = 0
+            while (ch < channels) {
+              val i = (f * channels + ch).toInt
+              val s = ((bytes(dOff + 2 * i) & 0xff) |
+                (bytes(dOff + 2 * i + 1) << 8)).toShort / 32768.0
+              ss(slice) += s * s
+              counts(slice) += 1
+              ch += 1
+            }
+            f += 1
+          }
+          val emb = new Array[Float](segments)
+          var k = 0
+          while (k < segments) {
+            if (counts(k) > 0) emb(k) = math.sqrt(ss(k) / counts(k)).toFloat
+            k += 1 // a slice shorter than a frame (nFrames < segments) stays 0f
+          }
+          Some(AudioEmbedding(id, emb))
+        case _ => None
+      }
+    }
+
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[AudioEmbedding] =
+      batch.flatMap { case (id, bytes) => decode(id, bytes) }
+  }
+
+  /** Binary audio column -> embedding column, ready for Similarity.knnJoin /
+    * lshNearDupPairs. One narrow mapPartitions — no shuffle. */
+  def audioEmbeddings(media: DataFrame, segments: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    val embedder = new WavSegmentEmbedder(segments)
+    media.select(col("media_id"), col("content"))
+      .filter(col("content").isNotNull && length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => embedder.decodeBatch(it))
+      .toDF()
+      .select(col("media_id"), col("embedding"))
+  }
+
   /** Audio decode seam: binary column -> typed features (same narrow,
     * batched mapPartitions shape as decodeImages). */
   def decodeAudio(media: DataFrame, decoder: AudioDecoder = WavAudioDecoder): DataFrame = {

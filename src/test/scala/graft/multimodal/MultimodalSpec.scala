@@ -253,4 +253,48 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(nn.getLong(1) == 2L) // the other red image, despite different dims
   }
+
+  /** Mono 16-bit 8 kHz WAV with the given samples. */
+  private def wavOf(samples: Seq[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  test("WavSegmentEmbedder pools real samples into an energy envelope") {
+    // loud first half (half scale), silent second half, 4 slices over 8 frames
+    val samples = Seq.fill(4)(16384.toShort) ++ Seq.fill(4)(0.toShort)
+    val e = new Multimodal.WavSegmentEmbedder(4).decode(1L, wavOf(samples)).get.embedding
+    assert(e.length == 4)
+    assert(math.abs(e(0) - 0.5f) < 1e-6 && math.abs(e(1) - 0.5f) < 1e-6)
+    assert(e(2) == 0f && e(3) == 0f)
+    // malformed payloads skip, same policy as WavAudioDecoder
+    assert(new Multimodal.WavSegmentEmbedder(4).decode(2L, Array[Byte](1, 2)).isEmpty)
+    assert(new Multimodal.WavSegmentEmbedder(4).decode(3L, wavOf(Seq.empty)).isEmpty)
+  }
+
+  test("audioEmbeddings feed the similarity stack: nearest neighbor is the near-dup clip") {
+    // same loud->quiet envelope at different lengths is the near-dup pair;
+    // the quiet->loud clip is the far one
+    def env(n: Int, loud: Short) =
+      Seq.fill(n)(loud) ++ Seq.fill(n)(0.toShort)
+    val media = Seq(
+      (1L, wavOf(env(8, 16384))),
+      (2L, wavOf(env(16, 14000))),                               // near-dup, longer + quieter
+      (3L, wavOf(Seq.fill(8)(0.toShort) ++ Seq.fill(8)(16384.toShort))) // reversed envelope
+    ).toDF("media_id", "content")
+    val emb = Multimodal.audioEmbeddings(media, segments = 8)
+    assert(emb.count() == 3)
+    val probe = emb.filter(col("media_id") === 1L)
+    val nn = graft.operators.Similarity.knnJoin(emb, "media_id", "embedding",
+      probe, "media_id", "embedding", k = 1, excludeSelf = true)
+      .head()
+    assert(nn.getLong(1) == 2L)
+  }
 }

@@ -666,6 +666,11 @@ object Dedup {
     * real paragraph breaks, substitute `split(text, "\n\n")` for the windower
     * and the rest of the plan is unchanged.
     *
+    * NULL-text docs are DROPPED (split(null) explodes to no rows), and all
+    * whitespace-only docs collapse to one empty block whose least doc id is
+    * the lone survivor — the standard drop-empty cleanup policy; filter such
+    * rows out beforehand if they must pass through untouched.
+    *
     * Scale shape: two shuffles, both partial-agg'd and skew-safe — (1) groupBy
     * the block text with min(struct(doc, idx)): map-side combine collapses a
     * block duplicated 10^6 times to one row per map partition BEFORE the

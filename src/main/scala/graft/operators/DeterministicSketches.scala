@@ -50,13 +50,14 @@ object DeterministicSketches {
     val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
     val probeCells = (0 until depth).map(i =>
       struct(lit(i).as("i"), cmBucket(i, col("tok"), width).as("b")))
-    truth.select(col("tok"))
-      .select(col("tok"), explode(array(probeCells: _*)).as("c"))
-      .select(col("tok"), col("c.i").as("i"), col("c.b").as("b"))
+    // true_cnt rides along through the probe explode (constant per tok), so
+    // no second join back onto truth — one pass over the aggregate
+    truth
+      .select(col("tok"), col("true_cnt"), explode(array(probeCells: _*)).as("c"))
+      .select(col("tok"), col("true_cnt"), col("c.i").as("i"), col("c.b").as("b"))
       .join(broadcast(sketch), Seq("i", "b"))
       .groupBy(col("tok"))
-      .agg(min(col("c")).as("est_cnt"))
-      .join(truth, Seq("tok"))
+      .agg(first(col("true_cnt")).as("true_cnt"), min(col("c")).as("est_cnt"))
       .select(col("tok"), col("true_cnt"), col("est_cnt"))
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch file sinks (SURVEY §2.1 S9-S10). Buffering/batching from the
   * reference is Spark-internal; the semantic knobs that survive are part-file
@@ -37,4 +37,31 @@ object Writers {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Small-file compaction — the maintenance pass every streaming/incremental
+    * ingest needs: micro-batches leave a long tail of tiny part files whose
+    * per-file open/footer cost eventually dominates scans. Rewrites the
+    * table's current contents into ceil(rows / targetRecordsPerFile) files
+    * and swaps atomically (write __tmp, rename old out, rename tmp in — the
+    * same checked, recoverable swap discipline as PricePipeline's state
+    * table), so a concurrent reader sees the old files or the new, never a
+    * half-written mix. Values are untouched: compaction is layout-only.
+    *
+    * At 100 TB this runs per partition (pass the partition dir), never the
+    * whole table; `coalesce` avoids a shuffle — data only narrows. */
+  def compact(spark: SparkSession, dir: String,
+              targetRecordsPerFile: Long = 1000000L): Unit = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    val tmp = s"${dir}__tmp"
+    df.coalesce(files.toInt).write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(dir)
+    val old = new java.io.File(s"${dir}__old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    require(dst.renameTo(old), s"compaction swap failed: $dir -> $old")
+    require(new java.io.File(tmp).renameTo(dst), s"compaction swap failed: $tmp -> $dir")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
 }

@@ -302,6 +302,42 @@ object Streams {
         })
   }
 
+  /** transformWithState twin of streamingBandDedup — same first-claimer
+    * semantics through a typed ValueState per band bucket (RocksDB provider
+    * required). Retention note: the new API offers per-variable TTLConfig,
+    * but its processing-time retention is not replay-stable; when state must
+    * be bounded AND retention must be event-time-defined, use
+    * streamingBandDedupTtl (watermark-driven, replayable). */
+  final class BandClaimProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, String), BandedDoc, DedupVerdict] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var claim: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      claim = getHandle.getValueState[Long]("claim",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Int, String), docs: Iterator[BandedDoc],
+                                 timers: TimerValues): Iterator[DedupVerdict] = {
+      val sorted = docs.toSeq.sortBy(_.doc_id)
+      if (claim.exists())
+        sorted.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
+      else if (sorted.nonEmpty) {
+        claim.update(sorted.head.doc_id)
+        Iterator(DedupVerdict(sorted.head.doc_id, is_duplicate = false)) ++
+          sorted.tail.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
+      } else Iterator.empty
+    }
+  }
+
+  /** streamingBandDedup on the transformWithState API. */
+  def streamingBandDedupTws(bands: org.apache.spark.sql.Dataset[BandedDoc])
+  : org.apache.spark.sql.Dataset[DedupVerdict] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.band_hash))
+      .transformWithState(new BandClaimProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TimedBandedDoc(doc_id: Long, band: Int, band_hash: String,
                                   event_ts: java.sql.Timestamp)
 

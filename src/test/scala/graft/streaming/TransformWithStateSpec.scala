@@ -69,6 +69,30 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streamingBandDedupTws matches streamingBandDedup verdicts") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Streams.BandedDoc]
+      val q = Streams.streamingBandDedupTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_band").outputMode("append").start()
+      try {
+        input.addData(
+          Streams.BandedDoc(1L, 0, "A"), Streams.BandedDoc(1L, 1, "B"),
+          Streams.BandedDoc(2L, 0, "A"), Streams.BandedDoc(2L, 1, "C"))
+        q.processAllAvailable()
+        input.addData(
+          Streams.BandedDoc(3L, 1, "C"), Streams.BandedDoc(3L, 0, "D"),
+          Streams.BandedDoc(4L, 0, "E"), Streams.BandedDoc(4L, 1, "F"))
+        q.processAllAvailable()
+        val verdicts = spark.table("tws_band").as[Streams.DedupVerdict].collect()
+        // same sequences, same verdicts as the GroupState form's spec
+        val isDup = verdicts.groupBy(_.doc_id)
+          .view.mapValues(_.exists(_.is_duplicate)).toMap
+        assert(isDup == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+      } finally q.stop()
+    }
+  }
+
   test("monotoneDedupTws state survives query restart from checkpoint") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

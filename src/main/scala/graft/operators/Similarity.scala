@@ -269,6 +269,17 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Broadcast-contract guard: probe the row count with a LIMIT (never a
+    * full count of a possibly-expensive plan) and refuse to broadcast a side
+    * that exceeds the cap. */
+  private def requireBroadcastable(df: DataFrame, maxRows: Long): Unit = {
+    val cap = math.min(maxRows + 1, Int.MaxValue.toLong - 1).toInt
+    require(df.limit(cap).count() < cap,
+      s"probe side exceeds $maxRows rows — it cannot broadcast. Use " +
+        "ivfKnnJoin (blocked candidates) or lshNearDupPairs (bucketed pairs) " +
+        "for corpus-scale probe sets, or raise maxBroadcastProbes explicitly.")
+  }
+
   /** Batch kNN join (the retrieval/hard-negative-mining primitive): EVERY
     * probe row gets its k nearest corpus rows by cosine. The probe side is
     * small by contract (a query/seed set) and is BROADCAST against one corpus
@@ -276,11 +287,19 @@ object Similarity {
     * carries <= k rows per (probe x corpus partition) — the corpus itself is
     * never shuffled, and the plan survives a 100 TB corpus untouched.
     * Output: (probe_id, neighbor_id, cos, rank) with rank 1..k by
-    * (cos desc, neighbor_id asc) on the 6-decimal-rounded score. */
+    * (cos desc, neighbor_id asc) on the 6-decimal-rounded score.
+    *
+    * The broadcast contract is ENFORCED, not assumed (the same guard
+    * embeddingNearDupPairs carries): a cheap limit-probe rejects probe sets
+    * beyond `maxBroadcastProbes` with a pointer at the scale paths, instead
+    * of letting a million-probe broadcast OOM the driver. Raise the cap
+    * explicitly if your executors are sized for it. */
   def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
               probe: DataFrame, probeId: String, probeVec: String,
-              k: Int, excludeSelf: Boolean = false): DataFrame = {
+              k: Int, excludeSelf: Boolean = false,
+              maxBroadcastProbes: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireBroadcastable(probe, maxBroadcastProbes)
     val topk = udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val cand = corpus
@@ -310,8 +329,10 @@ object Similarity {
   def ivfKnnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
                  probe: DataFrame, probeId: String, probeVec: String,
                  k: Int, centroids: Seq[Seq[Double]],
-                 excludeSelf: Boolean = false): DataFrame = {
+                 excludeSelf: Boolean = false,
+                 maxBroadcastProbes: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireBroadcastable(probe, maxBroadcastProbes)
     val topk = udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val c = ivfAssign(

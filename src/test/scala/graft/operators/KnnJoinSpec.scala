@@ -130,4 +130,17 @@ class KnnJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2)
     assert(got.sortBy(_._2).toSeq == brute.toSeq)
   }
+
+  test("knnJoin enforces the probe-side broadcast contract") {
+    val probe = corpus // 5 rows, cap of 3 -> refused with the scale pointer
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(corpus, "vec_id", "embedding",
+        probe, "vec_id", "embedding", k = 2, maxBroadcastProbes = 3L)
+    }
+    assert(e.getMessage.contains("cannot broadcast"))
+    // raising the cap explicitly restores the join
+    val ok = Similarity.knnJoin(corpus, "vec_id", "embedding",
+      probe, "vec_id", "embedding", k = 2, maxBroadcastProbes = 5L)
+    assert(ok.count() == 10L)
+  }
 }

@@ -1239,6 +1239,29 @@ object SparkEntry {
         T(s, dir, "lineitem"), "l_partkey", m = 64),
       Some(TextOracle.hllSql(m = 64))),
 
+    Q("q101_unpivot", (s, dir) =>
+      // UNPIVOT/melt — the inverse of q49's pivot and pandas' other
+      // reshape staple: wide metric columns to (key, metric, value) rows.
+      // Narrow exchange-free scan; output rows = rows x metrics by design
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("quantity"), col("extendedprice"), col("discount")),
+          variableColumnName = "metric", valueColumnName = "value"),
+      Some("""
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice',
+             CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount',
+             CAST(l_discount AS DOUBLE) FROM lineitem""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

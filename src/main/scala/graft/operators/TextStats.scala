@@ -261,7 +261,12 @@ object TextStats {
     * resamples ∝ exp(weight). Unlike [[unigramNll]]'s open vocabulary, the
     * feature table is BOUNDED at `buckets` rows — it broadcasts at any
     * corpus size, so scoring is one scan + one broadcast join + one doc agg,
-    * no skew-prone term shuffle. Same decimal-sum determinism as q77. */
+    * no skew-prone term shuffle. The exploded gram stream is deliberately
+    * computed TWICE (once for bucket counts, once for scoring) rather than
+    * materialized through a keyed exchange: the rescan is map-only and
+    * embarrassingly parallel, while shuffling gram-volume rows (~tokens per
+    * corpus) is the actual scale killer. Same decimal-sum determinism as
+    * q77. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetFilter: Column, buckets: Int): DataFrame = {
     require(buckets >= 2)

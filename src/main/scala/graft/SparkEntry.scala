@@ -1262,6 +1262,125 @@ object SparkEntry {
       SELECT l_orderkey, l_linenumber, 'discount',
              CAST(l_discount AS DOUBLE) FROM lineitem""")),
 
+    // ---- Curation & retrieval, continued ------------------------------------
+
+    Q("q102_best_per_cluster", (s, dir) => {
+      // duplicate-cluster resolution the way production pipelines run it:
+      // per near-dup cluster keep the BEST-quality capture, not the smallest
+      // id — q54 labels the clusters, this picks the representative
+      val docs = T(s, dir, "documents")
+      val scored = docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("score"))
+      Dedup.bestPerCluster(scored, "doc_id", "score",
+        Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandRows = 2, shingleN = 2), "doc_a", "doc_b")
+    }, Some(TextOracle.bestPerClusterSql(numHashes = 8, bandRows = 2))),
+
+    Q("q103_temperature_mix", (s, dir) =>
+      // mC4/T5 α=1/2 temperature mixing: kept mass ∝ √n_s per source —
+      // integer √ weights keep Σw exact, the md5 coin keeps membership
+      // reproducible; one bounded agg + one scan, no corpus shuffle
+      graft.operators.Sampling.temperatureMix(
+        T(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", targetK = 200),
+      Some("""
+      WITH c AS (
+        SELECT source, COUNT(*) AS ns,
+               CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS ws
+        FROM documents WHERE source IS NOT NULL GROUP BY source),
+      t AS (SELECT SUM(ws) AS W FROM c)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN c ON d.source = c.source, t
+      WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+            < LEAST(1.0, (200.0 * CAST(c.ws AS DOUBLE))
+                         / (CAST(t.W AS DOUBLE) * CAST(c.ns AS DOUBLE))) * 4294967296.0""")),
+
+    Q("q104_training_order", (s, dir) =>
+      // the reproducible global permutation a training run reads: shard by
+      // seeded md5 coin, per-shard position — shard-major order is the
+      // epoch sequence, identical on every engine/run/restart
+      graft.operators.Sampling.trainingOrder(
+        T(s, dir, "documents").select("doc_id"), "doc_id", shards = 8, seed = 42L),
+      Some("""
+      WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS coin
+        FROM documents)
+      SELECT doc_id, CAST(coin % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY coin % 8 ORDER BY coin, doc_id) AS pos
+      FROM h""")),
+
+    Q("q105_hard_negatives", (s, dir) => {
+      // contrastive hard-negative mining: per probe, the top-5 most-similar
+      // vectors of a DIFFERENT label — q83's plan with the label-mismatch
+      // test ahead of the bounded heap
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", "label",
+        k = 5)
+    }, Some(TextOracle.hardNegativesSql(k = 5, probeMod = 25))),
+
+    Q("q106_class_balance", (s, dir) =>
+      // classifier-set balancing: every label class cut to the smallest
+      // class's size by md5-coin rank — deterministic, unlike RNG sampleBy
+      graft.operators.Sampling.classBalance(
+        T(s, dir, "embeddings").select("vec_id", "label"), "label", "vec_id"),
+      Some("""
+      WITH c AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+      m AS (SELECT MIN(cnt) AS m FROM c),
+      r AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                          vec_id) AS rn
+        FROM embeddings)
+      SELECT vec_id, label FROM r, m WHERE rn <= m.m""")),
+
+    Q("q107_length_band", (s, dir) =>
+      // per-language length-outlier trim: keep docs inside their own
+      // language's [p05, p95] — DISCRETE percentiles so the bounds carry no
+      // interpolation arithmetic; bounded bounds table, one corpus scan
+      graft.operators.Sampling.percentileBand(
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", lo = 0.05, hi = 0.95),
+      Some("""
+      WITH b AS (
+        SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+               quantile_disc(n_chars, 0.95) AS hi
+        FROM documents GROUP BY lang)
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN b ON d.lang = b.lang
+      WHERE d.n_chars BETWEEN b.lo AND b.hi""")),
+
+    Q("q108_snapshot_diff", (s, dir) => {
+      // dataset-versioning audit between two corpus versions: v_old drops
+      // the mod-7 ids, v_new drops mod-5 and edits every mod-11 doc — the
+      // diff classifies every id added/removed/changed/unchanged by hash
+      val docs = T(s, dir, "documents")
+      val vOld = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+      val vNew = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Relational.snapshotDiff(vOld, vNew, "doc_id", Seq("text"))
+    }, Some("""
+      WITH vold AS (
+        SELECT doc_id, md5(coalesce(text, chr(2))) AS h
+        FROM documents WHERE doc_id % 7 <> 0),
+      vnew AS (
+        SELECT doc_id,
+               md5(coalesce(CASE WHEN doc_id % 11 = 0
+                     THEN coalesce(text, '') || ' v2' ELSE text END, chr(2))) AS h
+        FROM documents WHERE doc_id % 5 <> 0)
+      SELECT coalesce(vold.doc_id, vnew.doc_id) AS doc_id,
+             CASE WHEN vold.h IS NULL THEN 'added'
+                  WHEN vnew.h IS NULL THEN 'removed'
+                  WHEN vold.h = vnew.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM vold FULL OUTER JOIN vnew ON vold.doc_id = vnew.doc_id""")),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -195,6 +195,27 @@ object TextOracle {
     SELECT id, cluster_id FROM lbl"""
   }
 
+  /** Best-per-cluster resolution (q102): q54's connected components over the
+    * LSH candidates + q26's quality transcription; winner per cluster =
+    * (score desc, id asc); docs outside every pair are their own cluster. */
+  def bestPerClusterSql(numHashes: Int, bandRows: Int): String = s"""
+    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
+    $closureCtes,
+    q AS (
+      SELECT doc_id, $qualityFromRawSql AS score
+      FROM (SELECT doc_id, text, $prawSql AS praw, $srawSql AS sraw
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+    lab AS (
+      SELECT q.doc_id, coalesce(lbl.cluster_id, q.doc_id) AS cluster_id, q.score
+      FROM q LEFT JOIN lbl ON lbl.id = q.doc_id),
+    r AS (
+      SELECT cluster_id, doc_id, score,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM lab)
+    SELECT cluster_id, doc_id AS keep_id, score, n_members FROM r WHERE rn = 1"""
+
   /** DuckDB equivalent of TextFunctions.normalizeText — ONE transcription,
     * shared by the fingerprint (q28) and edit-verify (q62) oracles. */
   def normalizeSql(col: String): String =
@@ -508,6 +529,27 @@ object TextOracle {
                       * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
       FROM embeddings e, probe p
       WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+
+  /** Hard-negative mining oracle (q105): knnJoinSql restricted to candidate
+    * pairs whose labels DIFFER (null labels never confirm a mismatch, so
+    * they drop — same three-valued `<>` in both engines). */
+  def hardNegativesSql(k: Int, probeMod: Int): String = s"""
+    WITH probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv, label AS pl
+      FROM embeddings WHERE vec_id % $probeMod = 0),
+    cand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM embeddings e, probe p
+      WHERE e.label <> p.pl),
     ranked AS (
       SELECT probe_id, vec_id AS neighbor_id, cos,
              row_number() OVER (PARTITION BY probe_id

@@ -549,6 +549,37 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Duplicate-cluster resolution by QUALITY (the production policy): per
+    * near-dup cluster keep the best-scoring member, not the smallest id —
+    * when a page is crawled five times, you keep the cleanest capture.
+    * `scored` carries one row per doc with a pre-rounded `scoreCol` (round
+    * it to a fixed decimal upstream: the argmax must not hinge on a float
+    * ulp); winner = (score desc, id asc), a total order. Docs absent from
+    * `pairs` are singleton clusters and pass straight through — the window
+    * runs ONLY over cluster members (the left-join + filter split), so the
+    * dominant singleton mass is never shuffled on a cluster key. Output:
+    * (cluster_id, keep_id, scoreCol, n_members). */
+  def bestPerCluster(scored: DataFrame, idCol: String, scoreCol: String,
+                     pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = resolveClusters(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val j = scored.select(col(idCol), col(scoreCol))
+      .join(labels, Seq(idCol), "left")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val clustered = j.filter(col("cluster_id").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("keep_id"), col(scoreCol),
+        col("n_members"))
+    val singletons = j.filter(col("cluster_id").isNull)
+      .select(col(idCol).as("cluster_id"), col(idCol).as("keep_id"),
+        col(scoreCol), lit(1L).as("n_members"))
+    clustered.unionByName(singletons)
+  }
+
   /** SimHash near-duplicate lookup — the missing half of the fingerprint:
     * all pairs within `maxHamming` bit flips, found by hamming-distance
     * banding. The fingerprint is split into `maxHamming + 1` contiguous bit

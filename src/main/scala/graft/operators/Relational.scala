@@ -231,4 +231,29 @@ object Relational {
       .drop(saltedSmall("__salt")).drop(saltedLarge("__salt"))
       .drop(saltedSmall(smallKey))
   }
+
+  /** Snapshot diff — the dataset-versioning audit between two corpus
+    * versions: every id classified `added` (new only), `removed` (old only),
+    * `changed` (both, payload differs), or `unchanged`. Payload identity is
+    * md5 over the \\u0001-joined `payloadCols` (null encoded as \\u0002, so
+    * null vs '' vs absent are distinct), computed BEFORE the join so the
+    * full-outer exchange carries (id, 32-byte hash) — never the payloads
+    * themselves, which is what keeps the diff of two 100 TB snapshots a
+    * cheap keyed join of narrow rows. One shuffle per side on the id; at
+    * scale both snapshots bucketed on the id co-locate and the exchange
+    * vanishes. Output: (id, status). */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, idCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(col(idCol),
+        md5(concat_ws("\u0001",
+          payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(h))
+    hashed(old, "__ho").join(hashed(neu, "__hn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

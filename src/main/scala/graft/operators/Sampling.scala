@@ -127,6 +127,101 @@ object Sampling {
       .drop("__th")
   }
 
+  /** Temperature-scaled source mixing at α = 1/2 (the mC4/T5 mixing rule,
+    * Raffel 2020 §3.4.1 / Xue 2021 §3.2): stratum s keeps each row with
+    * probability p_s = min(1, K·w_s / (W·n_s)) where w_s = ⌊√n_s⌋ and
+    * W = Σ w_s, so kept mass ∝ √n_s — heavy sources are damped, tail
+    * sources up-weighted, expected output ≈ K rows. The weight is the
+    * INTEGER square root on purpose: w_s and W stay exact BIGINTs (a float
+    * Σ√n_s would depend on summation order), and the only float arithmetic
+    * is one fixed-shape (K·w)/(W·n) expression over exactly-representable
+    * integers — IEEE-identical in any engine. Inclusion is the same md5
+    * coin as [[weightedSample]]: reproducible run to run, per-id stable.
+    * Plan: one partial-agg count per stratum (bounded rows), two tiny
+    * broadcasts, one corpus scan — no corpus shuffle at any scale. Rows
+    * whose stratum is null are dropped (the equi-join semantics both
+    * engines share); √ of a count is exact in doubles below 2⁵³ rows. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     targetK: Long): DataFrame = {
+    require(targetK >= 1, s"targetK must be >= 1, got $targetK")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__ns"))
+      .withColumn("__ws", floor(sqrt(col("__ns").cast("double"))).cast("long"))
+    val total = counts.agg(sum(col("__ws")).as("__W"))
+    df.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(total))
+      .withColumn("__p", least(lit(1.0),
+        (lit(targetK.toDouble) * col("__ws").cast("double"))
+          / (col("__W").cast("double") * col("__ns").cast("double"))))
+      .filter(TF.md5Prefix32(col(idCol).cast("string")).cast("double") <
+        col("__p") * lit(4294967296.0))
+      .drop("__ns", "__ws", "__W", "__p")
+  }
+
+  /** Deterministic training-order shuffle: the reproducible global
+    * permutation a training run reads, materialized as (shard, pos) — read
+    * shards in index order, rows within a shard in pos order, and every
+    * engine/run/restart sees the identical sequence for a given seed
+    * (different seed ⇒ independent permutation; this is the per-epoch
+    * reshuffle). The coin is md5(seed ‖ ":" ‖ id); shard = coin mod
+    * `shards`, pos = row_number by (coin, id) within the shard. One
+    * exchange on shard (shard count = write parallelism) and per-shard
+    * sorts — deliberately NOT a global row_number, whose single-partition
+    * window is the classic driver-melting anti-pattern at corpus scale. */
+  def trainingOrder(df: DataFrame, idCol: String, shards: Int,
+                    seed: Long): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val coin = TF.md5Prefix32(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__coin"), col(idCol))
+    df.withColumn("__coin", coin)
+      .withColumn("__shard", pmod(col("__coin"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+      .drop("__coin")
+  }
+
+  /** Class-balanced downsampling: every label class cut to the size of the
+    * SMALLEST class (the classifier-training balance step), membership
+    * decided by an md5-coin rank within the class — deterministic across
+    * runs and engines, unlike an RNG `sampleBy`. Two bounded aggregates
+    * (per-class counts → min) broadcast back; one exchange on the label for
+    * the in-class rank window. Null-label rows form their own class, same
+    * as both engines' GROUP BY/PARTITION BY null semantics. */
+  def classBalance(df: DataFrame, labelCol: String, idCol: String): DataFrame = {
+    val m = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__c"))
+      .agg(min(col("__c")).as("__m"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(TF.md5Prefix32(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("__rn") <= col("__m"))
+      .drop("__rn", "__m")
+  }
+
+  /** Per-stratum discrete-percentile band filter: keep rows whose value
+    * lies within [P_lo, P_hi] of their OWN stratum's distribution — the
+    * per-language length-outlier trim every curation pipeline runs (too
+    * short = boilerplate, too long = concatenation junk; CCNet/RefinedWeb
+    * both cut by length percentile per language). DISCRETE percentiles
+    * (actual elements, `percentile_disc`) so the bounds are
+    * engine-divergence-free — no interpolation arithmetic to disagree on.
+    * The bounds table is one partial-agg shuffle keyed on the stratum
+    * (bounded rows: one per stratum) broadcast back onto a single corpus
+    * scan. Rows with a null value or null stratum are dropped (no defined
+    * band), matching the SQL join+BETWEEN semantics. */
+  def percentileBand(df: DataFrame, strataCol: String, valueCol: String,
+                     lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val bounds = df.groupBy(col(strataCol)).agg(
+      expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
+      expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+    df.join(broadcast(bounds), strataCol)
+      .filter(col(valueCol).between(col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Contiguous per-shard context-window packing: documents are sharded by
     * id hash, and within each shard assigned to consecutive token-budget
     * bins by running token count. One partitioned window — no global sort,

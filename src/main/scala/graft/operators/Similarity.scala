@@ -319,6 +319,44 @@ object Similarity {
         (col("__pos") + 1).cast("long").as("rank"))
   }
 
+  /** Hard-negative mining (the contrastive-training variant of [[knnJoin]]):
+    * every probe gets its k nearest corpus rows whose label DIFFERS from the
+    * probe's — the highest-similarity wrong-class examples, exactly what
+    * contrastive/metric losses want as negatives (Xiong 2021, ANCE). Same
+    * broadcast-probe / scan-once / bounded-heap plan as knnJoin — the label
+    * test rides the candidate filter before the heap, so mismatched pairs
+    * cost nothing downstream. Pairs where either label is null drop (a null
+    * comparison is never a confirmed mismatch); self-pairs drop with them
+    * since a row's own label always matches. Output: (probe_id, neighbor_id,
+    * cos, rank), rank 1..k by (cos desc, neighbor_id asc) on the rounded
+    * score. */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    corpusLabel: String,
+                    probe: DataFrame, probeId: String, probeVec: String,
+                    probeLabel: String,
+                    k: Int, maxBroadcastProbes: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireBroadcastable(probe, maxBroadcastProbes)
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    corpus
+      .select(col(corpusId).cast("long").as("__nid"), col(corpusVec).as("__cv"),
+        col(corpusLabel).as("__cl"))
+      .crossJoin(broadcast(
+        probe.select(col(probeId).cast("long").as("probe_id"),
+          col(probeVec).as("__pv"), col(probeLabel).as("__pl"))))
+      .filter(col("__cl") =!= col("__pl"))
+      .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cos"), col("__nid")).as("__topk"))
+      .select(col("probe_id"), posexplode(col("__topk")).as(Seq("__pos", "__nb")))
+      .select(col("probe_id"),
+        col("__nb._2").as("neighbor_id"),
+        col("__nb._1").as("cos"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF-accelerated batch kNN join: both sides take coarse-list assignment
     * against the broadcast centroid table and candidates come ONLY from the
     * probe's own list (nprobe=1 blocking) — the list equi-join replaces the

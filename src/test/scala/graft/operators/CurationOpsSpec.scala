@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 continuation operators: temperature mixing, training order,
+  * class balancing, percentile band trim, hard negatives, best-per-cluster
+  * resolution, snapshot diff. Each oracle-checked as q102-q108; these specs
+  * pin the semantic edges the oracles don't reach. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- temperatureMix ------------------------------------------------------
+
+  test("temperatureMix damps heavy sources and is reproducible") {
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, "src", "id", targetK = 200)
+    val bysrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keepBig = bysrc.getOrElse("big", 0L).toDouble / 900
+    val keepSmall = bysrc.getOrElse("small", 0L).toDouble / 100
+    // α=1/2: keep-rate ∝ 1/√n_s, so the small source keeps a ~3x larger
+    // fraction (√900/√100 = 3); require a strict gap, not the exact ratio
+    assert(keepSmall > keepBig,
+      s"small-source keep rate $keepSmall must exceed big-source $keepBig")
+    // deterministic: the same call selects the same ids
+    assert(sortedRows(kept) == sortedRows(
+      Sampling.temperatureMix(df, "src", "id", targetK = 200)))
+    // expectation sanity: within a loose band of the target
+    val n = kept.count()
+    assert(n > 100 && n < 400, s"expected ~200 kept, got $n")
+  }
+
+  test("temperatureMix keeps everything when targetK >= corpus, drops null strata") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, "src", "id", targetK = 100)
+    assert(kept.count() == 2) // null stratum dropped, p=1 for the rest
+  }
+
+  // ---- trainingOrder -------------------------------------------------------
+
+  test("trainingOrder emits a complete permutation with contiguous per-shard positions") {
+    val df = (1L to 500L).toDF("id")
+    val ord = Sampling.trainingOrder(df, "id", shards = 4, seed = 7L).cache()
+    try {
+      assert(ord.count() == 500)
+      assert(ord.select("id").distinct().count() == 500)
+      // positions are 1..n_shard within every shard
+      val bad = ord.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      assert(bad.isEmpty, "per-shard positions must be contiguous from 1")
+      // deterministic; a different seed produces a different permutation
+      val again = Sampling.trainingOrder(df, "id", shards = 4, seed = 7L)
+      assert(sortedRows(ord) == sortedRows(again))
+      val other = Sampling.trainingOrder(df, "id", shards = 4, seed = 8L)
+      assert(sortedRows(ord) != sortedRows(other))
+    } finally ord.unpersist()
+  }
+
+  // ---- classBalance --------------------------------------------------------
+
+  test("classBalance cuts every class to the smallest class size") {
+    val df = ((1 to 50).map(i => (i.toLong, 0)) ++ (51 to 70).map(i => (i.toLong, 1)) ++
+      (71 to 77).map(i => (i.toLong, 2))).toDF("id", "lbl")
+    val out = Sampling.classBalance(df, "lbl", "id")
+    val sizes = out.groupBy("lbl").count().collect().map(_.getLong(1)).toSet
+    assert(sizes == Set(7L), s"every class must have exactly 7 rows, got $sizes")
+    assert(sortedRows(out) == sortedRows(Sampling.classBalance(df, "lbl", "id")))
+  }
+
+  test("classBalance treats null labels as their own class") {
+    val df = Seq((1L, java.lang.Integer.valueOf(0)), (2L, java.lang.Integer.valueOf(0)),
+      (3L, null.asInstanceOf[java.lang.Integer])).toDF("id", "lbl")
+    val out = Sampling.classBalance(df, "lbl", "id")
+    // min class = the null class (1 row) -> one row per class survives
+    assert(out.count() == 2)
+    assert(out.filter(col("lbl").isNull).count() == 1)
+  }
+
+  // ---- percentileBand ------------------------------------------------------
+
+  test("percentileBand keeps rows inside their own stratum's discrete bounds") {
+    val df = ((1 to 100).map(i => (i.toLong, "en", i.toLong)) ++
+      (101 to 120).map(i => (i.toLong, "de", (i * 100).toLong))).toDF("id", "lang", "len")
+    val out = Sampling.percentileBand(df, "lang", "len", 0.10, 0.90).cache()
+    try {
+      // en: values 1..100, p10=10 p90=90 discrete -> 81 rows survive
+      assert(out.filter(col("lang") === "en").count() == 81)
+      // de rows judged against de's own (much larger) bounds, not en's
+      assert(out.filter(col("lang") === "de").count() > 0)
+      val deMin = out.filter(col("lang") === "de").agg(min("len")).head().getLong(0)
+      assert(deMin >= 10100L, "de bounds must come from the de distribution")
+    } finally out.unpersist()
+  }
+
+  test("percentileBand drops null values and null strata") {
+    val df = Seq((1L, "en", java.lang.Long.valueOf(5L)),
+      (2L, "en", null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[String], java.lang.Long.valueOf(5L))).toDF("id", "lang", "len")
+    assert(Sampling.percentileBand(df, "lang", "len", 0.0, 1.0).count() == 1)
+  }
+
+  // ---- hardNegatives -------------------------------------------------------
+
+  test("hardNegatives returns only cross-label neighbors, ranked like the window reference") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.7f, 0.3f), 2)).toDF("id", "vec", "lbl")
+    val probe = vecs.filter(col("id") === 1)
+    val out = Similarity.hardNegatives(vecs, "id", "vec", "lbl",
+      probe, "id", "vec", "lbl", k = 2).collect()
+    // nearest different-label vectors to (1,0): id 3 (cos .970) then id 5 (.919)
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 5L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+    // same-label id 2 (cos .994, the nearest overall) must NOT appear
+    assert(!out.map(_.getLong(1)).contains(2L))
+  }
+
+  test("hardNegatives drops null-label pairs on either side") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), java.lang.Integer.valueOf(0)),
+      (2L, Seq(0.9f, 0.1f), null.asInstanceOf[java.lang.Integer]),
+      (3L, Seq(0.8f, 0.2f), java.lang.Integer.valueOf(1))).toDF("id", "vec", "lbl")
+    val out = Similarity.hardNegatives(vecs, "id", "vec", "lbl",
+      vecs, "id", "vec", "lbl", k = 3)
+    // null-label probe 2 gets no rows; null-label neighbor 2 never appears
+    assert(out.filter(col("probe_id") === 2L).isEmpty)
+    assert(out.filter(col("neighbor_id") === 2L).isEmpty)
+    assert(out.filter(col("probe_id") === 1L).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  // ---- bestPerCluster ------------------------------------------------------
+
+  test("bestPerCluster keeps the top-scoring member, min id on ties, singletons pass") {
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (10L, 0.3))
+      .toDF("id", "score")
+    // cluster {1,2,3} (chained pairs) and {4}? no - 4 pairs with nothing; 10 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.bestPerCluster(scored, "id", "score", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // cluster 1: winner id 2 (0.9 ties with 3, lower id wins), 3 members
+    assert(out.contains((1L, 2L, 0.9, 3L)))
+    // 4 and 10 are singletons: own cluster, 1 member
+    assert(out.contains((4L, 4L, 0.1, 1L)))
+    assert(out.contains((10L, 10L, 0.3, 1L)))
+    assert(out.length == 3)
+  }
+
+  test("bestPerCluster with no pairs returns every doc as its own cluster") {
+    val scored = Seq((1L, 0.5), (2L, 0.9)).toDF("id", "score")
+    val pairs = spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
+    val out = Dedup.bestPerCluster(scored, "id", "score", pairs, "a", "b")
+    assert(out.count() == 2)
+    assert(out.filter(col("cluster_id") === col("keep_id")).count() == 2)
+  }
+
+  // ---- snapshotDiff --------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt")
+    val neu = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "txt")
+    val got = Relational.snapshotDiff(old, neu, "id", Seq("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff distinguishes null payload from empty string") {
+    val old = Seq((1L, null.asInstanceOf[String])).toDF("id", "txt")
+    val neu = Seq((1L, "")).toDF("id", "txt")
+    val got = Relational.snapshotDiff(old, neu, "id", Seq("txt")).head().getString(1)
+    assert(got == "changed")
+  }
+}

@@ -171,4 +171,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning") && !p.contains("Exchange SinglePartition"),
       p.take(600))
   }
+
+  test("temperature mix: corpus joins bounded stats broadcast — no corpus shuffle (q103)") {
+    val p = plan("q103_temperature_mix")
+    // the corpus meets the per-stratum stats via broadcast joins; the only
+    // exchanges are the bounded stats aggs (per-stratum + the 1-row W total)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(600))
+  }
+
+  test("training order: one keyed window exchange, never a global sort (q104)") {
+    val p = plan("q104_training_order")
+    assert(p.contains("Exchange hashpartitioning"), p.take(600))
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Exchange SinglePartition"),
+      p.take(600))
+  }
+
+  test("percentile band: bounds broadcast back onto the scan (q107)") {
+    val p = plan("q107_length_band")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("hard negatives: probe side broadcast, corpus scanned once unshuffled (q105)") {
+    val p = plan("q105_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the only hash exchange carries the <=k-per-partition heap rows
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("snapshot diff: hashes computed below the join — the exchange carries (id, md5) only (q108)") {
+    val p = plan("q108_snapshot_diff")
+    // tree prints parent-above-child: the join sits above the exchanges and
+    // the md5 projections sit below them, so the shuffle moves only (id, md5)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val md5Idx = p.indexOf("md5(")
+    assert(joinIdx >= 0 && exIdx > joinIdx && md5Idx > exIdx,
+      s"expected join@$joinIdx < exchange@$exIdx < md5@$md5Idx")
+  }
 }

@@ -1381,6 +1381,42 @@ object SparkEntry {
                   ELSE 'changed' END AS status
       FROM vold FULL OUTER JOIN vnew ON vold.doc_id = vnew.doc_id""")),
 
+    Q("q109_split_leakage", (s, dir) => {
+      // the held-out set is only held out if no near-copy of its members
+      // sits in training: LSH candidate pairs that straddle a split
+      // boundary; empty result = green light (Lee et al. 2021 measured
+      // this exact leak on C4)
+      val docs = T(s, dir, "documents")
+      val cuts = Seq("train" -> 90, "val" -> 8, "test" -> 2)
+      graft.operators.Sampling.crossSplitPairs(
+        Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandRows = 2, shingleN = 2), "doc_a", "doc_b",
+        docs.select(col("doc_id"),
+          graft.operators.Sampling.hashSplit(col("doc_id"), cuts).as("split")),
+        "doc_id", "split")
+    }, Some(TextOracle.splitLeakageSql(numHashes = 8, bandRows = 2,
+      cuts = Seq("train" -> 90, "val" -> 8, "test" -> 2)))),
+
+    Q("q110_bigram_nll", (s, dir) =>
+      // context-aware LM scoring one rung above q77: interpolated add-one
+      // bigram NLL catches word-salad docs whose unigram profile looks fine
+      graft.operators.TextStats.bigramNll(T(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracle.bigramNllSql)),
+
+    Q("q111_oov_rate", (s, dir) =>
+      // tokenizer-coverage diagnostic: per-doc OOV rate against the
+      // corpus's own top-200 tokens (TakeOrdered vocab, broadcast back)
+      graft.operators.TextStats.oovRate(T(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 200),
+      Some(TextOracle.oovRateSql(vocabSize = 200))),
+
+    Q("q112_centroid_outliers", (s, dir) =>
+      // prototypicality filter: vectors far from their OWN k-means centroid
+      // (per-cluster p90 discrete cut) — mislabeled/off-topic candidates
+      graft.operators.Clustering.centroidOutliers(T(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2, q = 0.9),
+      Some(TextOracle.centroidOutliersSql(k = 4, iters = 2, dims = 64, q = 0.9))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

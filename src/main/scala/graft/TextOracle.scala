@@ -636,8 +636,8 @@ object TextOracle {
                     * (CAST(e.embedding[i] AS DOUBLE) - $cPrev.c[i]))) AS d2
       FROM e CROSS JOIN $cPrev),
     a$r AS (
-      SELECT vec_id, cluster FROM (
-        SELECT vec_id, cluster,
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
         FROM d$r) WHERE rn = 1)"""
     def updateCtes(r: Int): String = s"""
@@ -660,6 +660,19 @@ object TextOracle {
   def kmeansSql(k: Int, iters: Int, dims: Int): String = s"""
     WITH ${kmeansCtes(k, iters, dims)}
     SELECT vec_id, cluster FROM a$iters"""
+
+  /** Centroid-outlier (prototypicality) report: final k-means assignment
+    * with its d² to the assigned centroid in integer micro-units
+    * (floor(d²·10⁶) — IEEE-exact, unlike decimal rounding of a double),
+    * flagged against the per-cluster q-th DISCRETE percentile. */
+  def centroidOutliersSql(k: Int, iters: Int, dims: Int, q: Double): String = s"""
+    WITH ${kmeansCtes(k, iters, dims)},
+    wd AS (SELECT vec_id, cluster,
+                  CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2_micro
+           FROM a$iters),
+    b AS (SELECT cluster, quantile_disc(d2_micro, $q) AS hi FROM wd GROUP BY cluster)
+    SELECT wd.vec_id, wd.cluster, wd.d2_micro, wd.d2_micro > b.hi AS is_outlier
+    FROM wd JOIN b USING (cluster)"""
 
   /** SemDeDup-style composition (Abbas et al. 2023): k-means as the blocking
     * function, exact cosine pairs WITHIN clusters only. Same cosine formula
@@ -810,6 +823,55 @@ object TextOracle {
     WITH ${chunkCtes("documents", stride)}
     SELECT ${chunkCols(chunkSize, stride)}
     FROM cs"""
+
+  /** Interpolated add-one bigram NLL (q110): λ=1/2 Jelinek-Mercer over the
+    * corpus's own unigram + bigram counts; per-gram ln rounds to 6 and sums
+    * in exact decimal, the TOTAL reported — q77's determinism pattern. */
+  def bigramNllSql: String = s"""
+    WITH $toksCte,
+    vc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vc),
+    $bigramMultisetCte,
+    bc AS (SELECT g AS bg, COUNT(*) AS cb FROM g GROUP BY g),
+    lp AS (
+      SELECT g.doc_id,
+             CAST(round(ln(0.5 * (CAST(vcur.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))
+                           + 0.5 * (CAST(bc.cb + 1 AS DOUBLE) / CAST(vprev.c + tot.v AS DOUBLE))), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM g
+      JOIN bc ON bc.bg = g.g
+      JOIN vc vcur ON vcur.term = string_split(g.g, ' ')[2]
+      JOIN vc vprev ON vprev.term = string_split(g.g, ' ')[1]
+      CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_bigrams, CAST(-SUM(lp) AS DOUBLE) AS nll_total
+    FROM lp GROUP BY doc_id"""
+
+  /** OOV rate vs the corpus top-`vocabSize` tokens (q111): vocabulary cut by
+    * (count desc, token asc) — a total order, so the boundary is exact. */
+  def oovRateSql(vocabSize: Int): String = s"""
+    WITH $toksCte,
+    vc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM vc ORDER BY c DESC, term LIMIT $vocabSize),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM toks LEFT JOIN vocab v USING (term)
+      GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+    FROM agg"""
+
+  /** Split-leakage audit (q109): LSH candidate pairs whose endpoints land in
+    * DIFFERENT hashSplit splits. */
+  def splitLeakageSql(numHashes: Int, bandRows: Int,
+                      cuts: Seq[(String, Int)]): String = s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    sp AS (SELECT doc_id, ${splitCaseSql("doc_id", cuts)} AS split FROM documents)
+    SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+    FROM cand
+    JOIN sp sa ON sa.doc_id = doc_a
+    JOIN sp sb ON sb.doc_id = doc_b
+    WHERE sa.split <> sb.split"""
 
   /** hashSplit CASE over an id expression — ONE transcription of the
     * md5-bucket split (q59 and the q75 pipeline composition). `cuts` are

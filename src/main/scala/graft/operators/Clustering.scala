@@ -34,7 +34,15 @@ object Clustering {
     * is a TakeOrdered, not a global sort; the single-partition window that
     * numbers it touches k rows only. */
   def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int): DataFrame = {
+                  k: Int, iters: Int): DataFrame =
+    kmeansAssignments(emb, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+
+  /** The loop behind [[kmeansLloyd]], returning the final assignment WITH
+    * its squared distance to the assigned (final-round) centroid — the raw
+    * material for prototypicality filtering. */
+  private def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+                                k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
     val asDouble = transform(col(vecCol), x => x.cast("double"))
     val wInit = Window.orderBy(col(idCol))
@@ -49,9 +57,37 @@ object Clustering {
     assigned
   }
 
+  /** Semantic-outlier report (the SemDeDup-adjacent *prototypicality*
+    * filter, Abbas 2023 §4 / Sorscher 2022): cluster the corpus, then flag
+    * every vector whose squared distance to its OWN centroid exceeds that
+    * cluster's `q`-th DISCRETE percentile — far-from-prototype rows are
+    * mislabeled/off-topic/garbled candidates, and percentile-per-cluster
+    * adapts the cut to each cluster's spread (a global cut would gut tight
+    * clusters and keep loose ones whole). d² is quantized to INTEGER
+    * micro-units — floor(d²·10⁶), one IEEE multiply + floor, identical in
+    * any engine — NOT round(d², 6): decimal rounding of a double diverges
+    * across engines near half-ties (the JVM rounds the shortest decimal
+    * string, C engines round the binary value), and a percentile cut
+    * surfaces exactly such boundary values. The bounds table is k rows,
+    * broadcast back. Output: (id, cluster, d2_micro, is_outlier) for every
+    * input vector. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"percentile q must be in (0,1), got $q")
+    val withD = kmeansAssignments(emb, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"),
+        floor(col("d2") * lit(1000000.0)).cast("long").as("d2_micro"))
+    val bounds = withD.groupBy(col("cluster")).agg(
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY d2_micro)").as("__hi"))
+    withD.join(broadcast(bounds), "cluster")
+      .withColumn("is_outlier", col("d2_micro") > col("__hi"))
+      .select(col(idCol), col("cluster"), col("d2_micro"), col("is_outlier"))
+  }
+
   /** Nearest-centroid assignment: d² folded left-to-right per (vector,
-    * centroid); argmin = min over (d2, cluster) structs. The centroid table
-    * is k rows — broadcast, so the corpus never shuffles. */
+    * centroid); argmin = min over (d2, cluster) structs — the struct min
+    * also carries the winning d² out. The centroid table is k rows —
+    * broadcast, so the corpus never shuffles. */
   private def assign(emb: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
     val d2 = aggregate(
@@ -60,7 +96,7 @@ object Clustering {
     emb.crossJoin(broadcast(centroids))
       .select(col(idCol), struct(d2.as("d2"), col("cluster")).as("dc"))
       .groupBy(col(idCol)).agg(min(col("dc")).as("best"))
-      .select(col(idCol), col("best.cluster").as("cluster"))
+      .select(col(idCol), col("best.cluster").as("cluster"), col("best.d2").as("d2"))
   }
 
   /** Per-(cluster, dim) mean in exact decimal, rebuilt into centroid arrays

@@ -127,6 +127,23 @@ object Sampling {
       .drop("__th")
   }
 
+  /** Split-leakage audit: near-duplicate pairs that STRADDLE a train/val/
+    * test boundary — the held-out set is only held out if no near-copy of
+    * its members sits in training (Lee et al. 2021 measured this exact
+    * leak on C4). `pairs` is any near-dup pair table (LSH candidates or
+    * verified pairs); `splits` maps id → split name. Two keyed joins onto
+    * the pair table (pairs ≪ corpus, so this is cheap at any scale) and a
+    * mismatch filter; an empty result is the green light. Output:
+    * (aCol, bCol, split_a, split_b). */
+  def crossSplitPairs(pairs: DataFrame, aCol: String, bCol: String,
+                      splits: DataFrame, idCol: String,
+                      splitCol: String): DataFrame =
+    pairs
+      .join(splits.select(col(idCol).as(aCol), col(splitCol).as("split_a")), aCol)
+      .join(splits.select(col(idCol).as(bCol), col(splitCol).as("split_b")), bCol)
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
+
   /** Temperature-scaled source mixing at α = 1/2 (the mC4/T5 mixing rule,
     * Raffel 2020 §3.4.1 / Xue 2021 §3.2): stratum s keeps each row with
     * probability p_s = min(1, K·w_s / (W·n_s)) where w_s = ⌊√n_s⌋ and

@@ -252,6 +252,74 @@ object TextStats {
         (-sum(col("__lp"))).cast("double").as("nll_total"))
   }
 
+  /** Interpolated add-one BIGRAM negative log-likelihood — [[unigramNll]]'s
+    * context-aware sibling (Jelinek-Mercer interpolation at λ = 1/2, the
+    * textbook smoothing of Chen & Goodman 1999): per ordered bigram (p, w),
+    * score −ln(½·P_uni(w) + ½·P_bi(w|p)) with both models add-one smoothed
+    * over the corpus's own counts. Catches word-salad documents whose
+    * unigram profile looks normal but whose transitions are noise — the
+    * next filter rung above q77. Per-gram log-probs round to 6 decimals and
+    * sum in exact DECIMAL (order-independent); the TOTAL is reported, not
+    * the mean (total/n can land on an engine-divergent decimal half-tie).
+    * The λ-interpolation is one fixed-shape IEEE expression — ½·a + ½·b —
+    * identical in any engine. Scale: two term-keyed joins (unigram + bigram
+    * counts) against the exploded gram stream, the same open-vocabulary
+    * shuffle shape as q77; [[dsirWeights]] is the bounded-feature-space
+    * variant when the vocab itself is the bottleneck. Docs with < 2 tokens
+    * have no bigrams and no row. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nonBlank = docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+    val toks = nonBlank.select(col(idCol), explode(TF.tokens(col(textCol))).as("__tk"))
+    val uni = toks.groupBy(col("__tk")).agg(count(lit(1)).as("__c"))
+    val totals = uni.agg(sum(col("__c")).cast("long").as("__n"), count(lit(1)).as("__v"))
+    val grams = nonBlank
+      .select(col(idCol), explode(TF.shinglesAll(col(textCol), 2)).as("__g"))
+      .withColumn("__prev", element_at(split(col("__g"), " "), 1))
+      .withColumn("__cur", element_at(split(col("__g"), " "), 2))
+    val big = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+    grams
+      .join(big, "__g")
+      .join(uni.select(col("__tk").as("__cur"), col("__c").as("__cu_cur")), Seq("__cur"))
+      .join(uni.select(col("__tk").as("__prev"), col("__c").as("__cu_prev")), Seq("__prev"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log(
+          lit(0.5) * ((col("__cu_cur") + 1).cast("double")
+            / (col("__n") + col("__v")).cast("double"))
+            + lit(0.5) * ((col("__cb") + 1).cast("double")
+            / (col("__cu_prev") + col("__v")).cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("__lp"))).cast("double").as("nll_total"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize` tokens
+    * (by count desc, token asc — a total order, so the vocabulary cut is
+    * engine-exact): the tokenizer-coverage diagnostic run before committing
+    * to a vocab size, and a quality signal in its own right (high OOV =
+    * junk, code, or the wrong language). The vocabulary is a TakeOrdered of
+    * the term-count table — k rows, never a global sort — broadcast back
+    * onto the token stream; one term-keyed count shuffle total. Output:
+    * (id, n_tokens, n_oov, oov_rate), rate = one exact-integer division
+    * rounded to 6. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("__tk"))
+    val vocab = toks.groupBy(col("__tk")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tk")).limit(vocabSize)
+      .select(col("__tk"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("__tk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): per-doc log-likelihood ratio of a
     * TARGET bag-of-hashed-ngrams model vs the SOURCE (whole-corpus) model,

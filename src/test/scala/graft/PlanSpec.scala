@@ -201,6 +201,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("oov rate: vocabulary cut is a TakeOrdered, never a global sort (q111)") {
+    val p = plan("q111_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(600))
+  }
+
+  test("centroid outliers: corpus never shuffles — centroids and bounds broadcast (q112)") {
+    val p = plan("q112_centroid_outliers")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(600))
+  }
+
   test("snapshot diff: hashes computed below the join — the exchange carries (id, md5) only (q108)") {
     val p = plan("q108_snapshot_diff")
     // tree prints parent-above-child: the join sits above the exchanges and

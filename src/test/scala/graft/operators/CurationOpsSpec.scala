@@ -176,4 +176,75 @@ class CurationOpsSpec extends SparkSpec {
     val got = Relational.snapshotDiff(old, neu, "id", Seq("txt")).head().getString(1)
     assert(got == "changed")
   }
+
+  // ---- bigramNll -----------------------------------------------------------
+
+  test("bigramNll matches the hand-computed interpolated model") {
+    // corpus: two copies of "a b". unigrams a:2 b:2 (N=4, V=2); bigram
+    // "a b" count 2. per-gram p = ½·(2+1)/(4+2) + ½·(2+1)/(2+2) = 0.625;
+    // −ln(0.625) = 0.470004 (rounded at 6)
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("id", "txt")
+    val out = TextStats.bigramNll(docs, "id", "txt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 0.470004), (2L, 1L, 0.470004)))
+  }
+
+  test("bigramNll scores unseen transitions worse and skips sub-bigram docs") {
+    // "b a" never occurs as a bigram in this corpus -> its doc scores a
+    // strictly higher NLL per gram than the common "a b" docs
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "b a"), (5L, "x"))
+      .toDF("id", "txt")
+    val out = TextStats.bigramNll(docs, "id", "txt").cache()
+    try {
+      val common = out.filter(col("id") === 1L).head().getDouble(2)
+      val rare = out.filter(col("id") === 4L).head().getDouble(2)
+      assert(rare > common, s"unseen transition must score worse: $rare vs $common")
+      assert(out.filter(col("id") === 5L).isEmpty) // one token, no bigram, no row
+    } finally out.unpersist()
+  }
+
+  // ---- oovRate -------------------------------------------------------------
+
+  test("oovRate cuts the vocabulary by (count desc, token asc) and rates per doc") {
+    // counts: a:3 b:3 c:1 -> top-2 vocab {a, b} (tie broken lexicographically
+    // would matter at the boundary; here the cut excludes c)
+    val docs = Seq((1L, "a a a b"), (2L, "b b c"), (3L, "a c")).toDF("id", "txt")
+    val out = TextStats.oovRate(docs, "id", "txt", vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 4L, 0L, 0.0), (2L, 3L, 1L, 0.333333), (3L, 2L, 1L, 0.5)))
+  }
+
+  // ---- crossSplitPairs -----------------------------------------------------
+
+  test("crossSplitPairs keeps only pairs straddling a split boundary") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val splits = Seq((1L, "train"), (2L, "train"), (3L, "test")).toDF("id", "split")
+    val out = Sampling.crossSplitPairs(pairs, "a", "b", splits, "id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L))) // (1,2) is within-train
+  }
+
+  // ---- centroidOutliers ----------------------------------------------------
+
+  test("centroidOutliers flags the far-from-prototype vector per cluster") {
+    // two tight clusters near (0,0) and (10,10), plus one stray far from
+    // both; with the per-cluster p75 cut only the stray is flagged
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.1f)),
+      (4L, Seq(0.1f, 0.1f)),
+      (10L, Seq(10.0f, 10.0f)), (11L, Seq(10.1f, 10.0f)), (12L, Seq(10.0f, 10.1f)),
+      (13L, Seq(10.1f, 10.1f)),
+      (99L, Seq(6.0f, 6.0f))).toDF("id", "vec")
+    val out = Clustering.centroidOutliers(vecs, "id", "vec", k = 2, iters = 3, q = 0.75)
+      .cache()
+    try {
+      assert(out.count() == 9) // every vector reported
+      val flagged = out.filter(col("is_outlier")).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(99L), s"only the stray should flag, got $flagged")
+      // d2_micro is a nonnegative integer
+      assert(out.filter(col("d2_micro") < 0).isEmpty)
+    } finally out.unpersist()
+  }
 }

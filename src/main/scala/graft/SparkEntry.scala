@@ -1417,6 +1417,33 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, iters = 2, q = 0.9),
       Some(TextOracle.centroidOutliersSql(k = 4, iters = 2, dims = 64, q = 0.9))),
 
+    Q("q113_corpus_drift", (s, dir) => {
+      // the recurring-crawl monitoring check: total LLR of snapshot A's
+      // tokens under A's vs B's own unigram model (the n·KL-shaped drift
+      // statistic) — near zero = same distribution, large = drifted
+      val docs = T(s, dir, "documents")
+      graft.operators.TextStats.corpusDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    }, Some(TextOracle.corpusDriftSql("doc_id % 2 = 0", "doc_id % 2 <> 0"))),
+
+    Q("q114_coverage_curve", (s, dir) =>
+      // vocab-sizing diagnostic: bigram mass covered by the top-k bigrams,
+      // k ∈ {10,50,100,500} — the ranked head is a TakeOrdered, never a
+      // global sort; the curve costs one term-count shuffle
+      graft.operators.TextStats.coverageCurve(T(s, dir, "documents"),
+        "doc_id", "text", ks = Seq(10, 50, 100, 500)),
+      Some(TextOracle.coverageCurveSql(Seq(10, 50, 100, 500)))),
+
+    Q("q115_lang_mismatch", (s, dir) =>
+      // metadata-audit composition of q27: docs whose declared language
+      // disagrees with a confident (non-'und') heuristic prediction —
+      // mislabeled-metadata candidates for manual review
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") =!= col("lang") && col("lang_pred") =!= "und"),
+      Some(TextOracle.langMismatchSql)),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

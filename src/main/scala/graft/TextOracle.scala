@@ -873,6 +873,54 @@ object TextOracle {
     JOIN sp sb ON sb.doc_id = doc_b
     WHERE sa.split <> sb.split"""
 
+  /** Corpus drift (q113): total log-likelihood ratio of snapshot A's tokens
+    * under A's vs B's add-one unigram model; exact-decimal count·lnratio
+    * products summed order-independently. A = even doc ids, B = odd. */
+  def corpusDriftSql(aPred: String, bPred: String): String = s"""
+    WITH ta AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+      WHERE ($aPred) AND text IS NOT NULL AND length(trim(text)) > 0),
+    tb AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+      WHERE ($bPred) AND text IS NOT NULL AND length(trim(text)) > 0),
+    ca AS (SELECT term, COUNT(*) AS c FROM ta GROUP BY term),
+    cb AS (SELECT term, COUNT(*) AS c FROM tb GROUP BY term),
+    j AS (
+      SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+    tot AS (SELECT CAST(SUM(cca) AS BIGINT) AS na, CAST(SUM(ccb) AS BIGINT) AS nb,
+                   COUNT(*) AS v
+            FROM j)
+    SELECT COUNT(*) AS n_terms, CAST(SUM(cca) AS BIGINT) AS n_tokens_a,
+           CAST(SUM(CAST(cca AS DECIMAL(18,0))
+                    * CAST(round(ln((CAST(cca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                    / (CAST(ccb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_llr
+    FROM j CROSS JOIN tot"""
+
+  /** Vocabulary coverage curve (q114): bigram occurrence mass covered by the
+    * top-k bigrams, ranked (count desc, gram asc). */
+  def coverageCurveSql(ks: Seq[Int]): String = s"""
+    WITH $bigramMultisetCte,
+    bc AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM bc),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rn FROM bc),
+    ks(k) AS (VALUES ${ks.map(k => s"($k)").mkString(", ")})
+    SELECT ks.k, CAST(SUM(r.c) AS BIGINT) AS covered_occurrences,
+           tot.t AS total_occurrences,
+           round(CAST(CAST(SUM(r.c) AS BIGINT) AS DOUBLE) / tot.t, 6) AS coverage
+    FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN tot
+    GROUP BY ks.k, tot.t"""
+
+  /** Language label-vs-prediction audit (q115): docs whose declared lang
+    * disagrees with the confident (non-'und') heuristic prediction. */
+  def langMismatchSql: String = s"""
+    WITH $langIdCtes
+    SELECT doc_id, lang, lang_pred FROM lid
+    WHERE lang_pred <> lang AND lang_pred <> 'und'"""
+
   /** hashSplit CASE over an id expression — ONE transcription of the
     * md5-bucket split (q59 and the q75 pipeline composition). `cuts` are
     * (name, percent) applied in order, as Sampling.hashSplit. */

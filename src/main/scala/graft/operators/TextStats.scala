@@ -320,6 +320,79 @@ object TextStats {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Corpus drift report between two document sets (the monitoring check a
+    * recurring crawl runs before appending a new snapshot): the total
+    * log-likelihood ratio of A's tokens under A's own add-one unigram model
+    * vs B's — Σ_t c_A(t)·ln(p_A(t)/p_B(t)), the n·D_KL-shaped statistic
+    * (exact KL up to smoothing), reported with the union-vocab size and
+    * A's token mass. Zero-ish total = same distribution; large positive =
+    * the new crawl drifted. Determinism: per-term ln ratio rounds to 6 and
+    * multiplies the exact integer count INSIDE the decimal domain, so the
+    * sum is order-independent — the TOTAL is reported, never a mean (q77's
+    * rule). One full-outer term join of two bounded-by-vocab count tables;
+    * token streams never shuffle beyond their per-term partial aggs. */
+  def corpusDrift(a: DataFrame, b: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    def termCounts(df: DataFrame): DataFrame = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(TF.tokens(col(textCol))).as("__tk"))
+      .groupBy(col("__tk")).agg(count(lit(1)).as("__c"))
+    val ca = termCounts(a)
+    val cb = termCounts(b)
+    val joined = ca.withColumnRenamed("__c", "__ca")
+      .join(cb.withColumnRenamed("__c", "__cb"), Seq("__tk"), "full_outer")
+      .select(col("__tk"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.agg(
+      sum(col("__ca")).cast("long").as("__na"),
+      sum(col("__cb")).cast("long").as("__nb"),
+      count(lit(1)).as("__v"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__ca"),
+        round(log(((col("__ca") + 1).cast("double") / (col("__na") + col("__v")).cast("double"))
+          / ((col("__cb") + 1).cast("double") / (col("__nb") + col("__v")).cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("__lr"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__ca")).cast("long").as("n_tokens_a"),
+        // (18,0)·(18,6) → DECIMAL(37,6): inside the 38-digit cap of BOTH
+        // engines, so the product is exact — a (38,6) operand would trip
+        // engine-specific overflow scale-adjustment rules
+        sum(col("__ca").cast(DecimalType(18, 0)) * col("__lr")).cast("double")
+          .as("total_llr"))
+  }
+
+  /** Vocabulary coverage curve: for each k in `ks`, the fraction of the
+    * corpus's BIGRAM occurrence mass covered by the top-k most frequent
+    * bigrams — the diagnostic behind vocab-size choices (where the Zipf
+    * curve flattens is where a bigger vocab stops paying). The ranked head
+    * is a TakeOrdered of max(ks) rows (never a global sort); the per-k sums
+    * run over that bounded head, so the whole curve costs one term-count
+    * shuffle + k·|head| driver-side-free arithmetic. Fractions are one
+    * exact-integer division rounded to 6. */
+  def coverageCurve(docs: DataFrame, idCol: String, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    val kMax = ks.max
+    val grams = docs
+      .select(explode(TF.shinglesAll(col(textCol), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val total = grams.agg(sum(col("__c")).cast("long").as("__t"))
+    val head = grams.orderBy(col("__c").desc, col("__g")).limit(kMax)
+      .select(col("__g"), col("__c"),
+        row_number().over(Window.orderBy(col("__c").desc, col("__g"))).as("__rn"))
+    val kdf = docs.sparkSession.createDataFrame(
+      ks.map(k => Tuple1(k))).toDF("k")
+    kdf.crossJoin(head).filter(col("__rn") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("__c")).cast("long").as("covered_occurrences"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_occurrences"),
+        col("__t").as("total_occurrences"),
+        round(col("covered_occurrences").cast("double") / col("__t"), 6)
+          .as("coverage"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): per-doc log-likelihood ratio of a
     * TARGET bag-of-hashed-ngrams model vs the SOURCE (whole-corpus) model,

@@ -225,6 +225,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 3L))) // (1,2) is within-train
   }
 
+  // ---- corpusDrift ---------------------------------------------------------
+
+  test("corpusDrift is exactly zero for identical corpora, positive under drift") {
+    val a = Seq((1L, "a b c"), (2L, "a b")).toDF("id", "txt")
+    val same = TextStats.corpusDrift(a, a, "id", "txt").head()
+    // p_A(t) == p_B(t) for every term -> every ln ratio is exactly 0
+    assert(same.getDouble(2) == 0.0)
+    assert(same.getLong(0) == 3L && same.getLong(1) == 5L) // union vocab, A tokens
+    val b = Seq((1L, "x y z"), (2L, "x y")).toDF("id", "txt")
+    val drifted = TextStats.corpusDrift(a, b, "id", "txt").head()
+    assert(drifted.getDouble(2) > 0.0, s"disjoint vocab must drift positive")
+    assert(drifted.getLong(0) == 6L) // union of both vocabularies
+  }
+
+  // ---- coverageCurve -------------------------------------------------------
+
+  test("coverageCurve reports top-k bigram mass fractions") {
+    // bigrams: "a b" x3 ("a b a" gives 'a b','b a'; plus two "a b" docs),
+    // "b a" x1 -> total 4; top-1 covers 3/4, top-2 covers 4/4
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "a b")).toDF("id", "txt")
+    val out = TextStats.coverageCurve(docs, "id", "txt", ks = Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, 3L, 4L, 0.75), (2, 4L, 4L, 1.0)))
+  }
+
   // ---- centroidOutliers ----------------------------------------------------
 
   test("centroidOutliers flags the far-from-prototype vector per cluster") {

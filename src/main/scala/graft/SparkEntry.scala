@@ -1444,6 +1444,19 @@ object SparkEntry {
         .filter(col("lang_pred") =!= col("lang") && col("lang_pred") =!= "und"),
       Some(TextOracle.langMismatchSql)),
 
+    Q("q116_pagerank", (s, dir) =>
+      // link-graph quality weighting (CommonCrawl-host-rank shape) on the
+      // supplier→part shipment multigraph; integer micro-unit ranks make the
+      // iterative fixpoint bit-identical across engines and partitionings
+      graft.operators.Graph.pagerank(
+        T(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"),
+          col("l_quantity").cast("long").as("w")),
+        "src", "dst", "w", iters = 5),
+      Some(GraphOracle.pagerankSql(GraphOracle.lineitemEdgesSql,
+        iters = 5, dampingPct = 85))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int = 5) =
+    Graph.pagerank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("pagerank: 2-cycle fixed point is the uniform 500000/500000") {
+    // symmetric graph: the uniform start is already the fixed point, and the
+    // integer update preserves it exactly (75000 + 425000 = 500000)
+    val out = ranks(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 7)
+    assert(out == Map("a" -> 500000L, "b" -> 500000L))
+  }
+
+  test("pagerank: strongly connected graph conserves mass up to floor leak") {
+    // triangle + a chord; no dangling nodes, so the only loss is the floor
+    // quantization (< 1 micro-unit per node per term, a handful total)
+    val out = ranks(Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("a", "c", 1L)), iters = 10)
+    val total = out.values.sum
+    assert(total <= 1000000L && total >= 1000000L - 100L, s"total=$total")
+  }
+
+  test("pagerank: directed star concentrates rank on the hub") {
+    val leaves = (1 to 8).map(i => (s"leaf$i", "hub", 1L))
+    val out = ranks(leaves)
+    assert(out("hub") > out("leaf1") * 4, out.toString)
+    // leaves receive no links: each sits at the damping floor (identical)
+    assert((1 to 8).map(i => out(s"leaf$i")).toSet.size == 1)
+  }
+
+  test("pagerank: weight-proportional split of a source's rank") {
+    // a sends 3/4 of its mass to b, 1/4 to c; b and c are otherwise alike
+    // (both return all mass to a), so b must outrank c strictly
+    val out = ranks(Seq(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)), iters = 10)
+    assert(out("b") > out("c"), out.toString)
+  }
+
+  test("pagerank: bit-identical across partitionings (integer arithmetic)") {
+    val edges = (0 until 40).map(i =>
+      (s"n${i % 11}", s"n${(i * 7 + 3) % 11}", (i % 5 + 1).toLong))
+    val df = edges.toDF("src", "dst", "w")
+    val a = Graph.pagerank(df, "src", "dst", "w", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pagerank(df.repartition(13), "src", "dst", "w", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}

@@ -1457,6 +1457,21 @@ object SparkEntry {
       Some(GraphOracle.pagerankSql(GraphOracle.lineitemEdgesSql,
         iters = 5, dampingPct = 85))),
 
+    Q("q117_cross_source_dups", (s, dir) =>
+      // provenance overlap matrix: near-dup candidate pairs rolled up by
+      // unordered source pair — "what does crawl B add over crawl A"
+      Dedup.crossSourceDupMatrix(T(s, dir, "documents"), "doc_id", "text",
+        "source", numHashes = 8, bandRows = 2, shingleN = 2),
+      Some(TextOracle.crossSourceDupsSql(numHashes = 8, bandRows = 2))),
+
+    Q("q118_cluster_sizes", (s, dir) =>
+      // dup-cluster size histogram: pairs vs boilerplate mega-clusters
+      Dedup.clusterSizeHistogram(
+        Dedup.minhashLshCandidates(T(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, bandRows = 2, shingleN = 2),
+        "doc_a", "doc_b"),
+      Some(TextOracle.clusterSizeHistogramSql(numHashes = 8, bandRows = 2))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

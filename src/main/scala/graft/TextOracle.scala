@@ -195,6 +195,26 @@ object TextOracle {
     SELECT id, cluster_id FROM lbl"""
   }
 
+  /** Cross-source near-dup matrix (q117): the LSH candidate set labeled with
+    * each side's source, rolled up by unordered source pair. */
+  def crossSourceDupsSql(numHashes: Int, bandRows: Int): String = s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    lab AS (
+      SELECT da.source AS sa, db.source AS sb
+      FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+                  JOIN documents db ON db.doc_id = c.doc_b)
+    SELECT LEAST(sa, sb) AS source_x, GREATEST(sa, sb) AS source_y,
+           COUNT(*) AS n_pairs
+    FROM lab GROUP BY 1, 2"""
+
+  /** Dup-cluster size histogram (q118): component sizes over the LSH
+    * candidate closure, then a count per size. */
+  def clusterSizeHistogramSql(numHashes: Int, bandRows: Int): String = s"""
+    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
+    $closureCtes,
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY cluster_size"""
+
   /** Best-per-cluster resolution (q102): q54's connected components over the
     * LSH candidates + q26's quality transcription; winner per cluster =
     * (score desc, id asc); docs outside every pair are their own cluster. */

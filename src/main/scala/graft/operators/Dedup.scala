@@ -729,4 +729,34 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("blk"), col("block")))),
           x => x("block")), " ").as("text_dedup"))
   }
+
+  /** Provenance matrix of near-duplication: LSH candidate pairs rolled up by
+    * the (unordered) pair of source labels — the "which crawls overlap with
+    * which" monitoring table that decides what a new source actually adds.
+    * Cost on top of the candidate set is two id-keyed joins against the
+    * (id, source) label projection — a sliver of the full doc table, never
+    * broadcast-required — and one small groupBy (≤ |sources|² rows). */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+                           srcCol: String, numHashes: Int = 8,
+                           bandRows: Int = 2, shingleN: Int = 2): DataFrame = {
+    val cand = minhashLshCandidates(docs, idCol, textCol, numHashes, bandRows, shingleN)
+    val lab = docs.select(col(idCol), col(srcCol))
+    cand
+      .join(lab.select(col(idCol).as("doc_a"), col(srcCol).as("__sa")), "doc_a")
+      .join(lab.select(col(idCol).as("doc_b"), col(srcCol).as("__sb")), "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_x"),
+        greatest(col("__sa"), col("__sb")).as("source_y"))
+      .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Duplicate-cluster size histogram — the one-glance answer to "is this
+    * corpus mostly pairs or a few mega-clusters?" (mega-clusters = boilerplate
+    * templates; their removal policy differs from honest pair dups). Rows
+    * only for docs that appear in some pair (singletons are |docs| minus the
+    * histogram's mass, computable without us). Two count-aggregates on top of
+    * [[resolveClusters]]; output is at most the largest cluster size. */
+  def clusterSizeHistogram(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    resolveClusters(pairs, aCol, bCol)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 }

@@ -185,4 +185,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
+
+  test("crossSourceDupMatrix rolls candidate pairs up by unordered source pair") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "crawlA"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank", "crawlB"),
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank", "crawlB"),
+      (4L, "completely different content about spark query engines and shuffles", "crawlC")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.crossSourceDupMatrix(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cand = Dedup.minhashLshCandidates(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups 1-2 are always LSH candidates -> the A-B cell exists
+    assert(cand.contains((1L, 2L)))
+    assert(m(("crawlA", "crawlB")) >= 1L)
+    // cells are unordered pairs: no (B, A) key ever appears
+    assert(m.keys.forall { case (x, y) => x <= y })
+    // the unrelated source shares no cell with anyone
+    assert(!m.keys.exists { case (x, y) => x == "crawlC" || y == "crawlC" })
+    // total mass == candidate pair count
+    assert(m.values.sum == cand.size)
+  }
+
+  test("clusterSizeHistogram counts components by size") {
+    // two explicit components: {1,2,3} via a chain, {10,11} via one pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val h = Dedup.clusterSizeHistogram(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(3L -> 1L, 2L -> 1L))
+  }
 }

@@ -223,4 +223,20 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && exIdx > joinIdx && md5Idx > exIdx,
       s"expected join@$joinIdx < exchange@$exIdx < md5@$md5Idx")
   }
+
+  test("pagerank: contributions partial-agg before the shuffle; no cartesian blowup (q116)") {
+    val p = plan("q116_pagerank")
+    // per-round groupBy(dst) must map-side combine, and the only nested-loop
+    // join allowed is the broadcast of the 1-row node count
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "node-count join must broadcast")
+  }
+
+  test("cross-source matrix: label-side scans read (id, source), never text (q117)") {
+    val p = plan("q117_cross_source_dups")
+    val labelScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("source")).toSeq
+    assert(labelScans.nonEmpty, p.take(2000))
+    assert(labelScans.forall(!_.contains("text")), labelScans.mkString("\n"))
+  }
 }

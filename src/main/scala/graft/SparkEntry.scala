@@ -1472,6 +1472,31 @@ object SparkEntry {
         "doc_a", "doc_b"),
       Some(TextOracle.clusterSizeHistogramSql(numHashes = 8, bandRows = 2))),
 
+    Q("q119_minhash_verify", (s, dir) =>
+      // signature-only candidate verification: O(numHashes) per pair, no
+      // second shingle pass — the verify path that survives trillion-pair
+      // candidate sets
+      Dedup.minhashVerifiedPairs(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bandRows = 2, shingleN = 2, minAgree = 4),
+      Some(TextOracle.minhashVerifiedSql(numHashes = 8, bandRows = 2,
+        minAgree = 4))),
+
+    Q("q120_source_rank", (s, dir) => {
+      // operator composition: the q117 overlap matrix becomes a symmetric
+      // weighted graph; pagerank scores each source's dup-connectedness
+      // (high rank = redundant with many/heavy partners — candidates for
+      // downweighting in the mixture)
+      val m = Dedup.crossSourceDupMatrix(T(s, dir, "documents"), "doc_id",
+        "text", "source", numHashes = 8, bandRows = 2, shingleN = 2)
+      val edges = m.select(col("source_x").as("src"), col("source_y").as("dst"),
+        col("n_pairs").as("w"))
+        .union(m.filter(col("source_x") =!= col("source_y"))
+          .select(col("source_y").as("src"), col("source_x").as("dst"),
+            col("n_pairs").as("w")))
+      graft.operators.Graph.pagerank(edges, "src", "dst", "w", iters = 5)
+    }, Some(TextOracle.sourceRankSql(numHashes = 8, bandRows = 2, iters = 5,
+      dampingPct = 85))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

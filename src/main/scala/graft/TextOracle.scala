@@ -207,6 +207,43 @@ object TextOracle {
            COUNT(*) AS n_pairs
     FROM lab GROUP BY 1, 2"""
 
+  /** Signature-verified pairs (q119): candidates scored by agreeing MinHash
+    * slots (the Broder estimator) against the shared sig CTE. */
+  def minhashVerifiedSql(numHashes: Int, bandRows: Int, minAgree: Int): String = {
+    val agree = (0 until numHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    ver AS (
+      SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_agree
+      FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, n_agree,
+           CAST(n_agree AS DOUBLE) / $numHashes AS est_jaccard
+    FROM ver WHERE n_agree >= $minAgree"""
+  }
+
+  /** Source-overlap PageRank (q120): q117's matrix as a symmetric weighted
+    * edge list (self-loops kept for same-source dup mass), ranked by the
+    * integer-exact pagerank unroll. The edges subquery carries its own WITH
+    * (legal inside the parenthesized CTE body). */
+  def sourceRankSql(numHashes: Int, bandRows: Int, iters: Int,
+                    dampingPct: Int): String = {
+    val edges = s"""WITH ${candCtes(numHashes, bandRows)},
+      lab AS (
+        SELECT da.source AS sa, db.source AS sb
+        FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+                    JOIN documents db ON db.doc_id = c.doc_b),
+      mat AS (
+        SELECT LEAST(sa, sb) AS sx, GREATEST(sa, sb) AS sy, COUNT(*) AS n
+        FROM lab GROUP BY 1, 2)
+      SELECT sx AS src, sy AS dst, CAST(n AS BIGINT) AS w FROM mat
+      UNION ALL
+      SELECT sy AS src, sx AS dst, CAST(n AS BIGINT) AS w FROM mat
+      WHERE sx <> sy"""
+    GraphOracle.pagerankSql(edges, iters, dampingPct)
+  }
+
   /** Dup-cluster size histogram (q118): component sizes over the LSH
     * candidate closure, then a count per size. */
   def clusterSizeHistogramSql(numHashes: Int, bandRows: Int): String = s"""

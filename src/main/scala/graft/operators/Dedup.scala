@@ -749,6 +749,48 @@ object Dedup {
       .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Signature-verified near-dup pairs: LSH candidates scored by the
+    * fraction of agreeing MinHash slots (Broder 1997's unbiased Jaccard
+    * estimator) and cut at `minAgree` agreeing slots. At 100 TB this is THE
+    * verification path: O(numHashes) integer compares per candidate against
+    * signatures that already exist — no second shingle pass, no shingle-set
+    * join (exact verification re-tokenizes every candidate's full text; for
+    * a trillion-pair candidate set that is a second corpus scan). One
+    * signature computation serves banding AND verification: the sig table is
+    * pinned, the band explode and both verify joins are projections of the
+    * pin. est_jaccard = n_agree/numHashes is a dyadic rational for the
+    * power-of-two numHashes defaults — bit-exact in any engine. */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 8, bandRows: Int = 2,
+                           shingleN: Int = 2, minAgree: Int = 4): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    require(minAgree >= 0 && minAgree <= numHashes,
+      s"minAgree=$minAgree outside [0, $numHashes]")
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // materialize: shingle+md5 pipeline runs exactly once
+    val numBands = numHashes / bandRows
+    val bandCols = (0 until numBands).map { b =>
+      val slots = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bucketPairsPinned(bands, idCol)
+    val sa = sig.select(col(idCol).as("doc_a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)
+    val sb = sig.select(col(idCol).as("doc_b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__b$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), agree.cast("long").as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** Duplicate-cluster size histogram — the one-glance answer to "is this
     * corpus mostly pairs or a few mega-clusters?" (mega-clusters = boilerplate
     * templates; their removal policy differs from honest pair dups). Rows

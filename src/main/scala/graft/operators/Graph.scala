@@ -34,14 +34,19 @@ object Graph {
                iters: Int = 10, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of range")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct=$dampingPct")
+    import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
-    val ew = e.join(outw, "src")
+    // every iteration references the edge and node tables: pin both so the
+    // upstream pipeline (which may be a whole LSH candidate computation —
+    // q120) executes once, not once per round. Same cache contract as
+    // bucketPairs: callers running many graphs reclaim via clearCache().
+    val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val n1 = nodes.agg(count(lit(1)).as("n"))
-    val base = nodes.crossJoin(broadcast(n1))
+    val base = nodes.crossJoin(broadcast(n1)).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = base.select(col("node"), expr("1000000L div n").as("r"))
     for (_ <- 1 to iters) {
       val s = ew.join(ranks.withColumnRenamed("node", "src"), "src")

@@ -208,6 +208,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m.values.sum == cand.size)
   }
 
+  test("minhashVerifiedPairs: exact dups score 8/8; output is a candidate subset") {
+    val v = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", minAgree = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v.keySet == cand) // minAgree=0 keeps every candidate, adds none
+    assert(v((1L, 2L)) == (8L, 1.0)) // identical docs agree on every slot
+    // estimator is always n/8 with n in [0, 8]
+    assert(v.values.forall { case (n, e) => n >= 0 && n <= 8 && e == n / 8.0 })
+    // a real threshold only removes pairs
+    val cut = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", minAgree = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.subsetOf(v.keySet))
+    assert(cut.forall(p => v(p)._1 >= 6L))
+  }
+
   test("clusterSizeHistogram counts components by size") {
     // two explicit components: {1,2,3} via a chain, {10,11} via one pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

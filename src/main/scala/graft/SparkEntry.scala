@@ -1497,6 +1497,15 @@ object SparkEntry {
     }, Some(TextOracle.sourceRankSql(numHashes = 8, bandRows = 2, iters = 5,
       dampingPct = 85))),
 
+    Q("q121_pq_adc_topk", (s, dir) =>
+      // ADC serving scan: probe un-quantized, corpus as PQ codes, one
+      // broadcast LUT — numSub lookups + adds per row, no per-row dot
+      Similarity.pqAdcTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, Similarity.pqCodebooks(numSub = 4, ksub = 8,
+          subDims = 16), k = 10),
+      Some(TextOracle.pqAdcTopkSql(numSub = 4, ksub = 8, subDims = 16,
+        probeId = 0L, k = 10))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

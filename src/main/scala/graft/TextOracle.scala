@@ -652,31 +652,69 @@ object TextOracle {
 
   /** PQ code assignment: per subspace, the same d² + CASE-argmin construction
     * as ivfAssignSql, over the embedding slice for that subspace. */
-  def pqAssignSql(numSub: Int, ksub: Int, subDims: Int): String = {
-    val books = graft.operators.Similarity.pqCodebooks(numSub, ksub, subDims)
-    val dCols = (for { m <- 0 until numSub; i <- 0 until ksub } yield {
+  /** Per-(subspace, centroid) squared-distance columns d{m}_{i} of
+    * `vecExpr` against the PQ codebook literals — shared by the assignment
+    * and ADC oracles. */
+  private def pqDistCols(numSub: Int, ksub: Int, subDims: Int,
+                         vecExpr: String): String =
+    (for { m <- 0 until numSub; i <- 0 until ksub } yield {
       val off = m * subDims
-      val c = books(m)(i)
+      val c = graft.operators.Similarity.pqCodebooks(numSub, ksub, subDims)(m)(i)
       val ss = c.map(x => x * x).sum
-      val sliceStr = s"embedding[${off + 1}:${off + subDims}]"
+      val sliceStr = s"$vecExpr[${off + 1}:${off + subDims}]"
       val cdot = (0 until subDims)
-        .map(d => s"CAST(embedding[${off + d + 1}] AS DOUBLE) * ${c(d)}").mkString(" + ")
+        .map(d => s"CAST($vecExpr[${off + d + 1}] AS DOUBLE) * ${c(d)}").mkString(" + ")
       s"(${dotExpr(sliceStr, sliceStr)} - 2.0 * ($cdot) + $ss) AS d${m}_$i"
     }).mkString(",\n             ")
-    val codeCases = (0 until numSub).map { m =>
+
+  /** code{m} argmin CASEs over pqDistCols (low index wins ties), NULL for
+    * vectors shorter than the PQ geometry — as pqAssign. */
+  private def pqCodeCases(numSub: Int, ksub: Int, subDims: Int): String =
+    (0 until numSub).map { m =>
       val cases = (0 until ksub).map { i =>
         val conds = ((i + 1) until ksub).map(j => s"d${m}_$i <= d${m}_$j")
         if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
       }.mkString("\n           ")
-      // short vectors -> NULL codes, as pqAssign
       s"CASE WHEN len(embedding) >= ${numSub * subDims} THEN (CASE $cases END) END AS code$m"
     }.mkString(",\n           ")
-    s"""
+
+  def pqAssignSql(numSub: Int, ksub: Int, subDims: Int): String = s"""
     WITH d AS (
-      SELECT vec_id, embedding, $dCols
+      SELECT vec_id, embedding, ${pqDistCols(numSub, ksub, subDims, "embedding")}
       FROM embeddings)
-    SELECT vec_id, $codeCases
+    SELECT vec_id, ${pqCodeCases(numSub, ksub, subDims)}
     FROM d"""
+
+  /** PQ ADC top-k (q121): probe-vs-codebook distance table computed once in
+    * a 1-row CTE (mirrors the broadcast LUT frame), corpus rows pay list
+    * lookups + adds only. */
+  def pqAdcTopkSql(numSub: Int, ksub: Int, subDims: Int, probeId: Long,
+                   k: Int): String = {
+    val books = graft.operators.Similarity.pqCodebooks(numSub, ksub, subDims)
+    val lutCols = (0 until numSub).map { m =>
+      val off = m * subDims
+      val sliceStr = s"q[${off + 1}:${off + subDims}]"
+      val entries = (0 until ksub).map { i =>
+        val c = books(m)(i)
+        val ss = c.map(x => x * x).sum
+        val cdot = (0 until subDims)
+          .map(d => s"CAST(q[${off + d + 1}] AS DOUBLE) * ${c(d)}").mkString(" + ")
+        s"${dotExpr(sliceStr, sliceStr)} - 2.0 * ($cdot) + $ss"
+      }.mkString(", ")
+      s"list_value($entries) AS lut$m"
+    }.mkString(",\n           ")
+    val dist = (0 until numSub).map(m => s"lut$m[code$m + 1]").mkString(" + ")
+    s"""
+    WITH pd AS (
+      SELECT vec_id, embedding, ${pqDistCols(numSub, ksub, subDims, "embedding")}
+      FROM embeddings WHERE vec_id <> $probeId),
+    codes AS (SELECT vec_id, ${pqCodeCases(numSub, ksub, subDims)} FROM pd),
+    probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = $probeId),
+    lut AS (SELECT $lutCols FROM probe)
+    SELECT vec_id, $dist AS adc_d2
+    FROM codes, lut
+    WHERE $dist IS NOT NULL
+    ORDER BY adc_d2, vec_id LIMIT $k"""
   }
 
   /** Lloyd k-means transcription, CTE chain per round: assignment = LTR

@@ -160,6 +160,40 @@ object Similarity {
     }
   }
 
+  /** PQ asymmetric-distance top-k (ADC; Jégou, Douze & Schmid 2011 §IV-A):
+    * the probe stays un-quantized, the corpus is reduced to its PQ codes.
+    * The numSub×ksub table of probe-subvector→centroid distances is computed
+    * ONCE on a 1-row frame and broadcast — never on the driver — so each
+    * corpus row costs numSub array lookups + adds instead of a D-dim float
+    * dot: the approximate-scan shape that serves billion-vector indexes.
+    * Codes are derived here for self-containment; a production index stores
+    * q71's output and this collapses to scan + TakeOrdered. Distances are
+    * sums of driver-free double exprs evaluated in one fixed order — no
+    * accumulation-order nondeterminism anywhere. */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String, probeId: Long,
+                codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    val subDims = codebooks.head.head.size
+    val codes = pqAssign(emb.filter(col(idCol) =!= probeId), vecCol, codebooks)
+    val probe = emb.filter(col(idCol) === probeId).select(col(vecCol).as("__q"))
+    val lut = probe.select(codebooks.zipWithIndex.map { case (cents, m) =>
+      val qsub = slice(col("__q"), m * subDims + 1, subDims)
+      array(cents.map { c =>
+        VF.dot(qsub, qsub) - lit(2.0) * VF.dot(qsub, typedLit(c)) +
+          lit(c.map(x => x * x).sum)
+      }: _*).as(s"__lut$m")
+    }: _*)
+    val dist = codebooks.indices
+      .map(m => element_at(col(s"__lut$m"), col(s"code$m") + 1))
+      .reduce(_ + _)
+    codes.crossJoin(broadcast(lut))
+      .select(col(idCol), dist.as("adc_d2"))
+      // short vectors carry NULL codes -> NULL distance; drop them here
+      // (engines disagree on NULL sort placement)
+      .filter(col("adc_d2").isNotNull)
+      .orderBy(col("adc_d2"), col(idCol)).limit(k)
+  }
+
   /** Scalar int8 quantization of the embedding column: per-dimension corpus
     * min/max define a 256-step grid, code_d = round(255·(x_d−min_d)/span_d);
     * the vector compresses 4× (float32 → uint8 per dim) — the standard

@@ -70,6 +70,38 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK: ADC distance equals the scalar LUT recomputation; probe excluded") {
+    val books = Similarity.pqCodebooks(numSub = 2, ksub = 4, subDims = 3)
+    val data = Seq(
+      0L -> Seq(0.5f, -1f, 2f, 3f, 0f, -2f),
+      1L -> Seq(-7f, 7f, 0f, 1f, 1f, 1f),
+      2L -> Seq(0.4f, -1f, 2f, 3f, 0f, -2f),
+      3L -> Seq(2f, 2f, 2f, -3f, 1f, 0f))
+    val out = Similarity.pqAdcTopK(vecs(data: _*), "vec_id", "embedding",
+      probeId = 0L, books, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L)) // probe never in its own results
+    // scalar recomputation: assign codes, then sum LUT entries
+    val probe = data.head._2.map(_.toDouble)
+    def d2(sub: Seq[Double], c: Seq[Double]): Double = {
+      val self = sub.foldLeft(0.0)((a, x) => a + x * x)
+      val cdot = sub.indices.foldLeft(0.0)((a, i) => a + sub(i) * c(i))
+      self - 2.0 * cdot + c.map(x => x * x).sum
+    }
+    val expect = data.tail.map { case (id, v) =>
+      val dv = v.map(_.toDouble)
+      id -> (0 until 2).map { m =>
+        val sub = dv.slice(m * 3, m * 3 + 3)
+        val code = books(m).zipWithIndex
+          .minBy { case (c, i) => (d2(sub, c), i) }._2
+        d2(probe.slice(m * 3, m * 3 + 3), books(m)(code))
+      }.sum
+    }.toMap
+    for ((id, d) <- out) assert(math.abs(d - expect(id)) < 1e-9, s"vec $id")
+    // ranked ascending by distance, ties by id
+    assert(out.sortBy(r => (r._2, r._1)).toSeq == out.toSeq)
+  }
+
   test("pqCodebooks: deterministic, distinct across subspaces, right shape") {
     val a = Similarity.pqCodebooks(4, 8, 16)
     val b = Similarity.pqCodebooks(4, 8, 16)

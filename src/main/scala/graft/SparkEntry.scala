@@ -1506,6 +1506,15 @@ object SparkEntry {
       Some(TextOracle.pqAdcTopkSql(numSub = 4, ksub = 8, subDims = 16,
         probeId = 0L, k = 10))),
 
+    Q("q122_ivfpq_topk", (s, dir) =>
+      // the full IVFPQ serving shape: coarse-quantizer pruning to nprobe
+      // lists, then the ADC rank — probe lists and LUT on one broadcast row
+      Similarity.ivfPqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, Similarity.hyperplanes(4, 64), nprobe = 2,
+        Similarity.pqCodebooks(numSub = 4, ksub = 8, subDims = 16), k = 10),
+      Some(TextOracle.ivfPqTopkSql(nLists = 4, dims = 64, nprobe = 2,
+        numSub = 4, ksub = 8, subDims = 16, probeId = 0L, k = 10))),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

@@ -685,13 +685,11 @@ object TextOracle {
     SELECT vec_id, ${pqCodeCases(numSub, ksub, subDims)}
     FROM d"""
 
-  /** PQ ADC top-k (q121): probe-vs-codebook distance table computed once in
-    * a 1-row CTE (mirrors the broadcast LUT frame), corpus rows pay list
-    * lookups + adds only. */
-  def pqAdcTopkSql(numSub: Int, ksub: Int, subDims: Int, probeId: Long,
-                   k: Int): String = {
+  /** lut{m} list columns of probe-vs-codebook subspace distances over probe
+    * column `q` — shared by the ADC oracles. */
+  private def pqLutSqlCols(numSub: Int, ksub: Int, subDims: Int): String = {
     val books = graft.operators.Similarity.pqCodebooks(numSub, ksub, subDims)
-    val lutCols = (0 until numSub).map { m =>
+    (0 until numSub).map { m =>
       val off = m * subDims
       val sliceStr = s"q[${off + 1}:${off + subDims}]"
       val entries = (0 until ksub).map { i =>
@@ -703,14 +701,66 @@ object TextOracle {
       }.mkString(", ")
       s"list_value($entries) AS lut$m"
     }.mkString(",\n           ")
-    val dist = (0 until numSub).map(m => s"lut$m[code$m + 1]").mkString(" + ")
+  }
+
+  private def adcDistSql(numSub: Int): String =
+    (0 until numSub).map(m => s"lut$m[code$m + 1]").mkString(" + ")
+
+  /** PQ ADC top-k (q121): probe-vs-codebook distance table computed once in
+    * a 1-row CTE (mirrors the broadcast LUT frame), corpus rows pay list
+    * lookups + adds only. */
+  def pqAdcTopkSql(numSub: Int, ksub: Int, subDims: Int, probeId: Long,
+                   k: Int): String = {
+    val dist = adcDistSql(numSub)
     s"""
     WITH pd AS (
       SELECT vec_id, embedding, ${pqDistCols(numSub, ksub, subDims, "embedding")}
       FROM embeddings WHERE vec_id <> $probeId),
     codes AS (SELECT vec_id, ${pqCodeCases(numSub, ksub, subDims)} FROM pd),
     probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = $probeId),
-    lut AS (SELECT $lutCols FROM probe)
+    lut AS (SELECT ${pqLutSqlCols(numSub, ksub, subDims)} FROM probe)
+    SELECT vec_id, $dist AS adc_d2
+    FROM codes, lut
+    WHERE $dist IS NOT NULL
+    ORDER BY adc_d2, vec_id LIMIT $k"""
+  }
+
+  /** IVF-pruned ADC top-k (q122): coarse assignment + probe-list choice as
+    * ivfTopkSql, then the ADC rank over the pruned lists only. */
+  def ivfPqTopkSql(nLists: Int, dims: Int, nprobe: Int, numSub: Int,
+                   ksub: Int, subDims: Int, probeId: Long, k: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+    val d2cols = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * (${planeDotSql("embedding", i, dims)}) + $ss) AS iv$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"iv$i <= iv$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val probeCase = (0 until nLists).map(i => s"WHEN $i THEN iv$i").mkString(" ")
+    val dist = adcDistSql(numSub)
+    s"""
+    WITH iv AS (
+      SELECT vec_id, embedding, $d2cols
+      FROM embeddings),
+    a AS (SELECT vec_id, embedding, CASE $cases END AS ivf_list,
+                 ${(0 until nLists).map(i => s"iv$i").mkString(", ")}
+          FROM iv),
+    qrow AS (SELECT * FROM a WHERE vec_id = $probeId),
+    probes AS (
+      SELECT t.i FROM qrow, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)
+      ORDER BY CASE t.i $probeCase END, t.i
+      LIMIT $nprobe),
+    pruned AS (
+      SELECT vec_id, embedding FROM a
+      WHERE vec_id <> $probeId AND ivf_list IN (SELECT i FROM probes)),
+    pd AS (
+      SELECT vec_id, embedding, ${pqDistCols(numSub, ksub, subDims, "embedding")}
+      FROM pruned),
+    codes AS (SELECT vec_id, ${pqCodeCases(numSub, ksub, subDims)} FROM pd),
+    probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = $probeId),
+    lut AS (SELECT ${pqLutSqlCols(numSub, ksub, subDims)} FROM probe)
     SELECT vec_id, $dist AS adc_d2
     FROM codes, lut
     WHERE $dist IS NOT NULL

@@ -170,26 +170,71 @@ object Similarity {
     * q71's output and this collapses to scan + TakeOrdered. Distances are
     * sums of driver-free double exprs evaluated in one fixed order — no
     * accumulation-order nondeterminism anywhere. */
-  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String, probeId: Long,
-                codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
-    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  /** The per-subspace probe→centroid distance arrays (__lut{m}) over the
+    * probe column `qCol` — the ADC lookup table, built once per query row. */
+  private def pqLutCols(codebooks: Seq[Seq[Seq[Double]]],
+                        qCol: Column): Seq[Column] = {
     val subDims = codebooks.head.head.size
-    val codes = pqAssign(emb.filter(col(idCol) =!= probeId), vecCol, codebooks)
-    val probe = emb.filter(col(idCol) === probeId).select(col(vecCol).as("__q"))
-    val lut = probe.select(codebooks.zipWithIndex.map { case (cents, m) =>
-      val qsub = slice(col("__q"), m * subDims + 1, subDims)
+    codebooks.zipWithIndex.map { case (cents, m) =>
+      val qsub = slice(qCol, m * subDims + 1, subDims)
       array(cents.map { c =>
         VF.dot(qsub, qsub) - lit(2.0) * VF.dot(qsub, typedLit(c)) +
           lit(c.map(x => x * x).sum)
       }: _*).as(s"__lut$m")
-    }: _*)
-    val dist = codebooks.indices
+    }
+  }
+
+  /** Σ_m __lut{m}[code{m}] — the ADC distance of a coded row. */
+  private def adcDist(codebooks: Seq[Seq[Seq[Double]]]): Column =
+    codebooks.indices
       .map(m => element_at(col(s"__lut$m"), col(s"code$m") + 1))
       .reduce(_ + _)
+
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String, probeId: Long,
+                codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    val codes = pqAssign(emb.filter(col(idCol) =!= probeId), vecCol, codebooks)
+    val probe = emb.filter(col(idCol) === probeId).select(col(vecCol).as("__q"))
+    val lut = probe.select(pqLutCols(codebooks, col("__q")): _*)
     codes.crossJoin(broadcast(lut))
-      .select(col(idCol), dist.as("adc_d2"))
+      .select(col(idCol), adcDist(codebooks).as("adc_d2"))
       // short vectors carry NULL codes -> NULL distance; drop them here
       // (engines disagree on NULL sort placement)
+      .filter(col("adc_d2").isNotNull)
+      .orderBy(col("adc_d2"), col(idCol)).limit(k)
+  }
+
+  /** IVF-pruned ADC top-k — the full IVFPQ serving shape (FAISS IVFADC;
+    * Jégou 2011 §V): coarse quantizer prunes the corpus to the nprobe
+    * inverted lists nearest the probe, PQ-ADC ranks only those rows. The
+    * probe's list choice AND its LUT ride the same broadcast 1-row frame, so
+    * the whole query is one pruned scan + TakeOrdered with zero driver
+    * round-trips. At 100 TB the coded corpus is stored
+    * `partitionBy(ivf_list)` and the filter becomes partition pruning:
+    * nprobe/nLists of the data is even READ. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, probeId: Long,
+                centroids: Seq[Seq[Double]], nprobe: Int,
+                codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe=$nprobe outside [1, ${centroids.size}]")
+    val probe = emb.filter(col(idCol) === probeId).select(col(vecCol).as("__q"))
+    val centStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = VF.dot(col("__q"), col("__q")) -
+        lit(2.0) * VF.dot(col("__q"), typedLit(c)) + lit(c.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(i).as("i"))
+    }
+    // nearest-nprobe lists by (d2, i): struct sort == the oracle's ORDER BY
+    val probes = transform(
+      slice(array_sort(array(centStructs: _*)), 1, nprobe), x => x.getField("i"))
+    val qframe = probe.select(
+      probes.as("__probes") +: pqLutCols(codebooks, col("__q")): _*)
+    val codes = pqAssign(
+      ivfAssign(emb.filter(col(idCol) =!= probeId), vecCol, centroids),
+      vecCol, codebooks)
+    codes.crossJoin(broadcast(qframe))
+      .filter(array_contains(col("__probes"), col("ivf_list")))
+      .select(col(idCol), adcDist(codebooks).as("adc_d2"))
       .filter(col("adc_d2").isNotNull)
       .orderBy(col("adc_d2"), col(idCol)).limit(k)
   }

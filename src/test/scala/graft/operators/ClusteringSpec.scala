@@ -102,6 +102,27 @@ class ClusteringSpec extends SparkSpec {
     assert(out.sortBy(r => (r._2, r._1)).toSeq == out.toSeq)
   }
 
+  test("ivfPqTopK: full nprobe equals unpruned ADC; nprobe=1 scans one list") {
+    val books = Similarity.pqCodebooks(numSub = 2, ksub = 4, subDims = 3)
+    val cents = Similarity.hyperplanes(2, 6)
+    val data = (0L to 9L).map(i =>
+      i -> (0 until 6).map(d => ((i * 7 + d * 3) % 11).toFloat - 5f))
+    val df = vecs(data: _*)
+    // nprobe = nLists: pruning is a no-op, must match plain ADC exactly
+    val full = Similarity.ivfPqTopK(df, "vec_id", "embedding", 0L, cents,
+      nprobe = 2, books, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adc = Similarity.pqAdcTopK(df, "vec_id", "embedding", 0L, books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == adc)
+    // nprobe = 1: every result sits in the probe's own nearest list
+    val one = Similarity.ivfPqTopK(df, "vec_id", "embedding", 0L, cents,
+      nprobe = 1, books, k = 5).collect().map(_.getLong(0)).toSet
+    val lists = Similarity.ivfAssign(df, "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("ivf_list"))).toMap
+    assert(one.nonEmpty && one.forall(id => lists(id) == lists(0L)), s"$one $lists")
+    assert(one.subsetOf(adc.map(_._1).toSet ++ data.tail.map(_._1)))
+  }
+
   test("pqCodebooks: deterministic, distinct across subspaces, right shape") {
     val a = Similarity.pqCodebooks(4, 8, 16)
     val b = Similarity.pqCodebooks(4, 8, 16)

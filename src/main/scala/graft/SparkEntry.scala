@@ -1515,6 +1515,46 @@ object SparkEntry {
       Some(TextOracle.ivfPqTopkSql(nLists = 4, dims = 64, nprobe = 2,
         numSub = 4, ksub = 8, subDims = 16, probeId = 0L, k = 10))),
 
+    Q("q123_bloom_decontaminate", (s, dir) =>
+      // O(m)-memory screen of the training split against the eval split's
+      // shingle Bloom bitmap — the sublinear-state twin of q90's exact join
+      Dedup.bloomContaminationReport(T(s, dir, "documents"), "doc_id", "text",
+        evalMod = 10, numHashes = 3, words = 8192),
+      Some(TextOracle.bloomDecontaminateSql(evalMod = 10, numHashes = 3,
+        words = 8192))),
+
+    Q("q124_multiprobe_rerank", (s, dir) =>
+      // two-stage retrieval: <=1-bit-flip LSH shortlist, exact cosine rerank
+      Similarity.multiProbeTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, numPlanes = 8, dims = 64, maxFlip = 1, k = 10),
+      Some(TextOracle.multiProbeRerankSql(k = 10, numPlanes = 8, dims = 64,
+        maxFlip = 1, probeId = 0L))),
+
+    Q("q125_source_minhash_sim", (s, dir) =>
+      // corpus-level mergeable MinHash per source -> pairwise overlap matrix
+      Dedup.sourceMinhashSimilarity(T(s, dir, "documents"), "source", "text",
+        numHashes = 8),
+      Some(TextOracle.sourceMinhashSql(numHashes = 8))),
+
+    Q("q126_unicode_normalize", (s, dir) => {
+      // NFC + accent folding + lowercase via the native TextNorm expressions;
+      // deterministic non-ASCII decorations exercise composition/stripping
+      import graft.plans.TextNormExpressions.{nfcNormalize, stripAccents}
+      val ds = TextOracle.normDecorations
+      val deco = concat(
+        when(col("doc_id") % 4 === 0, lit(ds(0)))
+          .when(col("doc_id") % 4 === 1, lit(ds(1)))
+          .when(col("doc_id") % 4 === 2, lit(ds(2)))
+          .otherwise(lit(ds(3))),
+        col("text"))
+      T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          nfcNormalize(deco).as("nfc"),
+          stripAccents(deco).as("folded"),
+          lower(nfcNormalize(deco)).as("lowered"),
+          length(nfcNormalize(deco)).cast("long").as("n_chars"))
+    }, Some(TextOracle.unicodeNormalizeSql)),
+
     Q("q45_tz_file_date", (s, dir) =>
       // F13 Asia/Ho_Chi_Minh file-date naming (utils/common.py:142-144)
       T(s, dir, "events").select(col("event_id"),

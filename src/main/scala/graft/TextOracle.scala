@@ -303,6 +303,104 @@ object TextOracle {
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"""
 
+  /** Bloom-filter decontamination oracle (q123): eval shingles fold into
+    * 63-bit-wide bitmap words (bit 63 never set — DuckDB checks 1<<63),
+    * training shingles probe them; double hashing over two md5 slices. */
+  def bloomDecontaminateSql(evalMod: Int, numHashes: Int, words: Int): String = {
+    val m = words.toLong * 63L
+    def posExpr(src: String) =
+      s"""(CAST(('0x' || substr(md5($src), 1, 8)) AS BIGINT)
+            + i.i * (1 + CAST(('0x' || substr(md5($src), 9, 8)) AS BIGINT) % ${m - 1L})) % $m"""
+    s"""
+    WITH $shingleCte,
+    ii AS (SELECT unnest(range(0, $numHashes)) AS i),
+    ep AS (SELECT DISTINCT s FROM sh WHERE doc_id % $evalMod = 0),
+    epos AS (SELECT ${posExpr("s")} AS pos FROM ep, ii i),
+    w AS (
+      SELECT pos // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+      FROM epos GROUP BY pos // 63),
+    tpos AS (
+      SELECT doc_id, s, ${posExpr("s")} AS pos
+      FROM sh, ii i WHERE doc_id % $evalMod <> 0),
+    tbit AS (
+      SELECT doc_id, s,
+             CASE WHEN w.word IS NOT NULL
+                   AND (w.word & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS b
+      FROM tpos LEFT JOIN w ON tpos.pos // 63 = w.w),
+    hits AS (
+      SELECT doc_id, s, CASE WHEN SUM(b) = $numHashes THEN 1 ELSE 0 END AS hit
+      FROM tbit GROUP BY doc_id, s)
+    SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(hit) AS BIGINT) AS n_hits,
+           SUM(hit) > 0 AS contaminated
+    FROM hits GROUP BY doc_id"""
+  }
+
+  /** Per-source mergeable MinHash signatures + pairwise slot-agreement
+    * Jaccard estimate (q125) — same universal-hash family/constants as the
+    * doc-level sig CTE, grouped by source instead of doc. */
+  def sourceMinhashSql(numHashes: Int): String = {
+    val P = graft.operators.Dedup.MinhashP
+    val sigCols = graft.operators.Dedup.minhashConsts(numHashes).zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * x + $b) % $P) AS h$j" }
+      .mkString(",\n             ")
+    val agree = (0 until numHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH $shingleCte,
+    ss AS (
+      SELECT d.source, CAST(('0x' || substr(md5(sh.s), 1, 8)) AS BIGINT) % $P AS x
+      FROM sh JOIN documents d USING (doc_id)),
+    sig AS (SELECT source, $sigCols FROM ss GROUP BY source)
+    SELECT a.source AS source_x, b.source AS source_y,
+           CAST($agree AS BIGINT) AS n_agree,
+           round(CAST($agree AS DOUBLE) / $numHashes, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source"""
+  }
+
+  /** Multi-probe LSH shortlist + exact cosine rerank (q124): hamming over
+    * SRP bucket ids via xor+bit_count, shortlist reranked exactly. */
+  def multiProbeRerankSql(k: Int, numPlanes: Int, dims: Int, maxFlip: Int,
+                          probeId: Long): String = s"""
+    WITH b AS (
+      SELECT vec_id, embedding, ${bucketSql("embedding", numPlanes, dims)} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = $probeId)
+    SELECT vec_id,
+           CAST(bit_count(xor(bucket, qbucket)) AS BIGINT) AS hamming,
+           round(${dotExpr("embedding", "qv")}
+                 / (sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotExpr("qv", "qv")})), 6) AS cos
+    FROM b, q
+    WHERE vec_id <> $probeId AND bit_count(xor(bucket, qbucket)) <= $maxFlip
+    ORDER BY cos DESC, vec_id LIMIT $k"""
+
+  /** Decoration strings prepended per doc_id % 4 by q126 — composed,
+    * decomposed (combining marks), mixed, and uppercase-accent forms; ONE
+    * definition shared by the Spark query and this oracle. */
+  val normDecorations: Seq[String] = Seq(
+    "Café déjà-vu: ",        // composed accents
+    "Café naïve: ",             // decomposed combining marks
+    "Müller—Çağrı: ", // mixed + em dash + dotless i
+    "ñandú ÄÖÜ: ") // uppercase accents
+
+  /** Unicode normalization suite (q126): NFC canonicalization, accent
+    * folding, lowercase, NFC codepoint length — DuckDB's nfc_normalize /
+    * strip_accents mirror the engine's TextNorm expressions exactly. */
+  def unicodeNormalizeSql: String = {
+    val cases = normDecorations.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+    s"""
+    SELECT doc_id,
+           nfc_normalize(deco) AS nfc,
+           strip_accents(deco) AS folded,
+           lower(nfc_normalize(deco)) AS lowered,
+           CAST(length(nfc_normalize(deco)) AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, (CASE doc_id % 4 $cases END) || text AS deco
+      FROM documents WHERE text IS NOT NULL) t"""
+  }
+
   /** dot/norm folded left-to-right over doubles — same association order as
     * VectorFunctions.dot's aggregate(), so bit-identical before round(6). */
   private def dotExpr(a: String, b: String): String =

@@ -476,6 +476,96 @@ object Dedup {
       .select("corpus_id", "probe_id", "containment")
   }
 
+  /** Bloom-filter decontamination report — the O(m)-memory alternative to
+    * the shingle-join containment check (containmentPairs/q90): the eval
+    * set's shingles are folded into ONE fixed-size bitmap, and every
+    * training shingle is tested against it. Zero false negatives (a shingle
+    * in the eval set always hits), tunable false-positive rate
+    * ≈ fill^numHashes — the standard trade (Bloom, CACM 1970) that lets a
+    * 100 TB corpus screen against a benchmark with kilobytes of state
+    * instead of a corpus×eval shingle join.
+    *
+    * Determinism: positions come from double hashing over md5
+    * (pos_i = (h1 + i·h2) mod m with h1/h2 two 32-bit md5 slices, h2
+    * forced nonzero), words are 63 BITS wide — bit 63 is never set, so no
+    * engine hits signed-shift/overflow edge cases (DuckDB checks 1<<63).
+    *
+    * Plan shape at scale: the eval side collapses to ≤`words` rows (the
+    * bitmap) which BROADCASTS to the training scan's position test — the
+    * corpus is never shuffled for membership; the two aggregations
+    * ((doc, shingle) all-k-bits AND, then per-doc counts) are map-side
+    * combinable. Output per training doc with ≥1 shingle:
+    * (id, n_shingles, n_hits, contaminated). */
+  def bloomContaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                               evalMod: Int, numHashes: Int, words: Int,
+                               shingleN: Int = 2): DataFrame = {
+    require(numHashes >= 1 && words >= 1)
+    val mBits = words.toLong * 63L
+    def positions(side: DataFrame): DataFrame = {
+      val h1 = conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long")
+      val h2 = lit(1L) + conv(substring(md5(col("__sh")), 9, 8), 16, 10)
+        .cast("long") % (mBits - 1L)
+      side.withColumn("__i", explode(array((0 until numHashes).map(lit): _*)))
+        .select(side.columns.map(col) :+
+          ((h1 + col("__i") * h2) % mBits).as("__pos"): _*)
+    }
+    val sh = docs.select(col(idCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
+    // the bitmap: eval shingles -> k positions -> OR'd 63-bit words
+    val bitmap = positions(
+      sh.filter(col(idCol) % evalMod === 0).select(col("__sh")).distinct())
+      .groupBy((col("__pos") / 63L).cast("long").as("__w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT)))").as("__word"))
+    // training side: every (doc, shingle, i) position probes the bitmap
+    val probed = positions(sh.filter(col(idCol) % evalMod =!= 0))
+      .withColumn("__w", (col("__pos") / 63L).cast("long"))
+      .join(broadcast(bitmap), Seq("__w"), "left")
+      .withColumn("__set",
+        when(col("__word").isNotNull &&
+          (col("__word").bitwiseAND(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))")) =!= 0L), 1)
+          .otherwise(0))
+    probed
+      .groupBy(col(idCol), col("__sh"))
+      .agg(when(sum(col("__set")) === numHashes, 1).otherwise(0).as("__hit"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("__hit")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
+  /** Corpus-level MinHash signature per source + pairwise estimated Jaccard
+    * between sources — the mergeable-sketch answer to "how much do my data
+    * sources overlap?". Each source's signature is the elementwise MIN of
+    * its documents' minhash slots (min is associative + commutative, so
+    * signatures merge across partitions, batches, and days without
+    * recomputation — the same property HLL sketches rely on), and
+    * slot-agreement between two sources estimates the Jaccard similarity of
+    * their full shingle SETS (Broder 1997) in O(numHashes) per pair.
+    * One shingle scan + one groupBy(source) with k min() partial aggs;
+    * the |sources|² comparison is over a k-column table of |sources| rows —
+    * driver-free and broadcast-trivial. */
+  def sourceMinhashSimilarity(docs: DataFrame, srcCol: String, textCol: String,
+                              numHashes: Int, shingleN: Int = 2): DataFrame = {
+    val sh = docs.select(col(srcCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(srcCol),
+        (conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long") % MinhashP).as("__x"))
+    val aggs = minhashConsts(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("__x") + lit(b)) % MinhashP).as(s"h$j")
+    }
+    val sig = sh.groupBy(col(srcCol)).agg(aggs.head, aggs.tail: _*)
+    val a = sig.select(col(srcCol).as("source_x") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = sig.select(col(srcCol).as("source_y") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.crossJoin(b).filter(col("source_x") < col("source_y"))
+      .withColumn("n_agree", agree.cast("long"))
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / numHashes, 6))
+      .select("source_x", "source_y", "n_agree", "est_jaccard")
+  }
+
   /** Duplicate-cluster resolution: turn near-dup PAIRS into per-document
     * cluster labels (label = smallest doc id in the connected component) so a
     * pipeline can keep one representative per cluster. Iterative min-label

@@ -239,6 +239,37 @@ object Similarity {
       .orderBy(col("adc_d2"), col(idCol)).limit(k)
   }
 
+  /** Multi-probe LSH + exact rerank — the standard two-stage retrieval
+    * shape (Lv et al., "Multi-probe LSH", VLDB 2007): the shortlist is every
+    * vector whose SRP signature is within `maxFlip` bits of the probe's
+    * (hamming over bucket ids via one xor + popcount), then EXACT cosine
+    * reranks the shortlist to top-k. maxFlip=0 degenerates to the plain
+    * single-bucket lookup (lshTopK); each extra flip trades recall for a
+    * shortlist that grows by C(numPlanes, flips) buckets — the recall knob
+    * single-bucket LSH lacks. The probe's signature and vector ride one
+    * broadcast 1-row frame: zero driver round-trips, and the corpus is
+    * scanned (never shuffled) with the hamming test codegen'd into the scan.
+    * At 100 TB with the corpus stored `partitionBy(bucket)`, the ≤ maxFlip
+    * bucket set is enumerable ahead of the scan, so the filter prunes
+    * partitions instead of reading them. */
+  def multiProbeTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     probeId: Long, numPlanes: Int, dims: Int,
+                     maxFlip: Int, k: Int): DataFrame = {
+    require(maxFlip >= 0 && maxFlip <= numPlanes,
+      s"maxFlip=$maxFlip outside [0, $numPlanes]")
+    val bucketed = withBucket(emb, vecCol, numPlanes, dims)
+    val qframe = bucketed.filter(col(idCol) === probeId)
+      .select(col("bucket").as("__qb"), col(vecCol).as("__q"))
+    bucketed.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(qframe))
+      .withColumn("hamming",
+        bit_count(col("bucket").bitwiseXOR(col("__qb"))).cast("long"))
+      .filter(col("hamming") <= maxFlip)
+      .withColumn("cos", round(VF.cosine(col(vecCol), col("__q")), 6))
+      .select(col(idCol), col("hamming"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+  }
+
   /** Scalar int8 quantization of the embedding column: per-dimension corpus
     * min/max define a 256-step grid, code_d = round(255·(x_d−min_d)/span_d);
     * the vector compresses 4× (float32 → uint8 per dim) — the standard

@@ -29,5 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bitset_intersect_count"),
       info("bitset_intersect_count", "popcount(a AND b) over two array<long> bitsets"),
       (args: Seq[Expression]) => BitsetIntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
+      (args: Seq[Expression]) => NfcNormalize(TextNormExpressions.asString(args(0)))))
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(s) - accent folding: NFD, drop nonspacing marks, NFC"),
+      (args: Seq[Expression]) => StripAccents(TextNormExpressions.asString(args(0)))))
   }
 }

@@ -1536,6 +1536,43 @@ object SparkEntry {
         numHashes = 8),
       Some(TextOracle.sourceMinhashSql(numHashes = 8))),
 
+    Q("q127_cluster_safe_split", (s, dir) => {
+      // leakage-safe train/val/test: split hashed on the near-dup CLUSTER
+      // id, so no duplicate cluster ever straddles a split boundary — the
+      // transform that makes the q109 leakage audit empty by construction
+      val docs = T(s, dir, "documents")
+      graft.operators.Sampling.clusterSafeSplit(docs, "doc_id",
+        Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          numHashes = 8, bandRows = 2, shingleN = 2),
+        "doc_a", "doc_b", Seq("train" -> 90, "val" -> 8, "test" -> 2))
+    }, Some(TextOracle.clusterSafeSplitSql(numHashes = 8, bandRows = 2,
+      Seq("train" -> 90, "val" -> 8, "test" -> 2)))),
+
+    Q("q128_grouping_sets", (s, dir) =>
+      // one-pass multi-granularity data card: per (source, lang), per
+      // source, per lang, and grand total from a single scan — GROUPING
+      // SETS instead of 4 unioned aggregations (4x the read at 100 TB)
+      T(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select("source", "lang", "gid", "n_docs", "total_chars"),
+      Some("""
+      SELECT source, lang, GROUPING(source, lang) AS gid,
+             COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""")),
+
+    Q("q129_lsh_threshold_curve", (s, dir) =>
+      // verified-pair survival at EVERY minAgree cut in one pass — the
+      // tuning curve bracketed by q119 (one cut) and q88 (one banding)
+      Dedup.minhashAgreementCurve(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bandRows = 2),
+      Some(TextOracle.minhashAgreementCurveSql(numHashes = 8, bandRows = 2))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

@@ -223,6 +223,34 @@ object TextOracle {
     FROM ver WHERE n_agree >= $minAgree"""
   }
 
+  /** Leakage-safe split oracle (q127): the q59 split CASE keyed on
+    * COALESCE(cluster label, own id) over the recursive closure. */
+  def clusterSafeSplitSql(numHashes: Int, bandRows: Int,
+                          cuts: Seq[(String, Int)]): String = s"""
+    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
+    $closureCtes
+    SELECT d.doc_id,
+           ${splitCaseSql("COALESCE(l.cluster_id, d.doc_id)", cuts)} AS split
+    FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id"""
+
+  /** LSH-threshold tuning curve oracle (q129): verified-pair agreement
+    * histogram folded against every minAgree cut 0..numHashes. */
+  def minhashAgreementCurveSql(numHashes: Int, bandRows: Int): String = {
+    val agree = (0 until numHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    ver AS (
+      SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_agree
+      FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b),
+    hist AS (SELECT n_agree, COUNT(*) AS c FROM ver GROUP BY n_agree),
+    grid AS (SELECT unnest(range(0, ${numHashes + 1})) AS min_agree)
+    SELECT g.min_agree, CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_pairs
+    FROM grid g LEFT JOIN hist h ON h.n_agree >= g.min_agree
+    GROUP BY g.min_agree"""
+  }
+
   /** Source-overlap PageRank (q120): q117's matrix as a symmetric weighted
     * edge list (self-loops kept for same-source dup mass), ranked by the
     * integer-exact pagerank unroll. The edges subquery carries its own WITH

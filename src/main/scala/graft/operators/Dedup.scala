@@ -881,6 +881,27 @@ object Dedup {
         (col("n_agree").cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** LSH-threshold tuning CURVE: for every possible minAgree cut 0..k, how
+    * many verified candidate pairs survive — the one-query answer to "where
+    * do I set the verification threshold?" that q119 (one fixed cut) and
+    * q88 (one fixed banding) bracket. Shape: the pair table collapses to a
+    * ≤ k+1-row agreement histogram FIRST (one partial-agg shuffle), then
+    * the (k+1)² grid×histogram triangle runs on constant-size data —
+    * the curve costs the same as one verified-pairs pass no matter how
+    * many candidate pairs exist. */
+  def minhashAgreementCurve(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 8, bandRows: Int = 2,
+                            shingleN: Int = 2): DataFrame = {
+    val hist = minhashVerifiedPairs(docs, idCol, textCol, numHashes, bandRows,
+      shingleN, minAgree = 0)
+      .groupBy(col("n_agree")).agg(count(lit(1)).as("__c"))
+    val grid = docs.sparkSession.range(0, numHashes + 1L)
+      .select(col("id").cast("long").as("min_agree"))
+    grid.join(hist, col("n_agree") >= col("min_agree"), "left")
+      .groupBy(col("min_agree"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_pairs"))
+  }
+
   /** Duplicate-cluster size histogram — the one-glance answer to "is this
     * corpus mostly pairs or a few mega-clusters?" (mega-clusters = boilerplate
     * templates; their removal policy differs from honest pair dups). Rows

@@ -31,6 +31,27 @@ object Sampling {
       }
   }
 
+  /** LEAKAGE-SAFE split: hashSplit keyed on the near-dup CLUSTER id instead
+    * of the document id, so every member of a duplicate cluster lands in
+    * the SAME split — the transform that makes q109's split-leakage audit
+    * come back empty by construction (Lee et al. 2021 found ~3% of C4's
+    * val set leaked into train exactly because splits hashed raw ids).
+    * Documents absent from `pairs` are singleton clusters and hash on
+    * their own id (identical to plain hashSplit — growth-stable). Cost on
+    * top of hashSplit: the cluster resolution (pairs are usually already
+    * materialized by the dedup pass) + ONE left join of labels onto the
+    * corpus — labels cover only docs that appear in pairs, a small
+    * fraction at web scale, so the join broadcasts or shuffles a sliver. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       cuts: Seq[(String, Int)]): DataFrame = {
+    val labels = Dedup.resolveClusters(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol)).join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        hashSplit(coalesce(col("cluster_id"), col(idCol)), cuts).as("split"))
+  }
+
   /** Deterministic WEIGHTED sampling (Poisson/Bernoulli form): keep each row
     * independently with probability p_i = min(1, targetK·w_i / W), giving an
     * expected sample size of ~targetK with inclusion probability

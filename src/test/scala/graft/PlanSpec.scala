@@ -239,4 +239,36 @@ class PlanSpec extends SparkSpec {
     assert(labelScans.nonEmpty, p.take(2000))
     assert(labelScans.forall(!_.contains("text")), labelScans.mkString("\n"))
   }
+
+  test("bloom decontaminate: bitmap broadcasts onto the training scan — no shingle shuffle join (q123)") {
+    val p = plan("q123_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "the bitmap probe must broadcast")
+    assert(p.contains("partial_"), "per-(doc,shingle) AND per-doc aggs must map-side combine")
+  }
+
+  test("multi-probe rerank: probe frame broadcasts; top-k is a TakeOrdered (q124)") {
+    val p = plan("q124_multiprobe_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "rerank limit must not global-sort")
+  }
+
+  test("ivfpq: one pruned scan, broadcast query frame, TakeOrdered (q122)") {
+    val p = plan("q122_ivfpq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "nothing in IVFPQ serving may shuffle-join")
+  }
+
+  test("source signatures: min slots partial-agg before the source shuffle (q125)") {
+    val p = plan("q125_source_minhash_sim")
+    assert(p.contains("partial_min"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "the |sources|-row pair join must broadcast")
+  }
+
+  test("unicode normalize is exchange-free — one codegen'd scan (q126)") {
+    val p = plan("q126_unicode_normalize")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*("), "normalization expressions must stay in codegen")
+  }
 }

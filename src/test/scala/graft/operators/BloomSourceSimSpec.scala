@@ -90,6 +90,48 @@ class BloomSourceSimSpec extends SparkSpec {
     assert(m(("srcA", "srcC"))._1 < 8L)
   }
 
+  test("clusterSafeSplit: cluster members share a split; singletons match plain hashSplit") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (7L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (42L, "completely unrelated content about spark query engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCandidates(d, "doc_id", "text")
+    val cuts = Seq("train" -> 50, "val" -> 30, "test" -> 20)
+    val split = Sampling.clusterSafeSplit(d, "doc_id", pairs, "doc_a", "doc_b", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1, 2, 7 are one dup cluster -> identical split assignment
+    assert(split(1L) == split(2L) && split(2L) == split(7L))
+    // the singleton splits exactly as plain hashSplit on its own id
+    val plain = d.filter(col("doc_id") === 42L)
+      .select(Sampling.hashSplit(col("doc_id"), cuts)).head().getString(0)
+    assert(split(42L) == plain)
+    // no near-dup pair may straddle a split boundary (the q109 invariant)
+    val straddle = pairs.collect().count { r =>
+      split(r.getLong(0)) != split(r.getLong(1)) }
+    assert(straddle == 0)
+  }
+
+  test("minhashAgreementCurve: k+1 rows, monotone, anchored at the candidate count") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (3L, "the quick brown fox jumps over the lazy cat near the bank"),
+      (4L, "completely unrelated content about spark query engines")
+    ).toDF("doc_id", "text")
+    val curve = Dedup.minhashAgreementCurve(d, "doc_id", "text", numHashes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve.keySet == (0L to 8L).toSet)
+    // survival is non-increasing in the threshold
+    (0L until 8L).foreach(t => assert(curve(t) >= curve(t + 1)))
+    // threshold 0 keeps every candidate pair
+    val nCand = Dedup.minhashLshCandidates(d, "doc_id", "text").count()
+    assert(curve(0L) == nCand)
+    // the exact-dup pair agrees on every slot
+    assert(curve(8L) >= 1L)
+  }
+
   test("sourceMinhashSimilarity: signatures merge (union source == min of parts)") {
     // source "ab" holds the union of a's and b's docs; its pairwise
     // agreement with a merged-by-construction twin must be total

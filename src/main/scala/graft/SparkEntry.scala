@@ -1573,6 +1573,29 @@ object SparkEntry {
         numHashes = 8, bandRows = 2),
       Some(TextOracle.minhashAgreementCurveSql(numHashes = 8, bandRows = 2))),
 
+    Q("q130_quality_classifier", (s, dir) =>
+      // hashed bag-of-words linear scorer (the GPT-3 quality-filter stage):
+      // integer micro-unit logits, weights computed in the scan — one
+      // explode + one partial-agg groupBy, nothing broadcast or joined
+      graft.operators.TextStats.linearQualityScore(T(s, dir, "documents"),
+        "doc_id", "text", buckets = 1024, biasMicro = 500L),
+      Some(TextOracle.linearQualitySql(buckets = 1024, biasMicro = 500L))),
+
+    Q("q131_novelty", (s, dir) =>
+      // fraction of each doc's shingles first seen in that doc — the
+      // boilerplate-vs-new-content signal, linear in corpus shingles
+      graft.operators.TextStats.noveltyScore(T(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(TextOracle.noveltySql)),
+
+    Q("q132_mad_outliers", (s, dir) =>
+      // per-source median/MAD robust length outliers — discrete order
+      // statistics, so every comparison is exact integer arithmetic
+      graft.operators.Sampling.madOutliers(
+        T(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", k = 3),
+      Some(TextOracle.madOutliersSql(k = 3))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

@@ -223,6 +223,51 @@ object TextOracle {
     FROM ver WHERE n_agree >= $minAgree"""
   }
 
+  /** Hashed linear quality-classifier oracle (q130): bucket = md5(token)
+    * mod buckets, weight = md5('w'||bucket) mod 2001 − 1000 micro-units,
+    * logit = exact integer Σ + bias. */
+  def linearQualitySql(buckets: Int, biasMicro: Long): String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w' || CAST(
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $buckets
+               AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+      FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(wt) + $biasMicro AS BIGINT) AS logit_micro,
+           (SUM(wt) + $biasMicro) > 0 AS kept
+    FROM w GROUP BY doc_id"""
+
+  /** Per-document novelty oracle (q131): fraction of distinct shingles
+    * first seen (min doc id) in this doc. */
+  def noveltySql: String = s"""
+    WITH $shingleCte,
+    f AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s)
+    SELECT sh.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+           round(CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN f USING (s) GROUP BY sh.doc_id"""
+
+  /** Median/MAD robust outlier oracle (q132): per-source discrete median
+    * and median absolute deviation over n_chars; flag |x−med| > k·mad. */
+  def madOutliersSql(k: Int): String = s"""
+    WITH m AS (
+      SELECT source, quantile_disc(n_chars, 0.5) AS med
+      FROM documents GROUP BY source),
+    d AS (
+      SELECT doc_id, d.source, n_chars, med
+      FROM documents d JOIN m USING (source)),
+    mm AS (
+      SELECT source, quantile_disc(abs(n_chars - med), 0.5) AS mad
+      FROM d GROUP BY source)
+    SELECT doc_id, d.source, n_chars, med, mad,
+           (abs(n_chars - med) > $k * mad) AS is_outlier
+    FROM d JOIN mm USING (source)"""
+
   /** Leakage-safe split oracle (q127): the q59 split CASE keyed on
     * COALESCE(cluster label, own id) over the recursive closure. */
   def clusterSafeSplitSql(numHashes: Int, bandRows: Int,

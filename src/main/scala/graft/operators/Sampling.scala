@@ -260,6 +260,37 @@ object Sampling {
       .drop("__lo", "__hi")
   }
 
+  /** Robust outlier flags by median/MAD — the robust-statistics twin of the
+    * z-score: a value is flagged when |x − median| > k·MAD, where MAD is
+    * the median absolute deviation within the row's own stratum. Unlike
+    * mean/stddev, both statistics are DISCRETE order statistics: immune to
+    * the very outliers being hunted, exact integers when `valueCol` is an
+    * integer (every comparison is integer arithmetic — no float tie can
+    * diverge between engines), and percentile_disc-parity with DuckDB's
+    * quantile_disc is already house-established (q58/q107/q112). Two
+    * grouped percentile passes over a BOUNDED strata set; the (stratum,
+    * med, mad) table broadcasts back onto one scan. */
+  def madOutliers(df: DataFrame, strataCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // Spark's percentile_disc widens to double; the selected value IS one of
+    // the inputs, so casting back to the value type is exact — and keeps the
+    // output schema (and all comparisons) integral for integer inputs,
+    // matching DuckDB's type-preserving quantile_disc
+    val vType = df.schema(valueCol).dataType
+    val med = df.groupBy(col(strataCol)).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast(vType).as("med"))
+    val dev = df.join(broadcast(med), strataCol)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(strataCol)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ad)")
+        .cast(vType).as("mad"))
+    dev.join(broadcast(mad), strataCol)
+      .withColumn("is_outlier", col("__ad") > lit(k) * col("mad"))
+      .drop("__ad")
+  }
+
   /** Contiguous per-shard context-window packing: documents are sharded by
     * id hash, and within each shard assigned to consecutive token-budget
     * bins by running token count. One partitioned window — no global sort,

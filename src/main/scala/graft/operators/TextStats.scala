@@ -18,6 +18,55 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextStats {
 
+  /** Hashed bag-of-words LINEAR classifier scoring — the quality-classifier
+    * filter stage of GPT-3/CCNet-style pipelines (Brown 2020 appendix A:
+    * a linear classifier scores every crawl doc; low scorers drop), with
+    * the feature hashing trick (Weinberger 2009) so the weight space is a
+    * FIXED `buckets`-wide table regardless of vocabulary. Weights here are
+    * md5-derived stand-ins (training is upstream; serving is the engine's
+    * job) in integer MICRO-units, so the per-doc logit is an exact integer
+    * sum — order-independent, bit-identical in any engine — where float
+    * weights would make Σ order-dependent. Plan: one token explode + one
+    * partial-agg groupBy(doc); weights are computed IN the scan from the
+    * bucket id (two md5s per token), so nothing joins, broadcasts, or
+    * shuffles but the per-doc sums. Output: (id, n_tokens, logit_micro,
+    * kept = logit > 0). */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int, biasMicro: Long): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val toks = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("__tk"))
+    // md5Prefix32 < 2^32 is non-negative, so % stays non-negative in every engine
+    val bucket = TF.md5Prefix32(col("__tk")) % buckets
+    val wt = conv(substring(md5(concat(lit("w"), bucket.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2001L - 1000L
+    toks.select(col(idCol), wt.as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__w")) + biasMicro).as("logit_micro"))
+      .withColumn("kept", col("logit_micro") > 0L)
+  }
+
+  /** Per-document NOVELTY: the fraction of a doc's distinct shingles whose
+    * FIRST occurrence (minimum doc id) is this doc — boilerplate-heavy docs
+    * score near 0, genuinely new content near 1. The order-by-id convention
+    * matches ingestion order ids; a production run substitutes crawl
+    * timestamps. Shape: one groupBy(shingle) with partial min (the
+    * first-seen table), one join back on the shingle key — the first-seen
+    * side is ONE row per shingle, so a boilerplate shingle shared by 10⁶
+    * docs fans out linearly (10⁶ rows), never quadratically — then one
+    * per-doc partial-agg count. Linear in corpus shingles throughout. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
+    val first = sh.groupBy(col("__sh")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1).otherwise(0)).cast("long").as("n_first"))
+      .withColumn("novelty",
+        round(col("n_first").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
     * Models", table A1): fraction of duplicate word n-grams per document.
     * Templated/boilerplate docs score high and get filtered before training.

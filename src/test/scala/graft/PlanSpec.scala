@@ -271,4 +271,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(p.contains("*("), "normalization expressions must stay in codegen")
   }
+
+  test("quality classifier: weights computed in the scan — no join at all (q130)") {
+    val p = plan("q130_quality_classifier")
+    assert(!p.contains("Join"), "weights must be derived in-scan, never joined")
+    assert(p.contains("partial_"), "the per-doc logit sum must map-side combine")
+  }
+
+  test("novelty: first-seen table partial-aggs; join fans out linearly (q131)") {
+    val p = plan("q131_novelty")
+    assert(p.contains("partial_min"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the shingle join must be keyed, never a product")
+  }
+
+  test("mad outliers: both stats tables broadcast back onto the scan (q132)") {
+    val p = plan("q132_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "bounded stats tables must broadcast")
+  }
 }

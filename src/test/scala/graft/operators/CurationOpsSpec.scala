@@ -273,4 +273,57 @@ class CurationOpsSpec extends SparkSpec {
       assert(out.filter(col("d2_micro") < 0).isEmpty)
     } finally out.unpersist()
   }
+
+  // ---- linearQualityScore --------------------------------------------------
+
+  test("linearQualityScore: integer logits, deterministic, token-additive") {
+    val d = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), // identical docs, identical logits
+      (3L, "alpha alpha beta"),               // one extra alpha
+      (4L, null.asInstanceOf[String]), (5L, "   ")) // no tokens -> no row
+      .toDF("doc_id", "text")
+    val out = TextStats.linearQualityScore(d, "doc_id", "text",
+      buckets = 64, biasMicro = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == out(2L))
+    // logit(3) - logit(1) == weight of one more 'alpha' == logit("alpha alpha")/2
+    val single = TextStats.linearQualityScore(
+      Seq((9L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", 64, 0L)
+      .head().getLong(2)
+    assert(out(3L)._2 - out(1L)._2 == single)
+    assert(out.values.forall { case (_, l, kept) => kept == (l > 0) })
+  }
+
+  // ---- noveltyScore --------------------------------------------------------
+
+  test("noveltyScore: first doc scores 1, exact copy 0, partial overlap in between") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),          // full copy of 1
+      (3L, "alpha beta totally new tail here") // shares one bigram with 1
+    ).toDF("doc_id", "text")
+    val out = TextStats.noveltyScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 3L, 1.0))
+    assert(out(2L) == (3L, 0L, 0.0))
+    val (n3, f3, nov3) = out(3L)
+    assert(n3 == 5L && f3 == 4L && nov3 == 0.8) // 'alpha beta' first seen in doc 1
+  }
+
+  // ---- madOutliers ---------------------------------------------------------
+
+  test("madOutliers flags the planted extreme; medians are robust to it") {
+    val d = (Seq.tabulate(9)(i => (i.toLong, "s", 100L + i)) :+ ((99L, "s", 100000L)))
+      .toDF("id", "src", "v")
+    val out = Sampling.madOutliers(d, "src", "v", k = 3)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getLong(r.fieldIndex("med")), r.getLong(r.fieldIndex("mad")),
+          r.getBoolean(r.fieldIndex("is_outlier")))).toMap
+    // median/MAD ignore the planted 100000: med=104, mad=2 over 100..108,100000
+    val (med, mad, _) = out(0L)
+    assert(med == 104L && mad == 2L)
+    assert(out(99L)._3, "the planted extreme must flag")
+    assert(out.filterKeys(_ != 99L).values.forall(!_._3), "no inlier may flag")
+  }
 }

@@ -1596,6 +1596,20 @@ object SparkEntry {
         "source", "n_chars", k = 3),
       Some(TextOracle.madOutliersSql(k = 3))),
 
+    Q("q133_histogram_percentiles", (s, dir) =>
+      // mergeable fixed-bin percentile bounds — the partial-agg-able scale
+      // path where percentile_disc's per-group buffering stops fitting
+      graft.operators.Sampling.histogramPercentiles(
+        T(s, dir, "documents"), "n_chars", bins = 64, pcts = Seq(50, 90, 99)),
+      Some(TextOracle.histogramPercentilesSql(bins = 64, pcts = Seq(50, 90, 99)))),
+
+    Q("q134_key_skew_report", (s, dir) =>
+      // join-key skew pre-flight: hottest keys + exact integer row share —
+      // the measurement that decides between plain, AQE-split, and salted
+      graft.quality.DataQuality.keySkewReport(
+        T(s, dir, "orders"), "o_custkey", k = 20),
+      Some(TextOracle.keySkewSql(k = 20))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

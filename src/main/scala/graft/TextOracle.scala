@@ -268,6 +268,40 @@ object TextOracle {
            (abs(n_chars - med) > $k * mad) AS is_outlier
     FROM d JOIN mm USING (source)"""
 
+  /** Histogram-percentile oracle (q133): fixed-bin integer bucketing over
+    * documents.n_chars, cumulative counts, rank test 100·cum ≥ pct·n. */
+  def histogramPercentilesSql(bins: Int, pcts: Seq[Int]): String = {
+    val vals = pcts.map(p => s"($p)").mkString(",")
+    s"""
+    WITH s AS (
+      SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(n_chars) AS n
+      FROM documents),
+    h AS (
+      SELECT ((n_chars - mn) * $bins) // (mx - mn + 1) AS b, COUNT(*) AS c
+      FROM documents, s WHERE n_chars IS NOT NULL GROUP BY 1),
+    cm AS (
+      SELECT b, SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+      FROM h),
+    g AS (SELECT * FROM (VALUES $vals) g(pct)),
+    pick AS (
+      SELECT pct, MIN(b) AS bucket
+      FROM g, cm, s WHERE cm.cum * 100 >= g.pct * s.n GROUP BY pct)
+    SELECT p.pct, p.bucket,
+           s.mn + ((p.bucket * (s.mx - s.mn + 1) + ${bins - 1}) // $bins) AS lo,
+           s.mn + (((p.bucket + 1) * (s.mx - s.mn + 1) + ${bins - 1}) // $bins) - 1 AS hi,
+           CAST(c2.cum AS BIGINT) AS cum_count, s.n AS n
+    FROM pick p CROSS JOIN s JOIN cm c2 ON c2.b = p.bucket"""
+  }
+
+  /** Join-key skew report oracle (q134): top-k hottest orders.o_custkey
+    * values with exact integer micro-unit row share. */
+  def keySkewSql(k: Int): String = s"""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT o_custkey, cnt, (cnt * 1000000) // total AS share_micro
+    FROM c, t ORDER BY cnt DESC, o_custkey LIMIT $k"""
+
   /** Leakage-safe split oracle (q127): the q59 split CASE keyed on
     * COALESCE(cluster label, own id) over the recursive closure. */
   def clusterSafeSplitSql(numHashes: Int, bandRows: Int,

@@ -291,6 +291,51 @@ object Sampling {
       .drop("__ad")
   }
 
+  /** Approximate percentiles by FIXED-WIDTH histogram — the mergeable,
+    * partial-agg-able answer when `percentile_disc`'s per-group value
+    * buffering stops fitting (the very limitation madOutliers/percentileBand
+    * document): the corpus collapses to a ≤`bins`-row count histogram (one
+    * partial-agg shuffle), and each requested percentile resolves to its
+    * bucket's exact integer [lo, hi] bounds — error bounded by bin width,
+    * ENTIRELY in int64 arithmetic (bucket = (v−min)·bins div span; rank
+    * test 100·cum ≥ pct·n avoids ceil), so the result is bit-identical in
+    * any engine and under any partitioning, which seeded/interpolating
+    * approx_percentile implementations are not. Two passes (min/max/count,
+    * then histogram) — the price of fixed bins; a production pipeline reuses
+    * stored stats. The cumulative window runs over ≤ bins rows (bounded,
+    * single-partition by design — same contract as the vocab-id windows).
+    * Requires (max−min+1)·bins < 2⁶³. Output per pct: (pct, bucket, lo, hi,
+    * cum_count, n) with the true pct-th value guaranteed inside [lo, hi]. */
+  def histogramPercentiles(df: DataFrame, valueCol: String, bins: Int,
+                           pcts: Seq[Int]): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("long")
+    val stats = df.agg(min(v).as("__mn"), max(v).as("__mx"), count(v).as("__n"))
+    val hist = df.select(v.as("__v")).where(col("__v").isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(expr(s"((__v - __mn) * $bins) div (__mx - __mn + 1)").as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(stats))
+    pcts.toDF("pct")
+      .join(broadcast(cum), expr("__cum * 100 >= pct * __n"))
+      .groupBy(col("pct"))
+      .agg(min(struct(col("__b"), col("__cum"), col("__mn"), col("__mx"),
+        col("__n"))).as("__best"))
+      .select(col("pct"), col("__best.__b").as("bucket"),
+        expr(s"__best.__mn + ((__best.__b * (__best.__mx - __best.__mn + 1) + ${bins - 1}) div $bins)")
+          .as("lo"),
+        expr(s"__best.__mn + (((__best.__b + 1) * (__best.__mx - __best.__mn + 1) + ${bins - 1}) div $bins) - 1")
+          .as("hi"),
+        col("__best.__cum").as("cum_count"), col("__best.__n").as("n"))
+  }
+
   /** Contiguous per-shard context-window packing: documents are sharded by
     * id hash, and within each shard assigned to consecutive token-budget
     * bins by running token count. One partitioned window — no global sort,

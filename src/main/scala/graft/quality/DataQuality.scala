@@ -65,4 +65,32 @@ object DataQuality {
       relationships(cs.withColumnRenamed("game_appid", "game_id"), "game_id", g, "game_id"),
       unique(cs, Seq("game_appid")))
   }
+
+  /** Join-key SKEW report — the pre-flight check before picking a join
+    * strategy (salt? AQE skew split? broadcast?): the k hottest key values
+    * with their row share in integer MICRO-units (floor(1e6·cnt/total) —
+    * one IEEE multiply-divide-floor, engine-exact). One partial-agg
+    * groupBy(key) + a TakeOrdered of the (count desc, key asc) head —
+    * never a global sort, and the full per-key table never leaves the
+    * executors. A share_micro ≫ 1e6/shuffle-partitions on the top key is
+    * the signature of a straggler task; q91's salted join is the cure. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // The per-key table feeds BOTH the total and the top-k head; exchange
+    // reuse does not fire across join subtrees (same reason bucketPairs
+    // pins), so pin + materialize to scan the corpus exactly once. Bounded
+    // by distinct keys, disk-spillable; same clearCache contract as
+    // bucketPairs.
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize so total and head both read the cache
+    // share is exact integer division (cnt·10⁶ < 2⁶³ below ~9·10¹² rows)
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts
+      .orderBy(col("cnt").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("share_micro",
+        expr("(cnt * 1000000) div __total"))
+      .drop("__total")
+  }
 }

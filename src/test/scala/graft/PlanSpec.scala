@@ -290,4 +290,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), "bounded stats tables must broadcast")
   }
+
+  test("histogram percentiles: partial-agg histogram, broadcast stats, no shuffle join (q133)") {
+    val p = plan("q133_histogram_percentiles")
+    assert(p.contains("partial_"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "stats and histogram frames must broadcast")
+  }
+
+  test("key skew report: partial-agg counts, TakeOrdered head (q134)") {
+    val p = plan("q134_key_skew_report")
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "the top-k head must not global-sort")
+  }
 }

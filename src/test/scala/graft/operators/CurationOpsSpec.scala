@@ -326,4 +326,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(99L)._3, "the planted extreme must flag")
     assert(out.filterKeys(_ != 99L).values.forall(!_._3), "no inlier may flag")
   }
+
+  // ---- histogramPercentiles ------------------------------------------------
+
+  test("histogramPercentiles: exact discrete percentile always inside [lo, hi]") {
+    val d = (1L to 1000L).map(i => (i, (i * i) % 997)).toDF("id", "v")
+    val out = Sampling.histogramPercentiles(d, "v", bins = 32,
+      pcts = Seq(50, 90, 99)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(50, 90, 99))
+    for (p <- Seq(50, 90, 99)) {
+      val exact = d.agg(expr(s"percentile_disc(0.${if (p < 100) f"$p%02d" else ""}) " +
+        "WITHIN GROUP (ORDER BY v)").cast("long")).head().getLong(0)
+      val (lo, hi, cum) = out(p)
+      assert(exact >= lo && exact <= hi,
+        s"p$p: exact $exact outside histogram bucket [$lo, $hi]")
+      assert(cum * 100 >= p * 1000L)
+    }
+    // degenerate: all-equal values collapse to bucket 0 == the value itself
+    val const = Seq.fill(10)(7L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val c = Sampling.histogramPercentiles(const, "v", bins = 8, pcts = Seq(50))
+      .head()
+    assert(c.getLong(2) == 7L && c.getLong(3) == 7L)
+  }
+
+  // ---- keySkewReport -------------------------------------------------------
+
+  test("keySkewReport surfaces the hot key with its exact integer share") {
+    val d = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val out = graft.quality.DataQuality.keySkewReport(d, "key", k = 3).collect()
+    assert(out.head.getString(0) == "hot")
+    assert(out.head.getLong(1) == 60L)
+    assert(out.head.getLong(2) == 600000L) // 60/100 in micro-units, exact
+    assert(out.length == 3)
+    // ties break on the key value ascending
+    assert(out(1).getString(0) == "k1" && out(2).getString(0) == "k10")
+  }
 }

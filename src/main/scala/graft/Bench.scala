@@ -41,12 +41,23 @@ object Bench {
       if (ok.nonEmpty) R(name, ok.map(_._2).min, median(ok.map(_._2)), ok.head._1, ok = true)
       else R(name, -1.0, -1.0, -1L, ok = false)
     }
-    val qs = results.map(r => s""""${r.name}":${r.time}""").mkString("{", ",", "}")
-    val med = results.map(r => s""""${r.name}":${r.median}""").mkString("{", ",", "}")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
+    val med = results.map(r => s""""${r.name}":${r3(r.median)}""").mkString("{", ",", "}")
     val rows = results.map(r => s""""${r.name}":${r.rows}""").mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map(r => s""""${r.name}"""").mkString("[", ",", "]")
-    val total = results.filter(_.ok).map(_.time).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"failed":$failed,"sf":"$sfDir"}""")
+    val total = r3(results.filter(_.ok).map(_.time).sum)
+    // The COMPLETE per-query table (min + median + rows) goes to a file: the
+    // driver tail-truncates captured stdout at ~2 KB, which destroyed the
+    // r2/r3 timing tables ("parsed": null). The file is the durable,
+    // diffable record.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    // stdout: ONE JSON line guaranteed to fit the 2 KB capture — aggregate,
+    // failure list, and the 20 slowest queries; everything else is in the file
+    val top = results.filter(_.ok).sortBy(-_.time).take(20)
+      .map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

@@ -1068,12 +1068,18 @@ object SparkEntry {
         numHashes = 8, bandRows = 2, shingleN = 2, threshold = 0.2),
       Some(TextOracle.lshQualitySql(numHashes = 8, bandRows = 2, threshold = 0.2))),
 
-    Q("q87_data_card", (s, dir) =>
+    Q("q87_data_card", (s, dir) => {
       // the per-source corpus report every curation run publishes: volume,
       // token mass, length distribution (DISCRETE percentiles — actual
       // elements, engine-divergence-free), language spread. One partial-agg
       // shuffle keyed on source; group count bounds shuffle volume
-      T(s, dir, "documents")
+      val docs = T(s, dir, "documents")
+      // percentile_disc selects an actual element but widens to double; cast
+      // back to the column's own type (exact — the value IS an input) so the
+      // schema matches DuckDB's type-preserving quantile_disc (house rule
+      // established by Sampling.madOutliers / q132)
+      val charsType = docs.schema("n_chars").dataType
+      docs
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1082,9 +1088,12 @@ object SparkEntry {
           // '' yields [''], so the guard must live in the SQL too)
           sum(when(col("text").isNotNull && length(trim(col("text"))) > 0,
             TF.tokenCount(col("text"))).otherwise(lit(0L))).as("total_tokens"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50_chars"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("p95_chars"),
-          countDistinct(col("lang")).as("n_langs")),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast(charsType).as("p50_chars"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+            .cast(charsType).as("p95_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    },
       Some("""
       SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
              SUM(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
@@ -1183,13 +1192,17 @@ object SparkEntry {
       FROM orders
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""")),
 
-    Q("q96_random_projection", (s, dir) =>
+    Q("q96_random_projection", (s, dir) => {
       // JL dim reduction 64->16 with a deterministic ±1 sign matrix: the
       // scale lever for every embedding op (4x fewer dot flops and shuffle
-      // bytes, distances preserved within (1±ε)). One exchange-free scan
-      Similarity.randomProjection(T(s, dir, "embeddings"), "vec_id", "embedding",
-        outDims = 16, dims = 64),
-      Some(TextOracle.randomProjectionSql(outDims = 16, dims = 64))),
+      // bytes, distances preserved within (1±ε)). One exchange-free scan.
+      // The operator keeps ArrayType for composition; the REGISTERED query
+      // flattens to scalar c0..c15 so the driver's checker can hash it
+      val proj = Similarity.randomProjection(T(s, dir, "embeddings"),
+        "vec_id", "embedding", outDims = 16, dims = 64)
+      proj.select(col("vec_id") +:
+        (0 until 16).map(i => col("proj")(i).as(s"c$i")): _*)
+    }, Some(TextOracle.randomProjectionSql(outDims = 16, dims = 64))),
 
     Q("q97_ann_recall", (s, dir) => {
       // the measurement every ANN deployment needs before trusting q84 over

@@ -605,10 +605,10 @@ object TextOracle {
       (0 until dims).map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${signSql(p, d)}")
         .mkString(" + ")
     val comps = (0 until outDims)
-      .map(p => s"round((${signDot(p)}) / sqrt(CAST($outDims AS DOUBLE)), 6)")
+      .map(p => s"round((${signDot(p)}) / sqrt(CAST($outDims AS DOUBLE)), 6) AS c$p")
       .mkString(",\n           ")
     s"""
-    SELECT vec_id, [$comps] AS proj
+    SELECT vec_id, $comps
     FROM embeddings"""
   }
 

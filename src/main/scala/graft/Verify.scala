@@ -14,6 +14,16 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(cpus)
     new java.io.File(outDir).mkdirs()
+    // Surface testdata schema drift as ONE loud banner naming the observed
+    // schemas, then still run every query best-effort (ones the drift doesn't
+    // touch keep their green rows) — never zero the round on a warning.
+    val drift = Tables.schemaDrift(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println("=" * 72)
+      System.err.println("[verify] TESTDATA SCHEMA DRIFT DETECTED:")
+      drift.foreach(d => System.err.println(s"[verify]   $d"))
+      System.err.println("=" * 72)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

@@ -196,12 +196,33 @@ object Dedup {
     * reduces to ONE row (three count aggregates + a cross join of 1-row
     * frames); at scale the inputs are the sampled corpus, so every stage is
     * the sampled-size cost. Recall is against truth pairs, precision against
-    * emitted candidates; both NULL when their denominator is empty. */
+    * emitted candidates; both NULL when their denominator is empty.
+    *
+    * The sampling contract is ENFORCED, not advisory: the exact-truth half is
+    * potentially quadratic, so the (post-sample) corpus must fit under
+    * `maxExactRows` or the call fails fast with instructions — the same
+    * row-count-probe idiom as embeddingNearDupPairs' broadcast gate.
+    * `sampleFrac` applies a DETERMINISTIC hash sample (xxhash64 of the id),
+    * so reruns and engine comparisons see the identical subset. */
   def lshQualityReport(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 8, bandRows: Int = 2,
-                       shingleN: Int = 2, threshold: Double = 0.2): DataFrame = {
-    val cand = minhashLshCandidates(docs, idCol, textCol, numHashes, bandRows, shingleN)
-    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN, threshold)
+                       shingleN: Int = 2, threshold: Double = 0.2,
+                       maxExactRows: Long = 100000L,
+                       sampleFrac: Option[Double] = None): DataFrame = {
+    val sampled = sampleFrac match {
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0, s"sampleFrac must be in (0,1], got $f")
+        docs.filter(pmod(xxhash64(col(idCol).cast("string")), lit(1000000L))
+          < lit((f * 1e6).toLong))
+      case None => docs
+    }
+    val n = sampled.count()
+    require(n <= maxExactRows,
+      s"lshQualityReport computes EXACT all-pairs Jaccard truth: $n rows exceed " +
+        s"maxExactRows=$maxExactRows. Pass sampleFrac to sample the corpus first — " +
+        "the banding-tuning measurement only needs a sample, never the full corpus.")
+    val cand = minhashLshCandidates(sampled, idCol, textCol, numHashes, bandRows, shingleN)
+    val truth = ngramJaccardPairs(sampled, idCol, textCol, shingleN, threshold)
       .select("doc_a", "doc_b")
     val hits = cand.intersect(truth)
     val nc = cand.agg(count(lit(1)).as("n_candidates"))

@@ -27,18 +27,36 @@ object Streams {
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
     catch { case _: Throwable => false }
 
+  /** The EXACT option maps the kafka branches bind — pure functions, so the
+    * wire contract is pinned by tests without a broker or connector jar
+    * (reference: kafka/consumers/kafka_consumer_prices.py:37 subscription,
+    * config/settings.py:23-33 topics/servers). */
+  def kafkaSourceOptions(topic: String, bootstrapServers: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest")
+
+  def kafkaSinkOptions(topic: String, bootstrapServers: String,
+                       checkpoint: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
+
   /** S17 wire source: a Kafka subscription when the connector is present
-    * (reference: kafka/consumers/kafka_consumer_prices.py:37, topics from
-    * config/settings.py:23-33), else a JSONL file-watch over `fallbackPath`
-    * with the IDENTICAL (value: string) shape — downstream decodes are
-    * transport-agnostic either way. */
+    * (reference: kafka/consumers/kafka_consumer_prices.py:37), else a JSONL
+    * file-watch over `fallbackPath` with the IDENTICAL (value: string)
+    * shape — downstream decodes are transport-agnostic either way.
+    * `useKafka` defaults to the classpath probe; tests override it to
+    * execute the kafka branch itself (format selection + option binding)
+    * even on a jar-less classpath. */
   def wireSource(spark: SparkSession, topic: String, bootstrapServers: String,
-                 fallbackPath: String): DataFrame =
-    if (kafkaAvailable)
+                 fallbackPath: String,
+                 useKafka: Boolean = kafkaAvailable): DataFrame =
+    if (useKafka)
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(kafkaSourceOptions(topic, bootstrapServers))
         .load()
         .select(col("value").cast("string").as("value"))
     else spark.readStream.text(fallbackPath).select(col("value"))
@@ -47,13 +65,12 @@ object Streams {
     * present (reference: kafka/producers/kafka_producer_prices.py:68), else
     * exactly-once JSONL files at `fallbackPath`. */
   def wireSink(encoded: DataFrame, topic: String, bootstrapServers: String,
-               fallbackPath: String, checkpoint: String)
+               fallbackPath: String, checkpoint: String,
+               useKafka: Boolean = kafkaAvailable)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    if (kafkaAvailable)
+    if (useKafka)
       encoded.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(kafkaSinkOptions(topic, bootstrapServers, checkpoint))
     else
       encoded.writeStream.format("text")
         .option("path", fallbackPath)

@@ -186,6 +186,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("lshQualityReport: exact-truth gate trips above maxExactRows; sampleFrac ducks it") {
+    // the sampling contract is enforced, not advisory: over the gate with no
+    // sample the call must fail fast, naming the remedy
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshQualityReport(docs, "doc_id", "text", threshold = 0.2,
+        maxExactRows = 1L)
+    }
+    assert(e.getMessage.contains("sampleFrac"), e.getMessage)
+    // the deterministic hash sample brings the corpus under the same gate and
+    // the report still computes (possibly over fewer docs); two runs of the
+    // identical call see the identical subset
+    val r1 = Dedup.lshQualityReport(docs, "doc_id", "text", threshold = 0.2,
+      maxExactRows = docs.count(), sampleFrac = Some(0.75)).head()
+    val r2 = Dedup.lshQualityReport(docs, "doc_id", "text", threshold = 0.2,
+      maxExactRows = docs.count(), sampleFrac = Some(0.75)).head()
+    assert(r1 == r2)
+  }
+
   test("crossSourceDupMatrix rolls candidate pairs up by unordered source pair") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank", "crawlA"),

@@ -170,6 +170,38 @@ class StreamsSpec extends SparkSpec {
     } finally qIn.stop()
   }
 
+  test("wireSource/wireSink kafka branch: option maps + format selection (S16/S17)") {
+    // The option-map contract is pure — pinned here byte-for-byte so a broker
+    // deployment gets exactly the reference's subscription semantics
+    assert(Streams.kafkaSourceOptions("prices", "b:9092") == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "prices",
+      "startingOffsets" -> "earliest"))
+    assert(Streams.kafkaSinkOptions("prices", "b:9092", "/ck") == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "topic" -> "prices",
+      "checkpointLocation" -> "/ck"))
+    // Forcing useKafka=true executes the kafka BRANCH (format string + option
+    // binding) down to Spark's source resolution, which on this jar-less
+    // classpath must fail looking for the kafka provider — proof the branch
+    // selected .format("kafka"), not the fallback
+    val e = intercept[Exception] {
+      Streams.wireSource(spark, "prices", "b:9092", "/tmp/na", useKafka = true)
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+    // sink half: the writer is constructed lazily; failure surfaces at start()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, String)]
+    val encoded = Streams.encodeJson(input.toDF().toDF("appid", "kind"))
+    val ck = java.nio.file.Files.createTempDirectory("wk-kafka").toString
+    val e2 = intercept[Exception] {
+      val q = Streams.wireSink(encoded, "prices", "b:9092", "/tmp/na", ck,
+        useKafka = true).start()
+      try { input.addData((1, "price")); q.processAllAvailable() } finally q.stop()
+    }
+    assert(e2.getMessage.toLowerCase.contains("kafka"), e2.getMessage)
+  }
+
   test("streamJoinWithin: stream-stream join bounded by event-time skew") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Int, java.sql.Timestamp)]

@@ -26,7 +26,15 @@ object Bench {
     // still own a query's number (both runs land in the same busy window);
     // three samples make the min a stable statistic at ~1.5x the wall cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q75_x,q102_y runs a subset
+    // (the driver never sets it). Unknown names fail loudly, like Verify.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    require(only.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${only.filterNot(SparkEntry.queries.contains).mkString(", ")}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       // a failed run is recorded as a FAILURE, never as a timing — folding a
       // fast-fail elapsed into min would make regressions look like speedups
       val attempts: Seq[(Option[Long], Double)] = (1 to runs).map { _ =>
@@ -38,6 +46,13 @@ object Bench {
         }
       }
       val ok = attempts.collect { case (Some(n), t) => (n, t) }
+      // Several operators persist bounded intermediates (docBits, pinned
+      // cluster rounds, skew tables) and document clearCache as the
+      // caller's reclaim contract. A 134-query × N-run sweep in one JVM
+      // accumulates those blocks until executor memory pressure poisons
+      // later queries (measured: q102 37 s polluted vs 7.5 s standalone) —
+      // release between queries so each one measures its own plan.
+      spark.catalog.clearCache()
       if (ok.nonEmpty) R(name, ok.map(_._2).min, median(ok.map(_._2)), ok.head._1, ok = true)
       else R(name, -1.0, -1.0, -1L, ok = false)
     }

@@ -1623,6 +1623,34 @@ object SparkEntry {
         T(s, dir, "orders"), "o_custkey", k = 20),
       Some(TextOracle.keySkewSql(k = 20))),
 
+    Q("q135_char_entropy", (s, dir) =>
+      // character-distribution Shannon entropy in bits: the compression-ratio
+      // quality proxy no tokenizer can fake — boilerplate low, noise high
+      graft.operators.TextStats.charEntropy(
+        T(s, dir, "documents"), "doc_id", "text"),
+      Some(TextOracle.charEntropySql)),
+
+    Q("q136_ngram_diversity", (s, dir) =>
+      // distinct/total bigram ratio per source: the Self-BLEU-style
+      // repetitiveness triage that decides which sources need span dedup
+      graft.operators.TextStats.ngramDiversity(
+        T(s, dir, "documents"), "source", "text", n = 2),
+      Some(TextOracle.ngramDiversitySql)),
+
+    Q("q137_column_profile", (s, dir) =>
+      // ANALYZE-style per-column stats sheet: nulls, exact distincts,
+      // native-typed min/max — one column-pruned scan per column
+      graft.quality.DataQuality.columnProfile(
+        T(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars")),
+      Some(TextOracle.columnProfileSql(Seq("doc_id", "lang", "source", "n_chars")))),
+
+    Q("q138_top_tokens", (s, dir) =>
+      // exact per-source heavy hitters with total-order tie-break: the
+      // stopword/fingerprint report; Count-Min (q99) is the sketched twin
+      graft.operators.TextStats.topTokensPerGroup(
+        T(s, dir, "documents"), "source", "text", k = 10),
+      Some(TextOracle.topTokensSql(k = 10))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

@@ -302,6 +302,67 @@ object TextOracle {
     SELECT o_custkey, cnt, (cnt * 1000000) // total AS share_micro
     FROM c, t ORDER BY cnt DESC, o_custkey LIMIT $k"""
 
+  /** Character-entropy oracle (q135): per-doc Shannon entropy in bits over
+    * the char distribution. Matches TextStats.charEntropy term-for-term:
+    * p·ln p rounded to 9 dp, exact DECIMAL(28,9) sum (order-independent),
+    * one final division by the identical ln 2 literal, round 6. */
+  def charEntropySql: String = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS n_distinct_chars
+      FROM counts GROUP BY 1)
+    SELECT t.doc_id, t.n_distinct_chars,
+           round(CAST(-SUM(CAST(round((c.c / t.n) * ln(c.c / t.n), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE)
+                 / 0.6931471805599453, 6) AS entropy_bits
+    FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_distinct_chars"""
+
+  /** N-gram diversity oracle (q136): distinct/total bigram multiset ratio
+    * per source — transcribes TF.shinglesAll(_, 2) via the house bigram
+    * construction, grouped on source instead of doc. */
+  def ngramDiversitySql: String = """
+    WITH g AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+    gc AS (SELECT source, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           COUNT(*) AS distinct_ngrams,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS diversity
+    FROM gc GROUP BY source"""
+
+  /** Column-profile oracle (q137): one UNION ALL branch per column; min/max
+    * compare natively and stringify at the end (same contract as the
+    * operator — integer/string columns only in the registered query). */
+  def columnProfileSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         COUNT(DISTINCT $c) AS n_distinct,
+         CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+      FROM documents"""
+    }.mkString("\n      UNION ALL\n")
+
+  /** Per-source top-k token oracle (q138): exact heavy hitters, total-order
+    * tie-break (count desc, token asc) so every rank is engine-identical. */
+  def topTokensSql(k: Int): String = s"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    tc AS (SELECT source, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    r AS (
+      SELECT source, token, n,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n DESC, token ASC) AS INT) AS rnk
+      FROM tc)
+    SELECT source, token, n, rnk FROM r WHERE rnk <= $k"""
+
   /** Leakage-safe split oracle (q127): the q59 split CASE keyed on
     * COALESCE(cluster label, own id) over the recursive closure. */
   def clusterSafeSplitSql(numHashes: Int, bandRows: Int,

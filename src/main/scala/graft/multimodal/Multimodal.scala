@@ -211,6 +211,164 @@ object Multimodal {
     decodeImages(media, new BmpGridEmbedder(gridW, gridH))
       .select(col("media_id"), col("embedding"))
 
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash, Krawetz 2013) over REAL pixels of
+    * the 24-bit BI_RGB BMP path: luma box-averages into a 9x8 grid (pure
+    * integer cell mapping, Rec.601 integer weights 299/587/114), and bit
+    * r*8+c is set iff the cell right of (r,c) is brighter. 64 bits that
+    * survive re-encode, mild resize, and global brightness shifts — the
+    * image twin of the text simhash. Images smaller than the 9x8 grid are
+    * skipped (no cell may be empty), same policy as malformed payloads.
+    * Deterministic: integer sums, one fixed IEEE division per cell. */
+  object BmpDHasher {
+    import LE.{i32, u16}
+    private val MaxDim = 1 << 20
+    private val GW = 9
+    private val GH = 8
+
+    private[multimodal] def dhash(bytes: Array[Byte]): Option[Long] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32(bytes, 10)
+      val width = i32(bytes, 18)
+      val heightRaw = i32(bytes, 22)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30)
+      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+      val heightL = math.abs(heightRaw.toLong)
+      if (width > MaxDim || heightL > MaxDim) return None
+      val height = heightL.toInt
+      if (width < GW || height < GH) return None // every cell must be non-empty
+      val bottomUp = heightRaw > 0
+      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
+      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
+      val rowBytes = rowBytesL.toInt
+      val sums = new Array[Long](GW * GH)
+      val counts = new Array[Long](GW * GH)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val base = pixelOff + srcRow * rowBytes
+        val cy = y * GH / height
+        var x = 0
+        while (x < width) {
+          val o = base + x * 3 // BGR
+          val bl = bytes(o) & 0xff
+          val g = bytes(o + 1) & 0xff
+          val r = bytes(o + 2) & 0xff
+          val cell = cy * GW + x * GW / width
+          sums(cell) += 299L * r + 587L * g + 114L * bl // Rec.601 luma x1000
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var ry = 0
+      while (ry < GH) {
+        var cx = 0
+        while (cx < GW - 1) {
+          val left = sums(ry * GW + cx).toDouble / counts(ry * GW + cx)
+          val right = sums(ry * GW + cx + 1).toDouble / counts(ry * GW + cx + 1)
+          if (right > left) h |= 1L << (ry * 8 + cx)
+          cx += 1
+        }
+        ry += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Binary image column -> (media_id, dhash) via one narrow mapPartitions
+    * scan — the fingerprint stage of image dedup at 100 TB. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content"))
+      .filter(col("content").isNotNull && length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        BmpDHasher.dhash(bytes).map(ImageHash(id, _))
+      })
+      .toDF()
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` dHash bit flips, via the
+    * SAME lossless pigeonhole banding as the text simhash
+    * (Dedup.hammingNearDupPairs): band self-equi-join on small buckets —
+    * never all pairs — then a popcount verify. Output: (doc_a, doc_b,
+    * hamming) over media ids. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
+    graft.operators.Dedup.hammingNearDupPairs(
+      imageDHash(media), "media_id", "dhash", maxHamming, bits = 64)
+
+  final case class AudioQuality(media_id: Long, n_samples: Long,
+                                silence_ratio: Double, clip_ratio: Double,
+                                rms: Double)
+
+  /** Audio QUALITY gate stats for 16-bit PCM WAV: fraction of near-silent
+    * samples (|s| < `silenceThreshold` of full scale), fraction of clipped
+    * samples (|s| at or within 8 LSB of full scale), and RMS level — the
+    * drop-dead-air / drop-distorted filter every speech-corpus pipeline runs
+    * before transcription. Same RIFF envelope + skip-on-parse-failure policy
+    * as WavAudioDecoder; one narrow scan, integer sample walk, fixed-order
+    * accumulation. */
+  def audioQualityStats(media: DataFrame,
+                        silenceThreshold: Double = 0.01): DataFrame = {
+    import media.sparkSession.implicits._
+    val silenceAbs = (silenceThreshold * 32768.0).toInt // integer compare gate
+    media.select(col("media_id"), col("content"))
+      .filter(col("content").isNotNull && length(col("content")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        WavQualityAnalyzer.analyze(id, bytes, silenceAbs)
+      })
+      .toDF()
+  }
+
+  object WavQualityAnalyzer {
+    import LE.{i32, tag, u16}
+
+    private[multimodal] def analyze(id: Long, bytes: Array[Byte],
+                                    silenceAbs: Int): Option[AudioQuality] = {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var off = 12
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+        val id4 = tag(bytes, off)
+        val size = i32(bytes, off + 4)
+        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
+        if (id4 == "fmt " && size >= 16) {
+          if (u16(bytes, off + 8) != 1) return None // PCM only
+          fmtOk = u16(bytes, off + 22) == 16        // 16-bit samples
+        } else if (id4 == "data") data = Some((off + 8, size))
+        off += 8 + size + (size & 1)
+      }
+      data match {
+        case Some((dOff, dSize)) if fmtOk =>
+          val nSamples = dSize / 2
+          if (nSamples == 0) return Some(AudioQuality(id, 0L, 0.0, 0.0, 0.0))
+          var silent = 0L; var clipped = 0L; var ss = 0.0
+          var i = 0
+          while (i < nSamples) {
+            val s = ((bytes(dOff + 2 * i) & 0xff) |
+              (bytes(dOff + 2 * i + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            if (a < silenceAbs) silent += 1
+            if (a >= 32760) clipped += 1 // full scale minus 8 LSB of headroom
+            val f = s / 32768.0
+            ss += f * f
+            i += 1
+          }
+          Some(AudioQuality(id, nSamples.toLong,
+            silence_ratio = silent.toDouble / nSamples,
+            clip_ratio = clipped.toDouble / nSamples,
+            rms = math.sqrt(ss / nSamples)))
+        case _ => None
+      }
+    }
+  }
+
   final case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
                                  n_frames: Long, duration_ms: Long, rms: Double)
 

@@ -700,11 +700,22 @@ object Dedup {
     * generator, then a popcount verifies. Shuffle shape matches MinHash-LSH
     * banding: explode + bucket join, no quadratic key. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int, bits: Int = 32): DataFrame = {
+                          maxHamming: Int, bits: Int = 32): DataFrame =
+    hammingNearDupPairs(simhash(docs, idCol, textCol, bits), idCol, "simhash",
+      maxHamming, bits)
+
+  /** The hamming-banding core behind [[simhashNearDupPairs]], exposed over
+    * ANY <=64-bit fingerprint column so other fingerprint families reuse the
+    * same lossless pigeonhole candidate generator — image perceptual dHash
+    * (Multimodal.imageNearDupPairs), audio hashes, URL/simkey schemes.
+    * Output pairs are named (doc_a, doc_b, hamming) regardless of the id
+    * column's domain. */
+  def hammingNearDupPairs(fps: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val numBands = maxHamming + 1
-    val fp = simhash(docs, idCol, textCol, bits)
     // distribute bits over bands as evenly as possible: wide bands first
     val base = bits / numBands
     val widths = (0 until numBands).map(b => base + (if (b < bits % numBands) 1 else 0))
@@ -713,14 +724,14 @@ object Dedup {
       // a full-64-bit band needs an explicit all-ones mask: 1L << 64 wraps to 1
       val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), starts(b)).bitwiseAND(lit(mask)).as("bv"))
+        shiftright(col(fpCol), starts(b)).bitwiseAND(lit(mask)).as("bv"))
     }
     // band rows CARRY the fingerprint (8 bytes) so the bucket self-join alone
     // yields verifiable pairs — no candidate-distinct shuffle and no pair ->
     // fingerprint lookup joins; the popcount filter runs streaming off the
     // join and only surviving pairs reach the final distinct
-    val bands = fp.select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val bands = fps.select(col(idCol), col(fpCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col(fpCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = bands.toDF("doc_a", "sim_a", "band", "bv")
     val b = bands.toDF("doc_b", "sim_b", "band", "bv")
     a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))

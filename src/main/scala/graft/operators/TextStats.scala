@@ -81,6 +81,80 @@ object TextStats {
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
 
+  /** Per-document Shannon entropy over the CHARACTER distribution, in bits —
+    * the cheap stand-in for a compression-ratio quality signal: template
+    * boilerplate and repeated-character junk score LOW, while binary spill /
+    * random noise scores abnormally HIGH; prose sits in a narrow band
+    * (~3.5-4.5 bits for English). The signal no tokenizer can fake, which is
+    * why it complements the token-level filters (q26/q80).
+    * Determinism (the q77 NLL pattern): each p·ln p term rounds to 9 dp and
+    * sums as exact DECIMAL — order-independent, so shuffle order can't move
+    * the hash — then ONE double division by the ln 2 literal converts nats
+    * to bits. Scale: characters collapse to an alphabet-bounded histogram in
+    * the map-side partial agg (shuffle rows ≤ |alphabet| per doc, NOT
+    * |text|), then a doc-keyed join of two doc-bounded frames. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ln2 = 0.6931471805599453 // same literal transcribed in the oracle
+    val counts = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      // Java's regex split keeps a trailing empty match on some versions;
+      // DuckDB's string_split never does — drop it so both engines count
+      // the same multiset
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col(idCol)).agg(
+      sum(col("__c")).cast("double").as("__n"),
+      count(lit(1)).as("n_distinct_chars"))
+    counts.join(totals, idCol)
+      .select(col(idCol), col("n_distinct_chars"),
+        round((col("__c") / col("__n")) * log(col("__c") / col("__n")), 9)
+          .cast(DecimalType(28, 9)).as("__t"))
+      .groupBy(col(idCol), col("n_distinct_chars"))
+      .agg(round((-sum(col("__t"))).cast("double") / lit(ln2), 6).as("entropy_bits"))
+  }
+
+  /** N-gram DIVERSITY per group (source / shard / model-output batch): the
+    * distinct-over-total n-gram ratio — the corpus-level repetitiveness
+    * measure behind Self-BLEU-style mode-collapse checks (Zhu et al. 2018)
+    * and the "how templated is this crawl source" triage that decides which
+    * sources need aggressive span dedup (q76/q93) before training. 1.0 =
+    * every n-gram unique; low = the group recycles the same phrasing.
+    * One (group, gram)-keyed partial agg — multiset counts collapse
+    * map-side — then a group-keyed rollup; diversity is one exact
+    * integer-ratio division rounded at the end. */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(groupCol), explode(TF.shinglesAll(col(textCol), n)).as("__g"))
+      .groupBy(col(groupCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("diversity",
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+  }
+
+  /** Exact top-k tokens per group with a TOTAL-ORDER tie-break (count desc,
+    * token asc) — the heavy-hitter report per source/language that drives
+    * stopword lists, contamination spot-checks, and domain fingerprinting.
+    * Exact, not sketched: the (group, token) partial agg collapses map-side
+    * to vocab-bounded rows, and the rank window partitions on the group key
+    * only — the same one-exchange shape as q17. [[DeterministicSketches]]'
+    * Count-Min is the bounded-memory twin when even the vocab is too big. */
+  def topTokensPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(groupCol), explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** C4-style blocklist filter (Raffel et al. 2020 §2.2 drop pages containing
     * any word on a bad-word list): keep only docs whose token set is disjoint
     * from `blocked`. The list is bounded by construction (curated wordlists,

@@ -66,6 +66,33 @@ object DataQuality {
       unique(cs, Seq("game_appid")))
   }
 
+  /** Generic COLUMN PROFILER — the ANALYZE-style statistics sheet a
+    * warehouse publishes per table (and the first thing a curation run
+    * inspects on a new drop): one row per requested column with row count,
+    * null count, exact distinct count, and min/max rendered as strings so
+    * heterogeneous column types stack in one frame. One aggregate-only scan
+    * PER COLUMN — each scan is column-pruned to exactly that column by the
+    * parquet reader, so k narrow scans cost about one wide scan of I/O and
+    * nothing shuffles (each agg is a 1-row global reduce with map-side
+    * partials). min/max compare in the column's NATIVE type and stringify
+    * only at the end — never lexicographic compares on numerics.
+    * Stringification caveat: integers and strings render engine-identically;
+    * floating-point columns may not ("1.0E7" vs "10000000.0") — profile
+    * those via explicit rounds/casts on the caller side. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Join-key SKEW report — the pre-flight check before picking a join
     * strategy (salt? AQE skew split? broadcast?): the k hottest key values
     * with their row share in integer MICRO-units (floor(1e6·cnt/total) —

@@ -302,4 +302,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), "the top-k head must not global-sort")
   }
+
+  test("char entropy: alphabet-bounded partial agg, doc-keyed joins only (q135)") {
+    val p = plan("q135_char_entropy")
+    assert(p.contains("partial_"), p.take(2000))
+    // counts x totals is a doc-keyed equi-join (shuffle or broadcast both
+    // fine at scale); what must NEVER appear is an unkeyed pair scan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), "no pair blowup")
+  }
+
+  test("ngram diversity: gram counts collapse map-side before the shuffle (q136)") {
+    val p = plan("q136_ngram_diversity")
+    assert(p.contains("partial_"), p.take(2000))
+    assert(!p.contains("Sort ["), "no global sort in an agg-only plan")
+  }
+
+  test("column profile: each branch scan is pruned to its own column (q137)") {
+    val p = plan("q137_column_profile")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty, p.take(2000))
+    // the doc_id branch must not drag text along: parquet prunes per branch
+    assert(schemas.exists(s => s.contains("doc_id") && !s.contains("text")), schemas.mkString("\n"))
+    assert(p.contains("partial_"), "global agg must map-side combine")
+  }
+
+  test("top tokens: one window exchange on the group key, never a global sort (q138)") {
+    val p = plan("q138_top_tokens")
+    assert(p.contains("partial_count"), p.take(2000))
+    // rank window partitions on source — a single keyed exchange feeds it
+    assert(p.contains("hashpartitioning"), "window must hash-partition on the group key")
+  }
 }

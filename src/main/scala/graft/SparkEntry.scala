@@ -30,8 +30,13 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     name match {
-      case "events" => Tables.events(s, dir) // ns->µs truncation, see Tables
-      case _        => Tables.load(s, dir, name)
+      // timestamp-carrying tables go through their normalizing loaders
+      // (ns->µs floor / NTZ->LTZ, see Tables.normalizeTs) — raw loads would
+      // hand queries whatever physical encoding the generator last wrote
+      case "events"   => Tables.events(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "lineitem" => Tables.lineitem(s, dir)
+      case _          => Tables.load(s, dir, name)
     }
 
   // DECIMAL(18,2)-exact sum cast back to double — deterministic across engines.
@@ -1650,6 +1655,36 @@ object SparkEntry {
       graft.operators.TextStats.topTokensPerGroup(
         T(s, dir, "documents"), "source", "text", k = 10),
       Some(TextOracle.topTokensSql(k = 10))),
+
+    Q("q139_token_budget", (s, dir) =>
+      // cap each source at a token budget in arrival order — the
+      // token-denominated mixture cap (prefix semantics, growth-stable)
+      graft.operators.Sampling.tokenBudgetSelect(
+        T(s, dir, "documents"), "doc_id", "text", "source",
+        budgetTokens = 2000L, order = Seq(col("doc_id").asc)),
+      Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 2000""")),
+
+    Q("q140_score_calibration", (s, dir) =>
+      // source-fair quality thresholds: percent_rank of the score within
+      // its own source, so "top 30%" means the same thing in every source
+      graft.operators.Sampling.scoreCalibration(
+        T(s, dir, "documents"), "doc_id", "source", col("n_chars")),
+      Some("""
+      SELECT source, doc_id, n_chars AS score,
+             round(percent_rank() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC), 6) AS calibrated
+      FROM documents""")),
 
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;

@@ -14,8 +14,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
@@ -34,13 +36,21 @@ object Tables {
     *    restore epoch semantics, matching DuckDB's naive-as-UTC `epoch(ts)`.
     * Every other shape passes through untouched. This normalization is the
     * engine's timestamp contract: downstream code always sees TimestampType. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"), "ts")
+
+  /** The normalization core, applied to EVERY timestamp column the testdata
+    * carries (events.ts, orders.o_orderdate, lineitem.l_shipdate) — one
+    * generator flip already broke the ts consumers (round 3); the date
+    * columns are the same class of time bomb. */
+  private def normalizeTs(raw: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    raw.schema(tsCol).dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced by nanosAsLong: floor to µs
+        raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol DIV 1000)"))
+      case TimestampNTZType => // UTC session: NTZ wall clock IS the instant
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => raw
     }
   }
@@ -69,9 +79,15 @@ object Tables {
       "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
       "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
       "embeddings" -> Seq("vec_id", "embedding", "label"))
+    // type-level contract: every timestamp column the loaders normalize must
+    // come out as TIMESTAMP (epoch casts are illegal on NTZ, impossible on ns)
+    val tsContract = Map(
+      "events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "events" -> events, "orders" -> orders, "lineitem" -> lineitem)
     expected.flatMap { case (name, cols) =>
       try {
-        val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
+        val df = loaders.get(name).map(_(spark, dir)).getOrElse(load(spark, dir, name))
         System.err.println(s"[schema] $name: ${df.schema.simpleString}")
         val missing = cols.filterNot(df.columns.contains)
         val colDrift =
@@ -79,14 +95,13 @@ object Tables {
             Seq(s"$name: missing columns [${missing.mkString(", ")}] " +
               s"(observed: ${df.schema.simpleString})")
           else Nil
-        // the one type-level contract queries rely on: events.ts normalizes
-        // to TIMESTAMP (epoch casts are illegal on NTZ, impossible on raw ns)
-        val tsDrift =
-          if (name == "events" && df.columns.contains("ts") &&
-              df.schema("ts").dataType != TimestampType)
-            Seq(s"events.ts: loader left ${df.schema("ts").dataType} — extend " +
-              "Tables.events' normalization for this new physical encoding")
-          else Nil
+        val tsDrift = tsContract.get(name) match {
+          case Some(tc) if df.columns.contains(tc) &&
+              df.schema(tc).dataType != TimestampType =>
+            Seq(s"$name.$tc: loader left ${df.schema(tc).dataType} — extend " +
+              "Tables.normalizeTs for this new physical encoding")
+          case _ => Nil
+        }
         colDrift ++ tsDrift
       } catch {
         case e: Exception => Seq(s"$name: unreadable — ${e.getMessage}")

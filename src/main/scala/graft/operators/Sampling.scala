@@ -156,6 +156,47 @@ object Sampling {
     * the pair table (pairs ≪ corpus, so this is cheap at any scale) and a
     * mismatch filter; an empty result is the green light. Output:
     * (aCol, bCol, split_a, split_b). */
+  /** Greedy TOKEN-BUDGET selection per group: walk each group's documents
+    * in `order` and keep every document while the RUNNING token total stays
+    * within `budgetTokens` — the "cap each source at N tokens" step of
+    * mixture assembly (the token-denominated sibling of [[mixtureBalance]]'s
+    * row caps; budgets are how mixtures are actually specified for LM
+    * training). Prefix semantics by construction: token counts are
+    * non-negative so the running sum is monotone, and the cum <= budget
+    * filter keeps exactly the maximal in-order prefix that fits — no
+    * knapsack re-ordering, so selection is stable when the corpus grows
+    * past the budget. One window exchange on the group key; the running
+    * sum is computed per-partition after that exchange, so cost is one
+    * shuffle of (group, order, n_tokens) rows regardless of budget. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, budgetTokens: Long,
+                        order: Seq[Column]): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .withColumn("n_tokens", TF.tokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-group SCORE CALIBRATION by rank: percent_rank of `score` within
+    * the row's own group over a TOTAL order (score, then id) — the
+    * source-fair quality threshold. Raw scores aren't comparable across
+    * sources (a median academic doc outscores a good forum post), so
+    * filtering on a raw global threshold silently skews the mixture toward
+    * high-scoring sources; rank-calibrated scores make "keep the top 30%"
+    * mean the same thing in every source. One window exchange on the group
+    * key, engine-exact ranks via the id tie-break. */
+  def scoreCalibration(docs: DataFrame, idCol: String, groupCol: String,
+                       score: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(score.asc, col(idCol).asc)
+    docs
+      .withColumn("calibrated", round(percent_rank().over(w), 6))
+      .select(col(groupCol), col(idCol), score.as("score"), col("calibrated"))
+  }
+
   def crossSplitPairs(pairs: DataFrame, aCol: String, bCol: String,
                       splits: DataFrame, idCol: String,
                       splitCol: String): DataFrame =

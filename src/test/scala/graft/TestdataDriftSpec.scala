@@ -71,6 +71,33 @@ class TestdataDriftSpec extends SparkSpec {
     epochQueriesRun(dir)
   }
 
+  test("drift guard: orders/lineitem date columns normalize from every encoding too") {
+    import spark.implicits._
+    // the o_orderdate/l_shipdate twins of the events.ts regression: write
+    // each as ns-long and as NTZ; the loaders must yield TIMESTAMP and the
+    // date-typed queries must still run
+    val dir = fixtureDir("dates")
+    def ordersDf = Seq((1L, 1L, "O", 10.0, "2024-03-05 00:00:00", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "od", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("od"))).drop("od")
+    // ns-as-long orders
+    ordersDf.withColumn("o_orderdate",
+        (col("o_orderdate").cast("double") * 1e9).cast(LongType))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(Tables.orders(spark, dir).schema("o_orderdate").dataType == TimestampType)
+    // NTZ lineitem
+    Seq((1L, 1L, 1L, 1, 35.0, 100.0, 0.1, 0.0, "N", "O", "2024-03-05 00:00:00"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "sd")
+      .withColumn("l_shipdate", to_timestamp(col("sd")).cast(TimestampNTZType)).drop("sd")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val li = Tables.lineitem(spark, dir)
+    assert(li.schema("l_shipdate").dataType == TimestampType)
+    // the date-consuming query shapes still run over the fixtures
+    assert(SparkEntry.queries("q22_date_roundtrip")(spark, dir).count() == 1)
+    assert(SparkEntry.queries("q08_filter_range")(spark, dir).count() == 1)
+  }
+
   test("schemaDrift: clean on a conforming dir, loud on a broken one") {
     import spark.implicits._
     val dir = fixtureDir("schema")

@@ -111,4 +111,31 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(whale, "id", col("w"), targetK = 10)
       .filter(col("id") === 5000L).count() == 1)
   }
+
+  test("tokenBudgetSelect: maximal in-order prefix per group; overflow doc and tail drop") {
+    val d = Seq(
+      (1L, "s1", "a b c"),        // 3 tokens, cum 3
+      (2L, "s1", "d e f g"),      // 4 tokens, cum 7
+      (3L, "s1", "h i"),          // 2 tokens, cum 9 > 8 -> dropped
+      (4L, "s1", "j"),            // cum 10 -> dropped (prefix, not knapsack)
+      (5L, "s2", "k l m n o p q r s"), // 9 > 8 -> whole group empty
+      (6L, "s2", "t")
+    ).toDF("doc_id", "source", "text")
+    val r = Sampling.tokenBudgetSelect(d, "doc_id", "text", "source",
+      budgetTokens = 8L, order = Seq(col("doc_id").asc))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSet == Set(("s1", 1L, 3L, 3L), ("s1", 2L, 4L, 7L)))
+  }
+
+  test("scoreCalibration: percent_rank within group, id tie-break, group-fair") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 99L),
+      (5L, "b", 1L), (6L, "b", 2L)
+    ).toDF("doc_id", "source", "n_chars")
+    val r = Sampling.scoreCalibration(d, "doc_id", "source", col("n_chars"))
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(r(1L) == 0.0 && r(4L) == 1.0)         // group-a extremes
+    assert(r(2L) == 0.333333 && r(3L) == 0.666667) // tie broken by id
+    assert(r(5L) == 0.0 && r(6L) == 1.0)         // b's best calibrates like a's
+  }
 }

@@ -332,4 +332,15 @@ class PlanSpec extends SparkSpec {
     // rank window partitions on source — a single keyed exchange feeds it
     assert(p.contains("hashpartitioning"), "window must hash-partition on the group key")
   }
+
+  test("token budget / score calibration: one keyed window exchange, no join, no global sort (q139/q140)") {
+    for (q <- Seq("q139_token_budget", "q140_score_calibration")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(source"), s"$q: window must key on source\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q must be join-free")
+      // the only Sort is the window's per-partition sort under the keyed
+      // exchange — a global range-partitioned sort would print rangepartitioning
+      assert(!p.contains("rangepartitioning"), s"$q must not global-sort")
+    }
+  }
 }

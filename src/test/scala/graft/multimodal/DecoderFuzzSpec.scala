@@ -15,6 +15,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     new Multimodal.WavSegmentEmbedder(4).decode(1L, bytes)
     new Multimodal.BmpGridEmbedder(2, 2).decode(1L, bytes)
     Multimodal.AviFrameExtractor.frames(bytes)
+    Multimodal.BmpDHasher.dhash(bytes)
+    Multimodal.WavQualityAnalyzer.analyze(1L, bytes, silenceAbs = 328)
     ()
   }
 

@@ -101,4 +101,25 @@ object Engine {
   def blockDedup(docs: DataFrame, idCol: String, textCol: String,
                  blockWords: Int = 64): DataFrame =
     Dedup.blockDedup(docs, idCol, textCol, blockWords)
+
+  /** ANALYZE-style per-column stats sheet — the first read on any new drop. */
+  def profileCorpus(df: DataFrame, cols: Seq[String]): DataFrame =
+    DataQuality.columnProfile(df, cols)
+
+  /** Near-duplicate image pairs by perceptual dHash (the image twin of the
+    * text simhash; same lossless banding underneath). */
+  def imageDedupReport(media: DataFrame, maxHamming: Int = 8): DataFrame =
+    multimodal.Multimodal.imageNearDupPairs(media, maxHamming)
+
+  /** Audio quality gate: silence/clipping/RMS stats — filter dead air and
+    * distortion BEFORE the embed stage. */
+  def audioQualityReport(media: DataFrame): DataFrame =
+    multimodal.Multimodal.audioQualityStats(media)
+
+  /** Mixture assembly: cap each source at a token budget (walked in id
+    * order — growth-stable prefix; see Sampling.tokenBudgetSelect). */
+  def capSourceTokens(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, budgetTokens: Long): DataFrame =
+    graft.operators.Sampling.tokenBudgetSelect(docs, idCol, textCol,
+      sourceCol, budgetTokens, Seq(org.apache.spark.sql.functions.col(idCol).asc))
 }

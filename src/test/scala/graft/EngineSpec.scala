@@ -35,4 +35,21 @@ class EngineSpec extends SparkSpec {
     val top = Engine.searchTopK(emb, "vec_id", "embedding", qv, 5)
     assert(top.head().getLong(0) == 1L) // the query vector finds itself first
   }
+
+  test("round-4 facade workflows: profile, token cap, image/audio gates") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val prof = Engine.profileCorpus(docs, Seq("doc_id", "source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.keySet == Set("doc_id", "source") && prof("doc_id") == docs.count())
+
+    val capped = Engine.capSourceTokens(docs, "doc_id", "text", "source", 500L)
+    // every source's running total respects the budget
+    assert(capped.agg(max(col("cum_tokens"))).head().getLong(0) <= 500L)
+
+    // empty media frames flow through the multimodal gates cleanly
+    import spark.implicits._
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "content")
+    assert(Engine.imageDedupReport(noMedia).count() == 0)
+    assert(Engine.audioQualityReport(noMedia).count() == 0)
+  }
 }

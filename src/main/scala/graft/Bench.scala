@@ -72,7 +72,7 @@ object Bench {
     // failure list, and the 20 slowest queries; everything else is in the file
     val top = results.filter(_.ok).sortBy(-_.time).take(20)
       .map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

@@ -1069,8 +1069,13 @@ object SparkEntry {
     Q("q88_lsh_quality", (s, dir) =>
       // the banding-tuning measurement: LSH candidate precision/recall vs
       // exact-Jaccard truth — run on a sample before a full corpus pass
+      // gate is env-overridable so a benchmark scale-up raises the exact-pairs
+      // cap deliberately instead of hard-failing the whole sweep; the
+      // deterministic sampleFrac path stays available for true corpus scale
       Dedup.lshQualityReport(T(s, dir, "documents"), "doc_id", "text",
-        numHashes = 8, bandRows = 2, shingleN = 2, threshold = 0.2),
+        numHashes = 8, bandRows = 2, shingleN = 2, threshold = 0.2,
+        maxExactRows = sys.env.get("GRAFT_LSH_MAX_EXACT")
+          .map(_.toLong).getOrElse(100000L)),
       Some(TextOracle.lshQualitySql(numHashes = 8, bandRows = 2, threshold = 0.2))),
 
     Q("q87_data_card", (s, dir) => {
@@ -1100,10 +1105,11 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"))
     },
       Some("""
-      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-             SUM(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
                  THEN CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-                 ELSE 0 END) AS total_tokens,
+                 ELSE 0 END) AS BIGINT) AS total_tokens,
              quantile_disc(n_chars, 0.5) AS p50_chars,
              quantile_disc(n_chars, 0.95) AS p95_chars,
              COUNT(DISTINCT lang) AS n_langs
@@ -1669,8 +1675,8 @@ object SparkEntry {
         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
       c AS (
         SELECT source, doc_id, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM t)
       SELECT source, doc_id, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 2000""")),

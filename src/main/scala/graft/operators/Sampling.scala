@@ -191,7 +191,11 @@ object Sampling {
     * key, engine-exact ranks via the id tie-break. */
   def scoreCalibration(docs: DataFrame, idCol: String, groupCol: String,
                        score: Column): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(score.asc, col(idCol).asc)
+    // asc_nulls_last: Spark's bare asc sorts NULLS FIRST while ANSI/DuckDB
+    // ASC is NULLS LAST — a nullable score would silently shift every
+    // percent_rank. Dormant with today's non-null n_chars, fatal otherwise.
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(score.asc_nulls_last, col(idCol).asc_nulls_last)
     docs
       .withColumn("calibrated", round(percent_rank().over(w), 6))
       .select(col(groupCol), col(idCol), score.as("score"), col("calibrated"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication suite for training-data pipelines, designed for the
@@ -720,25 +720,34 @@ object Dedup {
     val base = bits / numBands
     val widths = (0 until numBands).map(b => base + (if (b < bits % numBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
+    // a full-64-bit band needs an explicit all-ones mask: 1L << 64 wraps to 1
+    def maskFor(b: Int): Long = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
     val bandCols = (0 until numBands).map { b =>
-      // a full-64-bit band needs an explicit all-ones mask: 1L << 64 wraps to 1
-      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band"),
-        shiftright(col(fpCol), starts(b)).bitwiseAND(lit(mask)).as("bv"))
+        shiftright(col(fpCol), starts(b)).bitwiseAND(lit(maskFor(b))).as("bv"))
     }
     // band rows CARRY the fingerprint (8 bytes) so the bucket self-join alone
     // yields verifiable pairs — no candidate-distinct shuffle and no pair ->
-    // fingerprint lookup joins; the popcount filter runs streaming off the
-    // join and only surviving pairs reach the final distinct
+    // fingerprint lookup joins; the popcount filter runs streaming off the join
     val bands = fps.select(col(idCol), col(fpCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col(fpCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = bands.toDF("doc_a", "sim_a", "band", "bv")
     val b = bands.toDF("doc_b", "sim_b", "band", "bv")
+    // min-band emission instead of a trailing distinct: a close pair agrees on
+    // k >= 1 bands and the bucket join therefore yields it k times, but the
+    // first agreeing band is computable per-row from the XOR alone, so keeping
+    // only band == firstAgree dedups WITHOUT re-shuffling the full pair set —
+    // the multi-band multiplicity dies streaming inside the join stage
+    val xorc = col("sim_a").bitwiseXOR(col("sim_b"))
+    def agrees(b: Int): Column =
+      shiftright(xorc, starts(b)).bitwiseAND(lit(maskFor(b))) === 0
+    val firstAgree = (numBands - 1 to 0 by -1)
+      .foldLeft(lit(numBands): Column)((acc, b) => when(agrees(b), lit(b)).otherwise(acc))
     a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("band") === firstAgree)
+      .withColumn("hamming", bit_count(xorc).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").distinct()
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force

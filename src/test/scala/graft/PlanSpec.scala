@@ -98,9 +98,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
     // the popcount verify is an expression over the joined rows, not a
-    // second pass: no more than the one band equi-join plus the final distinct
+    // second pass: exactly the one band equi-join
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(p).size <= 2, p.take(600))
+    // min-band emission replaced the trailing pair distinct: a distinct would
+    // compile to HashAggregate(keys=[doc_a, doc_b]) + an exchange over the
+    // full pair set — neither may appear; dedup happens streaming in-join
+    // (the only HashAggregate allowed is simhash's per-doc bit-sum upstream)
+    assert(!"HashAggregate\\(keys=\\[doc_a".r.findAllIn(p).hasNext, p.take(800))
+    assert(!"hashpartitioning\\(doc_a".r.findAllIn(p).hasNext, p.take(800))
   }
 
   test("chunking and PQ are pure scans — no exchange at all (q68/q71)") {

@@ -671,10 +671,18 @@ object Dedup {
     * dominant singleton mass is never shuffled on a cluster key. Output:
     * (cluster_id, keep_id, scoreCol, n_members). */
   def bestPerCluster(scored: DataFrame, idCol: String, scoreCol: String,
-                     pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+                     pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    bestPerClusterFromLabels(scored, idCol, scoreCol,
+      resolveClusters(pairs, aCol, bCol))
+
+  /** [[bestPerCluster]] over PRE-RESOLVED labels (id, cluster_id) — the
+    * shared-closure form: one resolveClusters materialization can feed this,
+    * [[clusterSizeHistogramFromLabels]] and Sampling.clusterSafeSplitFromLabels
+    * in the same sweep instead of each re-running the iterative closure. */
+  def bestPerClusterFromLabels(scored: DataFrame, idCol: String,
+                               scoreCol: String, labelsRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = resolveClusters(pairs, aCol, bCol)
-      .withColumnRenamed("id", idCol)
+    val labels = labelsRaw.withColumnRenamed("id", idCol)
     val j = scored.select(col(idCol), col(scoreCol))
       .join(labels, Seq(idCol), "left")
     val w = Window.partitionBy(col("cluster_id"))
@@ -950,7 +958,12 @@ object Dedup {
     * histogram's mass, computable without us). Two count-aggregates on top of
     * [[resolveClusters]]; output is at most the largest cluster size. */
   def clusterSizeHistogram(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    resolveClusters(pairs, aCol, bCol)
+    clusterSizeHistogramFromLabels(resolveClusters(pairs, aCol, bCol))
+
+  /** [[clusterSizeHistogram]] over pre-resolved labels — see
+    * [[bestPerClusterFromLabels]] for the shared-closure rationale. */
+  def clusterSizeHistogramFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 }

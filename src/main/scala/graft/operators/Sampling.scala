@@ -44,9 +44,16 @@ object Sampling {
     * fraction at web scale, so the join broadcasts or shuffles a sliver. */
   def clusterSafeSplit(docs: DataFrame, idCol: String,
                        pairs: DataFrame, aCol: String, bCol: String,
-                       cuts: Seq[(String, Int)]): DataFrame = {
-    val labels = Dedup.resolveClusters(pairs, aCol, bCol)
-      .withColumnRenamed("id", idCol)
+                       cuts: Seq[(String, Int)]): DataFrame =
+    clusterSafeSplitFromLabels(docs, idCol,
+      Dedup.resolveClusters(pairs, aCol, bCol), cuts)
+
+  /** [[clusterSafeSplit]] over pre-resolved labels (id, cluster_id) — the
+    * shared-closure form (see Dedup.bestPerClusterFromLabels). */
+  def clusterSafeSplitFromLabels(docs: DataFrame, idCol: String,
+                                 labelsRaw: DataFrame,
+                                 cuts: Seq[(String, Int)]): DataFrame = {
+    val labels = labelsRaw.withColumnRenamed("id", idCol)
     docs.select(col(idCol)).join(labels, Seq(idCol), "left")
       .select(col(idCol),
         hashSplit(coalesce(col("cluster_id"), col(idCol)), cuts).as("split"))

@@ -1,8 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
 object Bench {
   private final case class R(name: String, time: Double, median: Double,
-                             rows: Long, ok: Boolean)
+                             rows: Long, ok: Boolean,
+                             gcMs: Long, peakMb: Long)
+
+  // Per-query pollution telemetry: driver-bench runs showed q102 at 2-3x its
+  // idle-box time with min != median; GC-time delta and heap peak per query
+  // make the next interference signature diagnosable from the artifact alone
+  // (high gc_ms = heap pressure from accumulated state; high peak_mb with low
+  // gc_ms = a genuinely hungry query).
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  private val heapPools =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP && p.isValid)
+  private def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def peakHeapMb: Long =
+    heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -35,6 +53,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
+      resetPeaks()
+      val gc0 = gcMillis
       // a failed run is recorded as a FAILURE, never as a timing — folding a
       // fast-fail elapsed into min would make regressions look like speedups
       val attempts: Seq[(Option[Long], Double)] = (1 to runs).map { _ =>
@@ -53,8 +73,11 @@ object Bench {
       // later queries (measured: q102 37 s polluted vs 7.5 s standalone) —
       // release between queries so each one measures its own plan.
       spark.catalog.clearCache()
-      if (ok.nonEmpty) R(name, ok.map(_._2).min, median(ok.map(_._2)), ok.head._1, ok = true)
-      else R(name, -1.0, -1.0, -1L, ok = false)
+      val gcd = gcMillis - gc0
+      val pk = peakHeapMb
+      if (ok.nonEmpty) R(name, ok.map(_._2).min, median(ok.map(_._2)), ok.head._1,
+        ok = true, gcMs = gcd, peakMb = pk)
+      else R(name, -1.0, -1.0, -1L, ok = false, gcMs = gcd, peakMb = pk)
     }
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val qs = results.map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
@@ -66,7 +89,9 @@ object Bench {
     // driver tail-truncates captured stdout at ~2 KB, which destroyed the
     // r2/r3 timing tables ("parsed": null). The file is the durable,
     // diffable record.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val gcm = results.map(r => s""""${r.name}":${r.gcMs}""").mkString("{", ",", "}")
+    val pks = results.map(r => s""""${r.name}":${r.peakMb}""").mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // stdout: ONE JSON line guaranteed to fit the 2 KB capture — aggregate,
     // failure list, and the 20 slowest queries; everything else is in the file

@@ -1712,6 +1712,31 @@ object SparkEntry {
                ORDER BY n_chars ASC, doc_id ASC), 6) AS calibrated
       FROM documents""")),
 
+    Q("q141_media_curation", (s, dir) => {
+      // the RELATIONAL SKELETON of Multimodal.curateMedia (q75's binary
+      // twin), oracle-verified on the embeddings table: quality gate
+      // (component-spike filter — a collapsed/degenerate embedding
+      // concentrates mass in few dims) → pairwise semantic near-dup with the
+      // drop-later-duplicate rule (SemDeDup's pairwise policy: for each pair
+      // a<b, b drops) → self-kNN of the survivors. The bytes→features half
+      // (dHash, PCM gates, grid/segment embeddings) is spec-proven in
+      // MediaCurationSpec — no SQL engine can decode BMP/WAV, so the oracle
+      // starts where the feature table ends. Scale: gate is one narrow scan;
+      // the brute pair stage swaps for lshNearDupPairs at corpus scale; kNN
+      // broadcast contract enforced in knnJoin.
+      val emb = T(s, dir, "embeddings")
+      val gated = emb.filter(
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) <= lit(0.42))
+        .select("vec_id", "embedding")
+      val pairs = Dedup.embeddingNearDupPairs(gated, "vec_id", "embedding", threshold = 0.4)
+      val kept = gated.join(pairs.select(col("id_b").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      val probes = kept.filter(col("vec_id") % 25 === 0)
+      Similarity.knnJoin(kept, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, excludeSelf = true)
+    }, Some(TextOracle.mediaCurationSql(maxComp = 0.42, threshold = 0.4,
+      probeMod = 25, k = 5))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

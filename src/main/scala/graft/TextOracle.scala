@@ -859,6 +859,43 @@ object TextOracle {
       FROM cand WHERE cos IS NOT NULL)
     SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
 
+  /** q141: the relational skeleton of the multimodal curation pipeline on
+    * the embeddings table — component-spike quality gate → pairwise
+    * near-dup with the drop-later rule → self-kNN of the survivors. Gate
+    * and cosine math mirror the Spark side exactly (identical double casts,
+    * LTR dot folds, round 6), so verdicts agree bit-for-bit. */
+  def mediaCurationSql(maxComp: Double, threshold: Double,
+                       probeMod: Int, k: Int): String = s"""
+    WITH gated AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) <= $maxComp),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(${dotExpr("a.embedding", "b.embedding")}
+                   / (sqrt(${dotExpr("a.embedding", "a.embedding")})
+                      * sqrt(${dotExpr("b.embedding", "b.embedding")})), 6) AS cos
+      FROM gated a JOIN gated b ON a.vec_id < b.vec_id),
+    dup_b AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= $threshold),
+    kept AS (
+      SELECT g.vec_id, g.embedding FROM gated g
+      LEFT JOIN dup_b d ON g.vec_id = d.id_b WHERE d.id_b IS NULL),
+    probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM kept WHERE vec_id % $probeMod = 0),
+    cand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM kept e, probe p
+      WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+
   /** Hard-negative mining oracle (q105): knnJoinSql restricted to candidate
     * pairs whose labels DIFFER (null labels never confirm a mismatch, so
     * they drop — same three-valued `<>` in both engines). */

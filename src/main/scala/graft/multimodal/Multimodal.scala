@@ -504,6 +504,137 @@ object Multimodal {
       .select(col("media_id"), col("embedding"))
   }
 
+  /** One row of the unified per-asset feature table: everything the curation
+    * pipeline needs downstream of the binary scan. Image rows carry dhash +
+    * grid embedding; audio rows carry quality stats + segment embedding;
+    * unsupported modalities and malformed payloads carry decodable = false. */
+  final case class MediaFeatureRow(
+      media_id: Long, modality: String, decodable: Boolean,
+      dhash: Option[Long], embedding: Option[Array[Float]],
+      n_samples: Option[Long], silence_ratio: Option[Double],
+      clip_ratio: Option[Double], rms: Option[Double])
+
+  /** ONE decode pass over the binary column extracting every curation
+    * feature at once — at 100 TB the heavy `content` bytes are scanned
+    * exactly once, and everything downstream (gates, dedup, kNN) runs on
+    * this small typed feature table. Per-modality: images get perceptual
+    * dHash ([[BmpDHasher]]) + grid-pooled embedding ([[BmpGridEmbedder]]);
+    * audio gets silence/clip/RMS quality stats ([[WavQualityAnalyzer]]) +
+    * segment-pooled embedding ([[WavSegmentEmbedder]]). Narrow plan — demux
+    * parallelism equals scan parallelism. */
+  def extractFeatures(media: DataFrame, gridW: Int = 4, gridH: Int = 4,
+                      segments: Int = 16,
+                      silenceThreshold: Double = 0.01): DataFrame = {
+    import media.sparkSession.implicits._
+    val gridEmbedder = new BmpGridEmbedder(gridW, gridH)
+    val segEmbedder = new WavSegmentEmbedder(segments)
+    val silenceAbs = (silenceThreshold * 32768.0).toInt
+    media.select(col("media_id"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mod, bytes) =>
+        val nonEmpty = bytes != null && bytes.nonEmpty
+        mod match {
+          case "image" if nonEmpty =>
+            val dh = BmpDHasher.dhash(bytes)
+            val emb = gridEmbedder.decode(id, bytes).map(_.embedding)
+            MediaFeatureRow(id, mod, decodable = dh.isDefined && emb.isDefined,
+              dh, emb, None, None, None, None)
+          case "audio" if nonEmpty =>
+            val q = WavQualityAnalyzer.analyze(id, bytes, silenceAbs)
+            val emb = segEmbedder.decode(id, bytes).map(_.embedding)
+            MediaFeatureRow(id, mod, decodable = q.isDefined, None, emb,
+              q.map(_.n_samples), q.map(_.silence_ratio),
+              q.map(_.clip_ratio), q.map(_.rms))
+          case _ =>
+            MediaFeatureRow(id, if (mod == null) "unknown" else mod,
+              decodable = false, None, None, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** The composed curation result. `verdicts` is the bytes-to-verdicts
+    * contract: one row per input asset with kept/reason. `embeddings` holds
+    * only kept assets (per-modality dims differ); `neighbors` is the
+    * per-modality self-kNN over the survivors. */
+  final case class MediaCuration(features: DataFrame, verdicts: DataFrame,
+                                 embeddings: DataFrame, neighbors: DataFrame)
+
+  /** The WHOLE multimodal curation pipeline as one composition — the binary
+    * twin of the text pipeline (q75): ONE binary scan ([[extractFeatures]])
+    * → per-modality quality gates → perceptual near-dup dedup (dHash
+    * pigeonhole banding + min-label connected components, keep the
+    * smallest-id representative) → embeddings of the survivors →
+    * per-modality self-kNN.
+    *
+    * Verdict reasons, by priority: images `undecodable` (malformed /
+    * non-BMP) → `no_structure` (dhash == 0: a solid image has no gradient
+    * signal and would near-dup with every other solid) → `near_dup`
+    * (non-representative cluster member) → `ok`; audio `undecodable` →
+    * `silence` (dead air beyond maxSilence) → `clipping` (distortion beyond
+    * maxClip) → `low_rms` (too quiet to carry signal) → `ok`; any other
+    * modality → `unsupported_modality`.
+    *
+    * Gating runs BEFORE dedup on purpose: a dropped-quality image must not
+    * shield a kept one from dedup, and no-structure images would otherwise
+    * all collide at dhash 0. Scale shape: the one binary scan is the only
+    * heavy stage; features are ~100 bytes/asset, the dedup is the same
+    * banded hamming join as text simhash (never all-pairs), and the final
+    * kNN is the brute correctness baseline — swap [[graft.operators.Similarity]]'s
+    * IVF/LSH paths in for corpus-scale serving. The feature table is
+    * persisted (it feeds gates, dedup, and embeddings); reclaim via
+    * `spark.catalog.clearCache()` like the other pinned intermediates. */
+  def curateMedia(media: DataFrame, maxHamming: Int = 8,
+                  maxSilence: Double = 0.5, maxClip: Double = 0.01,
+                  minRms: Double = 0.01, gridW: Int = 4, gridH: Int = 4,
+                  segments: Int = 16, k: Int = 5,
+                  silenceThreshold: Double = 0.01): MediaCuration = {
+    val feats = extractFeatures(media, gridW, gridH, segments, silenceThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okImages = feats.filter(col("modality") === "image" &&
+      col("decodable") && col("dhash") =!= 0L)
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+      okImages.select(col("media_id"), col("dhash")),
+      "media_id", "dhash", maxHamming, bits = 64)
+    // min-label CC: a cluster's label IS its smallest member id, so the
+    // representative test is label == id — no extra rank pass needed
+    val dupDropped = graft.operators.Dedup.resolveClusters(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("media_id"), lit(true).as("is_dup"))
+    val imageVerdicts = feats.filter(col("modality") === "image")
+      .join(dupDropped, Seq("media_id"), "left")
+      .select(col("media_id"), col("modality"),
+        when(!col("decodable"), "undecodable")
+          .when(col("dhash") === 0L, "no_structure")
+          .when(col("is_dup"), "near_dup")
+          .otherwise("ok").as("reason"))
+    val audioVerdicts = feats.filter(col("modality") === "audio")
+      .select(col("media_id"), col("modality"),
+        when(!col("decodable"), "undecodable")
+          .when(col("silence_ratio") > maxSilence, "silence")
+          .when(col("clip_ratio") > maxClip, "clipping")
+          .when(col("rms") < minRms, "low_rms")
+          .otherwise("ok").as("reason"))
+    val otherVerdicts = feats.filter(!col("modality").isin("image", "audio"))
+      .select(col("media_id"), col("modality"),
+        lit("unsupported_modality").as("reason"))
+    val verdicts = imageVerdicts.unionByName(audioVerdicts)
+      .unionByName(otherVerdicts)
+      .withColumn("kept", col("reason") === "ok")
+    val embeddings = feats
+      .join(verdicts.filter(col("kept")).select("media_id"), "media_id")
+      .filter(col("embedding").isNotNull)
+      .select(col("media_id"), col("modality"), col("embedding"))
+    def selfKnn(mod: String): DataFrame = {
+      val e = embeddings.filter(col("modality") === mod)
+      graft.operators.Similarity.knnJoin(e, "media_id", "embedding",
+          e, "media_id", "embedding", k, excludeSelf = true)
+        .withColumn("modality", lit(mod))
+    }
+    MediaCuration(feats, verdicts, embeddings,
+      selfKnn("image").unionByName(selfKnn("audio")))
+  }
+
   /** Audio decode seam: binary column -> typed features (same narrow,
     * batched mapPartitions shape as decodeImages). */
   def decodeAudio(media: DataFrame, decoder: AudioDecoder = WavAudioDecoder): DataFrame = {

@@ -9,11 +9,17 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode}
   * against any JDBC database.
   *
   * Pattern: each micro-batch (foreachBatch) is bulk-written to a staging
-  * table through Spark's parallel JDBC writer, then ONE server-side MERGE
-  * applies it atomically — no per-row round trips, no driver-side loop, and
-  * the merge cost is proportional to the batch, not the target table. The
-  * SQL is ANSI MERGE (Derby/Postgres/Oracle/SQL Server; MySQL spells it
-  * INSERT .. ON DUPLICATE KEY UPDATE — swap `mergeSql` for that dialect).
+  * table through Spark's parallel JDBC writer, then ONE server-side merge
+  * statement applies it atomically — no per-row round trips, no driver-side
+  * loop, and the merge cost is proportional to the batch, not the target
+  * table. The statement text is DIALECT-selected from the JDBC URL:
+  * `jdbc:mysql:` gets the reference's own spelling (`INSERT .. ON DUPLICATE
+  * KEY UPDATE col=VALUES(col)` / `INSERT IGNORE`, backtick identifiers —
+  * load_game_mysql.py:84-91); everything else gets ANSI MERGE
+  * (Derby/Postgres/Oracle/SQL Server, double-quote identifiers). The Derby
+  * e2e spec drives the ANSI branch against a live embedded database; the
+  * MySQL branch is text-pinned (no MySQL server ships in this sandbox) —
+  * its statements are byte-comparable to the reference's own SQL.
   *
   * Replay contract (foreachBatch is at-least-once): upsert and insertIgnore
   * re-apply identical values on replay — idempotent. append is the raw
@@ -21,7 +27,71 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode}
   */
 object JdbcSink {
 
-  private def q(ident: String): String = "\"" + ident + "\""
+  /** Merge-statement dialect, chosen from the JDBC URL. MySQL's upsert relies
+    * on the TARGET TABLE's unique/primary key (there is no ON clause), so the
+    * caller's `keys` must match a unique constraint on `table` — exactly the
+    * contract the reference's loader assumes for `games.game_id`. */
+  sealed trait Dialect {
+    def quote(ident: String): String
+    def upsertSql(table: String, staging: String,
+                  cols: Seq[String], keys: Seq[String]): String
+    def insertIgnoreSql(table: String, staging: String,
+                        cols: Seq[String], keys: Seq[String]): String
+  }
+
+  object AnsiDialect extends Dialect {
+    def quote(ident: String): String = "\"" + ident + "\""
+    def upsertSql(table: String, staging: String,
+                  cols: Seq[String], keys: Seq[String]): String = {
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
+      val setSql = nonKeys.map(c => s"${quote(c)} = s.${quote(c)}").mkString(", ")
+      val insCols = cols.map(quote).mkString(", ")
+      val insVals = cols.map(c => s"s.${quote(c)}").mkString(", ")
+      val matched = if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setSql " else ""
+      s"MERGE INTO $table t USING $staging s ON $on " + matched +
+        s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
+    }
+    def insertIgnoreSql(table: String, staging: String,
+                        cols: Seq[String], keys: Seq[String]): String = {
+      val on = keys.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
+      val insCols = cols.map(quote).mkString(", ")
+      val insVals = cols.map(c => s"s.${quote(c)}").mkString(", ")
+      s"MERGE INTO $table t USING $staging s ON $on " +
+        s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
+    }
+  }
+
+  /** The reference's own dialect: VALUES(col) update form (still the 5.7/8.0
+    * spelling its loader uses) and INSERT IGNORE keyed on the table's unique
+    * constraint. */
+  object MySqlDialect extends Dialect {
+    def quote(ident: String): String = "`" + ident + "`"
+    def upsertSql(table: String, staging: String,
+                  cols: Seq[String], keys: Seq[String]): String = {
+      val nonKeys = cols.filterNot(keys.contains)
+      val insCols = cols.map(quote).mkString(", ")
+      val setSql =
+        if (nonKeys.nonEmpty)
+          nonKeys.map(c => s"${quote(c)}=VALUES(${quote(c)})").mkString(", ")
+        else
+          // pure-key table: MySQL still needs a SET clause; a key no-op
+          // assignment keeps the statement valid and the row untouched
+          keys.take(1).map(k => s"${quote(k)}=${quote(k)}").mkString
+      s"INSERT INTO $table ($insCols) SELECT $insCols FROM $staging " +
+        s"ON DUPLICATE KEY UPDATE $setSql"
+    }
+    def insertIgnoreSql(table: String, staging: String,
+                        cols: Seq[String], keys: Seq[String]): String = {
+      val insCols = cols.map(quote).mkString(", ")
+      s"INSERT IGNORE INTO $table ($insCols) SELECT $insCols FROM $staging"
+    }
+  }
+
+  def dialectFor(url: String): Dialect =
+    if (url != null && url.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("jdbc:mysql")) MySqlDialect
+    else AnsiDialect
 
   /** Ensure `table` exists with the batch's schema (no rows written). */
   private def ensureTable(batch: DataFrame, url: String, table: String,
@@ -63,18 +133,11 @@ object JdbcSink {
                   props: java.util.Properties = new java.util.Properties): Unit = {
     val deduped = Relational.dedupKeepLast(batch, keys, order)
     ensureTable(deduped, url, table, props)
+    val dialect = dialectFor(url)
     val cols = deduped.columns.toSeq
-    val nonKeys = cols.filterNot(keys.contains)
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val setSql = nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-    val insCols = cols.map(q).mkString(", ")
-    val insVals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    val matched = if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setSql " else ""
     withStaging(deduped, url, table, props) { (conn, staging) =>
       conn.createStatement().executeUpdate(
-        s"MERGE INTO $table t USING $staging s ON $on " +
-          matched +
-          s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)")
+        dialect.upsertSql(table, staging, cols, keys))
     }
   }
 
@@ -85,14 +148,11 @@ object JdbcSink {
                         props: java.util.Properties = new java.util.Properties): Unit = {
     val deduped = Relational.dedupKeepFirst(batch, keys, order)
     ensureTable(deduped, url, table, props)
+    val dialect = dialectFor(url)
     val cols = deduped.columns.toSeq
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val insCols = cols.map(q).mkString(", ")
-    val insVals = cols.map(c => s"s.${q(c)}").mkString(", ")
     withStaging(deduped, url, table, props) { (conn, staging) =>
       conn.createStatement().executeUpdate(
-        s"MERGE INTO $table t USING $staging s ON $on " +
-          s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)")
+        dialect.insertIgnoreSql(table, staging, cols, keys))
     }
   }
 

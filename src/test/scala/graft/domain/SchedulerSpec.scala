@@ -1,0 +1,98 @@
+package graft.domain
+
+import java.time.{Duration, LocalDateTime}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cron orchestration seam (prefect.yaml mirror): parser, next-fire math,
+  * and the injected-clock agent loop — all without wall time. */
+class SchedulerSpec extends AnyFunSuite {
+  import Scheduler._
+
+  private val aug14 = LocalDateTime.of(2026, 8, 14, 14, 30) // a Friday
+
+  test("daily 15:00 (the price deployment cadence)") {
+    val s = parse("0 15 * * *")
+    assert(nextFire(s, aug14) === LocalDateTime.of(2026, 8, 14, 15, 0))
+    // strictly after: a fire AT the slot schedules the next day's slot
+    assert(nextFire(s, LocalDateTime.of(2026, 8, 14, 15, 0)) ===
+      LocalDateTime.of(2026, 8, 15, 15, 0))
+  }
+
+  test("steps, ranges, weekday restriction") {
+    val s = parse("*/15 9-17 * * 1-5")
+    // Saturday night -> Monday 09:00
+    assert(nextFire(s, LocalDateTime.of(2026, 8, 15, 20, 0)) ===
+      LocalDateTime.of(2026, 8, 17, 9, 0))
+    // mid-window: next quarter hour
+    assert(nextFire(s, LocalDateTime.of(2026, 8, 14, 9, 16)) ===
+      LocalDateTime.of(2026, 8, 14, 9, 30))
+    // after the window closes (17:45 is the last slot) -> next day 09:00
+    assert(nextFire(s, LocalDateTime.of(2026, 8, 14, 17, 45)) ===
+      LocalDateTime.of(2026, 8, 17, 9, 0))
+  }
+
+  test("vixie dom/dow OR rule: 13th OR Friday when both restricted") {
+    val s = parse("0 0 13 * 5")
+    // from Aug 12: Aug 13 is a Thursday -> dom matches first
+    assert(nextFire(s, LocalDateTime.of(2026, 8, 12, 0, 0)) ===
+      LocalDateTime.of(2026, 8, 13, 0, 0))
+    // from Aug 13 00:00: Friday Aug 14 matches via dow before Sep 13
+    assert(nextFire(s, LocalDateTime.of(2026, 8, 13, 0, 0)) ===
+      LocalDateTime.of(2026, 8, 14, 0, 0))
+    // dom unrestricted: dow alone decides
+    val friYes = parse("0 0 * * 5")
+    assert(nextFire(friYes, LocalDateTime.of(2026, 8, 12, 0, 0)) ===
+      LocalDateTime.of(2026, 8, 14, 0, 0))
+    // sunday as 7 === sunday as 0
+    assert(parse("0 0 * * 7").dows === parse("0 0 * * 0").dows)
+  }
+
+  test("list fields and stepped ranges") {
+    val s = parse("5,35 1-10/3 * * *")
+    assert(s.minutes === Set(5, 35) && s.hours === Set(1, 4, 7, 10))
+  }
+
+  test("invalid specs fail loudly") {
+    intercept[IllegalArgumentException](parse("0 15 * *"))        // 4 fields
+    intercept[IllegalArgumentException](parse("60 * * * *"))      // out of range
+    intercept[IllegalArgumentException](parse("* * 0 * *"))       // dom floor is 1
+    intercept[IllegalArgumentException](parse("*/0 * * * *"))     // zero step
+    intercept[IllegalStateException](
+      nextFire(parse("0 0 30 2 *"), aug14))                       // Feb 30 never
+  }
+
+  test("drive: two simulated days of the steam deployments, in slot order") {
+    var clock = LocalDateTime.of(2026, 8, 14, 12, 0)
+    val ran = Seq.newBuilder[String]
+    val log = drive(
+      steamDeployments(() => ran += "price", () => ran += "review"),
+      start = clock, until = LocalDateTime.of(2026, 8, 16, 0, 0),
+      now = () => clock, sleep = d => clock = clock.plus(d))
+    assert(ran.result() === Seq("price", "review", "price", "review"))
+    assert(log.map(r => (r.name, r.at.toString, r.error)) === Seq(
+      ("steam_price_pipeline",  "2026-08-14T15:00", None),
+      ("steam_review_pipeline", "2026-08-14T16:00", None),
+      ("steam_price_pipeline",  "2026-08-15T15:00", None),
+      ("steam_review_pipeline", "2026-08-15T16:00", None)))
+    assert(clock === LocalDateTime.of(2026, 8, 15, 16, 0)) // slept to the last slot
+  }
+
+  test("drive: a failing flow is recorded and the loop continues; overrun replays slots") {
+    var clock = LocalDateTime.of(2026, 8, 14, 14, 59)
+    var n = 0
+    val errs = Seq.newBuilder[String]
+    val log = drive(
+      Seq(Deployment("hourly", parse("0 * * * *"), () => {
+        n += 1
+        if (n == 1) { clock = clock.plusHours(3); sys.error("boom") } // overruns 2 slots
+      })),
+      start = clock, until = LocalDateTime.of(2026, 8, 14, 19, 0),
+      now = () => clock, sleep = d => clock = clock.plus(d),
+      onError = (name, e) => errs += s"$name:${e.getMessage}")
+    // slots 15:00 (failed, overran to ~18:00), then 16/17/18 replay without
+    // sleeping backwards, then 19:00 after a real wait
+    assert(log.map(_.at.getHour) === Seq(15, 16, 17, 18, 19))
+    assert(log.head.error.exists(_.contains("boom")) && log.tail.forall(_.error.isEmpty))
+    assert(errs.result() === Seq("hourly:boom"))
+  }
+}

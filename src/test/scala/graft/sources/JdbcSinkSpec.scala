@@ -62,4 +62,28 @@ class JdbcSinkSpec extends SparkSpec {
       order = Seq(col("ts")))
     assert(JdbcSink.readTable(spark, url, "prices_a").count() == 3)
   }
+
+  test("dialect selection: jdbc:mysql gets the reference spelling, others ANSI MERGE") {
+    assert(JdbcSink.dialectFor("jdbc:mysql://db:3306/steam") eq JdbcSink.MySqlDialect)
+    assert(JdbcSink.dialectFor("JDBC:MySQL://db/steam") eq JdbcSink.MySqlDialect)
+    assert(JdbcSink.dialectFor("jdbc:derby:memory:x") eq JdbcSink.AnsiDialect)
+    assert(JdbcSink.dialectFor("jdbc:postgresql://h/d") eq JdbcSink.AnsiDialect)
+  }
+
+  test("MySQL dialect: statement text matches the reference loader's SQL shape") {
+    // reference: load_game_mysql.py:84-91 — INSERT .. ON DUPLICATE KEY
+    // UPDATE col=VALUES(col); INSERT IGNORE for key-absent-only inserts
+    val up = JdbcSink.MySqlDialect.upsertSql("games", "games__stage_x",
+      cols = Seq("game_id", "title", "price"), keys = Seq("game_id"))
+    assert(up ===
+      "INSERT INTO games (`game_id`, `title`, `price`) " +
+        "SELECT `game_id`, `title`, `price` FROM games__stage_x " +
+        "ON DUPLICATE KEY UPDATE `title`=VALUES(`title`), `price`=VALUES(`price`)")
+    val ig = JdbcSink.MySqlDialect.insertIgnoreSql("seen", "seen__stage_x",
+      cols = Seq("game_id"), keys = Seq("game_id"))
+    assert(ig === "INSERT IGNORE INTO seen (`game_id`) SELECT `game_id` FROM seen__stage_x")
+    // pure-key upsert still emits a valid no-op SET clause
+    val pk = JdbcSink.MySqlDialect.upsertSql("k", "k__s", Seq("id"), Seq("id"))
+    assert(pk.endsWith("ON DUPLICATE KEY UPDATE `id`=`id`"))
+  }
 }

@@ -635,6 +635,79 @@ object Multimodal {
       selfKnn("image").unionByName(selfKnn("audio")))
   }
 
+  /** One ingest step's outputs: batch verdicts (same shape as
+    * [[MediaCuration]]'s), the kept feature rows, and the dHash band-index
+    * rows to APPEND to the lake index for the kept images. */
+  final case class MediaIngest(verdicts: DataFrame, keptFeatures: DataFrame,
+                               indexRows: DataFrame)
+
+  /** Schema-correct empty dHash band index — the state before the first
+    * batch. (media_id, dhash, band, bv). */
+  def emptyDHashIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("bv", LongType, nullable = false))))
+  }
+
+  /** INCREMENTAL curation — [[curateMedia]]'s per-batch twin, the 100 TB
+    * ingest shape: when new media lands you don't re-curate the corpus; you
+    * gate the batch and dedup it against the LAKE-RESIDENT dHash band index
+    * (`Dedup.hammingBandIndex` rows of everything already kept). One decode
+    * pass over the batch, gates as in curateMedia, then
+    * `Dedup.incrementalHammingKeep` probes the index with the batch
+    * BROADCAST — corpus-side state never reshuffles, so the step cost is
+    * batch-sized plus one index scan regardless of corpus size. Append the
+    * returned `indexRows` to the index to complete the step; this method is
+    * the `foreachBatch` body of the streaming ingest (the same
+    * batch-function-over-micro-batches contract as the text side's
+    * streaming dedup twins). Within-batch dups resolve by the greedy
+    * min-partner rule — per-batch keeps union-equal a full curateMedia pass
+    * whenever dup chains don't straddle batches (incrementalHammingKeep's
+    * documented caveat). Audio/other verdicts are batch-local (gates carry
+    * no cross-batch state). */
+  def ingestMediaBatch(newMedia: DataFrame, dhashIndex: DataFrame,
+                       maxHamming: Int = 8, maxSilence: Double = 0.5,
+                       maxClip: Double = 0.01, minRms: Double = 0.01,
+                       gridW: Int = 4, gridH: Int = 4, segments: Int = 16,
+                       silenceThreshold: Double = 0.01): MediaIngest = {
+    val feats = extractFeatures(newMedia, gridW, gridH, segments, silenceThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okImages = feats.filter(col("modality") === "image" &&
+      col("decodable") && col("dhash") =!= 0L)
+    val keptImageFps = graft.operators.Dedup.incrementalHammingKeep(
+      okImages.select(col("media_id"), col("dhash")), "media_id", "dhash",
+      dhashIndex, maxHamming, bits = 64)
+    val keptMark = keptImageFps.select(col("media_id"), lit(true).as("__kept"))
+    val imageVerdicts = feats.filter(col("modality") === "image")
+      .join(keptMark, Seq("media_id"), "left")
+      .select(col("media_id"), col("modality"),
+        when(!col("decodable"), "undecodable")
+          .when(col("dhash") === 0L, "no_structure")
+          .when(col("__kept"), "ok")
+          .otherwise("near_dup").as("reason"))
+    val audioVerdicts = feats.filter(col("modality") === "audio")
+      .select(col("media_id"), col("modality"),
+        when(!col("decodable"), "undecodable")
+          .when(col("silence_ratio") > maxSilence, "silence")
+          .when(col("clip_ratio") > maxClip, "clipping")
+          .when(col("rms") < minRms, "low_rms")
+          .otherwise("ok").as("reason"))
+    val otherVerdicts = feats.filter(!col("modality").isin("image", "audio"))
+      .select(col("media_id"), col("modality"),
+        lit("unsupported_modality").as("reason"))
+    val verdicts = imageVerdicts.unionByName(audioVerdicts)
+      .unionByName(otherVerdicts)
+      .withColumn("kept", col("reason") === "ok")
+    val keptFeatures = feats
+      .join(verdicts.filter(col("kept")).select("media_id"), "media_id")
+    val indexRows = graft.operators.Dedup.hammingBandIndex(
+      keptImageFps, "media_id", "dhash", maxHamming, bits = 64)
+    MediaIngest(verdicts, keptFeatures, indexRows)
+  }
+
   /** Audio decode seam: binary column -> typed features (same narrow,
     * batched mapPartitions shape as decodeImages). */
   def decodeAudio(media: DataFrame, decoder: AudioDecoder = WavAudioDecoder): DataFrame = {

@@ -718,27 +718,45 @@ object Dedup {
     * (Multimodal.imageNearDupPairs), audio hashes, URL/simkey schemes.
     * Output pairs are named (doc_a, doc_b, hamming) regardless of the id
     * column's domain. */
-  def hammingNearDupPairs(fps: DataFrame, idCol: String, fpCol: String,
-                          maxHamming: Int, bits: Int): DataFrame = {
+  // pigeonhole band layout for a <=64-bit fingerprint at `maxHamming`:
+  // (widths, starts, mask) of the maxHamming+1 bands, wide bands first
+  private def hammingBandSpec(maxHamming: Int, bits: Int)
+      : (IndexedSeq[Int], IndexedSeq[Int], Int => Long) = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val numBands = maxHamming + 1
-    // distribute bits over bands as evenly as possible: wide bands first
     val base = bits / numBands
     val widths = (0 until numBands).map(b => base + (if (b < bits % numBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     // a full-64-bit band needs an explicit all-ones mask: 1L << 64 wraps to 1
-    def maskFor(b: Int): Long = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
+    val maskFor = (b: Int) => if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
+    (widths, starts, maskFor)
+  }
+
+  /** Banded fingerprint table — (idCol, fpCol, band, bv), one row per band.
+    * Band rows CARRY the fingerprint (8 bytes) so any bucket join alone
+    * yields popcount-verifiable pairs with no fingerprint lookup joins. This
+    * is also the LAKE-RESIDENT INDEX shape for incremental hamming ingest
+    * ([[incrementalHammingKeep]]): persist it next to the curated corpus and
+    * append the kept rows of each batch — the index IS the dedup state. */
+  def hammingBandIndex(fps: DataFrame, idCol: String, fpCol: String,
+                       maxHamming: Int, bits: Int): DataFrame = {
+    val (_, starts, maskFor) = hammingBandSpec(maxHamming, bits)
+    val numBands = maxHamming + 1
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col(fpCol), starts(b)).bitwiseAND(lit(maskFor(b))).as("bv"))
     }
-    // band rows CARRY the fingerprint (8 bytes) so the bucket self-join alone
-    // yields verifiable pairs — no candidate-distinct shuffle and no pair ->
-    // fingerprint lookup joins; the popcount filter runs streaming off the join
-    val bands = fps.select(col(idCol), col(fpCol), explode(array(bandCols: _*)).as("bb"))
+    fps.select(col(idCol), col(fpCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col(fpCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  def hammingNearDupPairs(fps: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int, bits: Int): DataFrame = {
+    val (_, starts, maskFor) = hammingBandSpec(maxHamming, bits)
+    val numBands = maxHamming + 1
+    val bands = hammingBandIndex(fps, idCol, fpCol, maxHamming, bits)
     val a = bands.toDF("doc_a", "sim_a", "band", "bv")
     val b = bands.toDF("doc_b", "sim_b", "band", "bv")
     // min-band emission instead of a trailing distinct: a close pair agrees on
@@ -756,6 +774,36 @@ object Dedup {
       .withColumn("hamming", bit_count(xorc).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Incremental hamming ingest: which fingerprints of a new batch survive
+    * against an already-curated corpus, WITHOUT rescanning the corpus — the
+    * fingerprint-family twin of [[incrementalKeep]]. `index` is the
+    * lake-resident [[hammingBandIndex]] of everything already kept (idCol,
+    * fpCol, band, bv). The new batch is banded once and BROADCAST against
+    * the index (corpus-side rows never reshuffle, the probe cost is
+    * |index| scan × tiny broadcast), popcount-verified off the bucket join;
+    * within-batch dups resolve by the min-partner rule (the arrival-order
+    * greedy: a batch row drops when it near-dups any corpus row — the
+    * corpus always wins — or a smaller-id batch row; chains resolve
+    * greedily, full transitive resolution is resolveClusters' job on a
+    * backfill pass, exactly the [[incrementalKeep]] contract). Returns the
+    * surviving batch rows; append their [[hammingBandIndex]] to the lake
+    * index to complete the ingest step. */
+  def incrementalHammingKeep(newFps: DataFrame, idCol: String, fpCol: String,
+                             index: DataFrame, maxHamming: Int,
+                             bits: Int): DataFrame = {
+    val nb = hammingBandIndex(newFps, idCol, fpCol, maxHamming, bits)
+    val probe = index.toDF("__old", "__ofp", "band", "bv")
+      .join(broadcast(nb.toDF("__new", "__nfp", "band", "bv")), Seq("band", "bv"))
+      // re-ingest of an already-indexed id must not self-drop the row
+      .filter(col("__old") =!= col("__new"))
+      .filter(bit_count(col("__ofp").bitwiseXOR(col("__nfp"))) <= maxHamming)
+      .select(col("__new").as("__dup"))
+    val dupInBatch = hammingNearDupPairs(newFps, idCol, fpCol, maxHamming, bits)
+      .select(col("doc_b").as("__dup")) // (min, max) pairs: the larger id drops
+    val dups = probe.union(dupInBatch).distinct()
+    newFps.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force

@@ -349,4 +349,29 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("rangepartitioning"), s"$q must not global-sort")
     }
   }
+
+  test("media curation skeleton: probes broadcast, corpus never re-shuffled for the kNN (q141)") {
+    val p = plan("q141_media_curation")
+    // the near-dup pair stage and the kNN candidate stage must both ride
+    // broadcasts of the SMALL side (pairs-b / probes) — a SortMergeJoin or
+    // range partition here would mean the corpus reshuffles with its size
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "corpus side must not sort-merge")
+    assert(!p.contains("rangepartitioning"), "no global sort in the skeleton")
+  }
+
+  test("incremental hamming ingest: the batch broadcasts, the index only scans") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val newFps = Seq((10L, 7L), (11L, -1L)).toDF("media_id", "dhash")
+    val index = graft.operators.Dedup.hammingBandIndex(
+      Seq((1L, 7L)).toDF("media_id", "dhash"), "media_id", "dhash", 8, 64)
+    val kept = graft.operators.Dedup.incrementalHammingKeep(
+      newFps, "media_id", "dhash", index, 8, 64)
+    val p = kept.queryExecution.executedPlan.toString
+    // both the index probe and the within-batch bucket join must be
+    // broadcast-built from the batch side: the lake index never reshuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "index side must not sort-merge")
+  }
 }

@@ -102,6 +102,54 @@ class MediaCurationSpec extends SparkSpec {
     assert(nbrs.toSet === Set((1L, 3L, 1L, "image"), (3L, 1L, 1L, "image")))
   }
 
+  /** decreasing-then-increasing: the bit-mirror of tent (hamming ~64 from
+    * it, ~32 from the gradient) — a third distinct structure */
+  private def valley(): Array[Byte] =
+    pixelBmp(18, 16)((x, _) => { val v = (if (x < 9) (8 - x) * 25 else (x - 9) * 25) min 255; (v, v, v) })
+
+  test("ingestMediaBatch: lake-resident index dedups across batches; greedy rule within") {
+    val batch1 = Seq(
+      (1L, "image", gradient()),
+      (3L, "image", tent()),
+      (7L, "audio", wav(Array.fill(4000)(50.toShort)))  // silence -> never indexed
+    ).toDF("media_id", "modality", "content")
+    val s1 = Multimodal.ingestMediaBatch(batch1, Multimodal.emptyDHashIndex(spark))
+    assert(s1.verdicts.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ===
+      Map(1L -> "ok", 3L -> "ok", 7L -> "silence"))
+    // 2 kept images x 9 bands (maxHamming 8) land in the index
+    assert(s1.indexRows.count() === 18)
+    val index = s1.indexRows // "appended to the lake" for step 2
+
+    val batch2 = Seq(
+      (21L, "image", gradient(shift = 20)),  // near-dup of indexed 1 -> dropped
+      (22L, "image", valley()),              // fresh structure -> kept
+      (30L, "image", valley()),              // within-batch twin of 22... and of each other:
+      (31L, "image", valley()),              //   22 < 30 < 31 -> only 22 survives (min-partner)
+      (24L, "image", pixelBmp(18, 16)((_, _) => (5, 5, 5))) // solid -> no_structure
+    ).toDF("media_id", "modality", "content")
+    val s2 = Multimodal.ingestMediaBatch(batch2, index)
+    assert(s2.verdicts.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ===
+      Map(21L -> "near_dup", 22L -> "ok", 30L -> "near_dup", 31L -> "near_dup",
+          24L -> "no_structure"))
+    assert(s2.indexRows.select("media_id").distinct().collect().map(_.getLong(0)).toSet === Set(22L))
+
+    // backfill equivalence (no cross-batch chains in this fixture): the
+    // union of per-batch keeps == one full curateMedia pass over everything
+    val full = Multimodal.curateMedia(batch1.unionByName(batch2))
+    val fullKept = full.verdicts.filter("kept").select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    val incKept = (s1.verdicts.collect() ++ s2.verdicts.collect())
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(incKept === fullKept && incKept === Set(1L, 3L, 22L))
+  }
+
+  test("ingestMediaBatch: re-ingesting an already-indexed id does not self-drop") {
+    val b = Seq((1L, "image", gradient())).toDF("media_id", "modality", "content")
+    val s1 = Multimodal.ingestMediaBatch(b, Multimodal.emptyDHashIndex(spark))
+    val s2 = Multimodal.ingestMediaBatch(b, s1.indexRows) // replay of the same batch
+    assert(s2.verdicts.head().getString(2) === "ok")
+  }
+
   test("extractFeatures: one row per asset, features null off-modality") {
     val feats = Multimodal.extractFeatures(media()).collect()
     assert(feats.length === 11)

@@ -122,4 +122,29 @@ object Engine {
                       sourceCol: String, budgetTokens: Long): DataFrame =
     graft.operators.Sampling.tokenBudgetSelect(docs, idCol, textCol,
       sourceCol, budgetTokens, Seq(org.apache.spark.sql.functions.col(idCol).asc))
+
+  /** The whole multimodal curation pipeline, bytes to verdicts: one decode
+    * pass, quality gates, perceptual dedup, survivor embeddings, self-kNN
+    * (the binary twin of the q75 text pipeline). */
+  def curateMedia(media: DataFrame): multimodal.Multimodal.MediaCuration =
+    multimodal.Multimodal.curateMedia(media)
+
+  /** Incremental media curation: gate + dedup ONE batch against the
+    * lake-resident dHash band index without rescanning the corpus; append
+    * the returned indexRows to complete the step (the foreachBatch body of
+    * a streaming media ingest — the media twin of [[ingestDedup]]). */
+  def ingestMedia(batch: DataFrame, dhashIndex: DataFrame): multimodal.Multimodal.MediaIngest =
+    multimodal.Multimodal.ingestMediaBatch(batch, dhashIndex)
+
+  /** Cron orchestration (the prefect.yaml seam): run the daily price/review
+    * flows on the reference's own 15:00/16:00 cadence until `until`,
+    * against the real clock. Tests drive the underlying
+    * [[graft.domain.Scheduler.drive]] with a simulated clock instead. */
+  def runScheduled(price: () => Unit, review: () => Unit,
+                   until: java.time.LocalDateTime): Seq[graft.domain.Scheduler.RunRecord] =
+    graft.domain.Scheduler.drive(
+      graft.domain.Scheduler.steamDeployments(price, review),
+      start = java.time.LocalDateTime.now(), until = until,
+      now = () => java.time.LocalDateTime.now(),
+      sleep = d => Thread.sleep(d.toMillis))
 }

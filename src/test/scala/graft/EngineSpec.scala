@@ -52,4 +52,22 @@ class EngineSpec extends SparkSpec {
     assert(Engine.imageDedupReport(noMedia).count() == 0)
     assert(Engine.audioQualityReport(noMedia).count() == 0)
   }
+
+  test("round-5 facade workflows: media curation, incremental ingest, scheduler") {
+    import spark.implicits._
+    // an empty media frame yields an empty-but-typed curation everywhere
+    val noMedia = Seq.empty[(Long, String, Array[Byte])]
+      .toDF("media_id", "modality", "content")
+    val cur = Engine.curateMedia(noMedia)
+    assert(cur.verdicts.count() == 0 && cur.embeddings.count() == 0 &&
+      cur.neighbors.count() == 0)
+    val ing = Engine.ingestMedia(noMedia,
+      graft.multimodal.Multimodal.emptyDHashIndex(spark))
+    assert(ing.verdicts.count() == 0 && ing.indexRows.count() == 0)
+    // the scheduler facade wires the reference cadence; an until in the past
+    // returns without running anything (and without sleeping)
+    val recs = Engine.runScheduled(() => fail("must not run"), () => fail("must not run"),
+      until = java.time.LocalDateTime.now().minusDays(1))
+    assert(recs.isEmpty)
+  }
 }

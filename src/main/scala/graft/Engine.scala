@@ -136,6 +136,15 @@ object Engine {
   def ingestMedia(batch: DataFrame, dhashIndex: DataFrame): multimodal.Multimodal.MediaIngest =
     multimodal.Multimodal.ingestMediaBatch(batch, dhashIndex)
 
+  /** Streaming media ingest: the curation pipeline as a Structured
+    * Streaming job over a parquet-resident dHash index (the foreachBatch
+    * wiring of [[ingestMedia]]). */
+  def streamMediaIngest(mediaStream: DataFrame, indexDir: String,
+                        verdictsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    multimodal.Multimodal.streamingMediaIngest(
+      mediaStream, indexDir, verdictsDir, checkpointDir)
+
   /** Cron orchestration (the prefect.yaml seam): run the daily price/review
     * flows on the reference's own 15:00/16:00 cadence until `until`,
     * against the real clock. Tests drive the underlying

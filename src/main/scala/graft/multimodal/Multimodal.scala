@@ -708,6 +708,43 @@ object Multimodal {
     MediaIngest(verdicts, keptFeatures, indexRows)
   }
 
+  /** STREAMING media ingest: [[ingestMediaBatch]] as a Structured Streaming
+    * job — each micro-batch gates + dedups against the parquet-resident
+    * dHash band index at `indexDir`, appends its verdicts (stamped with the
+    * batch id) to `verdictsDir`, and appends the kept images' band rows back
+    * to the index. The same batch-core-in-foreachBatch contract as the text
+    * side's incremental dedup twins: the batch core is unit-testable and
+    * reusable for backfills. At-least-once replay is safe in the keep
+    * direction — a re-delivered batch re-probes ids already indexed without
+    * self-dropping (incrementalHammingKeep's self-pair guard), and duplicate
+    * index rows only repeat candidate pairs, never change verdicts; replayed
+    * verdict rows carry the same batch_id and dedup downstream by
+    * (media_id, batch_id). */
+  def streamingMediaIngest(mediaStream: DataFrame, indexDir: String,
+                           verdictsDir: String, checkpointDir: String,
+                           maxHamming: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val idx =
+            if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+            else emptyDHashIndex(spark)
+          val r = ingestMediaBatch(batch, idx, maxHamming = maxHamming)
+          // verdicts before the index append: the index plan's file listing
+          // is captured at read time, but writing in this order removes any
+          // re-list hazard for the batch's own verdict actions
+          r.verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(verdictsDir)
+          r.indexRows.write.mode("append").parquet(indexDir)
+        }
+        ()
+      }
+      .start()
+
   /** Audio decode seam: binary column -> typed features (same narrow,
     * batched mapPartitions shape as decodeImages). */
   def decodeAudio(media: DataFrame, decoder: AudioDecoder = WavAudioDecoder): DataFrame = {

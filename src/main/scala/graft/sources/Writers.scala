@@ -38,6 +38,35 @@ object Writers {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** S14/S15 export edge: mongoimport-compatible RELAXED EXTENDED JSON
+    * lines — the PUBLIC wire format mongoexport/mongoimport speak, closing
+    * the document-store substitute's bridge back to a real MongoDB
+    * (`mongoimport --collection reviews file.jsonl` ingests the output
+    * as-is; reference sink: etl/load/load_mongo.py:26-38). `_id` is a
+    * DETERMINISTIC ObjectId — the first 12 bytes of md5 over the key
+    * columns — so re-exports and at-least-once replays produce identical
+    * documents (a real insert_many with auto ObjectIds would duplicate on
+    * replay; the reference's upsert-dedup sink keys on content for the same
+    * reason). Timestamp columns render as {"$date": ISO-8601}, the
+    * extended-JSON date form (assumes the session's UTC timezone contract,
+    * GraftSession default). Rows with a null key column are DROPPED (the
+    * reference loaders' skip-on-invalid policy) — a null would md5 to the
+    * empty segment and silently collide ids. */
+  def mongoExtendedJsonl(df: DataFrame, keyCols: Seq[String], path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need at least one key column for the ObjectId")
+    val keyed = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val oid = struct(substring(md5(
+      concat_ws("\u0001", keyCols.map(col): _*)), 1, 24).as("$oid")).as("_id")
+    val fields = df.schema.fields.map { f =>
+      if (f.dataType.typeName == "timestamp")
+        struct(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+          .as("$date")).as(f.name)
+      else col(f.name)
+    }
+    keyed.select(oid +: fields.toSeq: _*).toJSON.write.mode("overwrite").text(path)
+  }
+
   /** Small-file compaction — the maintenance pass every streaming/incremental
     * ingest needs: micro-batches leave a long tail of tiny part files whose
     * per-file open/footer cost eventually dominates scans. Rewrites the

@@ -42,4 +42,39 @@ object Metrics {
     spark.streams.addListener(l)
     l
   }
+
+  /** In-memory metrics registry rendering the Prometheus TEXT EXPOSITION
+    * format — the PUBLIC wire format a pushgateway PUT carries and a
+    * /metrics scrape returns (what the reference's prometheus.yml scrapes
+    * every 10 s and the Grafana dashboard graphs). This closes the metrics
+    * seam to its sandbox limit: the payload is byte-ready; only the HTTP
+    * edge stays out (zero egress). Series render sorted, label values
+    * escaped per spec (backslash, double-quote, newline), integral values
+    * without a trailing `.0` — deterministic output, diffable in tests. */
+  final class PrometheusRegistry(job: String = "graft") extends MetricsSink {
+    private val series =
+      scala.collection.mutable.Map[(String, List[(String, String)]), Double]()
+
+    def push(metric: String, value: Double, labels: Map[String, String]): Unit =
+      synchronized { series((metric, labels.toList.sortBy(_._1))) = value }
+
+    private def esc(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+    private def num(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+    /** The exposition payload. Every series carries the `job` label the
+      * pushgateway would add to its grouping key. */
+    def expose(): String = synchronized {
+      val byMetric = series.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+      byMetric.map { case (metric, rows) =>
+        val lines = rows.sortBy(_._1._2.toString).map { case ((_, labels), v) =>
+          val all = (("job" -> job) :: labels).map { case (k, x) => s"""$k="${esc(x)}"""" }
+          s"$metric{${all.mkString(",")}} ${num(v)}"
+        }
+        s"# TYPE $metric gauge\n" + lines.mkString("\n")
+      }.mkString("", "\n", "\n")
+    }
+  }
 }

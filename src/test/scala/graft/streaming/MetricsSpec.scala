@@ -57,4 +57,22 @@ class MetricsSpec extends SparkSpec {
       spark.streams.removeListener(l)
     }
   }
+
+  test("PrometheusRegistry renders the text exposition format, sorted and escaped") {
+    val reg = new Metrics.PrometheusRegistry(job = "steam")
+    reg.push("steam_reviews_inserted_total", 123.0, Map("table" -> "reviews"))
+    reg.push("steam_reviews_inserted_total", 7.0, Map("table" -> "prices"))
+    reg.push("batch_seconds", 0.25, Map("query" -> "line1\nwith \"quotes\" \\ slash"))
+    assert(reg.expose() ===
+      """# TYPE batch_seconds gauge
+        |batch_seconds{job="steam",query="line1\nwith \"quotes\" \\ slash"} 0.25
+        |# TYPE steam_reviews_inserted_total gauge
+        |steam_reviews_inserted_total{job="steam",table="prices"} 7
+        |steam_reviews_inserted_total{job="steam",table="reviews"} 123
+        |""".stripMargin)
+    // a re-push overwrites the series (gauge semantics), never duplicates it
+    reg.push("steam_reviews_inserted_total", 130.0, Map("table" -> "reviews"))
+    assert(reg.expose().contains("""table="reviews"} 130""") &&
+      !reg.expose().contains("} 123"))
+  }
 }

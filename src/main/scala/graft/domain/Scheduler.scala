@@ -110,6 +110,7 @@ object Scheduler {
             until: LocalDateTime, now: () => LocalDateTime,
             sleep: Duration => Unit,
             onError: (String, Throwable) => Unit = (_, _) => ()): Seq[RunRecord] = {
+    require(deployments.nonEmpty, "no deployments to drive")
     require(deployments.map(_.name).distinct.size == deployments.size,
       "deployment names must be unique")
     val log = Seq.newBuilder[RunRecord]

@@ -59,10 +59,15 @@ object Writers {
     val oid = struct(substring(md5(
       concat_ws("\u0001", keyCols.map(col): _*)), 1, 24).as("$oid")).as("_id")
     val fields = df.schema.fields.map { f =>
-      if (f.dataType.typeName == "timestamp")
-        struct(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-          .as("$date")).as(f.name)
-      else col(f.name)
+      f.dataType.typeName match {
+        case "timestamp" =>
+          struct(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .as("$date")).as(f.name)
+        case "binary" => // extended-JSON generic BinData, not bare base64
+          struct(struct(base64(col(f.name)).as("base64"),
+            lit("00").as("subType")).as("$binary")).as(f.name)
+        case _ => col(f.name)
+      }
     }
     keyed.select(oid +: fields.toSeq: _*).toJSON.write.mode("overwrite").text(path)
   }

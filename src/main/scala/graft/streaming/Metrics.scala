@@ -73,7 +73,9 @@ object Metrics {
           val all = (("job" -> job) :: labels).map { case (k, x) => s"""$k="${esc(x)}"""" }
           s"$metric{${all.mkString(",")}} ${num(v)}"
         }
-        s"# TYPE $metric gauge\n" + lines.mkString("\n")
+        // prometheus naming convention: *_total series are counters
+        val kind = if (metric.endsWith("_total")) "counter" else "gauge"
+        s"# TYPE $metric $kind\n" + lines.mkString("\n")
       }.mkString("", "\n", "\n")
     }
   }

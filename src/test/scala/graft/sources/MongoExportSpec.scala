@@ -33,4 +33,12 @@ class MongoExportSpec extends SparkSpec {
     val parsed = spark.read.json(dir)
     assert(parsed.select("review").as[String].collect().toSet === Set("great game", "meh"))
   }
+
+  test("mongoExtendedJsonl: binary columns render as extended-JSON $binary") {
+    val dir = java.nio.file.Files.createTempDirectory("mongo_export_bin").toString + "/media"
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    Writers.mongoExtendedJsonl(df, Seq("media_id"), dir)
+    val line = spark.read.text(dir).as[String].head()
+    assert(line.contains(""""content":{"$binary":{"base64":"AQID","subType":"00"}}"""), line)
+  }
 }

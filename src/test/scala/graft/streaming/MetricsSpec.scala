@@ -66,7 +66,7 @@ class MetricsSpec extends SparkSpec {
     assert(reg.expose() ===
       """# TYPE batch_seconds gauge
         |batch_seconds{job="steam",query="line1\nwith \"quotes\" \\ slash"} 0.25
-        |# TYPE steam_reviews_inserted_total gauge
+        |# TYPE steam_reviews_inserted_total counter
         |steam_reviews_inserted_total{job="steam",table="prices"} 7
         |steam_reviews_inserted_total{job="steam",table="reviews"} 123
         |""".stripMargin)

@@ -1737,6 +1737,20 @@ object SparkEntry {
     }, Some(TextOracle.mediaCurationSql(maxComp = 0.42, threshold = 0.4,
       probeMod = 25, k = 5))),
 
+    Q("q142_retrieval_eval", (s, dir) => {
+      // q97's aggregate recall, resolved per probe + first-hit rank +
+      // integer-micro reciprocal rank — the per-query ANN report card
+      // (MRR = sum(rr_micros)/n/1e6 downstream, integer-exact)
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.knnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, excludeSelf = true)
+      val approx = Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5,
+        Similarity.hyperplanes(4, 64), excludeSelf = true)
+      Similarity.retrievalEval(truth, approx)
+    }, Some(TextOracle.retrievalEvalSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

@@ -676,7 +676,9 @@ object TextOracle {
   /** q97: recall of the IVF-blocked kNN join (q84) against brute-force truth
     * (q83) — one summary row. total_hits/n_truth is a single division of
     * exact integers, so the double is engine-identical before round(6). */
-  def annRecallSql(k: Int, nLists: Int, dims: Int, probeMod: Int): String = {
+  // shared CTE prefix of the ANN evaluation oracles (q97/q142): IVF list
+  // assignment, probe set, exact truth ranks, and IVF-blocked approx ranks
+  private def annEvalCtes(nLists: Int, dims: Int, probeMod: Int): String = {
     val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
     val d2 = planes.zipWithIndex.map { case (c, i) =>
       val ss = c.map(x => x * x).sum
@@ -717,7 +719,11 @@ object TextOracle {
       SELECT probe_id, vec_id,
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos DESC, vec_id) AS rn
-      FROM acand WHERE cos IS NOT NULL),
+      FROM acand WHERE cos IS NOT NULL)"""
+  }
+
+  def annRecallSql(k: Int, nLists: Int, dims: Int, probeMod: Int): String =
+    annEvalCtes(nLists, dims, probeMod) + s""",
     t AS (SELECT probe_id, vec_id FROM truth WHERE rn <= $k),
     ap AS (SELECT probe_id, vec_id FROM approx WHERE rn <= $k)
     SELECT COUNT(*) AS n_truth,
@@ -725,7 +731,26 @@ object TextOracle {
            round(CAST(SUM(CASE WHEN ap.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS recall
     FROM t LEFT JOIN ap ON t.probe_id = ap.probe_id AND t.vec_id = ap.vec_id"""
-  }
+
+  /** q142: the per-probe retrieval report card — recall@k, first-hit rank,
+    * and integer-micro reciprocal rank, same CTEs as q97's aggregate. */
+  def retrievalEvalSql(k: Int, nLists: Int, dims: Int, probeMod: Int): String =
+    annEvalCtes(nLists, dims, probeMod) + s""",
+    tk AS (SELECT probe_id, vec_id FROM truth WHERE rn <= $k),
+    ak AS (SELECT probe_id, vec_id, rn FROM approx WHERE rn <= $k),
+    hit AS (
+      SELECT tk.probe_id, ak.rn
+      FROM tk JOIN ak ON tk.probe_id = ak.probe_id AND tk.vec_id = ak.vec_id),
+    per AS (SELECT probe_id, COUNT(*) AS n_truth FROM tk GROUP BY probe_id),
+    hs AS (SELECT probe_id, COUNT(*) AS n_hits, MIN(rn) AS first_hit_rank
+           FROM hit GROUP BY probe_id)
+    SELECT per.probe_id,
+           CAST(per.n_truth AS BIGINT) AS n_truth,
+           CAST(COALESCE(hs.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(hs.n_hits, 0) AS DOUBLE) / per.n_truth, 6) AS recall,
+           CAST(COALESCE(hs.first_hit_rank, 0) AS BIGINT) AS first_hit_rank,
+           CAST(COALESCE(floor(1000000.0 / hs.first_hit_rank), 0) AS BIGINT) AS rr_micros
+    FROM per LEFT JOIN hs ON per.probe_id = hs.probe_id"""
 
   /** q92: corpus rows (vec_id % mod <> 0) surviving semantic decontamination
     * against the benchmark split (vec_id % mod = 0) — NOT EXISTS mirrors the

@@ -502,4 +502,34 @@ object Similarity {
         col("__nb._1").as("cos"),
         (col("__pos") + 1).cast("long").as("rank"))
   }
+
+  /** Per-probe RETRIEVAL EVALUATION of an approximate result list against
+    * exact truth — the report card every ANN deployment publishes before
+    * and after retuning (q97's aggregate recall, resolved per probe, plus
+    * first-hit rank and reciprocal rank). `truth` is (probe_id,
+    * neighbor_id) from the brute-force pass; `approx` is (probe_id,
+    * neighbor_id, rank) from any ANN method. Output per probe: n_truth,
+    * n_hits, recall (ONE division, rounded), first_hit_rank (0 = the
+    * approx list missed every true neighbor), and rr_micros =
+    * floor(1e6 / first_hit_rank) — the reciprocal rank in exact integer
+    * micro-units, so MRR aggregates downstream as sum(rr_micros)/n/1e6
+    * without float-summation-order drift (the house determinism rule: stay
+    * integer-exact until one final division). Plan: two keyed partial aggs
+    * + one join on probe_id — probe-count-sized, never corpus-sized. */
+  def retrievalEval(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("probe_id"), col("neighbor_id"))
+    val ak = approx.select(col("probe_id"), col("neighbor_id"), col("rank"))
+    val hits = t.join(ak, Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("__nh"), min(col("rank")).as("__fr"))
+    t.groupBy("probe_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_truth"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        round(coalesce(col("__nh"), lit(0L)).cast("double") / col("n_truth"), 6)
+          .as("recall"),
+        coalesce(col("__fr"), lit(0L)).cast("long").as("first_hit_rank"),
+        coalesce(floor(lit(1000000.0) / col("__fr")), lit(0L)).cast("long")
+          .as("rr_micros"))
+  }
 }

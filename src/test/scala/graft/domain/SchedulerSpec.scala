@@ -77,6 +77,42 @@ class SchedulerSpec extends AnyFunSuite {
     assert(clock === LocalDateTime.of(2026, 8, 15, 16, 0)) // slept to the last slot
   }
 
+  test("nextFire agrees with a brute-force minute scan on randomized specs") {
+    // the field-at-a-time advance (reset lower fields on carry) is the classic
+    // place cron implementations go wrong; cross-check it against the dumbest
+    // possible oracle over a bounded horizon
+    val rnd = new scala.util.Random(42)
+    def randField(lo: Int, hi: Int): String = rnd.nextInt(4) match {
+      case 0 => "*"
+      case 1 => (lo + rnd.nextInt(hi - lo + 1)).toString
+      case 2 =>
+        val a = lo + rnd.nextInt(hi - lo); val b = a + 1 + rnd.nextInt(hi - a)
+        s"$a-$b${if (rnd.nextBoolean()) s"/${1 + rnd.nextInt(5)}" else ""}"
+      case _ => s"*/${1 + rnd.nextInt(9)}"
+    }
+    def matches(s: CronSpec, t: LocalDateTime): Boolean = {
+      val dom = s.doms.contains(t.getDayOfMonth)
+      val dow = s.dows.contains(t.getDayOfWeek.getValue % 7)
+      s.minutes.contains(t.getMinute) && s.hours.contains(t.getHour) &&
+        s.months.contains(t.getMonthValue) &&
+        (if (s.domRestricted && s.dowRestricted) dom || dow else dom && dow)
+    }
+    (1 to 200).foreach { _ =>
+      val expr = Seq(randField(0, 59), randField(0, 23), randField(1, 31),
+        randField(1, 12), randField(0, 6)).mkString(" ")
+      val s = parse(expr)
+      val from = LocalDateTime.of(2026, 1 + rnd.nextInt(12), 1 + rnd.nextInt(28),
+        rnd.nextInt(24), rnd.nextInt(60))
+      // brute-force: first matching minute strictly after `from`, 120-day cap
+      val brute = Iterator.iterate(from.plusMinutes(1))(_.plusMinutes(1))
+        .take(120 * 24 * 60).find(matches(s, _))
+      brute match {
+        case Some(expect) => assert(nextFire(s, from) === expect, s"spec '$expr' from $from")
+        case None => () // fires beyond the horizon (rare month+dom combo) — skip
+      }
+    }
+  }
+
   test("drive: a failing flow is recorded and the loop continues; overrun replays slots") {
     var clock = LocalDateTime.of(2026, 8, 14, 14, 59)
     var n = 0

@@ -789,7 +789,22 @@ object Dedup {
     * greedily, full transitive resolution is resolveClusters' job on a
     * backfill pass, exactly the [[incrementalKeep]] contract). Returns the
     * surviving batch rows; append their [[hammingBandIndex]] to the lake
-    * index to complete the ingest step. */
+    * index to complete the ingest step.
+    *
+    * The real-world hot case is self-limiting: because only KEPT rows are
+    * appended, the index never holds two fingerprints within maxHamming of
+    * each other — a crawl's million re-uploads of one image contribute ONE
+    * index row (the first keeps, the rest drop), so duplicate mass cannot
+    * pile into a bucket. What DOES grow buckets is coincidental band-value
+    * collisions of dissimilar fingerprints: with b bands over `bits`, a
+    * band value has bits/b bits, so expect |index| / 2^(bits/b) rows per
+    * bucket — the standard pigeonhole-banding capacity bound. The popcount
+    * filter rejects those collisions right off the join, but at corpora
+    * where that residual fan-out dominates, move to a wider fingerprint or
+    * a smaller per-band maxHamming (band width bits/b up, collisions down
+    * exponentially). The within-batch pair stage is bounded by batch size,
+    * and the dup-id distinct collapses map-side (single-column partial agg)
+    * before its shuffle. */
   def incrementalHammingKeep(newFps: DataFrame, idCol: String, fpCol: String,
                              index: DataFrame, maxHamming: Int,
                              bits: Int): DataFrame = {

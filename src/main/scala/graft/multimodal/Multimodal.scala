@@ -58,6 +58,39 @@ object Multimodal {
     }
   }
 
+  /** Validated geometry of a 24-bit BI_RGB BMP. */
+  private[multimodal] final case class BmpGeom(pixelOff: Int, width: Int,
+                                               height: Int, bottomUp: Boolean,
+                                               rowBytes: Int)
+
+  /** THE one copy of the BMP header parse + crafted-size defenses that every
+    * pixel walker (decoder, grid embedder, dHasher, resizer, fused
+    * extractor) shares — a bounds-check fix lands once, not in five
+    * hand-copied variants. */
+  private[multimodal] object BmpHeader {
+    import LE.{i32, u16}
+    val MaxDim: Int = 1 << 20
+
+    def parse(bytes: Array[Byte]): Option[BmpGeom] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32(bytes, 10)
+      val width = i32(bytes, 18)
+      val heightRaw = i32(bytes, 22)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30) // 0 = BI_RGB
+      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+      // abs in Long: heightRaw == Int.MinValue must reject, not wrap negative
+      val heightL = math.abs(heightRaw.toLong)
+      if (width > MaxDim || heightL > MaxDim) return None
+      val height = heightL.toInt
+      // Long math end to end: a crafted width can overflow Int here and slip
+      // a negative rowBytes past the bounds check otherwise
+      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
+      Some(BmpGeom(pixelOff, width, height, heightRaw > 0, rowBytesL.toInt))
+    }
+  }
+
   /** REAL decoder for uncompressed 24-bit BI_RGB BMP — pure JVM, no native
     * codecs. Parses BITMAPFILEHEADER + BITMAPINFOHEADER, walks the 4-byte
     * padded (bottom-up or top-down) pixel rows, and derives the 8-dim feature
@@ -77,30 +110,15 @@ object Multimodal {
   }
 
   object BmpImageDecoder extends ImageDecoder {
-    import LE.{i32, u16}
-
-    /** Dimension sanity cap: declared sizes beyond this are corrupt/crafted
-      * headers (and would overflow the Int row arithmetic below). */
-    private val MaxDim = 1 << 20
 
     private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
-      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
-      val pixelOff = i32(bytes, 10)
-      val width = i32(bytes, 18)
-      val heightRaw = i32(bytes, 22)
-      val bpp = u16(bytes, 28)
-      val compression = i32(bytes, 30) // 0 = BI_RGB
-      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
-      // abs in Long: heightRaw == Int.MinValue must reject, not wrap negative
-      val heightL = math.abs(heightRaw.toLong)
-      if (width > MaxDim || heightL > MaxDim) return None
-      val height = heightL.toInt
-      val bottomUp = heightRaw > 0
-      // Long math end to end: a crafted width can overflow Int here and slip
-      // a negative rowBytes past the bounds check otherwise
-      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
-      val rowBytes = rowBytesL.toInt // <= bytes.length after the check
+      val geom = BmpHeader.parse(bytes) match {
+        case None => return None
+        case Some(g) => g
+      }
+      val pixelOff = geom.pixelOff; val width = geom.width
+      val height = geom.height; val bottomUp = geom.bottomUp
+      val rowBytes = geom.rowBytes
       var sr = 0.0; var sg = 0.0; var sb = 0.0
       val quad = new Array[Double](4)
       val quadN = new Array[Long](4)
@@ -148,23 +166,15 @@ object Multimodal {
     * skip-on-parse-failure policy as BmpImageDecoder. */
   final class BmpGridEmbedder(gridW: Int, gridH: Int) extends ImageDecoder {
     require(gridW >= 1 && gridH >= 1, s"grid must be >= 1x1, got ${gridW}x$gridH")
-    import LE.{i32, u16}
 
     private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
-      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
-      val pixelOff = i32(bytes, 10)
-      val width = i32(bytes, 18)
-      val heightRaw = i32(bytes, 22)
-      val bpp = u16(bytes, 28)
-      val compression = i32(bytes, 30)
-      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
-      val heightL = math.abs(heightRaw.toLong)
-      if (width > (1 << 20) || heightL > (1 << 20)) return None
-      val height = heightL.toInt
-      val bottomUp = heightRaw > 0
-      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
-      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
-      val rowBytes = rowBytesL.toInt
+      val geom = BmpHeader.parse(bytes) match {
+        case None => return None
+        case Some(g) => g
+      }
+      val pixelOff = geom.pixelOff; val width = geom.width
+      val height = geom.height; val bottomUp = geom.bottomUp
+      val rowBytes = geom.rowBytes
       val cells = gridW * gridH
       val sums = new Array[Double](cells * 3)
       val counts = new Array[Long](cells)
@@ -222,27 +232,18 @@ object Multimodal {
     * skipped (no cell may be empty), same policy as malformed payloads.
     * Deterministic: integer sums, one fixed IEEE division per cell. */
   object BmpDHasher {
-    import LE.{i32, u16}
-    private val MaxDim = 1 << 20
     private val GW = 9
     private val GH = 8
 
     private[multimodal] def dhash(bytes: Array[Byte]): Option[Long] = {
-      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
-      val pixelOff = i32(bytes, 10)
-      val width = i32(bytes, 18)
-      val heightRaw = i32(bytes, 22)
-      val bpp = u16(bytes, 28)
-      val compression = i32(bytes, 30)
-      if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
-      val heightL = math.abs(heightRaw.toLong)
-      if (width > MaxDim || heightL > MaxDim) return None
-      val height = heightL.toInt
+      val geom = BmpHeader.parse(bytes) match {
+        case None => return None
+        case Some(g) => g
+      }
+      val pixelOff = geom.pixelOff; val width = geom.width
+      val height = geom.height; val bottomUp = geom.bottomUp
+      val rowBytes = geom.rowBytes
       if (width < GW || height < GH) return None // every cell must be non-empty
-      val bottomUp = heightRaw > 0
-      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
-      if (pixelOff < 0 || pixelOff.toLong + rowBytesL * height > bytes.length) return None
-      val rowBytes = rowBytesL.toInt
       val sums = new Array[Long](GW * GH)
       val counts = new Array[Long](GW * GH)
       var y = 0
@@ -325,27 +326,40 @@ object Multimodal {
       .toDF()
   }
 
-  object WavQualityAnalyzer {
+  /** THE one copy of the RIFF/WAVE chunk walk all sample walkers share:
+    * (channels, rate, bits, dataOff, dataSize) for a PCM file, None for
+    * non-RIFF / non-PCM / malformed chunk lists (crafted sizes compared in
+    * Long so an Int wrap can't slip past the bounds check). First fmt chunk
+    * wins — on pathological multi-fmt files the old analyzer kept scanning
+    * for a 16-bit fmt; that edge is deliberately unified to first-wins. */
+  private[multimodal] object WavChunks {
     import LE.{i32, tag, u16}
 
-    private[multimodal] def analyze(id: Long, bytes: Array[Byte],
-                                    silenceAbs: Int): Option[AudioQuality] = {
+    def parse(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
       if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
       var off = 12
-      var fmtOk = false
-      var data: Option[(Int, Int)] = None
-      while (off + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+      var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+      var data: Option[(Int, Int)] = None     // (offset, size)
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
         val id4 = tag(bytes, off)
         val size = i32(bytes, off + 4)
         if (size < 0 || off.toLong + 8 + size > bytes.length) return None
         if (id4 == "fmt " && size >= 16) {
           if (u16(bytes, off + 8) != 1) return None // PCM only
-          fmtOk = u16(bytes, off + 22) == 16        // 16-bit samples
+          fmt = Some((u16(bytes, off + 10), i32(bytes, off + 12), u16(bytes, off + 22)))
         } else if (id4 == "data") data = Some((off + 8, size))
-        off += 8 + size + (size & 1)
+        off += 8 + size + (size & 1) // chunks are word-aligned
       }
-      data match {
-        case Some((dOff, dSize)) if fmtOk =>
+      for ((c, r, b) <- fmt; (dOff, dSize) <- data) yield (c, r, b, dOff, dSize)
+    }
+  }
+
+  object WavQualityAnalyzer {
+
+    private[multimodal] def analyze(id: Long, bytes: Array[Byte],
+                                    silenceAbs: Int): Option[AudioQuality] = {
+      WavChunks.parse(bytes) match {
+        case Some((_, _, bits, dOff, dSize)) if bits == 16 =>
           val nSamples = dSize / 2
           if (nSamples == 0) return Some(AudioQuality(id, 0L, 0.0, 0.0, 0.0))
           var silent = 0L; var clipped = 0L; var ss = 0.0
@@ -382,27 +396,10 @@ object Multimodal {
     * (normalized to [-1, 1]) over the actual samples. Non-PCM / non-16-bit /
     * truncated payloads are skipped. */
   object WavAudioDecoder extends AudioDecoder {
-    import LE.{i32, tag, u16}
 
     private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
-      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
-      var off = 12
-      var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
-      var data: Option[(Int, Int)] = None     // (offset, size)
-      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-        val id4 = tag(bytes, off)
-        val size = i32(bytes, off + 4)
-        // compare in Long: a crafted size near Int.MaxValue wraps the Int sum
-        // negative and would slip past the bounds check into the sample loop
-        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
-        if (id4 == "fmt " && size >= 16) {
-          if (u16(bytes, off + 8) != 1) return None // PCM only
-          fmt = Some((u16(bytes, off + 10), i32(bytes, off + 12), u16(bytes, off + 22)))
-        } else if (id4 == "data") data = Some((off + 8, size))
-        off += 8 + size + (size & 1) // chunks are word-aligned
-      }
-      (fmt, data) match {
-        case (Some((channels, rate, bits)), Some((dOff, dSize)))
+      WavChunks.parse(bytes) match {
+        case Some((channels, rate, bits, dOff, dSize))
             if bits == 16 && channels > 0 && rate > 0 =>
           val nSamples = dSize / 2
           val nFrames = nSamples.toLong / channels
@@ -438,25 +435,10 @@ object Multimodal {
     * envelope and skip policy as [[WavAudioDecoder]]. */
   final class WavSegmentEmbedder(segments: Int) extends Serializable {
     require(segments >= 1, s"segments must be >= 1, got $segments")
-    import LE.{i32, tag, u16}
 
     private[multimodal] def decode(id: Long, bytes: Array[Byte]): Option[AudioEmbedding] = {
-      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
-      var off = 12
-      var fmt: Option[(Int, Int, Int)] = None
-      var data: Option[(Int, Int)] = None
-      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-        val id4 = tag(bytes, off)
-        val size = i32(bytes, off + 4)
-        if (size < 0 || off.toLong + 8 + size > bytes.length) return None
-        if (id4 == "fmt " && size >= 16) {
-          if (u16(bytes, off + 8) != 1) return None
-          fmt = Some((u16(bytes, off + 10), i32(bytes, off + 12), u16(bytes, off + 22)))
-        } else if (id4 == "data") data = Some((off + 8, size))
-        off += 8 + size + (size & 1)
-      }
-      (fmt, data) match {
-        case (Some((channels, rate, bits)), Some((dOff, dSize)))
+      WavChunks.parse(bytes) match {
+        case Some((channels, rate, bits, dOff, dSize))
             if bits == 16 && channels > 0 && rate > 0 =>
           val nFrames = (dSize / 2 / channels).toLong
           if (nFrames == 0) return None
@@ -504,6 +486,139 @@ object Multimodal {
       .select(col("media_id"), col("embedding"))
   }
 
+  /** ONE pixel walk producing both the dHash luma grid and the gridW x gridH
+    * RGB embedding — bit-identical to [[BmpDHasher.dhash]] and
+    * [[BmpGridEmbedder.decode]] run separately (same traversal order, same
+    * integer cell maps, same accumulation order; FusedDecodeSpec pins the
+    * equality) at half the decode CPU. extractFeatures' contract is that the
+    * binary scan happens once — so the pixels are walked once too. */
+  private[multimodal] final class FusedBmpExtractor(gridW: Int, gridH: Int)
+      extends Serializable {
+    require(gridW >= 1 && gridH >= 1, s"grid must be >= 1x1, got ${gridW}x$gridH")
+
+    def extract(bytes: Array[Byte]): (Option[Long], Option[Array[Float]]) =
+      BmpHeader.parse(bytes) match {
+        case None => (None, None)
+        case Some(geom) =>
+          val width = geom.width; val height = geom.height
+          val doHash = width >= 9 && height >= 8 // dHash's non-empty-cell gate
+          val hs = new Array[Long](72); val hc = new Array[Long](72)
+          val cells = gridW * gridH
+          val es = new Array[Double](cells * 3); val ec = new Array[Long](cells)
+          var y = 0
+          while (y < height) {
+            val srcRow = if (geom.bottomUp) height - 1 - y else y
+            val base = geom.pixelOff + srcRow * geom.rowBytes
+            val cyH = y * 8 / height
+            val cyE = (y.toLong * gridH / height).toInt
+            var x = 0
+            while (x < width) {
+              val o = base + x * 3 // BGR
+              val bl = bytes(o) & 0xff
+              val g = bytes(o + 1) & 0xff
+              val r = bytes(o + 2) & 0xff
+              if (doHash) {
+                val cell = cyH * 9 + x * 9 / width
+                hs(cell) += 299L * r + 587L * g + 114L * bl // Rec.601 x1000
+                hc(cell) += 1
+              }
+              val cellE = cyE * gridW + (x.toLong * gridW / width).toInt
+              es(cellE * 3) += r; es(cellE * 3 + 1) += g; es(cellE * 3 + 2) += bl
+              ec(cellE) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val dh = if (!doHash) None else {
+            var h = 0L
+            var ry = 0
+            while (ry < 8) {
+              var cx = 0
+              while (cx < 8) {
+                val left = hs(ry * 9 + cx).toDouble / hc(ry * 9 + cx)
+                val right = hs(ry * 9 + cx + 1).toDouble / hc(ry * 9 + cx + 1)
+                if (right > left) h |= 1L << (ry * 8 + cx)
+                cx += 1
+              }
+              ry += 1
+            }
+            Some(h)
+          }
+          val emb = new Array[Float](cells * 3)
+          var c = 0
+          while (c < cells) {
+            if (ec(c) > 0) {
+              var k = 0
+              while (k < 3) {
+                emb(c * 3 + k) = (es(c * 3 + k) / ec(c) / 255.0).toFloat
+                k += 1
+              }
+            }
+            c += 1
+          }
+          (dh, Some(emb))
+      }
+  }
+
+  /** ONE sample walk producing both the quality stats and the segment
+    * embedding — bit-identical to [[WavQualityAnalyzer.analyze]] and
+    * [[WavSegmentEmbedder.decode]] run separately (the embedder's
+    * frame-then-channel order IS sequential sample order, so one loop
+    * accumulates both in the original orders; FusedDecodeSpec pins it). */
+  private[multimodal] final class FusedWavExtractor(segments: Int, silenceAbs: Int)
+      extends Serializable {
+    require(segments >= 1, s"segments must be >= 1, got $segments")
+
+    def extract(id: Long, bytes: Array[Byte])
+        : (Option[AudioQuality], Option[Array[Float]]) =
+      WavChunks.parse(bytes) match {
+        case Some((channels, rate, bits, dOff, dSize)) if bits == 16 =>
+          val nSamples = dSize / 2
+          if (nSamples == 0) return (Some(AudioQuality(id, 0L, 0.0, 0.0, 0.0)), None)
+          val nFrames = if (channels > 0) (nSamples / channels).toLong else 0L
+          val embedOk = channels > 0 && rate > 0 && nFrames > 0
+          // samples beyond the last complete frame feed quality, not slices —
+          // exactly the separate walkers' coverage
+          val embSamples = if (embedOk) nFrames * channels else 0L
+          val ss = new Array[Double](segments)
+          val cnt = new Array[Long](segments)
+          var silent = 0L; var clipped = 0L; var total = 0.0
+          var i = 0
+          while (i < nSamples) {
+            val s = ((bytes(dOff + 2 * i) & 0xff) |
+              (bytes(dOff + 2 * i + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            if (a < silenceAbs) silent += 1
+            if (a >= 32760) clipped += 1 // full scale minus 8 LSB of headroom
+            val f = s / 32768.0
+            total += f * f
+            if (i < embSamples) {
+              // Long like the separate embedder: frame * segments overflows
+              // Int on hour-scale files
+              val slice = ((i / channels).toLong * segments / nFrames).toInt
+              ss(slice) += f * f
+              cnt(slice) += 1
+            }
+            i += 1
+          }
+          val quality = AudioQuality(id, nSamples.toLong,
+            silence_ratio = silent.toDouble / nSamples,
+            clip_ratio = clipped.toDouble / nSamples,
+            rms = math.sqrt(total / nSamples))
+          val emb = if (!embedOk) None else {
+            val out = new Array[Float](segments)
+            var k = 0
+            while (k < segments) {
+              if (cnt(k) > 0) out(k) = math.sqrt(ss(k) / cnt(k)).toFloat
+              k += 1
+            }
+            Some(out)
+          }
+          (Some(quality), emb)
+        case _ => (None, None)
+      }
+  }
+
   /** One row of the unified per-asset feature table: everything the curation
     * pipeline needs downstream of the binary scan. Image rows carry dhash +
     * grid embedding; audio rows carry quality stats + segment embedding;
@@ -526,22 +641,20 @@ object Multimodal {
                       segments: Int = 16,
                       silenceThreshold: Double = 0.01): DataFrame = {
     import media.sparkSession.implicits._
-    val gridEmbedder = new BmpGridEmbedder(gridW, gridH)
-    val segEmbedder = new WavSegmentEmbedder(segments)
+    val imageExtractor = new FusedBmpExtractor(gridW, gridH)
     val silenceAbs = (silenceThreshold * 32768.0).toInt
+    val audioExtractor = new FusedWavExtractor(segments, silenceAbs)
     media.select(col("media_id"), col("modality"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mod, bytes) =>
         val nonEmpty = bytes != null && bytes.nonEmpty
         mod match {
           case "image" if nonEmpty =>
-            val dh = BmpDHasher.dhash(bytes)
-            val emb = gridEmbedder.decode(id, bytes).map(_.embedding)
+            val (dh, emb) = imageExtractor.extract(bytes)
             MediaFeatureRow(id, mod, decodable = dh.isDefined && emb.isDefined,
               dh, emb, None, None, None, None)
           case "audio" if nonEmpty =>
-            val q = WavQualityAnalyzer.analyze(id, bytes, silenceAbs)
-            val emb = segEmbedder.decode(id, bytes).map(_.embedding)
+            val (q, emb) = audioExtractor.extract(id, bytes)
             MediaFeatureRow(id, mod, decodable = q.isDefined, None, emb,
               q.map(_.n_samples), q.map(_.silence_ratio),
               q.map(_.clip_ratio), q.map(_.rms))
@@ -637,19 +750,25 @@ object Multimodal {
 
   /** One ingest step's outputs: batch verdicts (same shape as
     * [[MediaCuration]]'s), the kept feature rows, and the dHash band-index
-    * rows to APPEND to the lake index for the kept images. */
-  final case class MediaIngest(verdicts: DataFrame, keptFeatures: DataFrame,
-                               indexRows: DataFrame)
+    * rows to APPEND to the lake index for the kept images. `features` is
+    * the persisted per-batch feature table backing the others — callers
+    * that own the batch lifecycle (the streaming ingest) unpersist it once
+    * the batch's outputs are materialized. */
+  final case class MediaIngest(features: DataFrame, verdicts: DataFrame,
+                               keptFeatures: DataFrame, indexRows: DataFrame)
 
   /** Schema-correct empty dHash band index — the state before the first
-    * batch. (media_id, dhash, band, bv). */
+    * batch. Derived from [[graft.operators.Dedup.hammingBandIndex]] over an
+    * empty fingerprint table so there is exactly ONE source of truth for
+    * the index shape (media_id, dhash, band, bv). */
   def emptyDHashIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("dhash", LongType, nullable = false),
-      StructField("band", IntegerType, nullable = false),
-      StructField("bv", LongType, nullable = false))))
+    val emptyFps = spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("dhash", LongType, nullable = false))))
+    graft.operators.Dedup.hammingBandIndex(emptyFps, "media_id", "dhash",
+      maxHamming = 8, bits = 64)
   }
 
   /** INCREMENTAL curation — [[curateMedia]]'s per-batch twin, the 100 TB
@@ -705,7 +824,7 @@ object Multimodal {
       .join(verdicts.filter(col("kept")).select("media_id"), "media_id")
     val indexRows = graft.operators.Dedup.hammingBandIndex(
       keptImageFps, "media_id", "dhash", maxHamming, bits = 64)
-    MediaIngest(verdicts, keptFeatures, indexRows)
+    MediaIngest(feats, verdicts, keptFeatures, indexRows)
   }
 
   /** STREAMING media ingest: [[ingestMediaBatch]] as a Structured Streaming
@@ -730,8 +849,13 @@ object Multimodal {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // existence via the Hadoop filesystem of the PATH, not java.io.File:
+          // a java.io check is always false on hdfs://, s3a://, or file:/ URIs
+          // and would silently dedup every batch against an empty index
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
           val idx =
-            if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+            if (fs.exists(idxPath)) spark.read.parquet(indexDir)
             else emptyDHashIndex(spark)
           val r = ingestMediaBatch(batch, idx, maxHamming = maxHamming)
           // verdicts before the index append: the index plan's file listing
@@ -740,6 +864,10 @@ object Multimodal {
           r.verdicts.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(verdictsDir)
           r.indexRows.write.mode("append").parquet(indexDir)
+          // per-batch feature cache released here: the stream owns the batch
+          // lifecycle, so without this every micro-batch leaks one pinned
+          // DataFrame until the block manager chokes
+          r.features.unpersist(blocking = false)
         }
         ()
       }
@@ -786,25 +914,17 @@ object Multimodal {
     * filtering-window float conventions, so the output is bit-reproducible
     * and the oracle-style replay in the spec can assert exact pixels. */
   object BmpResizer {
-    import LE.{i32, u16}
-    private val MaxDim = 1 << 20
+    private val MaxDim = BmpHeader.MaxDim
 
     private[multimodal] def resize(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
       require(dstW >= 1 && dstH >= 1 && dstW <= MaxDim && dstH <= MaxDim)
-      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
-      val pixelOff = i32(bytes, 10)
-      val srcW = i32(bytes, 18)
-      val heightRaw = i32(bytes, 22)
-      val bpp = u16(bytes, 28)
-      val compression = i32(bytes, 30)
-      if (bpp != 24 || compression != 0 || srcW <= 0 || heightRaw == 0) return None
-      val srcHL = math.abs(heightRaw.toLong)
-      if (srcW > MaxDim || srcHL > MaxDim) return None
-      val srcH = srcHL.toInt
-      val bottomUp = heightRaw > 0
-      val srcRowL = ((srcW.toLong * 3 + 3) / 4) * 4
-      if (pixelOff < 0 || pixelOff.toLong + srcRowL * srcH > bytes.length) return None
-      val srcRow = srcRowL.toInt
+      val geom = BmpHeader.parse(bytes) match {
+        case None => return None
+        case Some(g) => g
+      }
+      val pixelOff = geom.pixelOff; val srcW = geom.width
+      val srcH = geom.height; val bottomUp = geom.bottomUp
+      val srcRow = geom.rowBytes
       val dstRow = ((dstW * 3 + 3) / 4) * 4
       val out = java.nio.ByteBuffer.allocate(54 + dstRow * dstH)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)

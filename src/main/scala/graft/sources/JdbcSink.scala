@@ -75,9 +75,11 @@ object JdbcSink {
         if (nonKeys.nonEmpty)
           nonKeys.map(c => s"${quote(c)}=VALUES(${quote(c)})").mkString(", ")
         else
-          // pure-key table: MySQL still needs a SET clause; a key no-op
-          // assignment keeps the statement valid and the row untouched
-          keys.take(1).map(k => s"${quote(k)}=${quote(k)}").mkString
+          // pure-key table: MySQL still needs a SET clause; the no-op
+          // assignment must QUALIFY the right-hand side with the target
+          // table — an unqualified column is ambiguous between the target
+          // and the SELECT's staging table (MySQL error 1052)
+          keys.take(1).map(k => s"${quote(k)}=$table.${quote(k)}").mkString
       s"INSERT INTO $table ($insCols) SELECT $insCols FROM $staging " +
         s"ON DUPLICATE KEY UPDATE $setSql"
     }

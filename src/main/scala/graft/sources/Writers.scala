@@ -58,14 +58,21 @@ object Writers {
     val keyed = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val oid = struct(substring(md5(
       concat_ws("\u0001", keyCols.map(col): _*)), 1, 24).as("$oid")).as("_id")
+    // null guard on wrapped types: without it a null timestamp/binary would
+    // render as a non-null struct of nulls, which toJSON prints as {} — an
+    // empty subdocument where the reference loader stores null
+    def nullable(c: org.apache.spark.sql.Column, wrapped: org.apache.spark.sql.Column) =
+      when(c.isNull, lit(null)).otherwise(wrapped)
     val fields = df.schema.fields.map { f =>
       f.dataType.typeName match {
         case "timestamp" =>
-          struct(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-            .as("$date")).as(f.name)
+          nullable(col(f.name),
+            struct(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              .as("$date"))).as(f.name)
         case "binary" => // extended-JSON generic BinData, not bare base64
-          struct(struct(base64(col(f.name)).as("base64"),
-            lit("00").as("subType")).as("$binary")).as(f.name)
+          nullable(col(f.name),
+            struct(struct(base64(col(f.name)).as("base64"),
+              lit("00").as("subType")).as("$binary"))).as(f.name)
         case _ => col(f.name)
       }
     }

@@ -70,7 +70,11 @@ object Metrics {
       val byMetric = series.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
       byMetric.map { case (metric, rows) =>
         val lines = rows.sortBy(_._1._2.toString).map { case ((_, labels), v) =>
-          val all = (("job" -> job) :: labels).map { case (k, x) => s"""$k="${esc(x)}"""" }
+          // duplicate label names are invalid exposition — a caller-supplied
+          // job label wins over the registry default instead of doubling it
+          val withJob = if (labels.exists(_._1 == "job")) labels
+                        else ("job" -> job) :: labels
+          val all = withJob.map { case (k, x) => s"""$k="${esc(x)}"""" }
           s"$metric{${all.mkString(",")}} ${num(v)}"
         }
         // prometheus naming convention: *_total series are counters

@@ -82,8 +82,9 @@ class JdbcSinkSpec extends SparkSpec {
     val ig = JdbcSink.MySqlDialect.insertIgnoreSql("seen", "seen__stage_x",
       cols = Seq("game_id"), keys = Seq("game_id"))
     assert(ig === "INSERT IGNORE INTO seen (`game_id`) SELECT `game_id` FROM seen__stage_x")
-    // pure-key upsert still emits a valid no-op SET clause
+    // pure-key upsert: the no-op SET must qualify the RHS with the target
+    // table, else MySQL flags the column ambiguous vs the staging SELECT
     val pk = JdbcSink.MySqlDialect.upsertSql("k", "k__s", Seq("id"), Seq("id"))
-    assert(pk.endsWith("ON DUPLICATE KEY UPDATE `id`=`id`"))
+    assert(pk.endsWith("ON DUPLICATE KEY UPDATE `id`=k.`id`"))
   }
 }

@@ -34,6 +34,19 @@ class MongoExportSpec extends SparkSpec {
     assert(parsed.select("review").as[String].collect().toSet === Set("great game", "meh"))
   }
 
+  test("mongoExtendedJsonl: null timestamp renders as an absent field, never {}") {
+    val dir = java.nio.file.Files.createTempDirectory("mongo_export_null").toString + "/t"
+    val df = Seq((1L, Some("2024-03-01 00:00:00")), (2L, None: Option[String]))
+      .toDF("id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    Writers.mongoExtendedJsonl(df, Seq("id"), dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    val nullRow = lines.find(!_.contains("$date")).get
+    // a null wrapped type must not leave an empty subdocument behind
+    assert(!nullRow.contains(""""ts""""), nullRow)
+    assert(lines.exists(_.contains(""""ts":{"$date":""")))
+  }
+
   test("mongoExtendedJsonl: binary columns render as extended-JSON $binary") {
     val dir = java.nio.file.Files.createTempDirectory("mongo_export_bin").toString + "/media"
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content")

@@ -74,5 +74,10 @@ class MetricsSpec extends SparkSpec {
     reg.push("steam_reviews_inserted_total", 130.0, Map("table" -> "reviews"))
     assert(reg.expose().contains("""table="reviews"} 130""") &&
       !reg.expose().contains("} 123"))
+    // a caller-supplied job label replaces the default — duplicate label
+    // names would invalidate the whole exposition
+    reg.push("x_rows", 1.0, Map("job" -> "etl"))
+    assert(reg.expose().contains("""x_rows{job="etl"} 1""") &&
+      !reg.expose().contains("""x_rows{job="steam""""))
   }
 }

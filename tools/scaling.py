@@ -85,7 +85,12 @@ def main():
             {"query": n, "slope_graft": per_query[n]["slope_graft"],
              "slope_duck": per_query[n]["slope_duck"]} for n in worst],
     }
-    json.dump({"method": __doc__.strip().split("\n\n")[2],
+    method = ("slope = log10(t_hi/t_lo) / log10(sf_hi/sf_lo) over the largest "
+              "measured decade, i.e. the empirical exponent b in t ~ sf^b; "
+              "certified_linear = graft slope <= 1.05; beats_oracle_slope = "
+              "graft slope <= DuckDB slope on identical SQL; floor_dominated = "
+              "graft t(sf_hi) < 0.5 s (scheduling-floor territory).")
+    json.dump({"method": method,
                "summary": summary, "per_query": per_query},
               open(out_path, "w"), indent=1, sort_keys=True)
     print(json.dumps(summary, indent=2))

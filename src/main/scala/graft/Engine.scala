@@ -136,6 +136,12 @@ object Engine {
   def ingestMedia(batch: DataFrame, dhashIndex: DataFrame): multimodal.Multimodal.MediaIngest =
     multimodal.Multimodal.ingestMediaBatch(batch, dhashIndex)
 
+  /** Per-probe retrieval report card: recall@k, first-hit rank, and
+    * integer-micro reciprocal rank of an approximate result list vs exact
+    * truth (MRR = sum(rr_micros)/n/1e6 downstream). */
+  def evalRetrieval(truth: DataFrame, approx: DataFrame): DataFrame =
+    Similarity.retrievalEval(truth, approx)
+
   /** Streaming media ingest: the curation pipeline as a Structured
     * Streaming job over a parquet-resident dHash index (the foreachBatch
     * wiring of [[ingestMedia]]). */

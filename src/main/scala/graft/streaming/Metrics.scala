@@ -34,6 +34,13 @@ object Metrics {
       sink.push("input_rows_per_second", p.inputRowsPerSecond, labels)
       sink.push("processed_rows_per_second", p.processedRowsPerSecond, labels)
       sink.push("num_input_rows", p.numInputRows.toDouble, labels)
+      // batch duration + state size — without these the dedup operators'
+      // state growth (the thing the TTL variants bound) is unobservable
+      Option(p.durationMs.get("triggerExecution"))
+        .foreach(d => sink.push("batch_duration_ms", d.toDouble, labels))
+      if (p.stateOperators != null && p.stateOperators.nonEmpty)
+        sink.push("state_rows_total",
+          p.stateOperators.map(_.numRowsTotal).sum.toDouble, labels)
     }
   }
 

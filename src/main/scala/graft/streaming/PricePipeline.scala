@@ -27,23 +27,36 @@ object PricePipeline {
     * merge that produced it had completed) or, failing that, the displaced
     * previous state (__old). Without this, an interrupted swap silently
     * rebuilds empty state and wipes the watermarks. */
-  private def recoverSwap(path: String): Unit = {
-    val dst = new java.io.File(path)
-    if (!dst.exists()) {
-      val tmp = new java.io.File(path + "__tmp")
-      val old = new java.io.File(path + "__old")
-      if (tmp.exists() && new java.io.File(tmp, "_SUCCESS").exists()) {
-        require(tmp.renameTo(dst), s"state recovery failed: $tmp -> $dst")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      } else if (old.exists()) {
-        require(old.renameTo(dst), s"state recovery failed: $old -> $dst")
+  // all state-file operations go through the PATH's Hadoop filesystem:
+  // java.io.File existence checks are always false on hdfs://s3a://file:
+  // URIs and would silently read the warehouse as empty (then crash at the
+  // rename) — the same bug class fixed in streamingMediaIngest. On HDFS the
+  // rename is atomic; object stores without atomic rename should point the
+  // state at a rename-capable filesystem.
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, dst) = hfs(spark, path)
+    if (!fs.exists(dst)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      if (fs.exists(tmp) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, dst), s"state recovery failed: $tmp -> $dst")
+        if (fs.exists(old)) fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, dst), s"state recovery failed: $old -> $dst")
       }
     }
   }
 
   private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    recoverSwap(path)
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
+    recoverSwap(spark, path)
+    val (fs, p) = hfs(spark, path)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -81,10 +94,20 @@ object PricePipeline {
       // e.g. a corrected resend — still lands
       val allCols = Seq("game_id", "price_cents", "discount",
         "initial_price_cents", "timestamp")
-      priceRows.select(
+      val incoming = priceRows.select(
         col("appid").as("game_id"), col("price_cents"), col("discount"),
         col("initial_price_cents"), col("ts").as("timestamp"))
-        .join(existingPrices.select(allCols.map(col): _*), allCols, "left_anti")
+      // restrict the existing side to the batch's game_ids BEFORE the
+      // anti-join: without it every micro-batch full-scans the whole prices
+      // table, a per-batch cost that grows with the table forever
+      val existingScoped = existingPrices.select(allCols.map(col): _*)
+        .join(incoming.select("game_id").distinct(), Seq("game_id"), "left_semi")
+      // null-safe <=> equality: a tick whose price/ts parsed to NULL (e.g.
+      // price "free") must still match its already-written copy on replay —
+      // plain column equality never matches NULL and re-inserted the row
+      // on every replay
+      val dupCond = allCols.map(c => incoming(c) <=> existingScoped(c)).reduce(_ && _)
+      incoming.join(existingScoped, dupCond, "left_anti")
         .write.mode("append").parquet(s"$warehouseDir/prices")
       // state is a full-replace merge: write-new-then-swap. Every rename is
       // checked and a crash between the renames is recoverable (recoverSwap
@@ -92,15 +115,15 @@ object PricePipeline {
       // interrupted swap can no longer silently reset the watermarks.
       val tmp = s"$warehouseDir/crawl_state__tmp"
       mergedState.write.mode("overwrite").parquet(tmp)
-      val dst = new java.io.File(s"$warehouseDir/crawl_state")
-      val tmpF = new java.io.File(tmp)
-      if (dst.exists()) {
-        val old = new java.io.File(s"$warehouseDir/crawl_state__old")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-        require(dst.renameTo(old), s"state swap failed: $dst -> $old")
-        require(tmpF.renameTo(dst), s"state swap failed: $tmp -> $dst")
-        org.apache.commons.io.FileUtils.deleteDirectory(old)
-      } else require(tmpF.renameTo(dst), s"state swap failed: $tmp -> $dst")
+      val (fs, dst) = hfs(spark, s"$warehouseDir/crawl_state")
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      if (fs.exists(dst)) {
+        val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/crawl_state__old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(dst, old), s"state swap failed: $dst -> $old")
+        require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
+        fs.delete(old, true)
+      } else require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
     } finally ticks.unpersist()
   }
 
@@ -108,8 +131,7 @@ object PricePipeline {
   def start(spark: SparkSession, stagingDir: String, warehouseDir: String,
             checkpointDir: String): StreamingQuery =
     Streams.decodePriceTicks(
-      spark.readStream.schema(wireSchema).text(stagingDir)
-        .withColumnRenamed("value", "value"))
+      spark.readStream.schema(wireSchema).text(stagingDir))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

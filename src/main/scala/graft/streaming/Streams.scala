@@ -95,8 +95,11 @@ object Streams {
     import graft.functions.{MoneyFunctions => MF}
     decodeJson(raw, Schemas.priceTickMsg)
       .filter(col("type") === "price")
+      // timestamp included: a tick without one would land as NULL ts, never
+      // advance crawl_state, and defeat replay dedup downstream
       .filter(col("appid").isNotNull && col("price").isNotNull &&
-        col("discount").isNotNull && col("initial_price").isNotNull)
+        col("discount").isNotNull && col("initial_price").isNotNull &&
+        col("timestamp").isNotNull)
       .select(
         col("appid"),
         MF.toCents(col("price")).as("price_cents"),
@@ -374,22 +377,30 @@ object Streams {
       .as[TimedBandedDoc]
       .groupByKey(b => (b.band, b.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: (Int, String), docs: Iterator[TimedBandedDoc], state: GroupState[Long]) => {
+        // state = (claiming doc_id, max event-time seen): the timeout must
+        // anchor on the MONOTONE max across batches — anchoring on each
+        // batch's own max would let a later batch of older-event-time dups
+        // move the eviction EARLIER and release the bucket before stateTtl
+        // of event-time idleness
+        (_: (Int, String), docs: Iterator[TimedBandedDoc], state: GroupState[(Long, Long)]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = docs.toSeq.sortBy(d => (d.event_ts.getTime, d.doc_id))
+            val batchMax =
+              if (sorted.isEmpty) Long.MinValue
+              else sorted.map(_.event_ts.getTime).max
             val out = state.getOption match {
-              case Some(_) =>
+              case Some((claim, seenMax)) =>
+                state.update((claim, math.max(seenMax, batchMax)))
                 sorted.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
               case None if sorted.nonEmpty =>
-                state.update(sorted.head.doc_id)
+                state.update((sorted.head.doc_id, batchMax))
                 Iterator(DedupVerdict(sorted.head.doc_id, is_duplicate = false)) ++
                   sorted.tail.iterator.map(d => DedupVerdict(d.doc_id, is_duplicate = true))
               case None => Iterator.empty
             }
             if (state.exists && sorted.nonEmpty)
-              state.setTimeoutTimestamp(
-                sorted.map(_.event_ts.getTime).max + stateTtl.toMillis)
+              state.setTimeoutTimestamp(state.get._2 + stateTtl.toMillis)
             out
           }
         })

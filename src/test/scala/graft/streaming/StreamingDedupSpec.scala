@@ -62,6 +62,39 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBandDedupTtl: an older-event-time duplicate cannot shorten a bucket's retention") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[Streams.TimedBandedDoc]
+    val q = Streams.streamingBandDedupTtl(input.toDS(),
+      watermarkDelay = "2 hours", stateTtl = java.time.Duration.ofMinutes(60))
+      .writeStream.format("memory").queryName("sdedup_ttl_mono").outputMode("append").start()
+    try {
+      // bucket A claimed at 10:00 -> retention anchored at 11:00
+      input.addData(Streams.TimedBandedDoc(1L, 0, "A", t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // a LATER batch carrying only an OLDER duplicate (09:50, inside the
+      // watermark) must not move the timeout back to 10:50
+      input.addData(Streams.TimedBandedDoc(2L, 0, "A", t("2024-01-01 09:50:00")))
+      q.processAllAvailable()
+      // watermark advances to 10:55 (12:55 - 2h): past the 10:50 a
+      // batch-max anchor would have set, NOT past the monotone 11:00
+      input.addData(Streams.TimedBandedDoc(90L, 0, "Z", t("2024-01-01 12:55:00")))
+      q.processAllAvailable()
+      input.addData(Streams.TimedBandedDoc(91L, 0, "Y", t("2024-01-01 12:56:00")))
+      q.processAllAvailable()
+      // bucket A must STILL be claimed (monotone anchor 11:00 > watermark
+      // 10:56; the buggy batch-max anchor 10:50 would have evicted it) ->
+      // this arrival is a duplicate. 11:30 keeps the row above the watermark
+      input.addData(Streams.TimedBandedDoc(3L, 0, "A", t("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val isDup = spark.table("sdedup_ttl_mono").as[Streams.DedupVerdict].collect()
+        .groupBy(_.doc_id).view.mapValues(_.exists(_.is_duplicate)).toMap
+      assert(isDup(1L) == false && isDup(2L) == true)
+      assert(isDup(3L) == true, "retention was shortened by the older duplicate")
+    } finally q.stop()
+  }
+
   test("monotoneDedupTtl: state rows evict after TTL with output identical to non-TTL form") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.CdcChange]

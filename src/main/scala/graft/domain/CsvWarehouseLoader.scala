@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
   * One pass over the CSV per dim family; dims broadcast everywhere. */
 object CsvWarehouseLoader {
 
-  /** Split a ", "-joined (or stringified-list) column into trimmed non-empty
-    * rows: game_id, name. */
+  /** Split a stringified-list column into trimmed non-empty rows:
+    * game_id, name — exploding the cleaned array directly, not a re-split
+    * of the ", "-joined string (that re-did the trim/filter per row). */
   private def explodeNames(gameCsv: DataFrame, srcCol: String,
                            isLanguage: Boolean = false): DataFrame =
     gameCsv.select(col("appid").as("game_id"),
-      explode(split(TF.cleanArrayString(col(srcCol), isLanguage), ",\\s*")).as("name"))
-      .withColumn("name", trim(col("name")))
-      .filter(col("name") =!= "")
+      explode(TF.cleanArray(col(srcCol), isLanguage)).as("name"))
 
   final case class Loaded(games: DataFrame,
                           dims: Map[String, DataFrame],    // family -> (id, name)
@@ -40,11 +39,23 @@ object CsvWarehouseLoader {
     val spark = gameCsv.sparkSession
     import spark.implicits._
 
-    val games = gameCsv.select(
+    // re-crawled CSVs repeat appids; the reference's row-by-row ODKU loader
+    // absorbed them last-writer-wins. Dedup ONCE at entry in scan order
+    // (monotonically_increasing_id reflects file order for a fresh read) so
+    // the enrichment join below can't multiply rows and `games` stays
+    // unique per game_id — DataQuality.unique(games) fired otherwise.
+    def lastPerApp(df: DataFrame): DataFrame =
+      Relational.dedupKeepLast(
+        df.withColumn("__ord", monotonically_increasing_id()),
+        Seq("appid"), Seq(col("__ord"))).drop("__ord")
+    val gameRows = lastPerApp(gameCsv)
+    val infoRows = lastPerApp(moreInfo)
+
+    val games = gameRows.select(
       col("appid").as("game_id"),
       col("title"), col("description"),
       to_date(col("release_date"), "d MMM, yyyy").as("release_date")) // F5: coerce -> NULL
-      .join(moreInfo.select(col("appid").as("game_id"), col("windows_req"),
+      .join(infoRows.select(col("appid").as("game_id"), col("windows_req"),
         col("mac_req"), col("linux_req"), col("required_age"), col("awards")),
         Seq("game_id"), "left") // J3 enrichment merge
 
@@ -55,7 +66,7 @@ object CsvWarehouseLoader {
       ("languages", "lang_id", "languages", true))
 
     val dimsAndBridges = families.map { case (family, idCol, srcCol, isLang) =>
-      val names = explodeNames(gameCsv, srcCol, isLang)
+      val names = explodeNames(gameRows, srcCol, isLang)
       val existing = existingDims.getOrElse(family,
         Seq.empty[(Int, String)].toDF(idCol, "name"))
       val dim = Relational.lookupOrCreate(existing, idCol, "name", names.select("name"))

@@ -23,16 +23,26 @@ object ModelRunner {
     testFailures: Seq[DataQuality.CheckResult])
 
   def run(spark: SparkSession, w: SteamModels.Warehouse, martDir: String): RunResult = {
+    // marts are pinned while the run executes: downstream marts reference
+    // their upstream mart DataFrames (game_quality_metrics reads dim_games +
+    // fact_reviews), and without the persist each write re-executed the
+    // whole upstream join/window pipeline from source — dbt reads the
+    // materialized table; persisting is the DataFrame-graph equivalent
+    val pinned = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
     val materialized = SteamModels.allModels(w).map { case (name, df) =>
       if (stagingModels(name)) {
         df.createOrReplaceTempView(name)
         name -> "view"
       } else {
         val path = s"$martDir/$name"
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += df
         df.write.mode("overwrite").parquet(path)
         name -> path
       }
     }.toMap
-    RunResult(materialized, DataQuality.run(DataQuality.steamSuite(w)))
+    val result = RunResult(materialized, DataQuality.run(DataQuality.steamSuite(w)))
+    pinned.foreach(_.unpersist(blocking = false)) // quality checks also reuse them
+    result
   }
 }

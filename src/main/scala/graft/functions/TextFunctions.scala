@@ -18,14 +18,21 @@ object TextFunctions {
   def stripHtml(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "\\s+", " "))
 
-  /** F8 clean_array_string: strip [ ] ' (and '*' for languages), split on ',',
-    * trim parts, drop empties, re-join ", " (transform_game.py:8-25). */
-  def cleanArrayString(c: Column, isLanguage: Boolean = false): Column = {
+  /** F8's array form: strip [ ] ' (and '*' for languages), split on ',',
+    * trim parts, drop empties — the cleaned elements BEFORE the ", "
+    * re-join, for consumers that explode (CsvWarehouseLoader): going
+    * through the joined string and re-splitting would redo the trim/filter
+    * per row. */
+  def cleanArray(c: Column, isLanguage: Boolean = false): Column = {
     val stripped0 = regexp_replace(c, "[\\[\\]']", "")
     val stripped = if (isLanguage) regexp_replace(stripped0, "\\*", "") else stripped0
-    val parts = split(stripped, ",")
-    array_join(filter(transform(parts, p => trim(p)), p => p =!= ""), ", ")
+    filter(transform(split(stripped, ","), p => trim(p)), p => p =!= "")
   }
+
+  /** F8 clean_array_string: strip [ ] ' (and '*' for languages), split on ',',
+    * trim parts, drop empties, re-join ", " (transform_game.py:8-25). */
+  def cleanArrayString(c: Column, isLanguage: Boolean = false): Column =
+    array_join(cleanArray(c, isLanguage), ", ")
 
   /** Whitespace tokenization of trimmed text; empty text -> empty array. */
   def tokens(c: Column): Column = {

@@ -95,10 +95,26 @@ object JdbcSink {
         .startsWith("jdbc:mysql")) MySqlDialect
     else AnsiDialect
 
-  /** Ensure `table` exists with the batch's schema (no rows written). */
+  /** Ensure `table` exists with the batch's schema (no rows written). On
+    * MySQL the merge statements key off the TABLE's unique constraint, and
+    * Spark's auto-created table has none — without adding one, ON DUPLICATE
+    * KEY / INSERT IGNORE silently degrade to plain appends and replays
+    * duplicate. The ALTER is idempotent-by-catch: error 1061 (duplicate key
+    * name) means a prior run already added it. Only runs on the MySQL
+    * dialect; the ANSI branch carries an explicit ON clause. */
   private def ensureTable(batch: DataFrame, url: String, table: String,
-                          props: java.util.Properties): Unit =
+                          keys: Seq[String],
+                          props: java.util.Properties): Unit = {
     batch.limit(0).write.mode(SaveMode.Ignore).jdbc(url, table, props)
+    dialectFor(url) match {
+      case d @ MySqlDialect if keys.nonEmpty =>
+        val cols = keys.map(d.quote).mkString(", ")
+        try withConnection(url, props)(_.createStatement().executeUpdate(
+          s"ALTER TABLE $table ADD CONSTRAINT ${d.quote("graft_upsert_key")} UNIQUE ($cols)"))
+        catch { case _: java.sql.SQLException => () } // already keyed: fine
+      case _ => ()
+    }
+  }
 
   private def withConnection[A](url: String, props: java.util.Properties)(
       f: java.sql.Connection => A): A = {
@@ -112,8 +128,10 @@ object JdbcSink {
   private def withStaging(batch: DataFrame, url: String, table: String,
                           props: java.util.Properties)(
       merge: (java.sql.Connection, String) => Unit): Unit = {
+    // 12 hex chars of uniqueness: the full 32-char UUID pushed any target
+    // name over 24 chars past MySQL's 64-char identifier limit
     val staging = table + "__stage_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     try {
       batch.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
       withConnection(url, props)(conn => merge(conn, staging))
@@ -134,7 +152,7 @@ object JdbcSink {
                   keys: Seq[String], order: Seq[Column],
                   props: java.util.Properties = new java.util.Properties): Unit = {
     val deduped = Relational.dedupKeepLast(batch, keys, order)
-    ensureTable(deduped, url, table, props)
+    ensureTable(deduped, url, table, keys, props)
     val dialect = dialectFor(url)
     val cols = deduped.columns.toSeq
     withStaging(deduped, url, table, props) { (conn, staging) =>
@@ -148,8 +166,12 @@ object JdbcSink {
   def insertIgnoreBatch(batch: DataFrame, url: String, table: String,
                         keys: Seq[String], order: Seq[Column],
                         props: java.util.Properties = new java.util.Properties): Unit = {
-    val deduped = Relational.dedupKeepFirst(batch, keys, order)
-    ensureTable(deduped, url, table, props)
+    // order = Nil (the documented default via appendBatch) used to throw:
+    // row_number demands an ordered window. All columns = a deterministic
+    // total order; rows equal on every column are interchangeable anyway.
+    val effOrder = if (order.nonEmpty) order else batch.columns.toSeq.map(org.apache.spark.sql.functions.col)
+    val deduped = Relational.dedupKeepFirst(batch, keys, effOrder)
+    ensureTable(deduped, url, table, keys, props)
     val dialect = dialectFor(url)
     val cols = deduped.columns.toSeq
     withStaging(deduped, url, table, props) { (conn, staging) =>

@@ -26,7 +26,13 @@ object Readers {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .json(path)
-      .cache() // corrupt-record split reads the input twice otherwise
+      // cached on purpose: Spark disallows corrupt-record-only queries on an
+      // uncached JSON read, and the split reads the input twice otherwise.
+      // The cache is keyed by plan, so the caller's reclaim contract is the
+      // same one the operator suite documents: spark.catalog.clearCache()
+      // once the good/corrupt outputs are materialized — a loop over many
+      // drops without it accumulates one pinned input per call.
+      .cache()
     val good = raw.filter(raw.col("_corrupt_record").isNull).drop("_corrupt_record")
     val corrupt = raw.filter(raw.col("_corrupt_record").isNotNull).select("_corrupt_record")
     (good, corrupt)

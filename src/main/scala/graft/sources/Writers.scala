@@ -73,6 +73,11 @@ object Writers {
           nullable(col(f.name),
             struct(struct(base64(col(f.name)).as("base64"),
               lit("00").as("subType")).as("$binary"))).as(f.name)
+        case "date" => // BSON has only datetime: a DateType renders at
+          // midnight UTC, not as a bare string mongoimport would keep a string
+          nullable(col(f.name),
+            struct(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              .as("$date"))).as(f.name)
         case _ => col(f.name)
       }
     }
@@ -83,26 +88,41 @@ object Writers {
     * ingest needs: micro-batches leave a long tail of tiny part files whose
     * per-file open/footer cost eventually dominates scans. Rewrites the
     * table's current contents into ceil(rows / targetRecordsPerFile) files
-    * and swaps atomically (write __tmp, rename old out, rename tmp in — the
-    * same checked, recoverable swap discipline as PricePipeline's state
-    * table), so a concurrent reader sees the old files or the new, never a
-    * half-written mix. Values are untouched: compaction is layout-only.
+    * and swaps via checked renames on the PATH's Hadoop filesystem (atomic
+    * per rename on HDFS/local; don't point this at a store without atomic
+    * rename). A reader can land in the instant between the two renames —
+    * the window where the dir is absent — and a crash there would strand
+    * the data at __old, so compact() FIRST runs the same recovery step as
+    * PricePipeline's state swap: a complete __tmp (with _SUCCESS) or a
+    * displaced __old is restored before any new work. Values are
+    * untouched: compaction is layout-only.
     *
     * At 100 TB this runs per partition (pass the partition dir), never the
     * whole table; `coalesce` avoids a shuffle — data only narrows. */
   def compact(spark: SparkSession, dir: String,
               targetRecordsPerFile: Long = 1000000L): Unit = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpP = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
+    val oldP = new org.apache.hadoop.fs.Path(s"${dir}__old")
+    // recovery first: restore a swap interrupted by a crash last run
+    if (!fs.exists(dst)) {
+      if (fs.exists(tmpP) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"))) {
+        require(fs.rename(tmpP, dst), s"compaction recovery failed: $tmpP -> $dst")
+        if (fs.exists(oldP)) fs.delete(oldP, true)
+      } else if (fs.exists(oldP)) {
+        require(fs.rename(oldP, dst), s"compaction recovery failed: $oldP -> $dst")
+      }
+    }
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
-    val tmp = s"${dir}__tmp"
-    df.coalesce(files.toInt).write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(dir)
-    val old = new java.io.File(s"${dir}__old")
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    require(dst.renameTo(old), s"compaction swap failed: $dir -> $old")
-    require(new java.io.File(tmp).renameTo(dst), s"compaction swap failed: $tmp -> $dir")
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    df.coalesce(files.toInt).write.mode("overwrite").parquet(tmpP.toString)
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    require(fs.rename(dst, oldP), s"compaction swap failed: $dst -> $oldP")
+    require(fs.rename(tmpP, dst), s"compaction swap failed: $tmpP -> $dst")
+    fs.delete(oldP, true)
   }
 }

@@ -56,6 +56,23 @@ class CsvWarehouseLoaderSpec extends SparkSpec {
     assert(dg(0).getAs[String]("languages") == "English,French")
   }
 
+  test("re-crawled CSV with duplicate appids: last row wins, no join multiplication") {
+    val gameCsv = Seq(
+      (10, "Half-Life", "d", "Valve", "Valve", "1 Nov, 1998", "['FPS']", "['English']", "c"),
+      (10, "Half-Life GOTY", "d", "Valve", "Valve", "1 Nov, 1998", "['FPS']", "['English']", "c"))
+      .toDF("appid", "title", "description", "developer", "publisher",
+        "release_date", "genres", "languages", "content")
+    val moreInfo = Seq((10, "w", "m", "l", 16, "A"), (10, "w2", "m2", "l2", 18, "B"))
+      .toDF("appid", "windows_req", "mac_req", "linux_req", "required_age", "awards")
+    val loaded = CsvWarehouseLoader.load(gameCsv, moreInfo)
+    val games = loaded.games.collect()
+    // one row (the reference's ODKU last-writer-wins), not 2 or 4
+    assert(games.length == 1)
+    assert(games(0).getAs[String]("title") == "Half-Life GOTY")
+    assert(games(0).getAs[Int]("required_age") == 18)
+    assert(loaded.bridges("developers").count() == 1)
+  }
+
   test("incremental load extends existing dims without renumbering") {
     val existing = Seq((1, "Valve")).toDF("dev_id", "name")
     val gameCsv = Seq((30, "New", "d", "Valve, Zachtronics", "P", "1 Jan, 2020", "['x']", "['English']", "c"))

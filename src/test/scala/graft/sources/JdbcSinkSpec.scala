@@ -63,6 +63,16 @@ class JdbcSinkSpec extends SparkSpec {
     assert(JdbcSink.readTable(spark, url, "prices_a").count() == 3)
   }
 
+  test("appendBatch with dedupKeys and the DEFAULT order no longer throws") {
+    // order = Nil used to build row_number over an unordered window ->
+    // AnalysisException; the all-columns fallback makes the documented
+    // default usable
+    val b = Seq((1, 100L), (2, 200L)).toDF("id", "ts")
+    JdbcSink.appendBatch(b, url, "prices_d", dedupKeys = Seq("id"))
+    JdbcSink.appendBatch(b, url, "prices_d", dedupKeys = Seq("id")) // replay
+    assert(JdbcSink.readTable(spark, url, "prices_d").count() == 2)
+  }
+
   test("dialect selection: jdbc:mysql gets the reference spelling, others ANSI MERGE") {
     assert(JdbcSink.dialectFor("jdbc:mysql://db:3306/steam") eq JdbcSink.MySqlDialect)
     assert(JdbcSink.dialectFor("JDBC:MySQL://db/steam") eq JdbcSink.MySqlDialect)

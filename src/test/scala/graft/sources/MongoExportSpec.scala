@@ -54,4 +54,13 @@ class MongoExportSpec extends SparkSpec {
     val line = spark.read.text(dir).as[String].head()
     assert(line.contains(""""content":{"$binary":{"base64":"AQID","subType":"00"}}"""), line)
   }
+
+  test("mongoExtendedJsonl: DateType renders as $date midnight, not a bare string") {
+    val dir = java.nio.file.Files.createTempDirectory("mongo_export_date").toString + "/g"
+    val df = Seq((1L, "2012-08-21")).toDF("id", "d_s")
+      .withColumn("release_date", to_date(col("d_s"))).drop("d_s")
+    Writers.mongoExtendedJsonl(df, Seq("id"), dir)
+    val line = spark.read.text(dir).as[String].head()
+    assert(line.contains(""""release_date":{"$date":"2012-08-21T00:00:00.000Z"}"""), line)
+  }
 }

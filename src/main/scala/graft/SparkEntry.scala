@@ -784,8 +784,8 @@ object SparkEntry {
                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         FROM documents)
       SELECT doc_id, shard, n_tokens,
-             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                             ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
       FROM t""")),
 
     Q("q61_time_range_frame", (s, dir) => {
@@ -1083,7 +1083,7 @@ object SparkEntry {
         "doc_id", col("n_chars"), targetK = 500),
       Some("""
       WITH tot AS (
-        SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS W
+        SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,18))) AS DOUBLE) AS W
         FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0)
       SELECT doc_id, n_chars
       FROM documents, tot

@@ -172,20 +172,22 @@ object Dedup {
                       index: DataFrame,
                       numHashes: Int = 8, bandRows: Int = 2,
                       shingleN: Int = 2): DataFrame = {
-    val cands = incrementalLshCandidates(newDocs, idCol, textCol, index,
-      numHashes, bandRows, shingleN)
-    val bIds = newDocs.select(col(idCol).as("__bid")).distinct()
-    // pairs are (min, max): the max side is a dup whenever it is a batch doc
-    // (its partner is smaller — corpus or batch); the min side is a dup only
-    // when its partner is a corpus doc (corpus wins regardless of id order)
-    val dupMax = cands
-      .join(broadcast(bIds.withColumnRenamed("__bid", "doc_b")), Seq("doc_b"), "left_semi")
-      .select(col("doc_b").as("__dup"))
-    val dupMin = cands
-      .join(broadcast(bIds.withColumnRenamed("__bid", "doc_a")), Seq("doc_a"), "left_semi")
-      .join(broadcast(bIds.withColumnRenamed("__bid", "doc_b")), Seq("doc_b"), "left_anti")
-      .select(col("doc_a").as("__dup"))
-    val dups = dupMax.union(dupMin).distinct()
+    // provenance-preserving probe (the incrementalHammingKeep shape): the
+    // corpus-dup marks are emitted BEFORE pair normalization. Deriving them
+    // from normalized (min, max) pairs plus batch-id membership — the old
+    // form — misclassified the re-ingest-overlap case: when an id sits in
+    // BOTH the batch and the index, a batch doc near-dupping it slipped the
+    // "min side with corpus partner" test and survived.
+    val nb = lshBands(newDocs, idCol, textCol, numHashes, bandRows, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nb.count()
+    val dupVsCorpus = index.toDF("__old", "band", "bh")
+      .join(broadcast(nb.toDF("__new", "band", "bh")), Seq("band", "bh"))
+      .filter(col("__old") =!= col("__new")) // re-ingest must not self-drop
+      .select(col("__new").as("__dup"))
+    // within-batch: min-partner rule, the larger id of each pair drops
+    val dupInBatch = bucketPairsPinned(nb, idCol).select(col("doc_b").as("__dup"))
+    val dups = dupVsCorpus.union(dupInBatch).distinct()
     newDocs.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")
   }
 
@@ -212,7 +214,11 @@ object Dedup {
     val sampled = sampleFrac match {
       case Some(f) =>
         require(f > 0.0 && f <= 1.0, s"sampleFrac must be in (0,1], got $f")
-        docs.filter(pmod(xxhash64(col(idCol).cast("string")), lit(1000000L))
+        // the md5 house coin (hashSplit/mixtureBalance): xxhash64 is
+        // Spark-seeded and unreproducible in the oracle engine, breaking
+        // the module's "engine comparisons see the identical subset" claim
+        docs.filter(pmod(graft.functions.TextFunctions.md5Prefix32(
+            col(idCol).cast("string")), lit(1000000L))
           < lit((f * 1e6).toLong))
       case None => docs
     }
@@ -380,6 +386,11 @@ object Dedup {
     * tokens by bit i of the token hash; simhash bit i = 1 iff the sum > 0.
     * One explode + one groupBy with 32 conditional-sum partial aggs. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    // md5Prefix32 carries exactly 32 hash bits: bits > 32 would set v_i from
+    // a constant 0 bit, zero the whole high half of every fingerprint, and
+    // degenerate the hamming bands covering it into all-docs buckets (the
+    // quadratic blowup banding exists to prevent) — fail loudly instead
+    require(bits >= 1 && bits <= 32, s"simhash bits must be in [1, 32], got $bits")
     val toks = docs.select(col(idCol),
       explode(array_distinct(TF.tokens(col(textCol)))).as("__t"))
       .withColumn("__h", TF.md5Prefix32(col("__t")))
@@ -608,6 +619,14 @@ object Dedup {
     // serialization round trip, AND lets the loop free the previous round's
     // blocks — a localCheckpoint chain would strand every round's blocks in
     // the block manager until GC.
+    // the convergence check sums labels as DECIMAL(38,0): a non-numeric id
+    // column would cast to NULL, sum to NULL, and be misread as "no pairs" —
+    // every doc silently its own cluster. Hash string ids to longs upstream.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"resolveClusters needs numeric ids; column '$c' is $dt")
+    }
     def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) =
       org.apache.spark.sql.GraftBridge.pinInternal(df, StorageLevel.MEMORY_AND_DISK)
     val (edges, edgesRdd) = pin(
@@ -753,10 +772,24 @@ object Dedup {
   }
 
   def hammingNearDupPairs(fps: DataFrame, idCol: String, fpCol: String,
-                          maxHamming: Int, bits: Int): DataFrame = {
+                          maxHamming: Int, bits: Int): DataFrame =
+    // pin the band table before the self-join (the bucketPairs rule): a
+    // plain self-join plans the upstream fingerprint pipeline once per side
+    // — for simhash that is the whole per-byte token scan, twice. Lazy
+    // persist: the first action materializes once, both sides read the
+    // cache; reclaim via spark.catalog.clearCache() (house contract).
+    hammingPairsFromBands(
+      hammingBandIndex(fps, idCol, fpCol, maxHamming, bits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxHamming, bits)
+
+  /** The bucket-join half over a prebuilt (id, fp, band, bv) band table
+    * (callers holding a pinned [[hammingBandIndex]] — incrementalHammingKeep
+    * — share one pin across their probe and within-batch branches). */
+  private def hammingPairsFromBands(bands: DataFrame,
+                                    maxHamming: Int, bits: Int): DataFrame = {
     val (_, starts, maskFor) = hammingBandSpec(maxHamming, bits)
     val numBands = maxHamming + 1
-    val bands = hammingBandIndex(fps, idCol, fpCol, maxHamming, bits)
     val a = bands.toDF("doc_a", "sim_a", "band", "bv")
     val b = bands.toDF("doc_b", "sim_b", "band", "bv")
     // min-band emission instead of a trailing distinct: a close pair agrees on
@@ -808,14 +841,17 @@ object Dedup {
   def incrementalHammingKeep(newFps: DataFrame, idCol: String, fpCol: String,
                              index: DataFrame, maxHamming: Int,
                              bits: Int): DataFrame = {
+    // ONE pin serves the index probe AND the within-batch self-join — the
+    // batch is banded exactly once (the incrementalLshCandidates contract)
     val nb = hammingBandIndex(newFps, idCol, fpCol, maxHamming, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = index.toDF("__old", "__ofp", "band", "bv")
       .join(broadcast(nb.toDF("__new", "__nfp", "band", "bv")), Seq("band", "bv"))
       // re-ingest of an already-indexed id must not self-drop the row
       .filter(col("__old") =!= col("__new"))
       .filter(bit_count(col("__ofp").bitwiseXOR(col("__nfp"))) <= maxHamming)
       .select(col("__new").as("__dup"))
-    val dupInBatch = hammingNearDupPairs(newFps, idCol, fpCol, maxHamming, bits)
+    val dupInBatch = hammingPairsFromBands(nb, maxHamming, bits)
       .select(col("doc_b").as("__dup")) // (min, max) pairs: the larger id drops
     val dups = probe.union(dupInBatch).distinct()
     newFps.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")

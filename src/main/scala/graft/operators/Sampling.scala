@@ -81,9 +81,13 @@ object Sampling {
     // would admit NaN weights (and a NaN coin threshold admits every row)
     val totals = df.select(w.as("__w"))
       .filter(col("__w").isNotNull && !isnan(col("__w")) && col("__w") > 0.0)
-      .agg(sum(col("__w").cast(DecimalType(38, 6))).cast("double").as("__W"))
+      // scale 18, not 6: a corpus of tiny weights (< 5e-7) would truncate
+      // every addend to 0.000000, zero W, and keep EVERY row through the
+      // null-skipping least(); 20 integer digits still hold any real sum
+      .agg(sum(col("__w").cast(DecimalType(38, 18))).cast("double").as("__W"))
     df.filter(w.isNotNull && !isnan(w) && w > 0.0)
       .crossJoin(broadcast(totals))
+      .filter(col("__W") > 0.0) // a zero/absent total keeps nothing, not all
       .withColumn("__p", least(lit(1.0), lit(targetK.toDouble) * w / col("__W")))
       .filter(TF.md5Prefix32(col(idCol).cast("string")).cast("double") <
         col("__p") * lit(4294967296.0))
@@ -155,14 +159,6 @@ object Sampling {
       .drop("__th")
   }
 
-  /** Split-leakage audit: near-duplicate pairs that STRADDLE a train/val/
-    * test boundary — the held-out set is only held out if no near-copy of
-    * its members sits in training (Lee et al. 2021 measured this exact
-    * leak on C4). `pairs` is any near-dup pair table (LSH candidates or
-    * verified pairs); `splits` maps id → split name. Two keyed joins onto
-    * the pair table (pairs ≪ corpus, so this is cheap at any scale) and a
-    * mismatch filter; an empty result is the green light. Output:
-    * (aCol, bCol, split_a, split_b). */
   /** Greedy TOKEN-BUDGET selection per group: walk each group's documents
     * in `order` and keep every document while the RUNNING token total stays
     * within `budgetTokens` — the "cap each source at N tokens" step of
@@ -208,6 +204,14 @@ object Sampling {
       .select(col(groupCol), col(idCol), score.as("score"), col("calibrated"))
   }
 
+  /** Split-leakage audit: near-duplicate pairs that STRADDLE a train/val/
+    * test boundary — the held-out set is only held out if no near-copy of
+    * its members sits in training (Lee et al. 2021 measured this exact
+    * leak on C4). `pairs` is any near-dup pair table (LSH candidates or
+    * verified pairs); `splits` maps id → split name. Two keyed joins onto
+    * the pair table (pairs ≪ corpus, so this is cheap at any scale) and a
+    * mismatch filter; an empty result is the green light. Output:
+    * (aCol, bCol, split_a, split_b). */
   def crossSplitPairs(pairs: DataFrame, aCol: String, bCol: String,
                       splits: DataFrame, idCol: String,
                       splitCol: String): DataFrame =
@@ -409,9 +413,11 @@ object Sampling {
         TF.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       // a doc is labeled by the bin it STARTS in (tokens before it / budget):
-      // bins start at 0 in every shard and zero-token docs can't go negative
+      // bins start at 0 in every shard and zero-token docs can't go negative.
+      // div, not /: double division loses integer exactness past 2^53 and a
+      // boundary doc could land in the wrong bin (mixtureBalance's rule)
       .withColumn("bin",
-        floor((col("cum_tokens") - col("n_tokens")) / tokenBudget).cast("long"))
+        expr(s"(cum_tokens - n_tokens) div $tokenBudget").cast("long"))
       .select(idCol, "shard", "n_tokens", "bin")
   }
 }

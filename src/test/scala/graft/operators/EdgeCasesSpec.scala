@@ -26,12 +26,15 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.resolveClusters(noPairs, "doc_a", "doc_b").count() == 0)
   }
 
-  test("simhashNearDupPairs: single full-width band (maxHamming=0, bits=64) stays lossless") {
-    val docs = Seq(
-      (1L, "alpha beta gamma delta"),
-      (2L, "alpha beta gamma delta"), // exact dup -> hamming 0
-      (3L, "totally different words here")).toDF("doc_id", "text")
-    val out = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 0, bits = 64)
+  test("hamming banding: single full-width band (maxHamming=0, bits=64) stays lossless") {
+    // the 1L << 64 wrap edge: a 64-bit band needs the explicit all-ones
+    // mask. Driven on raw 64-bit fingerprints (dHash's domain) — simhash
+    // itself now rejects bits > 32 (md5Prefix32 carries 32 hash bits)
+    val fps = Seq(
+      (1L, 0x7fffffff_ffffffffL),
+      (2L, 0x7fffffff_ffffffffL), // exact dup -> hamming 0
+      (3L, 0x00000000_000000ffL)).toDF("doc_id", "fp")
+    val out = Dedup.hammingNearDupPairs(fps, "doc_id", "fp", maxHamming = 0, bits = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 2L, 0L))) // a 64-bit band mask must not collapse buckets
   }
@@ -74,5 +77,29 @@ class EdgeCasesSpec extends SparkSpec {
     val out = Relational.lookupOrCreate(dim, "id", "name", Seq("b", "a").toDF("name"))
       .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(out == Seq((1, "a"), (2, "b")))
+  }
+
+  test("simhash rejects bits > 32 loudly (md5Prefix32 carries 32 hash bits)") {
+    // a 64-bit request used to zero bits 32..63 of every fingerprint and
+    // degenerate the high hamming bands into all-docs buckets
+    intercept[IllegalArgumentException](
+      Dedup.simhash(oneDoc, "doc_id", "text", bits = 64))
+    assert(Dedup.simhash(oneDoc, "doc_id", "text", bits = 32).count() == 1)
+  }
+
+  test("resolveClusters rejects non-numeric ids loudly (decimal convergence sum)") {
+    // string ids cast to NULL in the convergence sum and every doc silently
+    // became its own cluster
+    val pairs = Seq(("urlA", "urlB")).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](
+      Dedup.resolveClusters(pairs, "doc_a", "doc_b"))
+  }
+
+  test("weightedSample: weights below the decimal quantum keep ~targetK, not everything") {
+    // 1e-7 weights truncated to zero at the old DECIMAL(38,6) scale, zeroing
+    // W; the null-skipping least() then kept EVERY row
+    val docs = (1L to 1000L).map(i => (i, 1e-7)).toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(docs, "doc_id", col("w"), targetK = 100).count()
+    assert(kept > 0 && kept < 300, s"expected ~100 of 1000, got $kept")
   }
 }

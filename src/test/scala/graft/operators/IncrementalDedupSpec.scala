@@ -52,6 +52,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept == Set(20L, 30L)) // 10 lost to corpus, 21 lost to 20, 20/30 kept
   }
 
+  test("incrementalKeep: re-ingest overlap cannot shield a batch near-dup (corpus always wins)") {
+    // id 5 is in BOTH the index and the batch; batch doc 3 near-dups it.
+    // The old normalized-pair logic saw (3, 5) with both ids batch-side and
+    // skipped the corpus-partner test — 3 survived despite near-dupping a
+    // CORPUS row. Provenance-preserving probe: 3 drops (its partner is a
+    // corpus row), and the re-ingested 5 drops too (min-partner vs batch
+    // doc 3 — and it is already indexed, so not re-appending it is the
+    // idempotent outcome). Nothing survives.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq((5L, base)).toDF("doc_id", "text")
+    val batch = Seq((3L, base), (5L, base)).toDF("doc_id", "text")
+    val index = Dedup.lshBands(corpus, "doc_id", "text")
+    val kept = Dedup.incrementalKeep(batch, "doc_id", "text", index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set.empty[Long], s"got $kept")
+  }
+
   test("indexDedupStream runs the batch core per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streams

@@ -1533,9 +1533,23 @@ object SparkEntry {
       // downweighting in the mixture)
       val m = Dedup.crossSourceDupMatrix(T(s, dir, "documents"), "doc_id",
         "text", "source", numHashes = 8, bandRows = 2, shingleN = 2)
-      val edges = m.select(col("source_x").as("src"), col("source_y").as("dst"),
+      // the matrix is ≤ |sources|² rows by construction (a handful of crawl
+      // labels — hundreds at most, never corpus-scale), but it is referenced
+      // TWICE below (both union arms) and then from four more subtrees inside
+      // pagerank: collect it to a LOCAL relation so the LSH candidate
+      // pipeline behind it executes exactly once and nothing stays pinned.
+      // This is the broadcast-a-bounded-stats-frame idiom, not a corpus
+      // collect — guarded loudly in case a caller ever feeds an unbounded
+      // source column.
+      val rows = m.collect()
+      require(rows.length <= 1000000,
+        s"crossSourceDupMatrix returned ${rows.length} rows — source column is" +
+          " not a bounded label; refusing to localize")
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), m.schema)
+      val edges = local.select(col("source_x").as("src"), col("source_y").as("dst"),
         col("n_pairs").as("w"))
-        .union(m.filter(col("source_x") =!= col("source_y"))
+        .union(local.filter(col("source_x") =!= col("source_y"))
           .select(col("source_y").as("src"), col("source_x").as("dst"),
             col("n_pairs").as("w")))
       graft.operators.Graph.pagerank(edges, "src", "dst", "w", iters = 5)

@@ -650,8 +650,12 @@ object Multimodal {
         val nonEmpty = bytes != null && bytes.nonEmpty
         mod match {
           case "image" if nonEmpty =>
+            // decodability = the embedding decoded; dHash needs a 9x8 grid,
+            // so a small-but-valid BMP (e.g. 8x8) has emb without dhash and
+            // must NOT be labeled undecodable — downstream gives null-dhash
+            // rows their own `too_small` verdict (they can't be dedup-screened)
             val (dh, emb) = imageExtractor.extract(bytes)
-            MediaFeatureRow(id, mod, decodable = dh.isDefined && emb.isDefined,
+            MediaFeatureRow(id, mod, decodable = emb.isDefined,
               dh, emb, None, None, None, None)
           case "audio" if nonEmpty =>
             val (q, emb) = audioExtractor.extract(id, bytes)
@@ -681,7 +685,10 @@ object Multimodal {
     * per-modality self-kNN.
     *
     * Verdict reasons, by priority: images `undecodable` (malformed /
-    * non-BMP) → `no_structure` (dhash == 0: a solid image has no gradient
+    * non-BMP) → `too_small` (valid but below the 9x8 dHash grid — its grid
+    * embedding exists in `features` but it cannot be dedup-screened, so it
+    * is excluded from the kept set under its own honest label)
+    * → `no_structure` (dhash == 0: a solid image has no gradient
     * signal and would near-dup with every other solid) → `near_dup`
     * (non-representative cluster member) → `ok`; audio `undecodable` →
     * `silence` (dead air beyond maxSilence) → `clipping` (distortion beyond
@@ -718,6 +725,7 @@ object Multimodal {
       .join(dupDropped, Seq("media_id"), "left")
       .select(col("media_id"), col("modality"),
         when(!col("decodable"), "undecodable")
+          .when(col("dhash").isNull, "too_small") // valid but below the 9x8 dHash grid: undedupable, own label
           .when(col("dhash") === 0L, "no_structure")
           .when(col("is_dup"), "near_dup")
           .otherwise("ok").as("reason"))
@@ -751,11 +759,22 @@ object Multimodal {
   /** One ingest step's outputs: batch verdicts (same shape as
     * [[MediaCuration]]'s), the kept feature rows, and the dHash band-index
     * rows to APPEND to the lake index for the kept images. `features` is
-    * the persisted per-batch feature table backing the others — callers
-    * that own the batch lifecycle (the streaming ingest) unpersist it once
-    * the batch's outputs are materialized. */
+    * the persisted per-batch feature table backing the others, and
+    * `bandPin` is the pinned batch band table inside the dedup probe
+    * (Dedup.incrementalHammingKeepPinned) — callers that own the batch
+    * lifecycle (the streaming ingest) unpersist BOTH once the batch's
+    * outputs are materialized; dropping either handle leaks one
+    * CacheManager-pinned DataFrame per micro-batch. */
   final case class MediaIngest(features: DataFrame, verdicts: DataFrame,
-                               keptFeatures: DataFrame, indexRows: DataFrame)
+                               keptFeatures: DataFrame, indexRows: DataFrame,
+                               bandPin: DataFrame) {
+    /** Release the per-batch caches (features + dedup band pin). */
+    def unpersistAll(): Unit = {
+      features.unpersist(blocking = false)
+      bandPin.unpersist(blocking = false)
+      ()
+    }
+  }
 
   /** Schema-correct empty dHash band index — the state before the first
     * batch. Derived from [[graft.operators.Dedup.hammingBandIndex]] over an
@@ -796,7 +815,7 @@ object Multimodal {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okImages = feats.filter(col("modality") === "image" &&
       col("decodable") && col("dhash") =!= 0L)
-    val keptImageFps = graft.operators.Dedup.incrementalHammingKeep(
+    val (keptImageFps, bandPin) = graft.operators.Dedup.incrementalHammingKeepPinned(
       okImages.select(col("media_id"), col("dhash")), "media_id", "dhash",
       dhashIndex, maxHamming, bits = 64)
     val keptMark = keptImageFps.select(col("media_id"), lit(true).as("__kept"))
@@ -804,6 +823,7 @@ object Multimodal {
       .join(keptMark, Seq("media_id"), "left")
       .select(col("media_id"), col("modality"),
         when(!col("decodable"), "undecodable")
+          .when(col("dhash").isNull, "too_small") // same label as curateMedia
           .when(col("dhash") === 0L, "no_structure")
           .when(col("__kept"), "ok")
           .otherwise("near_dup").as("reason"))
@@ -824,7 +844,7 @@ object Multimodal {
       .join(verdicts.filter(col("kept")).select("media_id"), "media_id")
     val indexRows = graft.operators.Dedup.hammingBandIndex(
       keptImageFps, "media_id", "dhash", maxHamming, bits = 64)
-    MediaIngest(feats, verdicts, keptFeatures, indexRows)
+    MediaIngest(feats, verdicts, keptFeatures, indexRows, bandPin)
   }
 
   /** STREAMING media ingest: [[ingestMediaBatch]] as a Structured Streaming
@@ -847,31 +867,49 @@ object Multimodal {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // existence via the Hadoop filesystem of the PATH, not java.io.File:
-          // a java.io check is always false on hdfs://, s3a://, or file:/ URIs
-          // and would silently dedup every batch against an empty index
-          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-          val idx =
-            if (fs.exists(idxPath)) spark.read.parquet(indexDir)
-            else emptyDHashIndex(spark)
-          val r = ingestMediaBatch(batch, idx, maxHamming = maxHamming)
-          // verdicts before the index append: the index plan's file listing
-          // is captured at read time, but writing in this order removes any
-          // re-list hazard for the batch's own verdict actions
-          r.verdicts.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(verdictsDir)
-          r.indexRows.write.mode("append").parquet(indexDir)
-          // per-batch feature cache released here: the stream owns the batch
-          // lifecycle, so without this every micro-batch leaks one pinned
-          // DataFrame until the block manager chokes
-          r.features.unpersist(blocking = false)
-        }
-        ()
+        mediaIngestStep(batch, batchId, indexDir, verdictsDir, maxHamming)
       }
       .start()
+
+  /** ONE micro-batch of the streaming media ingest, extracted so crash-replay
+    * is testable outside a running stream (drive it directly, throw at the
+    * failpoint, re-drive the same batch — the at-least-once contract in the
+    * [[streamingMediaIngest]] scaladoc is pinned by exactly this seam).
+    * `failpoint` runs BETWEEN the verdict append and the index append — the
+    * torn-batch window: a crash there leaves the batch's verdicts committed
+    * but its index rows absent, which the replay repairs because re-probing
+    * ids not yet indexed re-keeps them identically and replayed verdicts
+    * carry the same batch_id. */
+  private[graft] def mediaIngestStep(batch: DataFrame, batchId: Long,
+                                     indexDir: String, verdictsDir: String,
+                                     maxHamming: Int = 8,
+                                     failpoint: Long => Unit = _ => ()): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      // existence via the Hadoop filesystem of the PATH, not java.io.File:
+      // a java.io check is always false on hdfs://, s3a://, or file:/ URIs
+      // and would silently dedup every batch against an empty index
+      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val idx =
+        if (fs.exists(idxPath)) spark.read.parquet(indexDir)
+        else emptyDHashIndex(spark)
+      val r = ingestMediaBatch(batch, idx, maxHamming = maxHamming)
+      try {
+        // verdicts before the index append: the index plan's file listing
+        // is captured at read time, but writing in this order removes any
+        // re-list hazard for the batch's own verdict actions
+        r.verdicts.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(verdictsDir)
+        failpoint(batchId)
+        r.indexRows.write.mode("append").parquet(indexDir)
+      } finally
+        // per-batch caches (features + dedup band pin) released on EVERY
+        // path: the stream owns the batch lifecycle, so without this every
+        // micro-batch leaks pinned DataFrames until the block manager chokes
+        r.unpersistAll()
+    }
+  }
 
   /** Audio decode seam: binary column -> typed features (same narrow,
     * batched mapPartitions shape as decodeImages). */

@@ -145,7 +145,21 @@ object Dedup {
   def incrementalLshCandidates(newDocs: DataFrame, idCol: String, textCol: String,
                                index: DataFrame,
                                numHashes: Int = 8, bandRows: Int = 2,
-                               shingleN: Int = 2): DataFrame = {
+                               shingleN: Int = 2): DataFrame =
+    incrementalLshCandidatesPinned(newDocs, idCol, textCol, index, numHashes,
+      bandRows, shingleN)._1
+
+  /** [[incrementalLshCandidates]] with the pinned batch band table exposed:
+    * `(candidates, bandPin)`. A per-batch caller (foreachBatch) MUST
+    * `bandPin.unpersist()` once the candidates are materialized — persisted
+    * DataFrames are CacheManager entries, not GC-reclaimed, so a streaming
+    * job that drops the handle leaks one pin per micro-batch until the block
+    * manager chokes. The no-pin overloads keep the one-shot batch-query
+    * contract (reclaim via clearCache, like bucketPairs). */
+  def incrementalLshCandidatesPinned(newDocs: DataFrame, idCol: String,
+                                     textCol: String, index: DataFrame,
+                                     numHashes: Int = 8, bandRows: Int = 2,
+                                     shingleN: Int = 2): (DataFrame, DataFrame) = {
     // one pin serves the index probe AND the within-batch self-join: the
     // batch is signed exactly once (same contract as bucketPairs)
     val nb = lshBands(newDocs, idCol, textCol, numHashes, bandRows, shingleN)
@@ -157,7 +171,7 @@ object Dedup {
       .filter(col("__old") =!= col("__new"))
       .select(least(col("__old"), col("__new")).as("doc_a"),
         greatest(col("__old"), col("__new")).as("doc_b"))
-    oldNew.union(bucketPairsPinned(nb, idCol)).distinct()
+    (oldNew.union(bucketPairsPinned(nb, idCol)).distinct(), nb)
   }
 
   /** The ingest decision on top of incrementalLshCandidates: which batch
@@ -171,7 +185,17 @@ object Dedup {
   def incrementalKeep(newDocs: DataFrame, idCol: String, textCol: String,
                       index: DataFrame,
                       numHashes: Int = 8, bandRows: Int = 2,
-                      shingleN: Int = 2): DataFrame = {
+                      shingleN: Int = 2): DataFrame =
+    incrementalKeepPinned(newDocs, idCol, textCol, index, numHashes, bandRows,
+      shingleN)._1
+
+  /** [[incrementalKeep]] with the pinned batch band table exposed as
+    * `(kept, bandPin)` — same per-batch unpersist contract as
+    * [[incrementalLshCandidatesPinned]]. */
+  def incrementalKeepPinned(newDocs: DataFrame, idCol: String, textCol: String,
+                            index: DataFrame,
+                            numHashes: Int = 8, bandRows: Int = 2,
+                            shingleN: Int = 2): (DataFrame, DataFrame) = {
     // provenance-preserving probe (the incrementalHammingKeep shape): the
     // corpus-dup marks are emitted BEFORE pair normalization. Deriving them
     // from normalized (min, max) pairs plus batch-id membership — the old
@@ -188,7 +212,8 @@ object Dedup {
     // within-batch: min-partner rule, the larger id of each pair drops
     val dupInBatch = bucketPairsPinned(nb, idCol).select(col("doc_b").as("__dup"))
     val dups = dupVsCorpus.union(dupInBatch).distinct()
-    newDocs.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")
+    (newDocs.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti"),
+      nb)
   }
 
   /** LSH tuning report: precision/recall of the MinHash-LSH candidate set
@@ -840,7 +865,17 @@ object Dedup {
     * before its shuffle. */
   def incrementalHammingKeep(newFps: DataFrame, idCol: String, fpCol: String,
                              index: DataFrame, maxHamming: Int,
-                             bits: Int): DataFrame = {
+                             bits: Int): DataFrame =
+    incrementalHammingKeepPinned(newFps, idCol, fpCol, index, maxHamming,
+      bits)._1
+
+  /** [[incrementalHammingKeep]] with the pinned batch band table exposed as
+    * `(kept, bandPin)` — same per-batch unpersist contract as
+    * [[incrementalLshCandidatesPinned]]. */
+  def incrementalHammingKeepPinned(newFps: DataFrame, idCol: String,
+                                   fpCol: String, index: DataFrame,
+                                   maxHamming: Int, bits: Int)
+      : (DataFrame, DataFrame) = {
     // ONE pin serves the index probe AND the within-batch self-join — the
     // batch is banded exactly once (the incrementalLshCandidates contract)
     val nb = hammingBandIndex(newFps, idCol, fpCol, maxHamming, bits)
@@ -854,7 +889,8 @@ object Dedup {
     val dupInBatch = hammingPairsFromBands(nb, maxHamming, bits)
       .select(col("doc_b").as("__dup")) // (min, max) pairs: the larger id drops
     val dups = probe.union(dupInBatch).distinct()
-    newFps.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti")
+    (newFps.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti"),
+      nb)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force

@@ -35,15 +35,23 @@ object Graph {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of range")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct=$dampingPct")
     import org.apache.spark.storage.StorageLevel
+    // pin the edge projection AT ENTRY, before nodes/outw/ew derive from it:
+    // those three subtrees (plus both union arms inside `nodes`) would each
+    // re-execute the caller's upstream pipeline — which may be a whole LSH
+    // candidate computation (q120: bucket self-join + distinct + two label
+    // joins re-ran 6-8x per pagerank call before this pin). The count()
+    // materializes the cache so every derivation below reads it. Same cache
+    // contract as bucketPairs: callers running many graphs reclaim via
+    // clearCache().
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
-    // every iteration references the edge and node tables: pin both so the
-    // upstream pipeline (which may be a whole LSH candidate computation —
-    // q120) executes once, not once per round. Same cache contract as
-    // bucketPairs: callers running many graphs reclaim via clearCache().
+    // ew is referenced every iteration: pin it too so the per-round join
+    // reads a materialized table instead of re-joining e with outw
     val ew = e.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val n1 = nodes.agg(count(lit(1)).as("n"))
     val base = nodes.crossJoin(broadcast(n1)).persist(StorageLevel.MEMORY_AND_DISK)

@@ -109,9 +109,18 @@ object JdbcSink {
     dialectFor(url) match {
       case d @ MySqlDialect if keys.nonEmpty =>
         val cols = keys.map(d.quote).mkString(", ")
+        // idempotent-by-catch, but ONLY for MySQL error 1061 (ER_DUP_KEYNAME:
+        // a prior run already added the constraint). Swallowing every
+        // SQLException here — pre-existing duplicate rows (1062), missing
+        // ALTER privilege, dropped connection — would leave the table KEYLESS,
+        // silently degrading ON DUPLICATE KEY / INSERT IGNORE to plain appends
+        // that duplicate on at-least-once replay: the exact bug this method
+        // exists to prevent. Anything else propagates.
         try withConnection(url, props)(_.createStatement().executeUpdate(
           s"ALTER TABLE $table ADD CONSTRAINT ${d.quote("graft_upsert_key")} UNIQUE ($cols)"))
-        catch { case _: java.sql.SQLException => () } // already keyed: fine
+        catch {
+          case e: java.sql.SQLException if e.getErrorCode == 1061 => ()
+        }
       case _ => ()
     }
   }

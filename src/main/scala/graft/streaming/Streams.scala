@@ -369,7 +369,14 @@ object Streams {
     * streamingBandDedup; after a bucket evicts, the next arrival claims it
     * fresh (dedup-within-retention semantics — the standard contract for
     * streaming near-dup filters). `stateTtl` should exceed the watermark
-    * delay. */
+    * delay.
+    *
+    * CHECKPOINT COMPATIBILITY: the state encoding is `(Long, Long)` =
+    * (claiming doc_id, max event-time millis seen). It was `GroupState[Long]`
+    * before the monotone-max timeout fix — a query restarted from a
+    * checkpoint written by that version will fail to deserialize its state;
+    * restart such queries with a NEW checkpointLocation (dedup-within-
+    * retention semantics make the re-warm loss bounded by one TTL window). */
   def streamingBandDedupTtl(bands: Dataset[TimedBandedDoc], watermarkDelay: String,
                             stateTtl: java.time.Duration): Dataset[DedupVerdict] = {
     import bands.sparkSession.implicits._
@@ -462,8 +469,12 @@ object Streams {
                       (sink: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      sink(graft.operators.Dedup.incrementalKeep(
-        batch, idCol, textCol, index, numHashes, bandRows, shingleN))
+      // pinned form + per-batch release: the probe pins the batch band table,
+      // and a persisted DataFrame is a CacheManager entry, not GC-reclaimed —
+      // without the unpersist every micro-batch would leak one pin
+      val (kept, bandPin) = graft.operators.Dedup.incrementalKeepPinned(
+        batch, idCol, textCol, index, numHashes, bandRows, shingleN)
+      try sink(kept) finally { bandPin.unpersist(blocking = false); () }
     }
 
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP

@@ -374,4 +374,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), "index side must not sort-merge")
   }
+
+  test("q120 localizes its bounded overlap matrix: no corpus scan below pagerank") {
+    // the LSH candidate pipeline behind the |sources|^2 matrix is referenced
+    // from SIX subtrees (both union arms + pagerank's nodes/outw/ew/base);
+    // the registration collects the matrix to a LocalRelation, so the
+    // executed DAG of the result must contain NO file scan at all — the
+    // candidate join can only have run once, during registration
+    val df = SparkEntry.queries("q120_source_rank")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "q120's rank DAG re-reads the corpus: the matrix is no longer localized")
+  }
 }

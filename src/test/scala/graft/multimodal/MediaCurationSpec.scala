@@ -150,6 +150,36 @@ class MediaCurationSpec extends SparkSpec {
     assert(s2.verdicts.head().getString(2) === "ok")
   }
 
+  test("small valid BMP (under the 9x8 dHash grid) is too_small, not undecodable") {
+    // an 8x8 BMP decodes fine for the 4x4 grid embedding but cannot produce
+    // a dHash (needs >= 9x8): it must surface as decodable with its own
+    // `too_small` verdict — previously it was mislabeled `undecodable` and
+    // the perfectly good embedding was invisible in the features table
+    val small = Seq((50L, "image", pixelBmp(8, 8)((x, y) => (x * 30, y * 30, 40))))
+      .toDF("media_id", "modality", "content")
+    val f = Multimodal.extractFeatures(small).head()
+    assert(f.getBoolean(2), "decodable: the grid embedding decoded")
+    assert(f.isNullAt(3), "no dhash below the 9x8 grid")
+    assert(f.getSeq[Float](4).length === 48, "4x4x3 grid embedding present")
+    val cur = Multimodal.curateMedia(small).verdicts.head()
+    assert(cur.getString(2) === "too_small" && !cur.getBoolean(3))
+    val ing = Multimodal.ingestMediaBatch(small, Multimodal.emptyDHashIndex(spark))
+    assert(ing.verdicts.head().getString(2) === "too_small")
+    // and it contributes nothing to the dedup index (it can't be screened)
+    assert(ing.indexRows.count() === 0)
+  }
+
+  test("ingestMediaBatch releases its per-batch caches via unpersistAll") {
+    val b = Seq((1L, "image", gradient())).toDF("media_id", "modality", "content")
+    val s = Multimodal.ingestMediaBatch(b, Multimodal.emptyDHashIndex(spark))
+    s.verdicts.count() // materialize through both pins
+    assert(s.features.storageLevel.useMemory, "features pinned while batch is live")
+    assert(s.bandPin.storageLevel.useMemory, "band table pinned while batch is live")
+    s.unpersistAll()
+    assert(s.features.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(s.bandPin.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("extractFeatures: one row per asset, features null off-modality") {
     val feats = Multimodal.extractFeatures(media()).collect()
     assert(feats.length === 11)

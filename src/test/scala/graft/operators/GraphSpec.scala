@@ -52,4 +52,21 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("pagerank executes its edge input exactly once (entry pin)") {
+    // the edge frame may sit on top of a whole LSH candidate pipeline
+    // (q120's shape): pagerank derives nodes/outw/ew from it across FIVE
+    // subtrees, so without the entry pin the upstream would re-execute 6-8x.
+    // An accumulator inside the input counts upstream row-processings: with
+    // the pin it must equal the row count exactly — one execution.
+    val acc = spark.sparkContext.longAccumulator("edge-scans")
+    val raw = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 2L))
+      .toDF("src", "dst", "w")
+      .as[(String, String, Long)]
+      .mapPartitions(_.map { r => acc.add(1); r })
+      .toDF("src", "dst", "w")
+    val out = Graph.pagerank(raw, "src", "dst", "w", iters = 3)
+    out.collect()
+    assert(acc.value === 3L, s"edge input executed ${acc.value / 3.0}x")
+  }
 }

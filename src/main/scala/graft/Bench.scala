@@ -91,13 +91,22 @@ object Bench {
     // diffable record.
     val gcm = results.map(r => s""""${r.name}":${r.gcMs}""").mkString("{", ",", "}")
     val pks = results.map(r => s""""${r.name}":${r.peakMb}""").mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    // honest accounting for shared artifacts (the cluster-label closure et
+    // al.): their build lands in ONE query's first run and is then excluded
+    // by the min statistic, so without naming it the sweep total under-counts
+    // the like-for-like cost. one_time_s itemizes those materializations;
+    // the real wall cost of a cold sweep is value + one_time_s_total.
+    val oneTime = SparkEntry.oneTimeCosts
+    val ots = oneTime.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val otTotal = r3(oneTime.values.sum)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"one_time_s":$ots,"one_time_s_total":$otTotal,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // stdout: ONE JSON line guaranteed to fit the 2 KB capture — aggregate,
     // failure list, and the 20 slowest queries; everything else is in the file
     val top = results.filter(_.ok).sortBy(-_.time).take(20)
       .map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

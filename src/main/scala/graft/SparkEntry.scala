@@ -41,15 +41,48 @@ object SparkEntry {
     * consumer, not recomputed per query. */
   private val clusterLabelsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Wall-clock seconds of each shared one-time materialization (keyed by
+    * artifact:dir). Bench reports these alongside the per-query sweep so the
+    * headline total is reconstructible as sweep + one-time — excluding them
+    * silently would make the shared-artifact design look like free speed. */
+  private val oneTimeSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def oneTimeCosts: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    oneTimeSecs.asScala.toMap
+  }
+
+  /** Temp dirs backing shared artifacts, deleted on JVM exit — a sweep must
+    * not strew graft_cluster_labels_* dirs across /tmp. */
+  private val tempArtifacts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempArtifacts.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () } // exit-path cleanup: best effort
+      }))
+  }
+
   private def sharedClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val path = clusterLabelsCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_cluster_labels_").toString
+      tempArtifacts.add(p)
+      val t0 = System.nanoTime()
       Dedup.resolveClusters(
         Dedup.minhashLshCandidates(T(s, dir, "documents"), "doc_id", "text",
           numHashes = 8, bandRows = 2, shingleN = 2),
         "doc_a", "doc_b")
         .write.mode("overwrite").parquet(p)
+      oneTimeSecs.put(s"cluster_labels:$dir", (System.nanoTime() - t0) / 1e9)
       p
     })
     s.read.parquet(path)

@@ -92,8 +92,51 @@ object Scheduler {
     throw new IllegalStateException(s"no fire time within 5 years for '${s.raw}'")
   }
 
+  /** Earliest fire STRICTLY AFTER `from` in `from`'s zone, DST-safe — cron
+    * fields always describe WALL-CLOCK time, so a zone with transitions needs
+    * explicit gap/overlap policy (the zone-naive [[nextFire]] is only safe in
+    * fixed-offset zones like the reference's Asia/Ho_Chi_Minh):
+    *
+    *  - spring-forward GAP (the wall time never occurs): fire at the
+    *    transition instant itself — vixie's behavior for jobs scheduled in
+    *    the skipped interval (run immediately after the clock jumps).
+    *  - fall-back OVERLAP (the wall time occurs twice): fire at the FIRST
+    *    occurrence (earlier offset) only; the repeated hour does not re-fire
+    *    a slot that already ran. Sub-hourly wildcard schedules consequently
+    *    see one silent repeat-hour (they fired through the first pass) —
+    *    the standard non-double-running tradeoff, fine for the daily
+    *    deployment cadence this seam drives.
+    *
+    * Monotonicity is enforced on INSTANTS: a candidate whose first
+    * occurrence already passed (we are inside the repeated hour) is skipped
+    * forward, so the returned instant is always strictly after `from`. */
+  def nextFireZoned(s: CronSpec, from: java.time.ZonedDateTime)
+      : java.time.ZonedDateTime = {
+    val zone = from.getZone
+    val rules = zone.getRules
+    var local = from.toLocalDateTime
+    // bounded like nextFire's 5-year scan: each iteration advances `local`
+    // strictly, and only candidates inside one overlap window re-loop
+    var i = 0
+    while (i < 200) {
+      local = nextFire(s, local)
+      val offsets = rules.getValidOffsets(local)
+      val z =
+        if (offsets.isEmpty) // gap: the transition instant, in-zone
+          java.time.ZonedDateTime.ofInstant(rules.getTransition(local).getInstant, zone)
+        else // unique or overlap: the earlier offset = first wall occurrence
+          java.time.ZonedDateTime.ofLocal(local, zone, offsets.get(0))
+      if (z.toInstant.isAfter(from.toInstant)) return z
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"no zoned fire time after $from for '${s.raw}'")
+  }
+
   final case class Deployment(name: String, cron: CronSpec, flow: () => Unit)
   final case class RunRecord(name: String, at: LocalDateTime, error: Option[String])
+  final case class ZonedRunRecord(name: String, at: java.time.ZonedDateTime,
+                                  error: Option[String])
 
   /** The reference's two deployments, verbatim cadence
     * (prefect.yaml:7-8,22-23). */
@@ -130,6 +173,48 @@ object Scheduler {
             log += RunRecord(d.name, fireAt, Some(e.toString))
           }
         }
+        t = fireAt
+      }
+    }
+    log.result()
+  }
+
+  /** [[drive]] in zoned time: identical slot semantics (earliest-next-slot,
+    * missed-slot replay, per-slot name order, failure isolation) but every
+    * next-fire goes through [[nextFireZoned]], so the loop is safe in any
+    * deployment zone, DST transitions included. The zone-naive [[drive]]
+    * stays for fixed-offset zones (the reference's Asia/Ho_Chi_Minh cadence
+    * is one — no DST since 1975). */
+  def driveZoned(deployments: Seq[Deployment], start: java.time.ZonedDateTime,
+                 until: java.time.ZonedDateTime,
+                 now: () => java.time.ZonedDateTime,
+                 sleep: Duration => Unit,
+                 onError: (String, Throwable) => Unit = (_, _) => ())
+      : Seq[ZonedRunRecord] = {
+    require(deployments.nonEmpty, "no deployments to drive")
+    require(deployments.map(_.name).distinct.size == deployments.size,
+      "deployment names must be unique")
+    val log = Seq.newBuilder[ZonedRunRecord]
+    var t = start
+    var going = true
+    while (going) {
+      val nexts = deployments.map(d => d -> nextFireZoned(d.cron, t))
+      val fireAt = nexts.map(_._2)
+        .reduce((a, b) => if (a.toInstant.isBefore(b.toInstant)) a else b)
+      if (fireAt.toInstant.isAfter(until.toInstant)) going = false
+      else {
+        val wait = Duration.between(now().toInstant, fireAt.toInstant)
+        if (!wait.isNegative && !wait.isZero) sleep(wait)
+        // slot identity by INSTANT: on a gap day two crons (e.g. "30 2" and
+        // "0 3") can both resolve to the transition instant — one slot
+        nexts.filter(_._2.toInstant == fireAt.toInstant).sortBy(_._1.name)
+          .foreach { case (d, _) =>
+            try { d.flow(); log += ZonedRunRecord(d.name, fireAt, None) }
+            catch { case e: Throwable =>
+              onError(d.name, e)
+              log += ZonedRunRecord(d.name, fireAt, Some(e.toString))
+            }
+          }
         t = fireAt
       }
     }

@@ -113,6 +113,67 @@ class SchedulerSpec extends AnyFunSuite {
     }
   }
 
+  test("nextFireZoned: spring-forward gap fires at the transition instant (vixie)") {
+    import java.time.{Instant, ZoneId, ZonedDateTime}
+    val ny = ZoneId.of("America/New_York") // 2026-03-08: 02:00 EST -> 03:00 EDT
+    val s = parse("30 2 * * *")
+    val from = ZonedDateTime.of(2026, 3, 7, 12, 0, 0, 0, ny)
+    val fire = nextFireZoned(s, from)
+    // 02:30 on Mar 8 never exists; the job runs right at the jump (03:00 EDT)
+    assert(fire.toInstant === Instant.parse("2026-03-08T07:00:00Z"))
+    assert(fire.getHour === 3 && fire.getOffset.toString === "-04:00")
+    // the day after, back to plain 02:30 EDT
+    assert(nextFireZoned(s, fire).toInstant === Instant.parse("2026-03-09T06:30:00Z"))
+  }
+
+  test("nextFireZoned: fall-back overlap fires the FIRST occurrence only") {
+    import java.time.{Instant, ZoneId, ZonedDateTime}
+    val ny = ZoneId.of("America/New_York") // 2026-11-01: 02:00 EDT -> 01:00 EST
+    val s = parse("30 1 * * *")
+    val from = ZonedDateTime.of(2026, 10, 31, 12, 0, 0, 0, ny)
+    val first = nextFireZoned(s, from)
+    // 01:30 happens twice on Nov 1; fire at the earlier offset (EDT)
+    assert(first.toInstant === Instant.parse("2026-11-01T05:30:00Z"))
+    assert(first.getOffset.toString === "-04:00")
+    // from inside the repeated hour (even at the later offset past the wall
+    // slot) the SECOND 01:30 must NOT re-fire: next is Nov 2, 01:30 EST
+    val second = nextFireZoned(s, first)
+    assert(second.toInstant === Instant.parse("2026-11-02T06:30:00Z"))
+    assert(second.getOffset.toString === "-05:00")
+  }
+
+  test("nextFireZoned: fixed-offset zone (the reference's) matches the naive math") {
+    import java.time.{ZoneId, ZonedDateTime}
+    val vn = ZoneId.of("Asia/Ho_Chi_Minh") // no DST — prefect.yaml's zone
+    val s = parse("0 15 * * *")
+    val from = ZonedDateTime.of(aug14, vn)
+    val z = nextFireZoned(s, from)
+    assert(z.toLocalDateTime === nextFire(s, aug14))
+    // consecutive fires exactly 24h of instant time apart, year-round
+    assert(Duration.between(z.toInstant, nextFireZoned(s, z).toInstant)
+      === Duration.ofHours(24))
+  }
+
+  test("driveZoned: deployments across a gap day coalesce on the transition instant") {
+    import java.time.{ZoneId, ZonedDateTime}
+    val ny = ZoneId.of("America/New_York")
+    var clock = ZonedDateTime.of(2026, 3, 7, 12, 0, 0, 0, ny)
+    val ran = Seq.newBuilder[String]
+    val log = driveZoned(
+      Seq(Deployment("a_gap", parse("30 2 * * *"), () => ran += "a"),
+        Deployment("b_after", parse("0 3 * * *"), () => ran += "b")),
+      start = clock, until = ZonedDateTime.of(2026, 3, 9, 12, 0, 0, 0, ny),
+      now = () => clock, sleep = d => clock = clock.plus(d))
+    // Mar 8 (gap day): both crons resolve to the 03:00 EDT transition instant
+    // and run in name order at ONE slot; Mar 9: separate slots again
+    assert(ran.result() === Seq("a", "b", "a", "b"))
+    assert(log.map(r => (r.name, r.at.toInstant.toString)) === Seq(
+      ("a_gap",   "2026-03-08T07:00:00Z"),
+      ("b_after", "2026-03-08T07:00:00Z"),
+      ("a_gap",   "2026-03-09T06:30:00Z"),
+      ("b_after", "2026-03-09T07:00:00Z")))
+  }
+
   test("drive: a failing flow is recorded and the loop continues; overrun replays slots") {
     var clock = LocalDateTime.of(2026, 8, 14, 14, 59)
     var n = 0

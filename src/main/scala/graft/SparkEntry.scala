@@ -1798,6 +1798,23 @@ object SparkEntry {
       Similarity.retrievalEval(truth, approx)
     }, Some(TextOracle.retrievalEvalSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
 
+    Q("q143_reconcile_keeps", (s, dir) => {
+      // the compaction analogue for dedup state: greedy per-batch keeps
+      // (arrival-order dependent, chains resolved greedily) repaired to the
+      // batch-order-independent full resolution — min-id per component —
+      // with the applied diff labeled keep/drop/resurrect
+      val docs = T(s, dir, "documents")
+      val emptyIdx = Dedup.lshBands(docs.limit(0), "doc_id", "text")
+      val greedy = Dedup.incrementalKeep(docs, "doc_id", "text", emptyIdx)
+        .select("doc_id")
+      val r = Dedup.reconcileLshKeeps(docs, "doc_id", "text", greedy)
+      r.repairedKeeps.join(r.resurrections, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("keep").as("status"))
+        .unionByName(r.drops.select(col("doc_id"), lit("drop").as("status")))
+        .unionByName(r.resurrections
+          .select(col("doc_id"), lit("resurrect").as("status")))
+    }, Some(TextOracle.reconcileKeepsSql(numHashes = 8, bandRows = 2))),
+
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;
       // deterministic non-ASCII decorations exercise composition/stripping

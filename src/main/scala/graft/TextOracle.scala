@@ -195,6 +195,28 @@ object TextOracle {
     SELECT id, cluster_id FROM lbl"""
   }
 
+  /** Reconciliation-backfill oracle (q143, Dedup.reconcileLshKeeps): the
+    * greedy single-pass keep set (a doc drops iff it has any smaller-id
+    * candidate partner, i.e. appears as doc_b) diffed against the
+    * full-resolution keeps (min-label per component via the closure CTE,
+    * singletons pass) — disjoint statuses keep/drop/resurrect. */
+  def reconcileKeepsSql(numHashes: Int, bandRows: Int): String = s"""
+    WITH RECURSIVE ${candCtes(numHashes, bandRows)},
+    $closureCtes,
+    losers AS (SELECT id FROM lbl WHERE id <> cluster_id),
+    fullk AS (SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (SELECT id FROM losers)),
+    greedy AS (SELECT doc_id FROM documents
+               WHERE doc_id NOT IN (SELECT doc_b FROM cand))
+    SELECT doc_id, 'keep' AS status FROM fullk
+    WHERE doc_id IN (SELECT doc_id FROM greedy)
+    UNION ALL
+    SELECT doc_id, 'drop' AS status FROM greedy
+    WHERE doc_id NOT IN (SELECT doc_id FROM fullk)
+    UNION ALL
+    SELECT doc_id, 'resurrect' AS status FROM fullk
+    WHERE doc_id NOT IN (SELECT doc_id FROM greedy)"""
+
   /** Cross-source near-dup matrix (q117): the LSH candidate set labeled with
     * each side's source, rolled up by unordered source pair. */
   def crossSourceDupsSql(numHashes: Int, bandRows: Int): String = s"""

@@ -803,9 +803,11 @@ object Multimodal {
     * batch-function-over-micro-batches contract as the text side's
     * streaming dedup twins). Within-batch dups resolve by the greedy
     * min-partner rule — per-batch keeps union-equal a full curateMedia pass
-    * whenever dup chains don't straddle batches (incrementalHammingKeep's
-    * documented caveat). Audio/other verdicts are batch-local (gates carry
-    * no cross-batch state). */
+    * whenever dup chains don't straddle batches; straddling chains are
+    * repaired by the periodic `Dedup.reconcileHammingKeeps` backfill over
+    * the verdict archive (the compaction analogue for dedup state).
+    * Audio/other verdicts are batch-local (gates carry no cross-batch
+    * state). */
   def ingestMediaBatch(newMedia: DataFrame, dhashIndex: DataFrame,
                        maxHamming: Int = 8, maxSilence: Double = 0.5,
                        maxClip: Double = 0.01, minRms: Double = 0.01,

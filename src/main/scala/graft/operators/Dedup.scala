@@ -179,7 +179,7 @@ object Dedup {
     * (the corpus is already ingested — it always wins) or a SMALLER-id batch
     * doc (min-partner rule, the arrival-order analogue of
     * streamingBandDedup; chains resolve greedily — full transitive
-    * resolution is resolveClusters' job on the backfill pass). The batch id
+    * resolution is [[reconcileLshKeeps]]' job on the backfill pass). The batch id
     * set is broadcast for the membership marks, so nothing here shuffles
     * with corpus size. */
   def incrementalKeep(newDocs: DataFrame, idCol: String, textCol: String,
@@ -844,8 +844,8 @@ object Dedup {
     * within-batch dups resolve by the min-partner rule (the arrival-order
     * greedy: a batch row drops when it near-dups any corpus row — the
     * corpus always wins — or a smaller-id batch row; chains resolve
-    * greedily, full transitive resolution is resolveClusters' job on a
-    * backfill pass, exactly the [[incrementalKeep]] contract). Returns the
+    * greedily, full transitive resolution is [[reconcileHammingKeeps]]' job
+    * on a backfill pass, exactly the [[incrementalKeep]] contract). Returns the
     * surviving batch rows; append their [[hammingBandIndex]] to the lake
     * index to complete the ingest step.
     *
@@ -892,6 +892,70 @@ object Dedup {
     (newFps.join(dups.withColumnRenamed("__dup", idCol), Seq(idCol), "left_anti"),
       nb)
   }
+
+  /** Outcome of the periodic keep-reconciliation backfill: the repaired
+    * keep-id set under FULL transitive resolution, plus the diff against the
+    * greedy per-batch decisions — `drops` were kept greedily but are not
+    * their cluster's representative, `resurrections` were dropped greedily
+    * but are. All three are single-column id frames. */
+  final case class KeepReconciliation(repairedKeeps: DataFrame,
+                                      drops: DataFrame,
+                                      resurrections: DataFrame)
+
+  /** Shared reconciliation core: full-resolution keeps from the candidate
+    * pair set (min-id per connected component + every singleton), diffed
+    * against the greedy keep set. */
+  private def reconcileFromPairs(allIds: DataFrame, idCol: String,
+                                 pairs: DataFrame,
+                                 currentKeptIds: DataFrame): KeepReconciliation = {
+    val losers = resolveClusters(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    val repaired = allIds.select(col(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+    val cur = currentKeptIds.select(col(idCol))
+    KeepReconciliation(
+      repairedKeeps = repaired,
+      drops = cur.join(repaired, Seq(idCol), "left_anti"),
+      resurrections = repaired.join(cur, Seq(idCol), "left_anti"))
+  }
+
+  /** The reconciliation half of incremental ingest — the compaction analogue
+    * for dedup state. [[incrementalKeep]]/[[incrementalHammingKeep]] are
+    * greedy per batch: a dup CHAIN straddling batches can diverge from the
+    * full-batch pass (a dropped middle link never enters the index, so a
+    * later link it would have caught survives), and "corpus always wins" can
+    * keep a larger id than the cluster minimum. This backfill runs the FULL
+    * candidate+closure pass over the ARCHIVE of every ingested fingerprint
+    * (kept AND dropped — the verdict lake, not the keep index; dropped rows
+    * are exactly the chain links the index is missing) and repairs the keep
+    * set to the batch-order-independent full-batch semantics: min-id per
+    * connected component, singletons pass through.
+    *
+    * Scale shape: one banded pair pass + pointer-doubling closure over the
+    * archive — a periodic batch job (weekly compaction, not per-ingest);
+    * afterwards rebuild the lake index as `hammingBandIndex(repairedKeeps'
+    * fingerprints)` and apply `drops`/`resurrections` to the curated output.
+    * IncrementalDedupSpec pins batch-sequence + reconcile ≡ full-batch on a
+    * 3-batch chain-straddling fixture. */
+  def reconcileHammingKeeps(allFps: DataFrame, idCol: String, fpCol: String,
+                            currentKeptIds: DataFrame, maxHamming: Int,
+                            bits: Int): KeepReconciliation =
+    reconcileFromPairs(allFps, idCol,
+      hammingNearDupPairs(allFps, idCol, fpCol, maxHamming, bits),
+      currentKeptIds)
+
+  /** [[reconcileHammingKeeps]]' text twin over MinHash-LSH candidates —
+    * reconciles [[incrementalKeep]]'s greedy decisions to the full-batch
+    * semantics. Same archive contract: `allDocs` is every ingested doc,
+    * kept and dropped. */
+  def reconcileLshKeeps(allDocs: DataFrame, idCol: String, textCol: String,
+                        currentKeptIds: DataFrame,
+                        numHashes: Int = 8, bandRows: Int = 2,
+                        shingleN: Int = 2): KeepReconciliation =
+    reconcileFromPairs(allDocs, idCol,
+      minhashLshCandidates(allDocs, idCol, textCol, numHashes, bandRows, shingleN),
+      currentKeptIds)
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute force
     * (inverted by LSH at scale — see Similarity.lshNearDupPairs); kept as the

@@ -89,6 +89,81 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reconcileHammingKeeps: a 3-batch chain straddle resolves to the full-batch keeps") {
+    // chain A(1,fp 0) ~ B(2,fp 3) ~ C(3,fp 15), A !~ C at maxHamming=2:
+    //   batch1 {1}: kept, indexed
+    //   batch2 {2}: near-dups indexed 1 -> dropped, NEVER indexed
+    //   batch3 {3}: probes index {1}, hamming(0,15)=4 > 2 -> kept (the greedy
+    //               divergence: the chain's middle link is missing)
+    // full-batch: pairs (1,2),(2,3) -> one component {1,2,3} -> keep {1}
+    val mh = 2; val bits = 64
+    def fps(rows: (Long, Long)*) = rows.toSeq.toDF("media_id", "dhash")
+    val b1 = fps(1L -> 0L); val b2 = fps(2L -> 3L); val b3 = fps(3L -> 15L)
+    var index = Dedup.hammingBandIndex(
+      fps(), "media_id", "dhash", mh, bits)
+    var kept = Seq.empty[(Long, Long)]
+    Seq(b1, b2, b3).foreach { b =>
+      val k = Dedup.incrementalHammingKeep(b, "media_id", "dhash", index, mh, bits)
+      val kr = k.collect().map(r => (r.getLong(0), r.getLong(1)))
+      kept ++= kr
+      index = index.unionByName(
+        Dedup.hammingBandIndex(fps(kr.toIndexedSeq: _*), "media_id", "dhash", mh, bits))
+    }
+    assert(kept.map(_._1).toSet === Set(1L, 3L), "greedy keeps diverge (chain straddle)")
+
+    val archive = b1.unionByName(b2).unionByName(b3) // kept AND dropped rows
+    val r = Dedup.reconcileHammingKeeps(archive, "media_id", "dhash",
+      fps(kept.toIndexedSeq: _*).select("media_id"), mh, bits)
+    assert(r.repairedKeeps.collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(r.drops.collect().map(_.getLong(0)).toSet === Set(3L))
+    assert(r.resurrections.count() === 0)
+    // pinned equivalence: repaired == the full-batch pass over the archive
+    val fullLosers = Dedup.resolveClusters(
+      Dedup.hammingNearDupPairs(archive, "media_id", "dhash", mh, bits),
+      "doc_a", "doc_b").filter(col("id") =!= col("cluster_id"))
+    val fullKeeps = archive.join(
+      fullLosers.withColumnRenamed("id", "media_id"), Seq("media_id"), "left_anti")
+    assert(r.repairedKeeps.collect().map(_.getLong(0)).toSet ===
+      fullKeeps.select("media_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("reconcileLshKeeps: corpus-wins keeps a larger id; reconcile resurrects the minimum") {
+    // batch1 ingests id 5; batch2's id 1 (same text) drops because the
+    // corpus always wins — greedy keeps {5}, but the full-batch,
+    // order-independent semantics keep the cluster minimum {1}
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b1 = Seq((5L, base)).toDF("doc_id", "text")
+    val b2 = Seq((1L, base)).toDF("doc_id", "text")
+    val index = Dedup.lshBands(b1, "doc_id", "text")
+    val kept2 = Dedup.incrementalKeep(b2, "doc_id", "text", index)
+    assert(kept2.count() === 0, "greedy: corpus wins, 1 drops")
+    val archive = b1.unionByName(b2)
+    val r = Dedup.reconcileLshKeeps(archive, "doc_id", "text",
+      Seq(5L).toDF("doc_id"))
+    assert(r.repairedKeeps.collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(r.drops.collect().map(_.getLong(0)).toSet === Set(5L))
+    assert(r.resurrections.collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("reconcile on real testdata: repair algebra holds and the repaired set is a fixpoint") {
+    val empty = Dedup.lshBands(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text")
+    val kept = Dedup.incrementalKeep(docs, "doc_id", "text", empty)
+      .select("doc_id")
+    val r = Dedup.reconcileLshKeeps(docs, "doc_id", "text", kept)
+    // repaired = (kept \ drops) ∪ resurrections, with the two diff legs disjoint
+    val keptSet = kept.collect().map(_.getLong(0)).toSet
+    val drops = r.drops.collect().map(_.getLong(0)).toSet
+    val res = r.resurrections.collect().map(_.getLong(0)).toSet
+    val repaired = r.repairedKeeps.collect().map(_.getLong(0)).toSet
+    assert(drops.subsetOf(keptSet) && res.intersect(keptSet).isEmpty)
+    assert(repaired === (keptSet -- drops) ++ res)
+    // applying the repair is idempotent: reconciling the repaired set again
+    // finds nothing left to fix
+    val r2 = Dedup.reconcileLshKeeps(docs, "doc_id", "text", r.repairedKeeps)
+    assert(r2.drops.count() === 0 && r2.resurrections.count() === 0)
+  }
+
   test("plan: the batch side broadcasts; the index is never shuffled") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)

@@ -1804,10 +1804,19 @@ object SparkEntry {
       // batch-order-independent full resolution — min-id per component —
       // with the applied diff labeled keep/drop/resurrect
       val docs = T(s, dir, "documents")
-      val emptyIdx = Dedup.lshBands(docs.limit(0), "doc_id", "text")
-      val greedy = Dedup.incrementalKeep(docs, "doc_id", "text", emptyIdx)
-        .select("doc_id")
-      val r = Dedup.reconcileLshKeeps(docs, "doc_id", "text", greedy)
+      // ONE candidate pass: the greedy keep rule against an empty index is
+      // exactly "no smaller-id partner" = never the max side of a pair
+      // (incrementalKeep's within-batch rule, equality oracle-pinned), and
+      // the closure comes from the shared lake artifact instead of a second
+      // candidate + closure run — the scale-honest shape: reconciliation
+      // APPLIES the materialized cluster labels, it doesn't recompute them
+      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        numHashes = 8, bandRows = 2, shingleN = 2)
+      val greedy = docs.select("doc_id").join(
+        cand.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val r = Dedup.reconcileKeepsFromLabels(docs, "doc_id",
+        sharedClusterLabels(s, dir), greedy)
       r.repairedKeeps.join(r.resurrections, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit("keep").as("status"))
         .unionByName(r.drops.select(col("doc_id"), lit("drop").as("status")))

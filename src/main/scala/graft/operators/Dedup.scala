@@ -902,13 +902,16 @@ object Dedup {
                                       drops: DataFrame,
                                       resurrections: DataFrame)
 
-  /** Shared reconciliation core: full-resolution keeps from the candidate
-    * pair set (min-id per connected component + every singleton), diffed
-    * against the greedy keep set. */
-  private def reconcileFromPairs(allIds: DataFrame, idCol: String,
-                                 pairs: DataFrame,
-                                 currentKeptIds: DataFrame): KeepReconciliation = {
-    val losers = resolveClusters(pairs, "doc_a", "doc_b")
+  /** Reconciliation from PRE-RESOLVED cluster labels (id, cluster_id) — the
+    * shared-closure form, like [[bestPerClusterFromLabels]]: at scale the
+    * closure over the archive is itself a write-once lake artifact, and this
+    * applies it without re-running candidates or the iterative closure.
+    * Full-resolution keeps = ids off every losing label row (min-id per
+    * component + every singleton), diffed against the greedy keep set. */
+  def reconcileKeepsFromLabels(allIds: DataFrame, idCol: String,
+                               labelsRaw: DataFrame,
+                               currentKeptIds: DataFrame): KeepReconciliation = {
+    val losers = labelsRaw
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     val repaired = allIds.select(col(idCol))
@@ -919,6 +922,12 @@ object Dedup {
       drops = cur.join(repaired, Seq(idCol), "left_anti"),
       resurrections = repaired.join(cur, Seq(idCol), "left_anti"))
   }
+
+  private def reconcileFromPairs(allIds: DataFrame, idCol: String,
+                                 pairs: DataFrame,
+                                 currentKeptIds: DataFrame): KeepReconciliation =
+    reconcileKeepsFromLabels(allIds, idCol,
+      resolveClusters(pairs, "doc_a", "doc_b"), currentKeptIds)
 
   /** The reconciliation half of incremental ingest — the compaction analogue
     * for dedup state. [[incrementalKeep]]/[[incrementalHammingKeep]] are

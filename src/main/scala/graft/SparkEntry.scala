@@ -950,22 +950,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, iters = 2),
       Some(TextOracle.kmeansSql(k = 4, iters = 2, dims = 64))),
 
-    Q("q73_semantic_dedup", (s, dir) => {
-      // SemDeDup-style composition (Abbas et al. 2023): k-means clusters as
-      // the blocking function, exact cosine pairs WITHIN a cluster only —
-      // pair work drops from O(N²) to O(N²/k); real corpora dial k up so a
-      // cluster fits an executor (here k=4 over the small test table)
-      val emb = T(s, dir, "embeddings")
-      val labels = graft.operators.Clustering.kmeansLloyd(emb, "vec_id", "embedding",
-        k = 4, iters = 2)
-      val base = emb.join(labels, "vec_id")
-      val a = base.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-      val b = base.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
-      a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
-        .filter(col("cos") >= 0.4)
-        .select("id_a", "id_b", "cluster", "cos")
-    }, Some(TextOracle.semanticDedupSql(k = 4, iters = 2, dims = 64, threshold = 0.4))),
+    Q("q73_semantic_dedup", (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means blocks, exact cosine pairs
+      // WITHIN a cluster only. k is NOT pinned — Clustering.autoK derives it
+      // from the corpus (target cluster size 125 → k=4 at sf0.01, 16 at
+      // sf0.1, 160 at sf1), so pair work stays LINEAR instead of O(N²/k);
+      // the oracle computes the identical k from count(*)
+      graft.operators.Dedup.semanticDedup(T(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, iters = 2,
+        targetClusterSize = 125, kMin = 4),
+      Some(TextOracle.semanticDedupAutoKSql(targetClusterSize = 125, kMin = 4,
+        iters = 2, dims = 64, threshold = 0.4))),
 
     Q("q74_ngram_vocab", (s, dir) =>
       // corpus-wide vocabulary mining: most frequent word bigrams. Hot grams
@@ -1823,6 +1818,21 @@ object SparkEntry {
         .unionByName(r.resurrections
           .select(col("doc_id"), lit("resurrect").as("status")))
     }, Some(TextOracle.reconcileKeepsSql(numHashes = 8, bandRows = 2))),
+
+    Q("q144_knn_serve", (s, dir) => {
+      // the SERVING shape next to the eval harness: a CONSTANT probe batch
+      // (the 64 smallest vec_ids — a TakeOrdered, deterministic on sparse id
+      // spaces) against the whole corpus through the same bounded-heap
+      // broadcast plan as q83. The eval family (q83/q84/q105/q142) scales
+      // probes with the corpus by harness contract (work ~ sf²); serving
+      // holds |probes| fixed, so cost is LINEAR in the corpus — the slope a
+      // deployment actually pays per ingested decade
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      Similarity.knnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, excludeSelf = true)
+    }, Some(TextOracle.knnServeSql(k = 5, nProbes = 64))),
 
     Q("q126_unicode_normalize", (s, dir) => {
       // NFC + accent folding + lowercase via the native TextNorm expressions;

@@ -906,6 +906,26 @@ object TextOracle {
       FROM cand WHERE cos IS NOT NULL)
     SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
 
+  /** Fixed-probe-batch kNN SERVING (q144): the `nProbes` smallest vec_ids
+    * as the constant probe set; otherwise identical to [[knnJoinSql]]. */
+  def knnServeSql(k: Int, nProbes: Int): String = s"""
+    WITH probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings ORDER BY vec_id LIMIT $nProbes),
+    cand AS (
+      SELECT p.probe_id, e.vec_id,
+             round(${dotExpr("e.embedding", "p.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+
   /** q141: the relational skeleton of the multimodal curation pipeline on
     * the embeddings table — component-spike quality gate → pairwise
     * near-dup with the drop-later rule → self-kNN of the survivors. Gate
@@ -1122,7 +1142,13 @@ object TextOracle {
     * Clustering.kmeansLloyd op for op (see its determinism notes). Returns
     * the full CTE body (no WITH) ending in a$iters(vec_id, cluster), shared
     * by the plain k-means query and the semantic-dedup composition. */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String =
+    kmeansCtesExpr(k.toString, iters, dims)
+
+  /** As [[kmeansCtes]] but k is an arbitrary SQL expression (used by the
+    * auto-k SemDeDup oracle, where k derives from count(*) exactly as
+    * Clustering.autoK does). DuckDB accepts a scalar subquery in LIMIT. */
+  private def kmeansCtesExpr(kExpr: String, iters: Int, dims: Int): String = {
     def assignCtes(r: Int, cPrev: String): String = s"""
     d$r AS (
       SELECT e.vec_id, $cPrev.cluster,
@@ -1149,7 +1175,7 @@ object TextOracle {
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),$rounds"""
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kExpr)),$rounds"""
   }
 
   def kmeansSql(k: Int, iters: Int, dims: Int): String = s"""
@@ -1171,9 +1197,21 @@ object TextOracle {
 
   /** SemDeDup-style composition (Abbas et al. 2023): k-means as the blocking
     * function, exact cosine pairs WITHIN clusters only. Same cosine formula
-    * as nearDupSql. */
-  def semanticDedupSql(k: Int, iters: Int, dims: Int, threshold: Double): String = s"""
-    WITH ${kmeansCtes(k, iters, dims)},
+    * as nearDupSql. k mirrors Clustering.autoK — derived from count(*) with
+    * the same ceiling-division formula, so the oracle tracks the engine at
+    * ANY scale factor instead of pinning the sf0.01 value. */
+  def semanticDedupAutoKSql(targetClusterSize: Long, kMin: Int, iters: Int,
+                            dims: Int, threshold: Double): String =
+    semanticDedupBody(
+      s"(SELECT GREATEST($kMin, CAST(ceil(count(*) / $targetClusterSize.0) AS BIGINT)) FROM embeddings)",
+      iters, dims, threshold)
+
+  def semanticDedupSql(k: Int, iters: Int, dims: Int, threshold: Double): String =
+    semanticDedupBody(k.toString, iters, dims, threshold)
+
+  private def semanticDedupBody(kExpr: String, iters: Int, dims: Int,
+                                threshold: Double): String = s"""
+    WITH ${kmeansCtesExpr(kExpr, iters, dims)},
     lbl AS (SELECT e.vec_id, e.embedding, a$iters.cluster
             FROM e JOIN a$iters USING (vec_id)),
     p AS (

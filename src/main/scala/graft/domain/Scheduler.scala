@@ -184,7 +184,15 @@ object Scheduler {
     * next-fire goes through [[nextFireZoned]], so the loop is safe in any
     * deployment zone, DST transitions included. The zone-naive [[drive]]
     * stays for fixed-offset zones (the reference's Asia/Ho_Chi_Minh cadence
-    * is one — no DST since 1975). */
+    * is one — no DST since 1975).
+    *
+    * Fall-back caveat (inherited from [[nextFireZoned]] and surfaced here
+    * because this is the production entry point): in the repeated hour a
+    * SUB-HOURLY schedule ("*&#47;5 * * * *" and friends) silently loses its
+    * second-pass fires — up to an hour of slots once per fall-back day.
+    * Daily/hourly deployments (the reference's cadence) are unaffected; a
+    * minute-cadence job that must not skip should run in a fixed-offset
+    * zone (e.g. UTC) instead. */
   def driveZoned(deployments: Seq[Deployment], start: java.time.ZonedDateTime,
                  until: java.time.ZonedDateTime,
                  now: () => java.time.ZonedDateTime,

@@ -1,0 +1,104 @@
+package graft.domain
+
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The dedup-state compaction daemon: lake-resident greedy ingest, the
+  * RECONCILE pass as a cron-scheduled maintenance deployment (simulated
+  * time, like the price/review flows), and the exclusive writer lease that
+  * keeps two mutators from interleaving appends with a reconcile swap. */
+class DedupLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic chain-straddling fixture (found by exhaustive search over
+  // the md5 minhash — candidates are exactly {(A,B),(B,C)}, never (A,C)):
+  // B near-dups both A and C, A and C do not near-dup each other.
+  private val textA = "sigma omicron tau zeta theta gamma delta zeta mu upsilon sigma theta"
+  private val textB = "sigma omicron tau zeta theta ALTB delta zeta mu upsilon sigma theta"
+  private val textC = "sigma omicron tau zeta theta ALTB delta zeta mu ALTC sigma theta"
+
+  private def keepIds(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("fixture self-check: the LSH candidate set is the open chain A-B-C") {
+    val all = Seq((10L, textA), (30L, textB), (50L, textC)).toDF("doc_id", "text")
+    val cand = graft.operators.Dedup.minhashLshCandidates(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((10L, 30L), (30L, 50L)), cand.toString)
+  }
+
+  test("chain-straddling ingests converge to full-batch keeps after the scheduled reconcile fires") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-lake").toString
+    // batch1: B (id 30) and an unrelated doc. batch2: A (id 10) near-dups
+    // the indexed B — corpus wins, 10 drops and NEVER enters the index.
+    // batch3: C (id 50) near-dups ONLY the missing middle link B.
+    val kept1 = keepIds(DedupLake.ingest(spark, root,
+      Seq((30L, textB), (40L, "unrelated content entirely elsewhere")).toDF("doc_id", "text")))
+    assert(kept1 == Set(30L, 40L))
+    val kept2 = keepIds(DedupLake.ingest(spark, root,
+      Seq((10L, textA)).toDF("doc_id", "text")))
+    assert(kept2 == Set.empty[Long], "corpus wins: A drops against indexed B")
+    val kept3 = keepIds(DedupLake.ingest(spark, root,
+      Seq((50L, textC)).toDF("doc_id", "text")))
+    assert(kept3 == Set.empty[Long], "C is caught by B, which IS indexed")
+    // greedy state: {30, 40}. Full-batch semantics over the archive:
+    // component {10, 30, 50} keeps its MINIMUM id 10 — greedy diverged both
+    // ways (30 must drop, 10 must resurrect).
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(30L, 40L))
+
+    // the maintenance deployment fires on the weekly cron (Sunday 03:00) in
+    // simulated time — 2026-08-14 is a Friday, so driving through Sunday
+    // fires exactly once
+    var report: Option[DedupLake.ReconcileReport] = None
+    var clock = LocalDateTime.of(2026, 8, 14, 12, 0)
+    val log = Scheduler.drive(
+      Seq(DedupLake.maintenanceDeployment(spark, root,
+        onReport = r => report = Some(r))),
+      start = clock, until = LocalDateTime.of(2026, 8, 17, 0, 0),
+      now = () => clock, sleep = d => clock = clock.plus(d))
+    assert(log.map(r => (r.name, r.at.toString, r.error)) ===
+      Seq(("dedup_reconcile", "2026-08-16T03:00", None)))
+    assert(report.contains(DedupLake.ReconcileReport(keeps = 2, dropped = 1, resurrected = 1)))
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(10L, 40L))
+
+    // the repaired state is a FIXPOINT: a second reconcile changes nothing,
+    // and the rebuilt index drives post-reconcile ingest correctly (a re-dup
+    // of the resurrected doc drops against it)
+    val r2 = DedupLake.reconcile(spark, root)
+    assert(r2 === DedupLake.ReconcileReport(keeps = 2, dropped = 0, resurrected = 0))
+    val kept4 = keepIds(DedupLake.ingest(spark, root,
+      Seq((99L, textA)).toDF("doc_id", "text")))
+    assert(kept4 == Set.empty[Long], "rebuilt index catches a dup of the kept doc")
+  }
+
+  test("writer lease: a second writer fails fast; an expired lease is broken") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-lock").toString
+    var t = 1000000L
+    val now = () => t
+    // holder acquires, a contender inside the lease window is refused
+    DedupLake.withWriterLock(spark, root, leaseMs = 60000L, now = now) {
+      val ex = intercept[IllegalArgumentException] {
+        DedupLake.withWriterLock(spark, root, leaseMs = 60000L, now = now) { fail("must not enter") }
+      }
+      assert(ex.getMessage.contains("locked by another writer"), ex.getMessage)
+    }
+    // lock released on exit: a fresh writer enters
+    DedupLake.withWriterLock(spark, root, leaseMs = 60000L, now = now) {}
+    // a crashed holder (lock file left behind) blocks until the lease
+    // expires, then the next writer breaks it and proceeds
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(root, "_LOCK")
+    val out = fs.create(lock, false)
+    out.write(t.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    intercept[IllegalArgumentException] {
+      DedupLake.withWriterLock(spark, root, leaseMs = 60000L, now = now) { fail("must not enter") }
+    }
+    t += 61000L
+    var entered = false
+    DedupLake.withWriterLock(spark, root, leaseMs = 60000L, now = now) { entered = true }
+    assert(entered)
+  }
+}

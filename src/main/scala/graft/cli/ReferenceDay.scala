@@ -1,0 +1,215 @@
+package graft.cli
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.domain.{ModelRunner, Schemas, SteamModels}
+import graft.streaming.{PricePipeline, Streams}
+
+/** One composed reference day, end to end — the proof the pieces form a
+  * coherent engine rather than a query registry. Mirrors what the reference
+  * stack does across prefect + kafka + dbt + the CDC consumer in one run
+  * (reference: prefect.yaml flows; the kafka consumer scripts; the
+  * steam_analytics dbt models; the curation pass is this engine's
+  * LLM-pipeline extension):
+  *
+  *  1. fixtures: staged price-tick wire files + catalog dims + reviews
+  *  2. ST1 price pipeline: file-watch stream -> decode -> warehouse merge
+  *  3. model graph: dbt-equivalent staging -> marts + quality suite
+  *  4. CDC diff: Debezium envelopes -> change filter -> stateful dedup
+  *  5. notify log: the webhook seam, recorded to a JSONL log
+  *  6. curation pass: clean -> dedup -> chunk -> split over the documents
+  *     table (the q75 composition)
+  *
+  * Every stage reports a row count; `main` asserts each is positive and
+  * prints one STAGE line per step. Run:
+  * `sbt "runMain graft.cli.ReferenceDay"`. */
+object ReferenceDay {
+
+  final case class DayReport(stages: Seq[(String, Long)]) {
+    def apply(name: String): Long = stages.collectFirst { case (`name`, n) => n }
+      .getOrElse(sys.error(s"no stage '$name' in ${stages.map(_._1)}"))
+  }
+
+  private def tick(appid: Int, price: String, disc: String, ts: Long): String =
+    s"""{"type":"price","appid":$appid,"discount":"$disc","price":"$price","initial_price":"$price","timestamp":$ts.0}"""
+
+  private def cdcEnv(id: Int, ts: Long, before: Option[(Double, Int)],
+                     after: (Double, Int)): String = {
+    val b = before.map { case (p, d) =>
+      s"""{"game_id":$id,"discount":$d,"price":$p,"initial_price":$p,"timestamp":${ts - 1000}}"""
+    }.getOrElse("null")
+    s"""{"payload":{"before":$b,"after":{"game_id":$id,"discount":${after._2},"price":${after._1},"initial_price":${after._1},"timestamp":$ts}}}"""
+  }
+
+  /** The catalog metadata a crawler enriches AFTER ids land via the price
+    * stream — three games, two devs/pubs/genres/langs, Mongo-shaped reviews. */
+  private def writeCatalog(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq((1, "Valve"), (2, "Gearbox")).toDF("dev_id", "name")
+      .write.parquet(s"$dir/developers")
+    Seq((1, "Valve"), (2, "Sierra")).toDF("pub_id", "name")
+      .write.parquet(s"$dir/publishers")
+    Seq((1, "FPS"), (2, "Puzzle")).toDF("genre_id", "name")
+      .write.parquet(s"$dir/genres")
+    Seq((1, "English"), (2, "French")).toDF("lang_id", "name")
+      .write.parquet(s"$dir/languages")
+    Seq((1, 1), (1, 2), (2, 1), (3, 2)).toDF("game_id", "dev_id")
+      .write.parquet(s"$dir/game_developers")
+    Seq((1, 1), (2, 1), (3, 2)).toDF("game_id", "pub_id")
+      .write.parquet(s"$dir/game_publishers")
+    Seq((1, 1), (2, 2), (3, 1)).toDF("game_id", "genre_id")
+      .write.parquet(s"$dir/game_genres")
+    Seq((1, 1), (1, 2), (2, 1), (3, 1)).toDF("game_id", "lang_id")
+      .write.parquet(s"$dir/game_languages")
+    Seq((1, "Half-Life"), (2, "Portal"), (3, "Dota 2")).toDF("game_id", "title")
+      .write.parquet(s"$dir/titles")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("r1", Row("s1", 10, 2, 100, 5, 50, 1700000000L), "english", "great game",
+          1700000100L, 1700000100L, true, 5, 1, "0.9", 0, true, false, false, false, 1, "2026-08-14"),
+        Row("r2", Row("s2", 3, 1, 20, 0, 10, 1700000000L), "english", "solid",
+          1700000200L, 1700000200L, false, 1, 0, "0.5", 0, true, false, false, false, 1, "2026-08-14"),
+        Row("r3", Row("s3", 7, 4, 30, 2, 15, 1700000000L), "french", "bon jeu",
+          1700000300L, 1700000300L, true, 2, 0, "0.7", 1, false, true, false, false, 2, "2026-08-14"))),
+      Schemas.review).write.parquet(s"$dir/reviews")
+  }
+
+  /** Adapt the streaming warehouse (cents longs, auto-inserted id-only game
+    * rows) to the relational Warehouse the model graph reads — the
+    * load_game_mysql enrichment step in the reference. */
+  private def assembleWarehouse(spark: SparkSession, catalogDir: String,
+                                whDir: String): SteamModels.Warehouse = {
+    def cat(name: String): DataFrame = spark.read.parquet(s"$catalogDir/$name")
+    val games = spark.read.parquet(s"$whDir/games")
+      .join(cat("titles"), Seq("game_id"), "left")
+      .select(col("game_id"), coalesce(col("title"), lit("(uncatalogued)")).as("title"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("date").as("release_date"),
+        lit(null).cast("string").as("windows_req"),
+        lit(null).cast("string").as("mac_req"),
+        lit(null).cast("string").as("linux_req"),
+        lit(0).as("required_age"), lit(null).cast("string").as("awards"))
+    val prices = spark.read.parquet(s"$whDir/prices")
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("game_id", "timestamp")).cast("long").as("price_id"),
+        col("game_id"),
+        (col("price_cents") / 100.0).cast("decimal(10,2)").as("price"),
+        col("discount").cast("int").as("discount"),
+        (col("initial_price_cents") / 100.0).cast("decimal(10,2)").as("initial_price"),
+        col("timestamp"))
+    SteamModels.Warehouse(
+      games = games,
+      developers = cat("developers"), publishers = cat("publishers"),
+      genres = cat("genres"), languages = cat("languages"),
+      gameDevelopers = cat("game_developers"), gamePublishers = cat("game_publishers"),
+      gameGenres = cat("game_genres"), gameLanguages = cat("game_languages"),
+      prices = prices,
+      crawlState = spark.read.parquet(s"$whDir/crawl_state"),
+      reviews = cat("reviews"))
+  }
+
+  def run(spark: SparkSession, workDir: String, sfDir: String): DayReport = {
+    import spark.implicits._
+    val staging = Files.createDirectories(Path.of(workDir, "staging")).toString
+    val warehouse = Path.of(workDir, "warehouse").toString
+    val catalog = Files.createDirectories(Path.of(workDir, "catalog")).toString
+    val marts = Path.of(workDir, "marts").toString
+    val stages = Seq.newBuilder[(String, Long)]
+
+    // 1. fixtures: the day's crawled wire files + catalog enrichment
+    Files.writeString(Path.of(staging, "w1.jsonl"), Seq(
+      tick(1, "9,99", "0", 1700000000L),
+      tick(2, "19,99", "50", 1700000100L),
+      tick(3, "0,00", "0", 1700000200L),
+      """{"type":"review","appid":9}""", // dispatched away by the decoder
+      "garbage line").mkString("\n"))
+    writeCatalog(spark, catalog)
+    stages += "staged_wire_lines" -> 5L
+
+    // 2. ST1: file-watch price stream -> decode -> idempotent warehouse merge,
+    //    across two micro-batches (the second is the afternoon discount)
+    val q = PricePipeline.start(spark, staging, warehouse,
+      Files.createDirectories(Path.of(workDir, "ckpt")).toString)
+    try {
+      q.processAllAvailable()
+      Files.writeString(Path.of(staging, "w2.jsonl"),
+        tick(1, "4,99", "75", 1700009999L))
+      q.processAllAvailable()
+    } finally q.stop()
+    stages += "warehouse_games" -> spark.read.parquet(s"$warehouse/games").count()
+    stages += "warehouse_prices" -> spark.read.parquet(s"$warehouse/prices").count()
+    stages += "warehouse_crawl_state" -> spark.read.parquet(s"$warehouse/crawl_state").count()
+
+    // 3. model graph: staging views -> mart tables -> quality suite
+    val w = assembleWarehouse(spark, catalog, warehouse)
+    val result = ModelRunner.run(spark, w, marts)
+    stages += "mart_dim_games" -> spark.read.parquet(s"$marts/dim_games").count()
+    stages += "mart_fact_reviews" -> spark.read.parquet(s"$marts/fact_reviews").count()
+    stages += "mart_game_quality_metrics" ->
+      spark.read.parquet(s"$marts/game_quality_metrics").count()
+    stages += "quality_failures" -> result.testFailures.size.toLong
+
+    // 4+5. CDC diff -> stateful dedup -> notify log (the Debezium + Discord
+    //      consumer pair): envelopes land as wire files, changes dedup on the
+    //      per-game high-water mark, deliveries append to a JSONL log
+    val cdcDir = Files.createDirectories(Path.of(workDir, "cdc")).toString
+    Files.writeString(Path.of(cdcDir, "c1.jsonl"), Seq(
+      cdcEnv(1, 1700010000L, None, (9.99, 0)),                    // insert: no notify
+      cdcEnv(1, 1700019999L, Some((9.99, 0)), (4.99, 75)),        // change: notify
+      cdcEnv(1, 1700019999L, Some((9.99, 0)), (4.99, 75)),        // replay: dedup
+      cdcEnv(2, 1700010000L, Some((19.99, 50)), (19.99, 50))).mkString("\n")) // no-op
+    val notifyLog = Path.of(workDir, "notify_log.jsonl")
+    val changes = Streams.cdcChanged(Streams.decodeCdc(
+      spark.readStream.text(cdcDir)))
+      .select(col("after.game_id").as("game_id"),
+        (col("after.timestamp") / 1000).as("ts"),
+        col("before.price").as("old_price"), col("after.price").as("new_price"),
+        col("before.discount").as("old_discount"), col("after.discount").as("new_discount"))
+      .as[Streams.CdcChange]
+    val cq = Streams.monotoneDedup(changes).writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createDirectories(Path.of(workDir, "cdc_ckpt")).toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.CdcChange], _: Long) =>
+        // deliveries are few by construction (post-dedup changes); the log
+        // append is the webhook seam's offline stand-in
+        val rows = batch.collect()
+        val lines = rows.map(c =>
+          s"""{"game_id":${c.game_id},"old_price":${c.old_price},"new_price":${c.new_price}}""")
+        if (lines.nonEmpty)
+          Files.writeString(notifyLog, lines.mkString("", "\n", "\n"),
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        ()
+      }.start()
+    try cq.processAllAvailable() finally cq.stop()
+    val notified =
+      if (Files.exists(notifyLog)) Files.readAllLines(notifyLog).size.toLong else 0L
+    stages += "cdc_notifications" -> notified
+
+    // 6. curation pass over the day's document corpus: clean -> exact+near
+    //    dedup -> chunk -> split (the oracle-verified q75 composition)
+    val chunks = graft.SparkEntry.queries("q75_training_pipeline")(spark, sfDir)
+    stages += "curation_chunks" -> chunks.count()
+
+    DayReport(stages.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    try {
+      val workDir = Files.createTempDirectory("reference-day").toString
+      val report = run(spark, workDir, sfDir)
+      report.stages.foreach { case (name, n) => println(s"STAGE $name=$n") }
+      val empty = report.stages.filter(_._2 <= 0L).filterNot(_._1 == "quality_failures")
+      assert(empty.isEmpty, s"stages with no rows: ${empty.map(_._1)}")
+      assert(report("quality_failures") == 0L, "quality suite flagged failures")
+      println("REFERENCE_DAY=OK")
+    } finally spark.stop()
+  }
+}

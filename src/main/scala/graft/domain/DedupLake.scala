@@ -93,41 +93,16 @@ object DedupLake {
     } else require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
   }
 
-  /** Run `f` holding the lake's exclusive writer lease. The `_LOCK` file is
-    * created atomically (overwrite=false); its payload is the acquisition
-    * epoch-millis so a crashed holder's lease can expire. `now` is injected
-    * for the same reason the Scheduler's clock is — lease expiry unit-tests
-    * in simulated time. */
+  /** Run `f` holding the lake's exclusive writer lease — the shared
+    * [[graft.sources.StateLock]] contract (atomic `_LOCK` create, epoch
+    * payload, stale-lease expiry, injectable clock) with the lake's
+    * fail-fast policy: an ingest and a reconcile must never interleave, so
+    * a contender refuses immediately rather than queueing. */
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
-                        now: () => Long = System.currentTimeMillis _)(f: => T): T = {
-    val (fs, _) = hfs(spark, root)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-    val lock = new org.apache.hadoop.fs.Path(root, "_LOCK")
-    // break a stale lease BEFORE trying to acquire: delete-then-create is
-    // not atomic, but two breakers racing both observed an expired holder —
-    // whichever create wins holds a fresh valid lease, the loser fails fast
-    if (fs.exists(lock)) {
-      val in = fs.open(lock)
-      val ts = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-      if (now() - ts > leaseMs) fs.delete(lock, false)
-    }
-    val acquired =
-      try {
-        val out = fs.create(lock, /*overwrite=*/ false)
-        try out.write(now().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    require(acquired,
-      s"dedup lake at $root is locked by another writer ($lock exists and its " +
-        s"lease has not expired) — two concurrent mutators would interleave " +
-        "index appends with a reconcile swap. Retry after the holder finishes.")
-    try f finally fs.delete(lock, false)
-  }
+                        now: () => Long = System.currentTimeMillis _)(f: => T): T =
+    graft.sources.StateLock.withLock(spark, s"$root/_LOCK", leaseMs,
+      waitMs = 0L, now = now)(f)
 
   /** Greedy per-batch ingest: probe the stored index, append the batch to
     * the archive, the survivors' band rows to the index, and the survivor

@@ -863,13 +863,15 @@ object Multimodal {
     * (media_id, batch_id). */
   def streamingMediaIngest(mediaStream: DataFrame, indexDir: String,
                            verdictsDir: String, checkpointDir: String,
-                           maxHamming: Int = 8)
+                           maxHamming: Int = 8,
+                           lockWaitMs: Long = 10 * 60 * 1000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     mediaStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mediaIngestStep(batch, batchId, indexDir, verdictsDir, maxHamming)
+        mediaIngestStep(batch, batchId, indexDir, verdictsDir, maxHamming,
+          lockWaitMs = lockWaitMs)
       }
       .start()
 
@@ -885,31 +887,41 @@ object Multimodal {
   private[graft] def mediaIngestStep(batch: DataFrame, batchId: Long,
                                      indexDir: String, verdictsDir: String,
                                      maxHamming: Int = 8,
-                                     failpoint: Long => Unit = _ => ()): Unit = {
+                                     failpoint: Long => Unit = _ => (),
+                                     lockWaitMs: Long = 10 * 60 * 1000L): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      // existence via the Hadoop filesystem of the PATH, not java.io.File:
-      // a java.io check is always false on hdfs://, s3a://, or file:/ URIs
-      // and would silently dedup every batch against an empty index
-      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val idx =
-        if (fs.exists(idxPath)) spark.read.parquet(indexDir)
-        else emptyDHashIndex(spark)
-      val r = ingestMediaBatch(batch, idx, maxHamming = maxHamming)
-      try {
-        // verdicts before the index append: the index plan's file listing
-        // is captured at read time, but writing in this order removes any
-        // re-list hazard for the batch's own verdict actions
-        r.verdicts.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(verdictsDir)
-        failpoint(batchId)
-        r.indexRows.write.mode("append").parquet(indexDir)
-      } finally
-        // per-batch caches (features + dedup band pin) released on EVERY
-        // path: the stream owns the batch lifecycle, so without this every
-        // micro-batch leaks pinned DataFrames until the block manager chokes
-        r.unpersistAll()
+      // SERIALIZE the read-probe-append cycle across writers: two queries
+      // pointed at one index dir would otherwise interleave a probe before
+      // the other's append lands, and BOTH keep a pair of near-dup twins —
+      // silent divergence only a reconcile repairs. The lease (sibling
+      // __LOCK file, atomic create, stale-expiry) makes the second writer
+      // wait behind the first up to lockWaitMs, then fail loudly.
+      graft.sources.StateLock.withLock(spark, indexDir + "__LOCK",
+        waitMs = lockWaitMs) {
+        // existence via the Hadoop filesystem of the PATH, not java.io.File:
+        // a java.io check is always false on hdfs://, s3a://, or file:/ URIs
+        // and would silently dedup every batch against an empty index
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val idx =
+          if (fs.exists(idxPath)) spark.read.parquet(indexDir)
+          else emptyDHashIndex(spark)
+        val r = ingestMediaBatch(batch, idx, maxHamming = maxHamming)
+        try {
+          // verdicts before the index append: the index plan's file listing
+          // is captured at read time, but writing in this order removes any
+          // re-list hazard for the batch's own verdict actions
+          r.verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(verdictsDir)
+          failpoint(batchId)
+          r.indexRows.write.mode("append").parquet(indexDir)
+        } finally
+          // per-batch caches (features + dedup band pin) released on EVERY
+          // path: the stream owns the batch lifecycle, so without this every
+          // micro-batch leaks pinned DataFrames until the block manager chokes
+          r.unpersistAll()
+      }
     }
   }
 

@@ -124,17 +124,27 @@ object Clustering {
                      centroids: DataFrame): DataFrame = {
     val cents = centroids.agg(
       array_sort(collect_list(struct(col("cluster"), col("c")))).as("__cents"))
-    val best = aggregate(
-      col("__cents"),
-      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cluster")),
-      (acc, cent) => {
-        val d2 = aggregate(
-          zip_with(col(vecCol), cent.getField("c"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (s, x) => s + x)
-        when(d2 < acc.getField("d2"),
-          struct(d2.as("d2"), cent.getField("cluster").as("cluster")))
-          .otherwise(acc)
-      })
+    // the assignment argmin is the hot loop (rows·k·D): the native
+    // NearestCentroid expression runs it as one primitive JVM loop per row;
+    // the HOF form below pays one interpreted Catalyst lambda per element
+    // (~50× the constant — 226 s vs seconds for q73's sf1 sweep) and stays
+    // as the oracle-parity fallback (spark.graft.native.centroid=false)
+    val useNative = emb.sparkSession.conf
+      .get("spark.graft.native.centroid", "true") == "true"
+    val best =
+      if (useNative)
+        graft.plans.VectorExpressions.nearestCentroid(col(vecCol), col("__cents"))
+      else aggregate(
+        col("__cents"),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cluster")),
+        (acc, cent) => {
+          val d2 = aggregate(
+            zip_with(col(vecCol), cent.getField("c"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (s, x) => s + x)
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), cent.getField("cluster").as("cluster")))
+            .otherwise(acc)
+        })
     val validated = when(col("__best.cluster") >= 0, col("__best"))
       .otherwise(raise_error(concat(
         lit("kmeans assign: vector id="), col(idCol).cast("string"),

@@ -25,6 +25,9 @@ object VectorExpressions {
 
   def bitsetIntersectCount(a: Column, b: Column): Column =
     GraftBridge.toColumn(BitsetIntersectCount(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  def nearestCentroid(vec: Column, centroids: Column): Column =
+    GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(vec), GraftBridge.toExpression(centroids)))
 }
 
 /** dot(a, b) over array<float|double>, accumulated in double, left-to-right
@@ -136,6 +139,75 @@ case class BitsetIntersectCount(left: Expression, right: Expression) extends Bin
         ${ev.value} = $acc;
       """
     })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** argmin_cluster ||v - c||² over a broadcast centroid array — the k-means
+  * assignment hot loop as ONE expression call per row instead of k·D
+  * interpreted Catalyst lambdas (the HOF aggregate∘zip_with form costs
+  * rows·k·D lambda evaluations; at sf1 with auto-k that measured 226 s for
+  * q73 vs seconds here — same asymptotics, ~50× the constant).
+  *
+  * Bit-identical to the HOF fold it replaces (Clustering.assign): d² folds
+  * left-to-right over dims in double (float widened per element), centroids
+  * are visited in array order (ascending cluster id — the caller sorts),
+  * replacement only on strictly smaller d², so ties keep the lower cluster.
+  * A centroid whose dims mismatch the vector (zip_with would null-pad) is
+  * skipped exactly as the HOF's null d² is; no valid centroid → NULL result
+  * (the caller raises, matching the HOF's cluster = -1 sentinel).
+  *
+  * `vec`: array<float|double>; `centroids`: array<struct<cluster:int,
+  * c:array<double>>>. Interpreted eval (CodegenFallback) is deliberate:
+  * one JVM call per row running a primitive k·D loop — the lambda
+  * interpretation overhead was the cost, not the codegen boundary. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType), StructField("cluster", IntegerType)))
+
+  // lazy: children are unresolved at construction time (dataType would
+  // throw); first eval happens post-analysis where the type is known
+  private lazy val vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearestCentroid needs array<float|double> vector, got $other")
+  }
+
+  override def nullSafeEval(v: Any, cents: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cs = cents.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var bestD = Double.MaxValue
+    var bestC = -1
+    var ci = 0
+    val k = cs.numElements()
+    while (ci < k) {
+      if (!cs.isNullAt(ci)) {
+        val cent = cs.getStruct(ci, 2)
+        val cv = cent.getArray(1)
+        if (cv.numElements() == n) {
+          var d2 = 0.0
+          var i = 0
+          while (i < n) {
+            val x = (if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)) -
+              cv.getDouble(i)
+            d2 += x * x
+            i += 1
+          }
+          if (d2 < bestD) { bestD = d2; bestC = cent.getInt(0) }
+        }
+      }
+      ci += 1
+    }
+    if (bestC < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

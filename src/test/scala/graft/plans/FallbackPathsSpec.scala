@@ -25,6 +25,18 @@ class FallbackPathsSpec extends SparkSpec {
     assert(composed == native && native.nonEmpty)
   }
 
+  test("kmeans assignment: HOF fallback equals native NearestCentroid bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def labels() = graft.operators.Clustering
+      .kmeansLloyd(emb, "vec_id", "embedding", k = 5, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val native = labels()
+    spark.conf.set("spark.graft.native.centroid", "false")
+    val hof = try labels()
+    finally spark.conf.set("spark.graft.native.centroid", "true")
+    assert(native == hof && native.nonEmpty)
+  }
+
   test("bitmap jaccard: composed NLJ fallback equals native node") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val native = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.2)

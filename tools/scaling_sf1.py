@@ -50,10 +50,11 @@ EXPLAINED = {
         "scale the tuning run fixes the sample SIZE (frac ~ 1/sf) and the "
         "stage is constant-cost — the maxExactRows gate enforces exactly "
         "this before a 100 TB pass.",
-    "q73_semantic_dedup": "SemDeDup with FIXED k: cluster populations grow "
-        "with sf, and within-cluster pair work ~ sf^2/k. The documented "
-        "mitigation at corpus scale is k ~ sf (constant cluster size), "
-        "which restores linearity.",
+    "q73_semantic_dedup": "historical: with FIXED k the within-cluster pair "
+        "work was ~ sf^2/k (slope 1.25 in r6). Round 7 implements the k ~ "
+        "corpus policy (Clustering.autoK pins expected cluster size) plus a "
+        "native NearestCentroid assignment, measuring slope ~0.6 — this "
+        "entry remains only as the record of why the policy exists.",
 }
 
 

@@ -107,9 +107,19 @@ object DedupLake {
   /** Greedy per-batch ingest: probe the stored index, append the batch to
     * the archive, the survivors' band rows to the index, and the survivor
     * ids to keeps. Returns the kept (doc_id, text) rows. Chains straddling
-    * batches resolve greedily — [[reconcile]]'s job to repair. */
+    * batches resolve greedily — [[reconcile]]'s job to repair.
+    *
+    * At-least-once safe: every append anti-joins what is already stored
+    * (scoped to the batch's ids — the PricePipeline idiom, so no append
+    * ever rescans a whole table), which makes an exact replay a state
+    * no-op AND repairs a torn batch (a crash between the three appends
+    * leaves archived-but-undecided docs; the replay re-probes them and
+    * writes only the missing index/keeps rows). `failpoint` runs between
+    * the archive append and the index/keeps appends — the torn-batch
+    * window the spec drives. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
-             numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2): DataFrame =
+             numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
+             failpoint: () => Unit = () => ()): DataFrame =
     withWriterLock(spark, root) {
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
       val index = readOr(spark, s"$root/index", indexSchema)
@@ -125,11 +135,26 @@ object DedupLake {
       val kept = kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         kept.count()
-        docs.write.mode("append").parquet(s"$root/archive")
-        bandPin.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-          .select("doc_id", "band", "bh")
-          .write.mode("append").parquet(s"$root/index")
-        kept.select("doc_id").write.mode("append").parquet(s"$root/keeps")
+        val batchIds = docs.select("doc_id").distinct()
+        // existing-state scans below are all scoped to batchIds via a
+        // semi-join first, so replay checks cost O(batch), not O(lake)
+        def scoped(path: String, schema: StructType): DataFrame =
+          readOr(spark, path, schema)
+            .join(batchIds, Seq("doc_id"), "left_semi")
+        docs.join(scoped(s"$root/archive", archiveSchema).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(s"$root/archive")
+        failpoint()
+        val newKeptIds = kept.select("doc_id")
+          .join(scoped(s"$root/keeps", keepsSchema), Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          newKeptIds.count()
+          bandPin.join(newKeptIds, Seq("doc_id"), "left_semi")
+            .select("doc_id", "band", "bh")
+            .write.mode("append").parquet(s"$root/index")
+          newKeptIds.write.mode("append").parquet(s"$root/keeps")
+        } finally { newKeptIds.unpersist(blocking = false); () }
         kept
       } finally {
         bandPin.unpersist(blocking = false)
@@ -142,7 +167,14 @@ object DedupLake {
     * (batch-order-independent) semantics over the WHOLE archive, rebuild the
     * index from the repaired keeps, swap both in atomically, and compact the
     * append-grown archive. One banded candidate pass + closure — the
-    * periodic-batch cost profile, run from the scheduled deployment. */
+    * periodic-batch cost profile, run from the scheduled deployment.
+    *
+    * Each swap is individually crash-safe (write-new-then-rename, recovered
+    * by readOr), but a crash BETWEEN the keeps and index swaps leaves the
+    * pair one reconcile apart (e.g. a repaired-away doc still probing from
+    * the old index). That window is eventually consistent by construction:
+    * the next scheduled reconcile recomputes both from the archive — the
+    * durable source of truth — so the daemon's cadence bounds the skew. */
   def reconcile(spark: SparkSession, root: String,
                 numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
                 targetRecordsPerFile: Long = 1000000L): ReconcileReport =

@@ -3,9 +3,11 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 
 /** Exclusive writer lease over lake-resident mutable state (dedup indexes,
-  * keep sets): a lock FILE created atomically with overwrite=false — atomic
-  * on HDFS and local filesystems; object stores without atomic create should
-  * front this with an external lock service.
+  * keep sets): a lock FILE created with overwrite=false — atomic on HDFS
+  * (namenode-serialized create); on the local filesystem Hadoop's
+  * ChecksumFileSystem implements it as exists-then-create, a narrow TOCTOU
+  * best effort that is fine for tests and single-host tools. Object stores
+  * without atomic create should front this with an external lock service.
   *
   * Why it exists: read-probe-append state (incremental dedup) is only
   * correct when each batch's probe sees every prior batch's append. Two

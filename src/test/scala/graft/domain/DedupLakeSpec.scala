@@ -73,6 +73,34 @@ class DedupLakeSpec extends SparkSpec {
     assert(kept4 == Set.empty[Long], "rebuilt index catches a dup of the kept doc")
   }
 
+  test("ingest is at-least-once safe: exact replay is a state no-op; a torn batch is repaired") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-replay").toString
+    val b1 = Seq((30L, textB), (40L, "unrelated content entirely elsewhere")).toDF("doc_id", "text")
+    DedupLake.ingest(spark, root, b1)
+    def counts() = (
+      spark.read.parquet(s"$root/archive").count(),
+      spark.read.parquet(s"$root/keeps").count(),
+      spark.read.parquet(s"$root/index").count())
+    val after1 = counts()
+    // exact replay: nothing appends anywhere (anti-joins make it a no-op)
+    DedupLake.ingest(spark, root, b1)
+    assert(counts() === after1, "replayed batch must not duplicate state")
+    // torn batch: crash AFTER the archive append, BEFORE index/keeps —
+    // archived-but-undecided docs; the replay repairs exactly the missing rows
+    val b2 = Seq((50L, textC), (60L, "another standalone document topic")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      DedupLake.ingest(spark, root, b2,
+        failpoint = () => throw new RuntimeException("torn"))
+    }
+    assert(spark.read.parquet(s"$root/archive").count() == after1._1 + 2)
+    assert(spark.read.parquet(s"$root/keeps").count() == after1._2, "keeps not yet written")
+    val kept = keepIds(DedupLake.ingest(spark, root, b2))
+    // 50 (textC) near-dups the indexed 30 (textB): dropped; 60 keeps
+    assert(kept == Set(60L))
+    assert(counts() === (after1._1 + 2, after1._2 + 1, after1._3 + 4),
+      "repair wrote exactly the missing archive/keeps/index rows")
+  }
+
   test("writer lease: a second writer fails fast; an expired lease is broken") {
     val root = java.nio.file.Files.createTempDirectory("dedup-lock").toString
     var t = 1000000L

@@ -162,4 +162,26 @@ object Engine {
       start = java.time.LocalDateTime.now(), until = until,
       now = () => java.time.LocalDateTime.now(),
       sleep = d => Thread.sleep(d.toMillis))
+
+  // ---- lake-resident dedup state (the compaction daemon) ----
+
+  /** Greedy per-batch dedup ingest against the managed lake store at
+    * `lakeRoot` (archive/index/keeps; at-least-once safe, writer-leased).
+    * Returns the surviving (doc_id, text) rows. */
+  def dedupLakeIngest(spark: SparkSession, lakeRoot: String,
+                      batch: DataFrame): DataFrame =
+    graft.domain.DedupLake.ingest(spark, lakeRoot, batch)
+
+  /** Repair the lake's greedy keeps to full-batch semantics and compact —
+    * the maintenance pass, normally run from [[dedupLakeMaintenance]]. */
+  def dedupLakeReconcile(spark: SparkSession, lakeRoot: String)
+      : graft.domain.DedupLake.ReconcileReport =
+    graft.domain.DedupLake.reconcile(spark, lakeRoot)
+
+  /** The reconcile pass as a scheduled deployment (weekly by default) —
+    * register it next to the price/review flows in the agent loop. */
+  def dedupLakeMaintenance(spark: SparkSession, lakeRoot: String,
+                           cron: String = "0 3 * * 0")
+      : graft.domain.Scheduler.Deployment =
+    graft.domain.DedupLake.maintenanceDeployment(spark, lakeRoot, cron)
 }

@@ -70,4 +70,17 @@ class EngineSpec extends SparkSpec {
       until = java.time.LocalDateTime.now().minusDays(1))
     assert(recs.isEmpty)
   }
+
+  test("round-7 facade workflows: lake-resident dedup ingest + reconcile + maintenance") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("engine-lake").toString
+    val kept = Engine.dedupLakeIngest(spark, root,
+      Seq((1L, "first document body"), (2L, "second document entirely different"))
+        .toDF("doc_id", "text"))
+    assert(kept.count() == 2)
+    val r = Engine.dedupLakeReconcile(spark, root)
+    assert(r.keeps == 2 && r.dropped == 0 && r.resurrected == 0)
+    val dep = Engine.dedupLakeMaintenance(spark, root)
+    assert(dep.name == "dedup_reconcile" && dep.cron.raw == "0 3 * * 0")
+  }
 }

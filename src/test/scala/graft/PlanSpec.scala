@@ -360,6 +360,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no global sort in the skeleton")
   }
 
+  test("knn serving: the probe batch broadcasts, the corpus never shuffles (q144)") {
+    val p = plan("q144_knn_serve")
+    // constant 64-probe batch rides ONE BroadcastExchange against a single
+    // corpus scan; the only exchange after it carries <= k rows per
+    // (probe x partition) into the top-k agg. A SortMergeJoin or a range
+    // partition would mean the corpus reshuffles with its size.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge for serving")
+    assert(!p.contains("rangepartitioning"), "no global sort in the serving path")
+    // the probe head is a TakeOrdered, not a global sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("kmeans assignment runs the native NearestCentroid expression (q72/q73)") {
+    val p = plan("q72_kmeans")
+    assert(p.contains("nearestcentroid") || p.contains("NearestCentroid"),
+      "assignment must use the native argmin, not the HOF lambda chain: " + p.take(1500))
+  }
+
   test("incremental hamming ingest: the batch broadcasts, the index only scans") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

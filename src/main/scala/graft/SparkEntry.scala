@@ -1102,6 +1102,24 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }, Some(TextOracle.decontaminateSql(0.2))),
 
+    Q("q145_decontaminate_serve", (s, dir) => {
+      // the decontamination SERVING shape next to q90's eval-contract form:
+      // a real benchmark set is bounded by construction (an eval suite, not
+      // a corpus fraction), so the probe side here is the CONSTANT 64
+      // smallest doc_ids (TakeOrdered) and per-decade cost is linear in the
+      // corpus — the slope a decontamination deployment actually pays.
+      // Same adaptive bitmap/inverted-index containment core as q90
+      val docs = T(s, dir, "documents")
+      val bench = docs.orderBy(col("doc_id")).limit(64).select("doc_id", "text")
+      val corpus = docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      val flagged = Dedup.containmentPairs(
+        corpus = corpus, probe = bench,
+        "doc_id", "text", shingleN = 2, threshold = 0.2)
+        .select(col("corpus_id").as("doc_id")).distinct()
+      corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }, Some(TextOracle.decontaminateServeSql(threshold = 0.2, nProbes = 64))),
+
     Q("q89_weighted_sample", (s, dir) =>
       // quality-weighted corpus subsampling: inclusion probability
       // proportional to doc length, expectation ~500 docs. Pure IEEE

@@ -170,6 +170,28 @@ object TextOracle {
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM contaminated)"""
 
+  /** Decontamination SERVING oracle (q145): the benchmark set is the
+    * `nProbes` smallest doc_ids — CONSTANT, where q90's probe set is a
+    * fixed FRACTION of the corpus (the harness-contract sf² shape). Same
+    * shingle/containment scheme as [[decontaminateSql]]. */
+  def decontaminateServeSql(threshold: Double, nProbes: Int): String = s"""
+    WITH $shingleCte,
+    bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nProbes),
+    cs AS (SELECT doc_id AS corpus_id, s FROM sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+    ps AS (SELECT sh.doc_id AS probe_id, s FROM sh
+           JOIN bench ON sh.doc_id = bench.doc_id),
+    pn AS (SELECT probe_id, COUNT(*) AS n_p FROM ps GROUP BY probe_id),
+    i AS (SELECT corpus_id, probe_id, COUNT(*) AS inter
+          FROM cs JOIN ps ON cs.s = ps.s GROUP BY corpus_id, probe_id),
+    contaminated AS (
+      SELECT DISTINCT corpus_id
+      FROM i JOIN pn USING (probe_id)
+      WHERE round(CAST(inter AS DOUBLE) / n_p, 6) >= $threshold)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+      AND doc_id NOT IN (SELECT corpus_id FROM contaminated)"""
+
   /** Transitive-closure labeling over cand(doc_a, doc_b) → lbl(id,
     * cluster_id) — ONE transcription of the min-label connected-components
     * scheme, shared by q54 and the q75 pipeline composition. Requires a

@@ -1149,6 +1149,26 @@ object SparkEntry {
           .map(_.toLong).getOrElse(100000L)),
       Some(TextOracle.lshQualitySql(numHashes = 8, bandRows = 2, threshold = 0.2))),
 
+    Q("q146_lsh_tuning_serve", (s, dir) => {
+      // q88 with the documented 100 TB sampling POLICY applied: the tuning
+      // measurement needs a constant-SIZE sample (q88's fixed fraction makes
+      // the exact-truth half grow ~sf² with the corpus). The md5-coin cutoff
+      // derives from the corpus count by integer arithmetic mirrored in the
+      // oracle, so both engines draw the identical subset at any sf; work
+      // per decade is then ~flat — the cost a recurring tuning run actually
+      // pays. The count() probe prices like the other dispatch probes.
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      val target = 3000L
+      val cutoff = math.min(1000000L, (target * 1000000L) / math.max(n, 1L))
+      val sampled = docs.filter(
+        pmod(TF.md5Prefix32(col("doc_id").cast("string")), lit(1000000L)) < lit(cutoff))
+      Dedup.lshQualityReport(sampled, "doc_id", "text",
+        numHashes = 8, bandRows = 2, shingleN = 2, threshold = 0.2,
+        maxExactRows = 100000L)
+    }, Some(TextOracle.lshQualityServeSql(numHashes = 8, bandRows = 2,
+      threshold = 0.2, targetRows = 3000L))),
+
     Q("q87_data_card", (s, dir) => {
       // the per-source corpus report every curation run publishes: volume,
       // token mass, length distribution (DISCRETE percentiles — actual

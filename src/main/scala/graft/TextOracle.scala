@@ -88,8 +88,7 @@ object TextOracle {
   /** LSH quality report oracle: candidate set (shared banding CTEs) scored
     * against exact-Jaccard truth (shared shingle CTE — candCtes defines
     * `sh`), reduced to one row of counts + precision/recall. */
-  def lshQualitySql(numHashes: Int, bandRows: Int, threshold: Double): String = s"""
-    WITH ${candCtes(numHashes, bandRows)},
+  private def lshQualityBody(threshold: Double): String = s"""
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -107,6 +106,26 @@ object TextOracle {
                  / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision,
            round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
                  / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall"""
+
+  def lshQualitySql(numHashes: Int, bandRows: Int, threshold: Double): String = s"""
+    WITH ${candCtes(numHashes, bandRows)},
+    ${lshQualityBody(threshold)}"""
+
+  /** Fixed-sample-SIZE tuning oracle (q146): the md5 coin's cutoff derives
+    * from count(*) by the same integer arithmetic the Spark side uses, so
+    * the sampled subset is identical at any scale factor — the documented
+    * 100 TB tuning policy (constant sample size, frac ~ 1/sf) as SQL. */
+  def lshQualityServeSql(numHashes: Int, bandRows: Int, threshold: Double,
+                         targetRows: Long): String = s"""
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000
+            < (SELECT LEAST(1000000, (CAST($targetRows AS BIGINT) * 1000000)
+                                     // GREATEST(count(*), 1))
+               FROM documents)),
+    ${candCtesFrom(numHashes, bandRows, "sampled")},
+    ${lshQualityBody(threshold)}"""
 
   /** Incremental-keep oracle (Dedup.incrementalKeep): batch docs dropped when
     * pairing with any corpus doc, or with a smaller batch doc (pairs are

@@ -50,47 +50,14 @@ object DedupLake {
 
   final case class ReconcileReport(keeps: Long, dropped: Long, resurrected: Long)
 
-  private def hfs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private def recoverSwap(spark: SparkSession, path: String): Unit = {
-    val (fs, dst) = hfs(spark, path)
-    if (!fs.exists(dst)) {
-      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-      val old = new org.apache.hadoop.fs.Path(path + "__old")
-      if (fs.exists(tmp) &&
-          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        require(fs.rename(tmp, dst), s"state recovery failed: $tmp -> $dst")
-        if (fs.exists(old)) fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        require(fs.rename(old, dst), s"state recovery failed: $old -> $dst")
-      }
-    }
-  }
-
   private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    recoverSwap(spark, path)
-    val (fs, p) = hfs(spark, path)
+    // the swap/recovery protocol is the shared Writers implementation —
+    // one state machine, not three hand-rolled copies (r7 review finding)
+    Writers.recoverSwap(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
-  /** Full-replace a state dir via write-new-then-swap (every rename checked;
-    * a crash between renames is recoverable by [[recoverSwap]]). */
-  private def swapReplace(spark: SparkSession, path: String, next: DataFrame): Unit = {
-    val tmp = path + "__tmp"
-    next.write.mode("overwrite").parquet(tmp)
-    val (fs, dst) = hfs(spark, path)
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    if (fs.exists(dst)) {
-      val old = new org.apache.hadoop.fs.Path(path + "__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      require(fs.rename(dst, old), s"state swap failed: $dst -> $old")
-      require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
-      fs.delete(old, true)
-    } else require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
   }
 
   /** Run `f` holding the lake's exclusive writer lease — the shared
@@ -115,11 +82,13 @@ object DedupLake {
     * no-op AND repairs a torn batch (a crash between the three appends
     * leaves archived-but-undecided docs; the replay re-probes them and
     * writes only the missing index/keeps rows). `failpoint` runs between
-    * the archive append and the index/keeps appends — the torn-batch
-    * window the spec drives. */
+    * the archive append and the index append; `failpointAfterIndex`
+    * between the index and keeps appends — the two torn-batch windows the
+    * spec drives. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
-             failpoint: () => Unit = () => ()): DataFrame =
+             failpoint: () => Unit = () => (),
+             failpointAfterIndex: () => Unit = () => ()): DataFrame =
     withWriterLock(spark, root) {
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
       val index = readOr(spark, s"$root/index", indexSchema)
@@ -129,9 +98,9 @@ object DedupLake {
       // once, and release BOTH per-batch pins afterwards (a scheduled
       // ingest that leaked one CacheManager entry per batch is exactly the
       // per-batch cache leak fixed on the streaming paths in round 6). The
-      // returned frame stays correct un-pinned: its parquet file listing
-      // was fixed at read time, so a later evaluation re-runs the probe
-      // against the same pre-append index — just without the cache.
+      // returned frame is valid until the NEXT reconcile: a reconcile swaps
+      // the index files the un-pinned plan's listing points at, so consume
+      // (or persist) the result before the maintenance deployment fires.
       val kept = kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         kept.count()
@@ -145,16 +114,20 @@ object DedupLake {
             Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(s"$root/archive")
         failpoint()
-        val newKeptIds = kept.select("doc_id")
+        // each append derives its "new" set from ITS OWN store, not a
+        // sibling's: deriving the index rows from not-in-keeps would
+        // re-append band rows on a replay that crashed between the index
+        // and keeps appends (r7 review finding)
+        val notInIndex = kept.select("doc_id")
+          .join(scoped(s"$root/index", indexSchema).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        bandPin.join(notInIndex, Seq("doc_id"), "left_semi")
+          .select("doc_id", "band", "bh")
+          .write.mode("append").parquet(s"$root/index")
+        failpointAfterIndex()
+        kept.select("doc_id")
           .join(scoped(s"$root/keeps", keepsSchema), Seq("doc_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          newKeptIds.count()
-          bandPin.join(newKeptIds, Seq("doc_id"), "left_semi")
-            .select("doc_id", "band", "bh")
-            .write.mode("append").parquet(s"$root/index")
-          newKeptIds.write.mode("append").parquet(s"$root/keeps")
-        } finally { newKeptIds.unpersist(blocking = false); () }
+          .write.mode("append").parquet(s"$root/keeps")
         kept
       } finally {
         bandPin.unpersist(blocking = false)
@@ -191,8 +164,8 @@ object DedupLake {
         val report = ReconcileReport(repaired.count(),
           r.drops.count(), r.resurrections.count())
         try {
-          swapReplace(spark, s"$root/keeps", repaired.select("doc_id"))
-          swapReplace(spark, s"$root/index",
+          Writers.swapReplace(spark, s"$root/keeps", repaired.select("doc_id"))
+          Writers.swapReplace(spark, s"$root/index",
             Dedup.lshBands(
               archive.join(repaired.select("doc_id"), Seq("doc_id"), "left_semi"),
               "doc_id", "text", numHashes, bandRows, shingleN)

@@ -169,6 +169,13 @@ case class NearestCentroid(left: Expression, right: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("d2", DoubleType), StructField("cluster", IntegerType)))
 
+  // nullSafeEval returns null when NO centroid yields a finite distance
+  // (ragged dims / null elements) — without this override a non-nullable
+  // input pair would let codegen treat the result as never-null and NPE in
+  // the downstream GetStructField instead of reaching the caller's
+  // raise_error diagnostic
+  override def nullable: Boolean = true
+
   // lazy: children are unresolved at construction time (dataType would
   // throw); first eval happens post-analysis where the type is known
   private lazy val vecIsFloat: Boolean = left.dataType match {
@@ -193,13 +200,20 @@ case class NearestCentroid(left: Expression, right: Expression)
         if (cv.numElements() == n) {
           var d2 = 0.0
           var i = 0
-          while (i < n) {
-            val x = (if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)) -
-              cv.getDouble(i)
-            d2 += x * x
-            i += 1
+          var ok = true
+          while (ok && i < n) {
+            // a null ELEMENT nulls the whole distance (zip_with semantics) —
+            // reading it as 0.0 would silently assign a wrong cluster where
+            // the HOF fallback raises, breaking the parity contract
+            if (vec.isNullAt(i) || cv.isNullAt(i)) ok = false
+            else {
+              val x = (if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)) -
+                cv.getDouble(i)
+              d2 += x * x
+              i += 1
+            }
           }
-          if (d2 < bestD) { bestD = d2; bestC = cent.getInt(0) }
+          if (ok && d2 < bestD) { bestD = d2; bestC = cent.getInt(0) }
         }
       }
       ci += 1

@@ -17,14 +17,34 @@ import org.apache.spark.sql.SparkSession
   * short wait (`waitMs` > 0, the streaming-twins case) or a loud refusal
   * (`waitMs` = 0, the fail-fast case).
   *
-  * The lock payload is the acquisition epoch-millis, so a crashed holder's
-  * lease expires after `leaseMs` and the next writer breaks it. Clock and
-  * sleeper are injected (the Scheduler contract) so lease expiry and
-  * bounded waiting unit-test in simulated time. Delete-then-create on a
-  * stale break is not atomic, but racing breakers both observed an expired
-  * holder — whichever create wins holds a fresh valid lease, the loser
-  * keeps polling or fails. */
+  * The lock payload is `<acquisition-epoch-millis>:<unique-token>`: the
+  * timestamp drives stale-lease expiry after `leaseMs`, and the token makes
+  * every delete OWNERSHIP-CHECKED — release only removes the lock if the
+  * payload still carries this holder's token (a holder that overran its
+  * lease and was broken must NOT delete the new holder's lock), and a stale
+  * break re-reads the payload immediately before deleting and only proceeds
+  * if it still matches the observed-stale value (a fresh lock created in
+  * the read-delete window survives). Neither check is atomic
+  * compare-and-delete — that primitive doesn't exist on a filesystem — but
+  * together they shrink the unowned-delete window from "any time after a
+  * stale read" to the instants between a re-read and its delete.
+  *
+  * Clock and sleeper are injected (the Scheduler contract) so lease expiry
+  * and bounded waiting unit-test in simulated time. */
 object StateLock {
+
+  private def readPayload(fs: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  private def payloadTs(p: String): Option[Long] =
+    p.split(":", 2).headOption.flatMap(s => scala.util.Try(s.toLong).toOption)
 
   def withLock[T](spark: SparkSession, lockPath: String,
                   leaseMs: Long = 30 * 60 * 1000L,
@@ -35,25 +55,30 @@ object StateLock {
     val lock = new org.apache.hadoop.fs.Path(lockPath)
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     Option(lock.getParent).foreach(fs.mkdirs)
+    val uuid = java.util.UUID.randomUUID().toString
+    // the payload actually written on the successful acquire — its timestamp
+    // is taken AT acquisition, not at withLock entry: a contender that spent
+    // most of waitMs polling must not start with a lease that already looks
+    // that much older (it would be prematurely breakable)
+    var written: String = null
 
     def tryAcquire(): Boolean = {
       // break a stale lease BEFORE trying to acquire; an unreadable payload
-      // (torn write, garbage) counts as stale — no valid holder wrote it
+      // (torn write, garbage) counts as stale — no valid holder wrote it.
+      // Ownership-checked: re-read right before the delete and only remove
+      // the exact payload observed stale, so a fresh lock created in the
+      // window survives the break.
       if (fs.exists(lock)) {
-        val ts: Option[Long] =
-          try {
-            val in = fs.open(lock)
-            try Some(new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-            finally in.close()
-          } catch { case _: Exception => None }
-        if (ts.forall(t => now() - t > leaseMs)) fs.delete(lock, false)
+        val observed = readPayload(fs, lock)
+        val stale = observed.flatMap(payloadTs).forall(t => now() - t > leaseMs)
+        if (stale && readPayload(fs, lock) == observed) fs.delete(lock, false)
       }
       try {
         val out = fs.create(lock, /*overwrite=*/ false)
-        try out.write(now().toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val payload = s"${now()}:$uuid"
+        try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        written = payload
         true
       } catch { case _: java.io.IOException => false }
     }
@@ -69,6 +94,11 @@ object StateLock {
         (if (waitMs > 0) s"; waited ${waitMs} ms" else "") +
         ") — concurrent mutators would interleave index probes with appends. " +
         "Retry after the holder finishes, or raise waitMs to serialize behind it.")
-    try f finally fs.delete(lock, false)
+    try f finally {
+      // release ONLY our own lock: if this holder overran its lease and a
+      // contender broke it and acquired, the payload no longer carries our
+      // token and the new holder's lock must stay
+      if (readPayload(fs, lock).contains(written)) fs.delete(lock, false)
+    }
   }
 }

@@ -84,6 +84,64 @@ object Writers {
     keyed.select(oid +: fields.toSeq: _*).toJSON.write.mode("overwrite").text(path)
   }
 
+  // ---- write-new-then-swap crash-recovery protocol (shared) -------------
+  // ONE implementation of the __tmp/__old/_SUCCESS state machine that
+  // compact, DedupLake, and the price-pipeline state swap all rely on — the
+  // rename/recovery ordering is subtle enough that three hand-rolled copies
+  // were a divergence bug waiting to happen (r7 review finding).
+
+  private def hfsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Recover from a swap interrupted between renames: if the destination is
+    * missing, restore the fully-written new state (__tmp with _SUCCESS —
+    * the write that produced it had completed) or, failing that, the
+    * displaced previous state (__old). All checks go through the PATH's
+    * Hadoop filesystem — java.io.File is always false on hdfs://s3a://
+    * URIs and would silently treat the state as empty. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, dst) = hfsOf(spark, path)
+    if (!fs.exists(dst)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      if (fs.exists(tmp) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, dst), s"state recovery failed: $tmp -> $dst")
+        if (fs.exists(old)) fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, dst), s"state recovery failed: $old -> $dst")
+      }
+    }
+  }
+
+  /** Full-replace a state dir via write-new-then-swap: write `next` to
+    * __tmp, displace the current dir to __old, promote __tmp, drop __old.
+    * Every rename is checked; a crash between renames is recoverable by
+    * [[recoverSwap]] on the next read. Renames are atomic on HDFS/local —
+    * don't point this at a store without atomic rename. */
+  def swapReplace(spark: SparkSession, path: String,
+                  next: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = path + "__tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    promoteSwap(spark, path)
+  }
+
+  /** The rename half of [[swapReplace]], for callers that have already
+    * written `path__tmp` (with _SUCCESS) themselves. */
+  def promoteSwap(spark: SparkSession, path: String): Unit = {
+    val (fs, dst) = hfsOf(spark, path)
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__tmp")
+    if (fs.exists(dst)) {
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(dst, old), s"state swap failed: $dst -> $old")
+      require(fs.rename(tmpP, dst), s"state swap failed: $tmpP -> $dst")
+      fs.delete(old, true)
+    } else require(fs.rename(tmpP, dst), s"state swap failed: $tmpP -> $dst")
+  }
+
   /** Small-file compaction — the maintenance pass every streaming/incremental
     * ingest needs: micro-batches leave a long tail of tiny part files whose
     * per-file open/footer cost eventually dominates scans. Rewrites the
@@ -102,27 +160,12 @@ object Writers {
   def compact(spark: SparkSession, dir: String,
               targetRecordsPerFile: Long = 1000000L): Unit = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmpP = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
-    val oldP = new org.apache.hadoop.fs.Path(s"${dir}__old")
     // recovery first: restore a swap interrupted by a crash last run
-    if (!fs.exists(dst)) {
-      if (fs.exists(tmpP) &&
-          fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"))) {
-        require(fs.rename(tmpP, dst), s"compaction recovery failed: $tmpP -> $dst")
-        if (fs.exists(oldP)) fs.delete(oldP, true)
-      } else if (fs.exists(oldP)) {
-        require(fs.rename(oldP, dst), s"compaction recovery failed: $oldP -> $dst")
-      }
-    }
+    recoverSwap(spark, dir)
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
-    df.coalesce(files.toInt).write.mode("overwrite").parquet(tmpP.toString)
-    if (fs.exists(oldP)) fs.delete(oldP, true)
-    require(fs.rename(dst, oldP), s"compaction swap failed: $dst -> $oldP")
-    require(fs.rename(tmpP, dst), s"compaction swap failed: $tmpP -> $dst")
-    fs.delete(oldP, true)
+    df.coalesce(files.toInt).write.mode("overwrite").parquet(s"${dir}__tmp")
+    promoteSwap(spark, dir)
   }
 }

@@ -99,6 +99,21 @@ class DedupLakeSpec extends SparkSpec {
     assert(kept == Set(60L))
     assert(counts() === (after1._1 + 2, after1._2 + 1, after1._3 + 4),
       "repair wrote exactly the missing archive/keeps/index rows")
+
+    // second torn window: crash AFTER the index append, BEFORE keeps —
+    // the replay must not re-append the batch's band rows (each append
+    // derives its new-set from its OWN store)
+    val after2 = counts()
+    val b3 = Seq((70L, "a third unique subject matter here")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      DedupLake.ingest(spark, root, b3,
+        failpointAfterIndex = () => throw new RuntimeException("torn-2"))
+    }
+    assert(counts() === (after2._1 + 1, after2._2, after2._3 + 4),
+      "archive + index written, keeps not")
+    assert(keepIds(DedupLake.ingest(spark, root, b3)) == Set(70L))
+    assert(counts() === (after2._1 + 1, after2._2 + 1, after2._3 + 4),
+      "replay added ONLY the missing keeps row — no duplicate band rows")
   }
 
   test("writer lease: a second writer fails fast; an expired lease is broken") {

@@ -42,6 +42,23 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.autoK(0, 125, kMin = 4) == 4)
   }
 
+  test("null ELEMENTS also fail loudly on the native path (zip_with parity)") {
+    // a null slot must null the distance to every centroid and raise — the
+    // native loop reading it as 0.0 would silently assign a wrong cluster
+    // where the HOF fallback raises (r7 review finding)
+    val df = Seq(
+      (0L, Seq[java.lang.Float](0.0f, 0.0f)),
+      (1L, Seq[java.lang.Float](10f, 10f)),
+      (2L, Seq[java.lang.Float](1.0f, null))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Clustering.kmeansLloyd(df, "vec_id", "embedding", k = 2, iters = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("no finite distance") && m.contains("id=2")),
+      messages(ex).mkString(" | "))
+  }
+
   test("ragged/null vectors fail loudly instead of silently dropping") {
     // id=2's vector is shorter than the centroids' dims: zip_with nulls the
     // distance to every centroid. The old behavior emitted a null cluster

@@ -58,6 +58,52 @@ class StateLockSpec extends SparkSpec {
     assert(entered)
   }
 
+  test("release is ownership-checked: an overrun holder must not delete a successor's lock") {
+    val dir = java.nio.file.Files.createTempDirectory("lock-own").toString
+    val lock = new org.apache.hadoop.fs.Path(dir, "__LOCK")
+    var t = 1000000L
+    StateLock.withLock(spark, lock.toString, leaseMs = 1000L, now = () => t) {
+      // simulate: this holder overran its lease, a contender broke the lock
+      // and acquired with its own payload
+      fs(dir).delete(lock, false)
+      val out = fs(dir).create(lock, false)
+      out.write(s"${t + 5000}:successor-token".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    // the overrun holder's release must have left the successor's lock alone
+    val in = fs(dir).open(lock)
+    val payload = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    assert(payload.endsWith(":successor-token"), payload)
+  }
+
+  test("lease timestamp is taken at acquisition, not at withLock entry") {
+    val dir = java.nio.file.Files.createTempDirectory("lock-acq-ts").toString
+    val lock = new org.apache.hadoop.fs.Path(dir, "__LOCK")
+    var t = 1000000L
+    holdLock(dir, t)
+    var leaseTs = -1L
+    // holder releases after 3 polls; contender acquires at t + 3*pollMs.
+    // If the payload carried entry-time, the new lease would already look
+    // 1500 ms old — premature-break bait for the next contender.
+    var polls = 0
+    StateLock.withLock(spark, lock.toString, leaseMs = 3600000L,
+      waitMs = 5000L, pollMs = 500L,
+      now = () => t,
+      sleep = ms => { t += ms; polls += 1; if (polls == 3) fs(dir).delete(lock, false); () }) {
+      val in = fs(dir).open(lock)
+      val payload = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      leaseTs = payload.split(":", 2)(0).toLong
+    }
+    assert(leaseTs == t, s"lease ts $leaseTs should be acquisition time $t")
+  }
+
   test("unreadable lock payload counts as stale and is broken") {
     val dir = java.nio.file.Files.createTempDirectory("lock-garbage").toString
     val lock = new org.apache.hadoop.fs.Path(dir, "__LOCK")

@@ -403,6 +403,38 @@ object SparkEntry {
              round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / length(text), 6) AS tokens_per_char
       FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0""")),
 
+    Q("q148_tokenizer_fertility", (s, dir) =>
+      // tokenizer-eval view of the corpus: subwords-per-word (fertility) and
+      // bytes-per-subword per source — the compression numbers a tokenizer
+      // retrain is judged on. Sums are exact longs (order-free); each ratio
+      // is ONE division of exact operands then round(6) (house rule). One
+      // partial-agg shuffle keyed on source, group-count-bounded
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("total_bytes"),
+          sum(TF.tokenCount(col("text"))).as("total_words"),
+          sum(TF.preTokenCount(col("text"))).as("total_subwords"))
+        .select(col("source"), col("n_docs"), col("total_bytes"),
+          col("total_words"), col("total_subwords"),
+          round(col("total_subwords").cast("double") / col("total_words"), 6)
+            .as("fertility"),
+          round(col("total_bytes").cast("double") / col("total_subwords"), 6)
+            .as("bytes_per_subword")),
+      Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_words,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords,
+             round(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+                   / SUM(len(regexp_split_to_array(trim(text), '\s+'))), 6) AS fertility,
+             round(CAST(SUM(strlen(text)) AS DOUBLE)
+                   / SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS bytes_per_subword
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      GROUP BY source""")),
+
     Q("q26_quality_score", (s, dir) =>
       T(s, dir, "documents")
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
@@ -1830,6 +1862,35 @@ object SparkEntry {
         Similarity.hyperplanes(4, 64), excludeSelf = true)
       Similarity.retrievalEval(truth, approx)
     }, Some(TextOracle.retrievalEvalSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
+
+    Q("q147_ndcg_eval", (s, dir) => {
+      // the GRADED companion to q142: recall pays the same for a true
+      // neighbor at rank 1 and rank 5; nDCG@k credits putting them early.
+      // Position discounts are Scala-precomputed integer micro-weights
+      // (floor(1e6/log2(r+1)) literals in plan AND oracle) so dcg/idcg are
+      // exact integer sums — the house rule: stay integer-exact until one
+      // final IEEE division
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.knnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, excludeSelf = true)
+      val approx = Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5,
+        Similarity.hyperplanes(4, 64), excludeSelf = true)
+      Similarity.ndcgEval(truth, approx, k = 5)
+    }, Some(TextOracle.ndcgEvalSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
+
+    Q("q149_mmr_rerank", (s, dir) => {
+      // diversity-aware serving: MMR over each probe's top-10 pool — the
+      // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the
+      // greedy argmax order is exact IEEE in both engines; the k−1 steps
+      // are keyed joins over the serving-bounded pool (corpus never enters
+      // after the pool pass)
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 25 === 0)
+      Similarity.mmrRerank(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, poolSize = 10)
+    }, Some(TextOracle.mmrRerankSql(k = 5, poolSize = 10, probeMod = 25))),
 
     Q("q143_reconcile_keeps", (s, dir) => {
       // the compaction analogue for dedup state: greedy per-batch keeps

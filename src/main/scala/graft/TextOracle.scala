@@ -815,6 +815,103 @@ object TextOracle {
            CAST(COALESCE(floor(1000000.0 / hs.first_hit_rank), 0) AS BIGINT) AS rr_micros
     FROM per LEFT JOIN hs ON per.probe_id = hs.probe_id"""
 
+  /** q147: nDCG@k per probe, same CTEs as q142. Position discounts are the
+    * SAME Scala-computed integer micro-weights the Spark plan embeds
+    * (Similarity.ndcgWeightsMicros) — dcg/idcg stay exact integer sums in
+    * both engines; the single float op is floor(1e6·dcg/idcg). */
+  def ndcgEvalSql(k: Int, nLists: Int, dims: Int, probeMod: Int): String = {
+    val w = graft.operators.Similarity.ndcgWeightsMicros(k)
+    val prefix = w.scanLeft(0L)(_ + _).drop(1)
+    val wCase = (1 to k).map(r => s"WHEN ${r} THEN ${w(r - 1)}").mkString(" ")
+    val idcgCase = (1 to k).map(i => s"WHEN ${i} THEN ${prefix(i - 1)}").mkString(" ")
+    annEvalCtes(nLists, dims, probeMod) + s""",
+    tk AS (SELECT probe_id, vec_id FROM truth WHERE rn <= $k),
+    ak AS (SELECT probe_id, vec_id, rn FROM approx WHERE rn <= $k),
+    hit AS (
+      SELECT tk.probe_id, ak.rn
+      FROM tk JOIN ak ON tk.probe_id = ak.probe_id AND tk.vec_id = ak.vec_id),
+    per AS (SELECT probe_id, COUNT(*) AS n_truth FROM tk GROUP BY probe_id),
+    hs AS (SELECT probe_id, COUNT(*) AS n_hits,
+                  SUM(CASE rn $wCase END) AS dcg
+           FROM hit GROUP BY probe_id),
+    ic AS (SELECT probe_id, n_truth,
+                  CASE (CASE WHEN n_truth < $k THEN n_truth ELSE $k END)
+                    $idcgCase END AS idcg
+           FROM per)
+    SELECT ic.probe_id,
+           CAST(ic.n_truth AS BIGINT) AS n_truth,
+           CAST(COALESCE(hs.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(hs.dcg, 0) AS BIGINT) AS dcg_micros,
+           CAST(ic.idcg AS BIGINT) AS idcg_micros,
+           CAST(floor(1000000.0 * COALESCE(hs.dcg, 0) / ic.idcg) AS BIGINT)
+             AS ndcg_micros
+    FROM ic LEFT JOIN hs ON ic.probe_id = hs.probe_id"""
+  }
+
+  /** q149: MMR re-rank oracle — the same greedy selection unrolled as k
+    * chained CTEs. Both engines first convert the round(6) cosines to exact
+    * integer micro-units; 2×score = rel_u − maxsim_u is then pure BIGINT
+    * arithmetic, so the per-step argmax order cannot hit a float rounding
+    * boundary (the 0.5·rel − 0.5·ms float form diverged on exact 7-decimal
+    * halves). */
+  def mmrRerankSql(k: Int, poolSize: Int, probeMod: Int): String = {
+    def cos(a: String, b: String): String =
+      s"round(${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)})), 6)"
+    val steps = (2 to k).map { t =>
+      s""",
+    s$t AS (
+      SELECT probe_id, cand_id, rel, score2, $t AS mmr_rank FROM (
+        SELECT r.probe_id, r.cand_id, r.rel,
+               r.rel_u - m.ms AS score2,
+               row_number() OVER (PARTITION BY r.probe_id
+                                  ORDER BY r.rel_u - m.ms DESC, r.cand_id) AS rn
+        FROM pool r
+        JOIN (SELECT s.probe_id, s.ca AS cand_id, MAX(s.s_u) AS ms
+              FROM sim s JOIN sel${t - 1} x
+                ON s.probe_id = x.probe_id AND s.cb = x.cand_id
+              GROUP BY s.probe_id, s.ca) m
+          ON r.probe_id = m.probe_id AND r.cand_id = m.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+                          WHERE x.probe_id = r.probe_id AND x.cand_id = r.cand_id)
+      ) z WHERE rn = 1),
+    sel$t AS (SELECT probe_id, cand_id FROM sel${t - 1}
+              UNION ALL SELECT probe_id, cand_id FROM s$t)"""
+    }.mkString
+    val unionAll = (1 to k)
+      .map(t => s"SELECT probe_id, cand_id, rel, score2, mmr_rank FROM s$t")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings WHERE vec_id % $probeMod = 0),
+    pcand AS (
+      SELECT p.probe_id, e.vec_id AS cand_id, e.embedding,
+             ${cos("e.embedding", "p.pv")} AS rel
+      FROM embeddings e, probe p WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, cand_id, embedding, rel,
+             CAST(round(rel * 1000000) AS BIGINT) AS rel_u,
+             row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
+      FROM pcand WHERE rel IS NOT NULL),
+    pool AS (SELECT probe_id, cand_id, embedding, rel, rel_u
+             FROM ranked WHERE rn <= $poolSize),
+    sim AS (
+      SELECT a.probe_id, a.cand_id AS ca, b.cand_id AS cb,
+             CAST(round(${cos("a.embedding", "b.embedding")} * 1000000) AS BIGINT) AS s_u
+      FROM pool a JOIN pool b
+        ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id),
+    s1 AS (
+      SELECT probe_id, cand_id, rel, rel_u AS score2, 1 AS mmr_rank FROM (
+        SELECT probe_id, cand_id, rel, rel_u,
+               row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
+        FROM pool) z WHERE rn = 1),
+    sel1 AS (SELECT probe_id, cand_id FROM s1)$steps
+    SELECT probe_id, cand_id AS neighbor_id, rel,
+           CAST(score2 AS BIGINT) AS mmr_score2_micros,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank
+    FROM ($unionAll) u"""
+  }
+
   /** q92: corpus rows (vec_id % mod <> 0) surviving semantic decontamination
     * against the benchmark split (vec_id % mod = 0) — NOT EXISTS mirrors the
     * left-anti join; NULL cosine (zero norm) fails the predicate both sides. */

@@ -548,4 +548,116 @@ object Similarity {
         coalesce(floor(lit(1000000.0) / col("__fr")), lit(0L)).cast("long")
           .as("rr_micros"))
   }
+
+  /** Maximal-marginal-relevance re-rank of a serving result list: from each
+    * probe's brute-force top-`poolSize` pool, greedily select `k` items
+    * maximizing 0.5·relevance − 0.5·max-similarity-to-already-selected —
+    * the diversity-aware final stage of a retrieval stack (dedup the result
+    * list itself, not the corpus). λ is FIXED at 0.5 on purpose: with both
+    * operands first converted to exact integer micro-units (the rounded
+    * cosines ARE 6-decimal values, so round(x·1e6) recovers an exact long),
+    * 2×score = rel_micros − maxsim_micros is pure integer arithmetic — the
+    * greedy argmax never compares floats at a rounding boundary (the float
+    * form diverged between engines on exact 7-decimal halves). The emitted
+    * `mmr_score2_micros` is twice the MMR score in micro-units; rank 1
+    * scores rel_micros (empty selected set ⇒ the similarity penalty is 0).
+    *
+    * Scale shape: the pool is serving-bounded (probes × poolSize rows), so
+    * the candidate-embedding fetch BROADCASTS the pool against one corpus
+    * scan, the pairwise-sim table is probes × poolSize² rows, and the k−1
+    * greedy steps are keyed joins on probe_id over those bounded frames —
+    * corpus size never enters after the pool pass. Ties break to the lower
+    * candidate id (oracle row_number parity). */
+  def mmrRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+                probe: DataFrame, probeId: String, probeVec: String,
+                k: Int, poolSize: Int): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize >= k >= 1, got k=$k poolSize=$poolSize")
+    val pool = knnJoin(corpus, corpusId, corpusVec, probe, probeId, probeVec,
+      k = poolSize, excludeSelf = true)
+      .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+        col("cos").as("rel"),
+        round(col("cos") * 1e6).cast("long").as("__rel_u"))
+    // candidate embeddings: ONE corpus scan with the serving-bounded pool
+    // broadcast against it
+    val emb = corpus.select(col(corpusId).cast("long").as("cand_id"),
+      col(corpusVec).as("__v"))
+    val cand = emb.join(broadcast(pool), Seq("cand_id"))
+    val sim = cand.as("a").join(cand.as("b"),
+        col("a.probe_id") === col("b.probe_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.probe_id").as("probe_id"), col("a.cand_id").as("ca"),
+        col("b.cand_id").as("cb"),
+        round(round(VF.cosine(col("a.__v"), col("b.__v")), 6) * 1e6)
+          .cast("long").as("s_u"))
+    val byScore = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__score2").desc, col("cand_id"))
+    var all = pool.withColumn("__score2", col("__rel_u"))
+      .withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("cand_id"), col("rel"),
+        col("__rel_u").as("mmr_score2_micros"), lit(1L).as("mmr_rank"))
+    for (t <- 2 to k) {
+      val selected = all.select(col("probe_id"), col("cand_id"))
+      val maxSim = sim
+        .join(selected.withColumnRenamed("cand_id", "cb"), Seq("probe_id", "cb"))
+        .groupBy(col("probe_id"), col("ca").as("cand_id"))
+        .agg(max(col("s_u")).as("__ms"))
+      val step = pool
+        .join(selected, Seq("probe_id", "cand_id"), "left_anti")
+        .join(maxSim, Seq("probe_id", "cand_id"))
+        .withColumn("__score2", col("__rel_u") - col("__ms"))
+        .withColumn("__rn", row_number().over(byScore))
+        .filter(col("__rn") === 1)
+        .select(col("probe_id"), col("cand_id"), col("rel"),
+          col("__score2").as("mmr_score2_micros"), lit(t.toLong).as("mmr_rank"))
+      all = all.unionByName(step)
+    }
+    all.select(col("probe_id"), col("cand_id").as("neighbor_id"),
+      col("rel"), col("mmr_score2_micros"), col("mmr_rank"))
+  }
+
+  /** Position discount for graded ranking metrics, in exact integer
+    * micro-units: w(r) = floor(1e6 / log2(r+1)). Computed HERE (plain JVM
+    * math) and embedded as literals in both the Spark plan and the oracle
+    * SQL, so neither engine evaluates log2 at query time — a last-ulp
+    * libm-vs-JVM divergence inside floor() would flip a hash. */
+  def ndcgWeightsMicros(k: Int): Seq[Long] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    (1 to k).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  }
+
+  /** nDCG@k per probe — the GRADED companion to [[retrievalEval]]: recall
+    * treats every recovered neighbor the same, nDCG credits the approx list
+    * for putting true neighbors EARLY (binary relevance: approx rank-r item
+    * is relevant iff it is in the exact top-k). All position discounts are
+    * [[ndcgWeightsMicros]] integer literals, so dcg/idcg are exact integer
+    * sums (order-free) and the only float op is the final
+    * floor(1e6·dcg/idcg) — an IEEE division of <2^53 integers, bit-identical
+    * across engines. Plan shape: one probe-keyed hit join + two partial
+    * aggs, probe-count-sized — corpus scale never enters. */
+  def ndcgEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val w = ndcgWeightsMicros(k)
+    val idcgPrefix = w.scanLeft(0L)(_ + _).drop(1) // prefix(i) = w(1)+…+w(i)
+    val wArr = array(w.map(lit): _*)
+    val prefixArr = array(idcgPrefix.map(lit): _*)
+    val t = truth.select(col("probe_id"), col("neighbor_id"))
+    val ak = approx.select(col("probe_id"), col("neighbor_id"), col("rank"))
+    val hits = ak.join(t, Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("__nh"),
+        sum(element_at(wArr, col("rank").cast("int"))).as("__dcg"))
+    t.groupBy("probe_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("probe_id"), "left")
+      // ideal DCG fills the first min(n_truth, k) positions — least() also
+      // keeps element_at in bounds if a caller hands an over-long truth list
+      .withColumn("__idcg",
+        element_at(prefixArr, least(col("n_truth"), lit(k.toLong)).cast("int")))
+      .select(col("probe_id"), col("n_truth"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        coalesce(col("__dcg"), lit(0L)).cast("long").as("dcg_micros"),
+        col("__idcg").cast("long").as("idcg_micros"),
+        floor(lit(1000000.0) * coalesce(col("__dcg"), lit(0L)) / col("__idcg"))
+          .cast("long").as("ndcg_micros"))
+  }
 }

@@ -143,4 +143,99 @@ class KnnJoinSpec extends SparkSpec {
       probe, "vec_id", "embedding", k = 2, maxBroadcastProbes = 5L)
     assert(ok.count() == 10L)
   }
+
+  test("mmrRerank: matches a plain-Scala greedy replay on a random corpus") {
+    // deterministic pseudo-random corpus; the reference implementation
+    // replays the greedy argmax from the operator's OWN building blocks
+    // (knnJoin pool + rounded pairwise cosines), so this pins the selection
+    // logic without re-deriving float cosines bit-for-bit in Scala
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 10 === 0) // 3 probes
+    val k = 4; val poolSz = 8
+    val got = Similarity.mmrRerank(corpus, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = k, poolSize = poolSz)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+
+    // rebuild pool + sims with the same operators
+    val pool = Similarity.knnJoin(corpus, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = poolSz, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    val ids = pool.map(_._2).distinct
+    val sub = corpus.filter(col("vec_id").isin(ids: _*))
+    val sims = sub.as("a").join(sub.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(graft.functions.VectorFunctions.cosine(
+          col("a.embedding"), col("b.embedding")), 6).as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e6)))
+      .toMap
+
+    val expected = pool.groupBy(_._1).flatMap { case (p, cands0) =>
+      var remaining = cands0.map(c => (c._2, c._3)).toList
+      var selected = List.empty[(Long, Long, Long)] // (cand, score2, rank)
+      for (t <- 1 to k) {
+        val scored = remaining.map { case (cid, relU) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => sims((cid, s._1))).max
+          (cid, relU - (if (t == 1) 0L else pen))
+        }
+        val best = scored.minBy { case (cid, s2) => (-s2, cid) }
+        selected = selected :+ ((best._1, best._2, t.toLong))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      selected.map(s => (p, s._1, s._2, s._3))
+    }.toSet
+    assert(got.toSet == expected, {
+      val g = got.toSet; s"only-got=${g -- expected} only-exp=${expected -- g}"
+    })
+  }
+
+  test("mmrRerank: rank 1 is the plain top-1; k rows per probe, no repeats") {
+    val probe = corpus.filter(col("vec_id") === 0)
+    val got = Similarity.mmrRerank(corpus, "vec_id", "embedding",
+      probe, "vec_id", "embedding", k = 3, poolSize = 4)
+      .orderBy("mmr_rank").collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(1) == 1L, "rank 1 = nearest neighbor (15deg)")
+    assert(got.map(_.getLong(1)).distinct.length == 3)
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("ndcgWeightsMicros: exact integer discounts, strictly decreasing") {
+    val w = Similarity.ndcgWeightsMicros(5)
+    assert(w == Seq(1000000L, 630929L, 500000L, 430676L, 386852L))
+    assert(w == w.sorted.reverse && w.distinct == w)
+  }
+
+  test("ndcgEval: hand-computed dcg/idcg on planted hit positions") {
+    // probe 1: truth {10,11,12}; approx hits at ranks 1 and 3, misses rank 2
+    // probe 2: truth {20,21}; approx misses everything
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("probe_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L),
+      (2L, 98L, 1L), (2L, 97L, 2L)).toDF("probe_id", "neighbor_id", "rank")
+    val got = Similarity.ndcgEval(truth, approx, k = 5)
+      .orderBy("probe_id").collect()
+    val p1 = got(0)
+    assert((p1.getLong(1), p1.getLong(2)) == ((3L, 2L))) // n_truth, n_hits
+    assert(p1.getLong(3) == 1000000L + 500000L, "dcg = w(1) + w(3)")
+    assert(p1.getLong(4) == 1000000L + 630929L + 500000L, "idcg = prefix(3)")
+    assert(p1.getLong(5) ==
+      math.floor(1000000.0 * 1500000L / 2130929L).toLong)
+    val p2 = got(1)
+    assert((p2.getLong(2), p2.getLong(3), p2.getLong(5)) == ((0L, 0L, 0L)))
+    assert(p2.getLong(4) == 1000000L + 630929L, "idcg = prefix(2)")
+  }
+
+  test("ndcgEval: an early hit outscores the same hit late") {
+    val truth = Seq((1L, 10L)).toDF("probe_id", "neighbor_id")
+    def at(rank: Long) = Seq((1L, 10L, rank), (1L, 99L, 6L - rank))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val early = Similarity.ndcgEval(truth, at(1), k = 5).collect()(0).getLong(5)
+    val late = Similarity.ndcgEval(truth, at(5), k = 5).collect()(0).getLong(5)
+    assert(early == 1000000L && late < early, s"$early vs $late")
+  }
 }

@@ -37,6 +37,8 @@ EXPLAINED = {
         "contract.",
     "q142_retrieval_eval": "per-probe eval over brute truth: same probes x "
         "corpus contract.",
+    "q147_ndcg_eval": "graded per-probe eval over the same brute truth as "
+        "q142: probes x corpus contract.",
     "q53_containment": "probe split is a fixed fraction (doc_id % 10); the "
         "bitmap fast path (chosen while vocab fits) is corpus x probe "
         "popcounts ~ sf^2; at larger vocab the dispatch falls to the "

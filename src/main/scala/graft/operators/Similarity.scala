@@ -567,7 +567,15 @@ object Similarity {
     * scan, the pairwise-sim table is probes × poolSize² rows, and the k−1
     * greedy steps are keyed joins on probe_id over those bounded frames —
     * corpus size never enters after the pool pass. Ties break to the lower
-    * candidate id (oracle row_number parity). */
+    * candidate id (oracle row_number parity).
+    *
+    * The pool, the sim table, and each step's cumulative selection are
+    * localCheckpointed (eager, tiny frames): step t's lineage references
+    * every earlier step, so an unmaterialized chain re-executes step 1
+    * ~2^k times — measured 12.5 s FLAT across sf0.001→0.1 before the pin,
+    * pure re-execution, zero data cost (the q116 pagerank lineage lesson).
+    * localCheckpoint, not persist: Bench/Verify clear the SQL cache between
+    * queries, which would evict a persist and silently restore the blowup. */
   def mmrRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
                 probe: DataFrame, probeId: String, probeVec: String,
                 k: Int, poolSize: Int): DataFrame = {
@@ -578,6 +586,7 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id").as("cand_id"),
         col("cos").as("rel"),
         round(col("cos") * 1e6).cast("long").as("__rel_u"))
+      .localCheckpoint(true)
     // candidate embeddings: ONE corpus scan with the serving-bounded pool
     // broadcast against it
     val emb = corpus.select(col(corpusId).cast("long").as("cand_id"),
@@ -590,6 +599,7 @@ object Similarity {
         col("b.cand_id").as("cb"),
         round(round(VF.cosine(col("a.__v"), col("b.__v")), 6) * 1e6)
           .cast("long").as("s_u"))
+      .localCheckpoint(true)
     val byScore = Window.partitionBy(col("probe_id"))
       .orderBy(col("__score2").desc, col("cand_id"))
     var all = pool.withColumn("__score2", col("__rel_u"))
@@ -597,6 +607,7 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col("probe_id"), col("cand_id"), col("rel"),
         col("__rel_u").as("mmr_score2_micros"), lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
     for (t <- 2 to k) {
       val selected = all.select(col("probe_id"), col("cand_id"))
       val maxSim = sim
@@ -611,7 +622,7 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("probe_id"), col("cand_id"), col("rel"),
           col("__score2").as("mmr_score2_micros"), lit(t.toLong).as("mmr_rank"))
-      all = all.unionByName(step)
+      all = all.unionByName(step).localCheckpoint(true)
     }
     all.select(col("probe_id"), col("cand_id").as("neighbor_id"),
       col("rel"), col("mmr_score2_micros"), col("mmr_rank"))

@@ -652,8 +652,17 @@ object Similarity {
     val idcgPrefix = w.scanLeft(0L)(_ + _).drop(1) // prefix(i) = w(1)+…+w(i)
     val wArr = array(w.map(lit): _*)
     val prefixArr = array(idcgPrefix.map(lit): _*)
-    val t = truth.select(col("probe_id"), col("neighbor_id"))
-    val ak = approx.select(col("probe_id"), col("neighbor_id"), col("rank"))
+    // @k means @k even when a caller hands deeper-than-k result lists:
+    // approx is truncated on its rank (a rank-7 hit must earn nothing, not
+    // crash element_at under ANSI or count as a weightless hit), and a
+    // truth list carrying a rank column is truncated the same way (a
+    // rank-less truth frame is trusted to BE the top-k set — it has no
+    // order to truncate by)
+    val t0 = if (truth.columns.contains("rank"))
+      truth.filter(col("rank") <= k) else truth
+    val t = t0.select(col("probe_id"), col("neighbor_id"))
+    val ak = approx.filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
     val hits = ak.join(t, Seq("probe_id", "neighbor_id"))
       .groupBy("probe_id")
       .agg(count(lit(1)).as("__nh"),

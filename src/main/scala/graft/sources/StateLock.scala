@@ -78,8 +78,13 @@ object StateLock {
         val payload = s"${now()}:$uuid"
         try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        written = payload
-        true
+        // the file was VISIBLE with an empty payload between create and
+        // write — a contender reading in that window classifies it stale
+        // (unreadable ⇒ no valid holder) and may have deleted or replaced
+        // it. Acquisition only counts if our payload survived the window;
+        // otherwise fall back to the poll loop like any other lost race.
+        if (readPayload(fs, lock).contains(payload)) { written = payload; true }
+        else false
       } catch { case _: java.io.IOException => false }
     }
 
@@ -97,8 +102,19 @@ object StateLock {
     try f finally {
       // release ONLY our own lock: if this holder overran its lease and a
       // contender broke it and acquired, the payload no longer carries our
-      // token and the new holder's lock must stay
-      if (readPayload(fs, lock).contains(written)) fs.delete(lock, false)
+      // token and the new holder's lock must stay. A transient read error
+      // must not leak a valid-lease lock (that blocks every fail-fast
+      // writer for up to leaseMs), so retry the read; if the lock exists
+      // but stays unreadable after retries, delete it anyway — our own
+      // write succeeded, so a persistent garbage payload is not a
+      // successor's valid lease (acquirers treat it as stale and would
+      // break it regardless; deleting just skips their wait).
+      val observed = Iterator.range(0, 3).map(_ => readPayload(fs, lock))
+        .find(_.isDefined).flatten
+      observed match {
+        case Some(p) => if (p == written) fs.delete(lock, false)
+        case None    => if (fs.exists(lock)) fs.delete(lock, false)
+      }
     }
   }
 }

@@ -27,35 +27,14 @@ object PricePipeline {
     * merge that produced it had completed) or, failing that, the displaced
     * previous state (__old). Without this, an interrupted swap silently
     * rebuilds empty state and wipes the watermarks. */
-  // all state-file operations go through the PATH's Hadoop filesystem:
-  // java.io.File existence checks are always false on hdfs://s3a://file:
-  // URIs and would silently read the warehouse as empty (then crash at the
-  // rename) — the same bug class fixed in streamingMediaIngest. On HDFS the
-  // rename is atomic; object stores without atomic rename should point the
-  // state at a rename-capable filesystem.
-  private def hfs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private def recoverSwap(spark: SparkSession, path: String): Unit = {
-    val (fs, dst) = hfs(spark, path)
-    if (!fs.exists(dst)) {
-      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-      val old = new org.apache.hadoop.fs.Path(path + "__old")
-      if (fs.exists(tmp) &&
-          fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        require(fs.rename(tmp, dst), s"state recovery failed: $tmp -> $dst")
-        if (fs.exists(old)) fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        require(fs.rename(old, dst), s"state recovery failed: $old -> $dst")
-      }
-    }
-  }
-
+  // all state-file operations go through the PATH's Hadoop filesystem
+  // (java.io.File is always false on hdfs://s3a:// URIs) and the shared
+  // Writers swap protocol — one __tmp/__old/_SUCCESS state machine across
+  // compaction, DedupLake, and this pipeline, not a third hand-rolled copy
   private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    recoverSwap(spark, path)
-    val (fs, p) = hfs(spark, path)
+    graft.sources.Writers.recoverSwap(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -109,21 +88,13 @@ object PricePipeline {
       val dupCond = allCols.map(c => incoming(c) <=> existingScoped(c)).reduce(_ && _)
       incoming.join(existingScoped, dupCond, "left_anti")
         .write.mode("append").parquet(s"$warehouseDir/prices")
-      // state is a full-replace merge: write-new-then-swap. Every rename is
-      // checked and a crash between the renames is recoverable (recoverSwap
-      // restores __tmp-with-_SUCCESS or __old on the next read) — an
-      // interrupted swap can no longer silently reset the watermarks.
-      val tmp = s"$warehouseDir/crawl_state__tmp"
-      mergedState.write.mode("overwrite").parquet(tmp)
-      val (fs, dst) = hfs(spark, s"$warehouseDir/crawl_state")
-      val tmpP = new org.apache.hadoop.fs.Path(tmp)
-      if (fs.exists(dst)) {
-        val old = new org.apache.hadoop.fs.Path(s"$warehouseDir/crawl_state__old")
-        if (fs.exists(old)) fs.delete(old, true)
-        require(fs.rename(dst, old), s"state swap failed: $dst -> $old")
-        require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
-        fs.delete(old, true)
-      } else require(fs.rename(tmpP, dst), s"state swap failed: $tmp -> $dst")
+      // state is a full-replace merge: write-new-then-swap via the shared
+      // protocol. Every rename is checked and a crash between the renames
+      // is recoverable (Writers.recoverSwap restores __tmp-with-_SUCCESS or
+      // __old on the next read) — an interrupted swap can no longer
+      // silently reset the watermarks.
+      graft.sources.Writers.swapReplace(
+        spark, s"$warehouseDir/crawl_state", mergedState)
     } finally ticks.unpersist()
   }
 

@@ -230,6 +230,18 @@ class KnnJoinSpec extends SparkSpec {
     assert(p2.getLong(4) == 1000000L + 630929L, "idcg = prefix(2)")
   }
 
+  test("ndcgEval: deeper-than-k result lists are truncated, not credited") {
+    // a hit at approx rank 7 with k=5 must earn nothing (and must not crash
+    // element_at under ANSI); a truth list with ranks beyond k is cut too
+    val truth = Seq((1L, 10L, 1L), (1L, 11L, 7L)).toDF("probe_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 10L, 7L), (1L, 11L, 1L), (1L, 99L, 2L))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val r = Similarity.ndcgEval(truth, approx, k = 5).collect()(0)
+    assert(r.getLong(1) == 1L, "truth truncated to rank <= k")
+    assert((r.getLong(2), r.getLong(3), r.getLong(5)) == ((0L, 0L, 0L)),
+      "the rank-7 hit on doc 10 and the beyond-k truth row 11 earn nothing")
+  }
+
   test("ndcgEval: an early hit outscores the same hit late") {
     val truth = Seq((1L, 10L)).toDF("probe_id", "neighbor_id")
     def at(rank: Long) = Seq((1L, 10L, rank), (1L, 99L, 6L - rank))

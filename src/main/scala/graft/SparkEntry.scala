@@ -1880,6 +1880,23 @@ object SparkEntry {
       Similarity.ndcgEval(truth, approx, k = 5)
     }, Some(TextOracle.ndcgEvalSql(k = 5, nLists = 4, dims = 64, probeMod = 25))),
 
+    Q("q150_ivf_drift", (s, dir) => {
+      // index-health monitoring for an incremental vector index: per-list
+      // base-vs-batch counts, batch share, and mean assigned-centroid
+      // distance shift — the report that decides when drift has outgrown
+      // the centroids and a recluster is due. Means are exact decimal sums
+      // divided once; two corpus scans, numLists groups
+      // centroids: hyperplanes scaled to data magnitude (×0.02) — at unit
+      // scale the |c|² term dominates the argmin and every vector lands in
+      // one list; scaled, the dot term decides and the lists balance
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfDriftReport(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        "embedding", Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02)))
+    }, Some(TextOracle.ivfDriftSql(nLists = 4, dims = 64, batchMod = 5,
+      scale = 0.02))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

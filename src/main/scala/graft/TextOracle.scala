@@ -985,6 +985,61 @@ object TextOracle {
     FROM d"""
   }
 
+  /** q150: per-list IVF drift report — ivfAssignSql's distances + CASE
+    * argmin, plus round(LEAST(d*),6) as the assigned distance; means are
+    * DECIMAL(38,6) sums divided once, drift the difference of the rounded
+    * means (mirrors Similarity.ivfDriftReport exactly). */
+  def ivfDriftSql(nLists: Int, dims: Int, batchMod: Int,
+                  scale: Double): String = {
+    // centroids are the SCALED hyperplanes (Similarity.hyperplanes × scale
+    // per WEIGHT, mirroring the Spark side's VF.dot(v, λc): λ applied to
+    // each weight before the fold, not to the summed dot — λ·Σwx and
+    // Σ(λw)x round differently in IEEE and the hash would notice). Each
+    // scaled weight is embedded as a Scala-printed double literal, which
+    // DuckDB parses back to the identical binary64.
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+      .map(_.map(_ * scale))
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, d) => s"CAST(embedding[${d + 1}] AS DOUBLE) * $w" }
+        .mkString(" + ")
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * ($dot) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val leastAll = (0 until nLists).map(i => s"d$i").mkString(", ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, $d2
+      FROM embeddings),
+    a AS (
+      SELECT vec_id,
+             CASE $cases END AS ivf_list,
+             round(LEAST($leastAll), 6) AS dd
+      FROM d),
+    base AS (
+      SELECT ivf_list, COUNT(*) AS n_base,
+             SUM(CAST(dd AS DECIMAL(38,6))) AS s_b, COUNT(dd) AS c_b
+      FROM a WHERE vec_id % $batchMod <> 0 GROUP BY ivf_list),
+    batch AS (
+      SELECT ivf_list, COUNT(*) AS n_batch,
+             SUM(CAST(dd AS DECIMAL(38,6))) AS s_t, COUNT(dd) AS c_t
+      FROM a WHERE vec_id % $batchMod = 0 GROUP BY ivf_list)
+    SELECT COALESCE(base.ivf_list, batch.ivf_list) AS ivf_list,
+           CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
+           round(CAST(COALESCE(n_batch, 0) AS DOUBLE)
+                 / (COALESCE(n_base, 0) + COALESCE(n_batch, 0)), 6) AS share_batch,
+           round(CAST(s_b AS DOUBLE) / c_b, 6) AS mean_d2_base,
+           round(CAST(s_t AS DOUBLE) / c_t, 6) AS mean_d2_batch,
+           round(round(CAST(s_t AS DOUBLE) / c_t, 6)
+                 - round(CAST(s_b AS DOUBLE) / c_b, 6), 6) AS drift_d2
+    FROM base FULL OUTER JOIN batch ON base.ivf_list = batch.ivf_list"""
+  }
+
   /** IVF probing-search oracle: per-vector distances + CASE-argmin assignment
     * (as ivfAssignSql), probe set = the nprobe centroids nearest the QUERY
     * (ranked in SQL, ties to the lower index), then cosine top-k over the

@@ -54,6 +54,23 @@ object Clustering {
     kmeansAssignments(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
 
+  /** The trained centroids themselves (cluster, centroid array<double>) —
+    * the coarse-quantizer output an incremental vector index stores and
+    * broadcasts as literals at assignment time. Same deterministic init and
+    * loop as [[kmeansLloyd]]. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val wInit = Window.orderBy(col(idCol))
+    var centroids = emb.select(col(idCol), asDouble.as("c"))
+      .orderBy(col(idCol)).limit(k)
+      .select((row_number().over(wInit) - 1).as("cluster"), col("c"))
+    for (_ <- 1 to iters)
+      centroids = update(assign(emb, idCol, vecCol, centroids), vecCol)
+    centroids
+  }
+
   /** The loop behind [[kmeansLloyd]], returning the final assignment WITH
     * its squared distance to the assigned (final-round) centroid — the raw
     * material for prototypicality filtering. */

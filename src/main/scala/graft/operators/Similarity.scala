@@ -121,6 +121,58 @@ object Similarity {
     emb.withColumn(listCol, least(dists: _*).getField("i"))
   }
 
+  /** [[ivfAssign]] plus the assigned-centroid squared distance (round(·,6)
+    * so downstream cross-engine aggregation is exact) — the input every
+    * index-health monitor needs. */
+  def ivfAssignWithDist(emb: DataFrame, vecCol: String,
+                        centroids: Seq[Seq[Double]],
+                        listCol: String = "ivf_list",
+                        distCol: String = "d2"): DataFrame = {
+    require(centroids.size >= 2, "need >= 2 centroids for a distance report")
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = typedLit(c)
+      val d2 = VF.dot(col(vecCol), col(vecCol)) -
+        lit(2.0) * VF.dot(col(vecCol), cc) + lit(c.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(i).as("i"))
+    }
+    val m = least(dists: _*)
+    emb.withColumn(listCol, m.getField("i"))
+      .withColumn(distCol, round(m.getField("d2"), 6))
+  }
+
+  /** Per-list DRIFT report between the resident index (`base`) and an
+    * incoming `batch` — the monitoring query that decides when an
+    * incremental vector index needs reclustering: a list whose batch share
+    * balloons or whose mean assigned-centroid distance shifts is a centroid
+    * that no longer represents its data. Means are exact DECIMAL(38,6)
+    * sums of the round(6) distances divided once (order-free in both
+    * engines); `drift_d2` is the difference of the two ROUNDED means —
+    * differences of on-grid 6-decimal values stay on-grid, so the final
+    * round never sits on a half boundary. One partial-agg shuffle per side
+    * keyed on ivf_list (numLists groups), corpus scanned once per side. */
+  def ivfDriftReport(base: DataFrame, batch: DataFrame, vecCol: String,
+                     centroids: Seq[Seq[Double]]): DataFrame = {
+    def stats(df: DataFrame, side: String) =
+      ivfAssignWithDist(df, vecCol, centroids)
+        .groupBy("ivf_list")
+        .agg(count(lit(1)).as(s"n_$side"),
+          sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as(s"__s_$side"),
+          count(col("d2")).as(s"__c_$side"))
+    def mean(side: String): Column =
+      round(col(s"__s_$side").cast("double") / col(s"__c_$side"), 6)
+    stats(base, "base").join(stats(batch, "batch"), Seq("ivf_list"), "full_outer")
+      .select(col("ivf_list"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        round(coalesce(col("n_batch"), lit(0L)).cast("double") /
+          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_batch"), lit(0L))), 6)
+          .as("share_batch"),
+        mean("base").as("mean_d2_base"),
+        mean("batch").as("mean_d2_batch"),
+        round(mean("batch") - mean("base"), 6).as("drift_d2"))
+  }
+
   /** Deterministic per-subspace PQ codebooks: centroid `c` of subspace `m`,
     * dim `d` gets weight from the first hex nibble of md5("pq{m}_{c}_{d}"),
     * mapped to [-7.5, 7.5] — same engine-reproducible construction as

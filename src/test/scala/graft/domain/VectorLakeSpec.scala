@@ -1,0 +1,94 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The lake-resident incremental vector index: ingest dedup gates (vs the
+  * resident index and within-batch), at-least-once replay, the recluster
+  * reconcile, and the writer lease — DedupLake's contracts, vector twin. */
+class VectorLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+    val r = math.toRadians(deg)
+    Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"veclake_$tag").toString + "/lake"
+
+  test("ingest: dups vs resident index and within batch drop; survivors append") {
+    val root = freshRoot("ingest")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    // batch 1: one vector per list, no dups anywhere
+    val r1 = VectorLake.ingest(spark, root,
+      Seq((1L, unit(0)), (2L, unit(45, 14f))).toDF("vec_id", "embedding"))
+    assert(r1 == VectorLake.IngestReport(2, 0, 0))
+    // batch 2: v3 is a same-direction copy of v1 (cos 1 vs the index);
+    // v4 is orthogonal (kept); v5 duplicates v4's direction within the
+    // batch (higher id loses)
+    val r2 = VectorLake.ingest(spark, root, Seq(
+      (3L, unit(0, 2f)), (4L, unit(90)), (5L, unit(90, 3f)))
+      .toDF("vec_id", "embedding"))
+    assert(r2 == VectorLake.IngestReport(1, 1, 1), r2.toString)
+    val stored = VectorLake.vectors(spark, root)
+    assert(stored.select("vec_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+    // list partitioning survives the roundtrip
+    assert(stored.filter(col("vec_id") === 2L).select("ivf_list")
+      .collect()(0).getInt(0) == 1)
+  }
+
+  test("at-least-once: a crashed batch replays to exactly-once state") {
+    val root = freshRoot("replay")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val batch = Seq((1L, unit(0)), (2L, unit(90))).toDF("vec_id", "embedding")
+    intercept[RuntimeException] {
+      VectorLake.ingest(spark, root, batch,
+        failpoint = () => throw new RuntimeException("torn"))
+    }
+    assert(VectorLake.vectors(spark, root).count() == 0, "crash before append")
+    assert(VectorLake.ingest(spark, root, batch).kept == 2)
+    assert(VectorLake.vectors(spark, root).count() == 2)
+    // exact replay of the completed batch: reported kept is the batch's keep
+    // set, but the append inserts nothing
+    assert(VectorLake.ingest(spark, root, batch).kept == 2)
+    assert(VectorLake.vectors(spark, root).count() == 2, "replay inserted rows")
+  }
+
+  test("reconcile retrains the quantizer on the resident data and reassigns") {
+    val root = freshRoot("reclu")
+    // stale quantizer: both centroids near the origin corner, far from the
+    // two real blobs (angles 0/20 and 90/110 — >18deg apart so the 0.95
+    // dup gate keeps them all; ids interleaved so Lloyd's first-two-ids
+    // init starts one centroid in each blob)
+    VectorLake.init(spark, root, Seq(Seq(0.1, 0.0), Seq(0.0, 0.1)))
+    val r = VectorLake.ingest(spark, root, Seq(
+      (1L, unit(0)), (2L, unit(90)), (3L, unit(20)), (4L, unit(110)))
+      .toDF("vec_id", "embedding"))
+    assert(r.kept == 4, r.toString)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    val lists = VectorLake.vectors(spark, root).select("vec_id", "ivf_list")
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(lists(1L) == lists(3L) && lists(2L) == lists(4L) &&
+      lists(1L) != lists(2L), s"blobs not separated: $lists")
+    val cents = VectorLake.centroids(spark, root)
+    assert(cents.size == 2 && cents != Seq(Seq(0.1, 0.0), Seq(0.0, 0.1)),
+      "quantizer not retrained")
+  }
+
+  test("writer lease: a second writer fails fast") {
+    val root = freshRoot("lock")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val lock = new org.apache.hadoop.fs.Path(s"$root/_LOCK")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lock, false)
+    out.write(s"${System.currentTimeMillis()}:other".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.ingest(spark, root,
+        Seq((1L, unit(0))).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+  }
+}

@@ -203,6 +203,29 @@ class KnnJoinSpec extends SparkSpec {
     assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("ivfDriftReport: hand-computed counts, means, and drift on planted lists") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    // base: two vectors in list 0 (d2 = 1, 4), one in list 1 (d2 = 1);
+    // batch: one vector in list 0, farther out (d2 = 25)
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(10.0f, 9.0f))).toDF("vec_id", "embedding")
+    val batch = Seq((4L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfDriftReport(base, batch, "embedding", cents)
+      .orderBy("ivf_list").collect()
+    val l0 = got(0)
+    assert((l0.getInt(0), l0.getLong(1), l0.getLong(2)) == ((0, 2L, 1L)))
+    assert(l0.getDouble(3) == 0.333333) // round(1/3, 6)
+    assert(l0.getDouble(4) == 2.5, "mean base d2 = (1+4)/2")
+    assert(l0.getDouble(5) == 25.0)
+    assert(l0.getDouble(6) == 22.5, "drift = 25 - 2.5")
+    val l1 = got(1)
+    assert((l1.getInt(0), l1.getLong(1), l1.getLong(2)) == ((1, 1L, 0L)))
+    assert(l1.getDouble(4) == 1.0)
+    assert(l1.isNullAt(5) && l1.isNullAt(6),
+      "a list with no batch rows reports null batch mean and null drift")
+  }
+
   test("ndcgWeightsMicros: exact integer discounts, strictly decreasing") {
     val w = Similarity.ndcgWeightsMicros(5)
     assert(w == Seq(1000000L, 630929L, 500000L, 430676L, 386852L))

@@ -405,4 +405,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
       "q120's rank DAG re-reads the corpus: the matrix is no longer localized")
   }
+
+  test("mmr rerank: greedy steps run over checkpointed bounded frames (q149)") {
+    val p = plan("q149_mmr_rerank")
+    // every step reads the localCheckpointed pool/sim/selection, so the
+    // executed DAG contains NO file scan (the corpus was read once, during
+    // the checkpointed pool/sim builds) and no sort-merge or range exchange
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "greedy steps re-read the corpus: the pool/sim pins are gone")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("rangepartitioning"), "no global sort in the rerank")
+  }
+
+  test("ivf drift report: two pruned scans, group-count-bounded exchanges (q150)") {
+    val p = plan("q150_ivf_drift")
+    // one scan per side, each reading ONLY the embedding column
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.size == 2, s"expected 2 scans, got ${scans.size}:\n$p")
+    assert(scans.forall(s => s.contains("embedding") && !s.contains("label")),
+      scans.mkString("\n"))
+    // aggregation is partial before the numLists-row exchange; the final
+    // full-outer join of two <= numLists-row sides must not range-partition
+    assert(p.contains("partial_"), p.take(1500))
+    assert(!p.contains("rangepartitioning"), "no global sort in the report")
+  }
 }

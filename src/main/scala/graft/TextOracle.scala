@@ -986,9 +986,11 @@ object TextOracle {
   }
 
   /** q150: per-list IVF drift report — ivfAssignSql's distances + CASE
-    * argmin, plus round(LEAST(d*),6) as the assigned distance; means are
-    * DECIMAL(38,6) sums divided once, drift the difference of the rounded
-    * means (mirrors Similarity.ivfDriftReport exactly). */
+    * argmin, plus round(LEAST(d*),6) as the assigned distance; per-row
+    * distances go to exact integer micros, means are ONE floor-division of
+    * the integer sums, drift is long subtraction (mirrors
+    * Similarity.ivfDriftReport exactly — a decimal mean hit exact
+    * 7-decimal halves where the engines' round() disagree). */
   def ivfDriftSql(nLists: Int, dims: Int, batchMod: Int,
                   scale: Double): String = {
     // centroids are the SCALED hyperplanes (Similarity.hyperplanes × scale
@@ -1022,21 +1024,21 @@ object TextOracle {
       FROM d),
     base AS (
       SELECT ivf_list, COUNT(*) AS n_base,
-             SUM(CAST(dd AS DECIMAL(38,6))) AS s_b, COUNT(dd) AS c_b
+             SUM(CAST(round(dd * 1000000) AS BIGINT)) AS s_b, COUNT(dd) AS c_b
       FROM a WHERE vec_id % $batchMod <> 0 GROUP BY ivf_list),
     batch AS (
       SELECT ivf_list, COUNT(*) AS n_batch,
-             SUM(CAST(dd AS DECIMAL(38,6))) AS s_t, COUNT(dd) AS c_t
+             SUM(CAST(round(dd * 1000000) AS BIGINT)) AS s_t, COUNT(dd) AS c_t
       FROM a WHERE vec_id % $batchMod = 0 GROUP BY ivf_list)
     SELECT COALESCE(base.ivf_list, batch.ivf_list) AS ivf_list,
            CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
            CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
            round(CAST(COALESCE(n_batch, 0) AS DOUBLE)
                  / (COALESCE(n_base, 0) + COALESCE(n_batch, 0)), 6) AS share_batch,
-           round(CAST(s_b AS DOUBLE) / c_b, 6) AS mean_d2_base,
-           round(CAST(s_t AS DOUBLE) / c_t, 6) AS mean_d2_batch,
-           round(round(CAST(s_t AS DOUBLE) / c_t, 6)
-                 - round(CAST(s_b AS DOUBLE) / c_b, 6), 6) AS drift_d2
+           CAST(floor(CAST(s_b AS DOUBLE) / c_b) AS BIGINT) AS mean_d2_micros_base,
+           CAST(floor(CAST(s_t AS DOUBLE) / c_t) AS BIGINT) AS mean_d2_micros_batch,
+           CAST(floor(CAST(s_t AS DOUBLE) / c_t) AS BIGINT)
+             - CAST(floor(CAST(s_b AS DOUBLE) / c_b) AS BIGINT) AS drift_d2_micros
     FROM base FULL OUTER JOIN batch ON base.ivf_list = batch.ivf_list"""
   }
 

@@ -50,15 +50,10 @@ object DedupLake {
 
   final case class ReconcileReport(keeps: Long, dropped: Long, resurrected: Long)
 
-  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
     // the swap/recovery protocol is the shared Writers implementation —
-    // one state machine, not three hand-rolled copies (r7 review finding)
-    Writers.recoverSwap(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+    // one state machine, not N hand-rolled copies (r7 review finding)
+    Writers.readOrEmpty(spark, path, schema)
 
   /** Run `f` holding the lake's exclusive writer lease — the shared
     * [[graft.sources.StateLock]] contract (atomic `_LOCK` create, epoch
@@ -68,8 +63,7 @@ object DedupLake {
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
                         now: () => Long = System.currentTimeMillis _)(f: => T): T =
-    graft.sources.StateLock.withLock(spark, s"$root/_LOCK", leaseMs,
-      waitMs = 0L, now = now)(f)
+    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now)(f)
 
   /** Greedy per-batch ingest: probe the stored index, append the batch to
     * the archive, the survivors' band rows to the index, and the survivor

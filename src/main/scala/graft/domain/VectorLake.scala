@@ -49,17 +49,11 @@ object VectorLake {
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
                         now: () => Long = System.currentTimeMillis _)(f: => T): T =
-    graft.sources.StateLock.withLock(spark, s"$root/_LOCK", leaseMs,
-      waitMs = 0L, now = now)(f)
+    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now)(f)
 
   private def readOr(spark: SparkSession, path: String,
-                     schema: StructType): DataFrame = {
-    Writers.recoverSwap(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+                     schema: StructType): DataFrame =
+    Writers.readOrEmpty(spark, path, schema)
 
   /** Install the coarse quantizer. Idempotent (swap-replace). */
   def init(spark: SparkSession, root: String,
@@ -95,8 +89,13 @@ object VectorLake {
              failpoint: () => Unit = () => ()): IngestReport =
     withWriterLock(spark, root) {
       val cents = centroids(spark, root)
+      // the embedding cast is load-bearing: an uncast array<double> batch
+      // would append double-typed files into the float-typed store and
+      // brick every subsequent schema-imposed read
       val assigned = Similarity.ivfAssignWithDist(
-        batch.select(col("vec_id").cast("long"), col("embedding")),
+        batch.select(col("vec_id").cast("long"),
+          col("embedding").cast(vectorsSchema("embedding").dataType)
+            .as("embedding")),
         "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -115,6 +114,7 @@ object VectorLake {
           .filter(round(VF.cosine(col("embedding"), col("__bv")), 6)
             >= lit(dupThreshold))
           .select(col("__bid").as("vec_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // within-batch dups: same list, keep the lower id of each dup pair
         // (fully renamed right side — a raw self-join on assigned would hit
         // Spark's ambiguous-column resolution)
@@ -127,10 +127,12 @@ object VectorLake {
           .filter(round(VF.cosine(col("__va"), col("__vb")), 6)
             >= lit(dupThreshold))
           .select(col("__idb").as("vec_id")).distinct()
-        // a batch vector can be a dup BOTH ways; the union is the drop set,
-        // the two counts are reported independently (they may overlap)
-        val dropIds = vsIndex.unionByName(inBatch).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // a batch vector can be a dup BOTH ways; the union is the drop set,
+        // the two counts are reported independently (they may overlap).
+        // Both gate frames are pinned: the report counts and the drop-set
+        // union then reuse ONE resident-index scan instead of three.
+        val dropIds = vsIndex.unionByName(inBatch).distinct()
         try {
           val kept = assigned.join(dropIds, Seq("vec_id"), "left_anti")
           // count EVERYTHING before the append: these plans read the store,
@@ -148,7 +150,10 @@ object VectorLake {
           toWrite.write.mode("append").partitionBy("ivf_list")
             .parquet(s"$root/vectors")
           report
-        } finally { dropIds.unpersist(blocking = false); () }
+        } finally {
+          vsIndex.unpersist(blocking = false)
+          inBatch.unpersist(blocking = false); ()
+        }
       } finally { assigned.unpersist(blocking = false); () }
     }
 
@@ -164,13 +169,20 @@ object VectorLake {
       batch.select("embedding"), "embedding", centroids(spark, root))
 
   /** Re-train the quantizer on the resident vectors (deterministic Lloyd,
-    * auto-k unless overridden), reassign everything, and swap both stores —
-    * the recluster a drifted index needs. Same eventual-consistency window
-    * as DedupLake's twin swaps: a crash between them is repaired by the
-    * next scheduled reconcile. The full rewrite doubles as the compaction
-    * of the append-accumulated vectors dir. */
+    * auto-k unless overridden), REPAIR the near-dup invariant, reassign
+    * everything, and swap both stores — the recluster a drifted index
+    * needs. The repair pass matters for the twin-swap window: a crash
+    * between the vectors and centroids swaps leaves ingests gating batch
+    * lists from one quantizer against stored lists from another, so
+    * near-dup twins can slip in until the next reconcile — which is why
+    * reconcile deduplicates (same-NEW-list pairs at `dupThreshold`, lower
+    * id wins) instead of only reassigning. Within-list pair work is the
+    * SemDeDup within-cluster shape: bounded as long as k tracks the corpus
+    * (auto-k default). The full rewrite doubles as the compaction of the
+    * append-accumulated vectors dir. */
   def reconcile(spark: SparkSession, root: String,
                 k: Int = 0, iters: Int = 5,
+                dupThreshold: Double = 0.95,
                 targetClusterSize: Long = 1 << 18): Unit =
     withWriterLock(spark, root) {
       val stored = readOr(spark, s"$root/vectors", vectorsSchema)
@@ -190,11 +202,26 @@ object VectorLake {
         val reassigned = Similarity.ivfAssignWithDist(
           stored.select("vec_id", "embedding"), "embedding", cents)
           .select("vec_id", "embedding", "ivf_list", "d2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+        // near-dup REPAIR under the new assignment (see docstring): same-
+        // list pairs, keep the lower id — the maintenance-cadence pass that
+        // removes anything a mixed-quantizer ingest window let through
+        val ra = reassigned.select(col("ivf_list").as("__la"),
+          col("vec_id").as("__ida"), col("embedding").as("__va"))
+        val rb = reassigned.select(col("ivf_list").as("__lb"),
+          col("vec_id").as("__idb"), col("embedding").as("__vb"))
+        val dups = ra.join(rb,
+            col("__la") === col("__lb") && col("__ida") < col("__idb"))
+          .filter(round(VF.cosine(col("__va"), col("__vb")), 6)
+            >= lit(dupThreshold))
+          .select(col("__idb").as("vec_id")).distinct()
+        val repaired = reassigned.join(dups, Seq("vec_id"), "left_anti")
         // write the rewritten store WITH its list partitioning (the pruning
         // that makes a probe read one list, not the corpus), then promote —
         // plain swapReplace would flatten the layout. The full rewrite IS
         // the compaction, so no separate compact pass is needed.
-        reassigned.write.mode("overwrite").partitionBy("ivf_list")
+        repaired.write.mode("overwrite").partitionBy("ivf_list")
           .parquet(s"$root/vectors__tmp")
         Writers.promoteSwap(spark, s"$root/vectors")
         import scala.jdk.CollectionConverters._
@@ -202,6 +229,7 @@ object VectorLake {
           spark.createDataFrame(cents.zipWithIndex
             .map { case (c, i) => org.apache.spark.sql.Row(i, c) }.asJava,
             centroidsSchema))
+        } finally { reassigned.unpersist(blocking = false); () }
       } finally { stored.unpersist(blocking = false); () }
     }
 

@@ -54,18 +54,27 @@ object Clustering {
     kmeansAssignments(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
 
+  // the deterministic init shared by every Lloyd entry point: the k
+  // smallest-id vectors, renumbered 0..k-1 — ONE implementation, because a
+  // drift here silently changes every kmeans-derived oracle hash
+  private def initCentroids(emb: DataFrame, idCol: String,
+                            vecCol: String, k: Int): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val wInit = Window.orderBy(col(idCol))
+    emb.select(col(idCol), asDouble.as("c"))
+      .orderBy(col(idCol)).limit(k)
+      .select((row_number().over(wInit) - 1).as("cluster"), col("c"))
+  }
+
   /** The trained centroids themselves (cluster, centroid array<double>) —
     * the coarse-quantizer output an incremental vector index stores and
     * broadcasts as literals at assignment time. Same deterministic init and
-    * loop as [[kmeansLloyd]]. */
+    * loop as [[kmeansLloyd]] (one more `update` than the assignment the
+    * Lloyd queries emit — they report vs the PRE-final-update centroids). */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
-    val asDouble = transform(col(vecCol), x => x.cast("double"))
-    val wInit = Window.orderBy(col(idCol))
-    var centroids = emb.select(col(idCol), asDouble.as("c"))
-      .orderBy(col(idCol)).limit(k)
-      .select((row_number().over(wInit) - 1).as("cluster"), col("c"))
+    var centroids = initCentroids(emb, idCol, vecCol, k)
     for (_ <- 1 to iters)
       centroids = update(assign(emb, idCol, vecCol, centroids), vecCol)
     centroids
@@ -77,11 +86,7 @@ object Clustering {
   private def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
                                 k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
-    val asDouble = transform(col(vecCol), x => x.cast("double"))
-    val wInit = Window.orderBy(col(idCol))
-    var centroids = emb.select(col(idCol), asDouble.as("c"))
-      .orderBy(col(idCol)).limit(k)
-      .select((row_number().over(wInit) - 1).as("cluster"), col("c"))
+    var centroids = initCentroids(emb, idCol, vecCol, k)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(emb, idCol, vecCol, centroids)

@@ -106,19 +106,26 @@ object Similarity {
     * `centroids` (small, broadcast as literals); probing = scoring only the
     * lists of the closest nprobe centroids. Centroid training is out of scope
     * (k-means over a sample upstream); assignment is the engine-side operator. */
+  // the (d2, i) struct per centroid — ONE implementation of the argmin's
+  // distance arithmetic (|v-c|^2 = |v|^2 - 2<v,c> + |c|^2, LTR fold via the
+  // codegen'd dot product); ivfAssign and ivfAssignWithDist must never
+  // drift apart on this, it decides bit-exact list assignment
+  private def centroidDists(vecCol: String,
+                            centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cc = typedLit(c)
+      val d2 = VF.dot(col(vecCol), col(vecCol)) -
+        lit(2.0) * VF.dot(col(vecCol), cc) + lit(c.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(i).as("i"))
+    }
+
   def ivfAssign(emb: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
                 listCol: String = "ivf_list"): DataFrame = {
     require(centroids.nonEmpty, "centroids must not be empty")
     // single centroid: every vector is in list 0 (least() needs >1 args)
     if (centroids.size == 1) return emb.withColumn(listCol, lit(0))
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val cc = typedLit(c)
-      // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2 via the codegen'd dot product
-      val d2 = VF.dot(col(vecCol), col(vecCol)) -
-        lit(2.0) * VF.dot(col(vecCol), cc) + lit(c.map(x => x * x).sum)
-      struct(d2.as("d2"), lit(i).as("i"))
-    }
-    emb.withColumn(listCol, least(dists: _*).getField("i"))
+    emb.withColumn(listCol,
+      least(centroidDists(vecCol, centroids): _*).getField("i"))
   }
 
   /** [[ivfAssign]] plus the assigned-centroid squared distance (round(·,6)
@@ -129,13 +136,7 @@ object Similarity {
                         listCol: String = "ivf_list",
                         distCol: String = "d2"): DataFrame = {
     require(centroids.size >= 2, "need >= 2 centroids for a distance report")
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val cc = typedLit(c)
-      val d2 = VF.dot(col(vecCol), col(vecCol)) -
-        lit(2.0) * VF.dot(col(vecCol), cc) + lit(c.map(x => x * x).sum)
-      struct(d2.as("d2"), lit(i).as("i"))
-    }
-    val m = least(dists: _*)
+    val m = least(centroidDists(vecCol, centroids): _*)
     emb.withColumn(listCol, m.getField("i"))
       .withColumn(distCol, round(m.getField("d2"), 6))
   }
@@ -144,23 +145,25 @@ object Similarity {
     * incoming `batch` — the monitoring query that decides when an
     * incremental vector index needs reclustering: a list whose batch share
     * balloons or whose mean assigned-centroid distance shifts is a centroid
-    * that no longer represents its data. Means are exact DECIMAL(38,6)
-    * sums of the round(6) distances divided once (order-free in both
-    * engines); `drift_d2` is the difference of the two ROUNDED means —
-    * differences of on-grid 6-decimal values stay on-grid, so the final
-    * round never sits on a half boundary. One partial-agg shuffle per side
-    * keyed on ivf_list (numLists groups), corpus scanned once per side. */
+    * that no longer represents its data. Mean distances are kept in exact
+    * integer MICRO-units end to end (the house rule relearned on q149): the
+    * round(6) per-row distances become exact longs via round(d2·1e6), the
+    * per-list sums are integer sums (order-free), and the mean is ONE
+    * floor-division — a decimal-sum/count mean hits exact 7-decimal halves
+    * (e.g. 3 micros over 2 rows) where Spark's and DuckDB's round()
+    * disagree. `drift_d2_micros` is then an exact long subtraction. One
+    * partial-agg shuffle per side keyed on ivf_list (numLists groups),
+    * corpus scanned once per side. */
   def ivfDriftReport(base: DataFrame, batch: DataFrame, vecCol: String,
                      centroids: Seq[Seq[Double]]): DataFrame = {
     def stats(df: DataFrame, side: String) =
       ivfAssignWithDist(df, vecCol, centroids)
         .groupBy("ivf_list")
         .agg(count(lit(1)).as(s"n_$side"),
-          sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-            .as(s"__s_$side"),
+          sum(round(col("d2") * 1e6).cast("long")).as(s"__s_$side"),
           count(col("d2")).as(s"__c_$side"))
     def mean(side: String): Column =
-      round(col(s"__s_$side").cast("double") / col(s"__c_$side"), 6)
+      floor(col(s"__s_$side").cast("double") / col(s"__c_$side")).cast("long")
     stats(base, "base").join(stats(batch, "batch"), Seq("ivf_list"), "full_outer")
       .select(col("ivf_list"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
@@ -168,9 +171,9 @@ object Similarity {
         round(coalesce(col("n_batch"), lit(0L)).cast("double") /
           (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_batch"), lit(0L))), 6)
           .as("share_batch"),
-        mean("base").as("mean_d2_base"),
-        mean("batch").as("mean_d2_batch"),
-        round(mean("batch") - mean("base"), 6).as("drift_d2"))
+        mean("base").as("mean_d2_micros_base"),
+        mean("batch").as("mean_d2_micros_batch"),
+        (mean("batch") - mean("base")).as("drift_d2_micros"))
   }
 
   /** Deterministic per-subspace PQ codebooks: centroid `c` of subspace `m`,

@@ -46,6 +46,15 @@ object StateLock {
   private def payloadTs(p: String): Option[Long] =
     p.split(":", 2).headOption.flatMap(s => scala.util.Try(s.toLong).toOption)
 
+  // a transient IO hiccup must not be mistaken for a missing/garbage
+  // payload at either verify point (acquire or release) — both decide
+  // whether a lease is OURS from this read
+  private def readPayloadRetry(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: org.apache.hadoop.fs.Path,
+                               attempts: Int = 3): Option[String] =
+    Iterator.range(0, attempts).map(_ => readPayload(fs, lock))
+      .find(_.isDefined).flatten
+
   def withLock[T](spark: SparkSession, lockPath: String,
                   leaseMs: Long = 30 * 60 * 1000L,
                   waitMs: Long = 0L,
@@ -83,7 +92,11 @@ object StateLock {
         // (unreadable ⇒ no valid holder) and may have deleted or replaced
         // it. Acquisition only counts if our payload survived the window;
         // otherwise fall back to the poll loop like any other lost race.
-        if (readPayload(fs, lock).contains(payload)) { written = payload; true }
+        // Retried read: a single transient error here would orphan our own
+        // fresh lease. If the read stays unreadable, not acquiring is still
+        // safe — OUR payload being unreadable means the next acquirer
+        // classifies the lock stale and breaks it immediately.
+        if (readPayloadRetry(fs, lock).contains(payload)) { written = payload; true }
         else false
       } catch { case _: java.io.IOException => false }
     }
@@ -102,19 +115,24 @@ object StateLock {
     try f finally {
       // release ONLY our own lock: if this holder overran its lease and a
       // contender broke it and acquired, the payload no longer carries our
-      // token and the new holder's lock must stay. A transient read error
-      // must not leak a valid-lease lock (that blocks every fail-fast
-      // writer for up to leaseMs), so retry the read; if the lock exists
-      // but stays unreadable after retries, delete it anyway — our own
-      // write succeeded, so a persistent garbage payload is not a
-      // successor's valid lease (acquirers treat it as stale and would
-      // break it regardless; deleting just skips their wait).
-      val observed = Iterator.range(0, 3).map(_ => readPayload(fs, lock))
-        .find(_.isDefined).flatten
-      observed match {
-        case Some(p) => if (p == written) fs.delete(lock, false)
-        case None    => if (fs.exists(lock)) fs.delete(lock, false)
-      }
+      // token and the new holder's lock must stay. The read is retried (a
+      // single transient error would leak a valid-lease lock that blocks
+      // fail-fast writers until expiry), but a still-unreadable result
+      // deletes NOTHING: the reads may have raced a contender's
+      // break-and-recreate (every read landing in its delete→create
+      // window), and an exists-then-delete here would remove the new
+      // holder's live lock. Leaving an unreadable lock behind is safe —
+      // unreadable ⇒ the next acquirer classifies it stale and breaks it
+      // without waiting out the lease.
+      if (readPayloadRetry(fs, lock).contains(written)) fs.delete(lock, false)
     }
   }
+
+  /** The lake-writer convention shared by DedupLake and VectorLake: one
+    * `_LOCK` under the store's root, fail-fast (an ingest and a reconcile
+    * must never interleave, so a contender refuses instead of queueing). */
+  def withRootLock[T](spark: SparkSession, root: String,
+                      leaseMs: Long = 30 * 60 * 1000L,
+                      now: () => Long = System.currentTimeMillis _)(f: => T): T =
+    withLock(spark, s"$root/_LOCK", leaseMs, waitMs = 0L, now = now)(f)
 }

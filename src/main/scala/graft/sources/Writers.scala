@@ -116,6 +116,22 @@ object Writers {
     }
   }
 
+  /** Read a state dir as `schema`, empty frame if absent — ALWAYS through
+    * [[recoverSwap]] first (a swap interrupted last run must be restored
+    * before the listing) and through the path's Hadoop filesystem
+    * (java.io.File is always false on hdfs://s3a:// URIs and would read
+    * the state as empty). The read half of the swap protocol, shared by
+    * every lake-resident store for the same reason the write half is. */
+  def readOrEmpty(spark: SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    recoverSwap(spark, path)
+    val (fs, p) = hfsOf(spark, path)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Full-replace a state dir via write-new-then-swap: write `next` to
     * __tmp, displace the current dir to __old, promote __tmp, drop __old.
     * Every rename is checked; a crash between renames is recoverable by

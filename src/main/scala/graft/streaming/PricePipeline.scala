@@ -31,13 +31,8 @@ object PricePipeline {
   // (java.io.File is always false on hdfs://s3a:// URIs) and the shared
   // Writers swap protocol — one __tmp/__old/_SUCCESS state machine across
   // compaction, DedupLake, and this pipeline, not a third hand-rolled copy
-  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    graft.sources.Writers.recoverSwap(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    graft.sources.Writers.readOrEmpty(spark, path, schema)
 
   private val gamesSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("game_id",

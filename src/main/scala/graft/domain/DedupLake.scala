@@ -173,7 +173,10 @@ object DedupLake {
     }
 
   def keeps(spark: SparkSession, root: String): DataFrame =
-    readOr(spark, s"$root/keeps", keepsSchema)
+    // READER path: no writer lease held, so swap resolution must be
+    // read-only — a recovery rename here could race a live reconcile's
+    // promoteSwap and spuriously fail its checked rename (r7 advice)
+    Writers.readOrEmptyReadOnly(spark, s"$root/keeps", keepsSchema)
 
   /** The reconcile pass as a cron [[Scheduler.Deployment]] — default weekly
     * (Sunday 03:00, the off-peak compaction slot), driven by the same

@@ -109,8 +109,18 @@ object Scheduler {
     *
     * Monotonicity is enforced on INSTANTS: a candidate whose first
     * occurrence already passed (we are inside the repeated hour) is skipped
-    * forward, so the returned instant is always strictly after `from`. */
-  def nextFireZoned(s: CronSpec, from: java.time.ZonedDateTime)
+    * forward, so the returned instant is always strictly after `from`.
+    *
+    * `onFallbackSkip` fires — once per transition crossed — when a
+    * SUB-HOURLY schedule (minutes field admits more than one value) steps
+    * over a fall-back overlap, i.e. exactly when its second-pass fires in
+    * the repeated hour are being silently dropped. Registrants of
+    * minute-cadence jobs get a loud flag instead of a doc footnote (r6
+    * advice, carried): the callback is where a deployment loop logs or
+    * rejects the configuration. */
+  def nextFireZoned(s: CronSpec, from: java.time.ZonedDateTime,
+                    onFallbackSkip: (CronSpec, java.time.ZonedDateTime) => Unit
+                      = (_, _) => ())
       : java.time.ZonedDateTime = {
     val zone = from.getZone
     val rules = zone.getRules
@@ -126,7 +136,18 @@ object Scheduler {
           java.time.ZonedDateTime.ofInstant(rules.getTransition(local).getInstant, zone)
         else // unique or overlap: the earlier offset = first wall occurrence
           java.time.ZonedDateTime.ofLocal(local, zone, offsets.get(0))
-      if (z.toInstant.isAfter(from.toInstant)) return z
+      if (z.toInstant.isAfter(from.toInstant)) {
+        // the fire that STEPS OVER a fall-back overlap is the one whose
+        // second-pass slots were dropped: flag it for sub-hourly schedules
+        if (s.minutes.size > 1) {
+          val trans = rules.nextTransition(from.toInstant)
+          if (trans != null && trans.isOverlap &&
+              trans.getInstant.isAfter(from.toInstant) &&
+              !trans.getInstant.isAfter(z.toInstant))
+            onFallbackSkip(s, z)
+        }
+        return z
+      }
       i += 1
     }
     throw new IllegalStateException(
@@ -192,12 +213,20 @@ object Scheduler {
     * second-pass fires — up to an hour of slots once per fall-back day.
     * Daily/hourly deployments (the reference's cadence) are unaffected; a
     * minute-cadence job that must not skip should run in a fixed-offset
-    * zone (e.g. UTC) instead. */
+    * zone (e.g. UTC) instead. When a sub-hourly deployment's schedule
+    * steps over a fall-back, `onFallbackSkip` fires (default: a stderr
+    * WARN naming the deployment) — the loud flag, not just this footnote. */
   def driveZoned(deployments: Seq[Deployment], start: java.time.ZonedDateTime,
                  until: java.time.ZonedDateTime,
                  now: () => java.time.ZonedDateTime,
                  sleep: Duration => Unit,
-                 onError: (String, Throwable) => Unit = (_, _) => ())
+                 onError: (String, Throwable) => Unit = (_, _) => (),
+                 onFallbackSkip: (String, java.time.ZonedDateTime) => Unit =
+                   (name, at) => System.err.println(
+                     s"WARN scheduler: sub-hourly deployment '$name' crossed " +
+                       s"a DST fall-back before $at — its second-pass fires " +
+                       "in the repeated hour were skipped (run minute-cadence " +
+                       "jobs in a fixed-offset zone to avoid this)"))
       : Seq[ZonedRunRecord] = {
     require(deployments.nonEmpty, "no deployments to drive")
     require(deployments.map(_.name).distinct.size == deployments.size,
@@ -206,7 +235,8 @@ object Scheduler {
     var t = start
     var going = true
     while (going) {
-      val nexts = deployments.map(d => d -> nextFireZoned(d.cron, t))
+      val nexts = deployments.map(d =>
+        d -> nextFireZoned(d.cron, t, (_, z) => onFallbackSkip(d.name, z)))
       val fireAt = nexts.map(_._2)
         .reduce((a, b) => if (a.toInstant.isBefore(b.toInstant)) a else b)
       if (fireAt.toInstant.isAfter(until.toInstant)) going = false

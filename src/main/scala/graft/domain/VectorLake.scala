@@ -22,17 +22,25 @@ import graft.sources.Writers
   *    (partition pruning is the IVF inverted file).
   *  - `centroids/` — (ivf_list, c array<double>), the coarse quantizer.
   *
-  * Scale shape: ingest broadcasts the (serving-bounded) batch against the
-  * resident vectors ONCE, with candidates restricted to same-list pairs —
-  * the IVF analogue of LSH banding, never corpus × corpus. The centroid set
-  * is k rows, collected to literals at assignment time (the broadcast-LUT
-  * contract shared with PQ codebooks). Reconcile (re-train + reassign +
-  * swap) is the periodic batch job, not per-ingest work.
+  * Scale shape: ingest broadcasts the (serving-bounded — ENFORCED, see
+  * [[ingest]]) batch against the resident vectors ONCE, with candidates
+  * restricted to the batch vector's `gateProbes` nearest lists — the IVF
+  * analogue of LSH banding, never corpus × corpus. The centroid set is k
+  * rows, collected to literals at assignment time (the broadcast-LUT
+  * contract shared with PQ codebooks). Reconcile (re-train + repair +
+  * reassign + swap) is the periodic batch job, not per-ingest work; its
+  * dedup-REPAIR candidates come from SRP-LSH banding WITHIN each list, so
+  * repair work is bounded by SRP bucket size no matter how large the
+  * retrieval-tuned lists grow (the r7 wart: IVF lists want to be big for
+  * recall, dedup blocks must be small — the two granularities are now
+  * decoupled).
   *
   * Concurrency/crash: same contracts as DedupLake — exclusive `_LOCK`
   * lease (fail-fast), write-new-then-swap for full rewrites, and
   * at-least-once-safe appends (anti-join on vec_id, so an exact replay of
-  * a crashed batch inserts nothing). */
+  * a crashed batch inserts nothing). Readers resolve interrupted swaps
+  * READ-ONLY (Writers.readOrEmptyReadOnly) — recovery renames happen only
+  * under the writer lease. */
 object VectorLake {
 
   val vectorsSchema: StructType = StructType(Seq(
@@ -51,6 +59,8 @@ object VectorLake {
                         now: () => Long = System.currentTimeMillis _)(f: => T): T =
     graft.sources.StateLock.withRootLock(spark, root, leaseMs, now)(f)
 
+  // WRITER-side read: performs swap-recovery renames, so only call under
+  // the writer lease (appends need the dir physically at its destination)
   private def readOr(spark: SparkSession, path: String,
                      schema: StructType): DataFrame =
     Writers.readOrEmpty(spark, path, schema)
@@ -69,23 +79,112 @@ object VectorLake {
   }
 
   /** The stored quantizer as literals — k rows, the broadcast-LUT contract
-    * (bounded by construction; this is NOT a corpus collect). */
+    * (bounded by construction; this is NOT a corpus collect). Read-only
+    * swap resolution: callable with or without the writer lease (the
+    * centroids dir is swap-replaced, never appended, so the content a
+    * reader resolves is identical to post-recovery content). */
   def centroids(spark: SparkSession, root: String): Seq[Seq[Double]] = {
-    val rows = readOr(spark, s"$root/centroids", centroidsSchema)
+    val rows = Writers
+      .readOrEmptyReadOnly(spark, s"$root/centroids", centroidsSchema)
       .orderBy("ivf_list").collect()
     require(rows.nonEmpty, s"vector lake at $root has no centroids — run init")
     rows.map(_.getSeq[Double](1).toIndexedSeq)
   }
 
+  /** The near-dup gate shared by [[ingest]] and [[ingestDecision]] (so the
+    * oracle-registered q151 hash-checks the lake's REAL decision path, not
+    * a twin). Candidates vs the resident index come from each batch
+    * vector's `gateProbes` NEAREST lists — a near-dup pair can straddle a
+    * list border, and the multi-probe gate (the q122/q124 idiom applied to
+    * ingest) catches it where a top-1 gate let it slip until reconcile.
+    * Candidates within the batch share any gate list. Exact rounded cosine
+    * decides; lower vec_id wins (the house tie rule).
+    *
+    * Stored rows whose ids are IN the batch are excluded from the index
+    * side: by the at-least-once contract those can only be this very
+    * batch's earlier partial write, and counting them would reclassify a
+    * replay's within-batch dups as index dups (r7 advice) — with them
+    * excluded, a replayed batch's REPORT equals the original exactly, not
+    * just its (anti-joined, always-no-op) write.
+    *
+    * Returns (vsIndex drop ids, inBatch drop ids) — both may overlap; both
+    * are unpersisted plans (callers pin). */
+  private def gateFrames(stored: DataFrame, assigned: DataFrame,
+                         cents: Seq[Seq[Double]], dupThreshold: Double,
+                         gateProbes: Int): (DataFrame, DataFrame) = {
+    val nprobe = math.max(1, math.min(gateProbes, cents.size))
+    val gated = Similarity.ivfGateLists(
+        assigned.select("vec_id", "embedding"), "embedding", cents, nprobe)
+      .select(col("vec_id"), col("embedding"),
+        explode(col("gate_lists")).as("gate_list"))
+    val preBatch = stored.join(broadcast(assigned.select("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val vsIndex = preBatch.join(
+        broadcast(gated.select(col("gate_list").as("ivf_list"),
+          col("vec_id").as("__bid"), col("embedding").as("__bv"))),
+        Seq("ivf_list"))
+      .filter(round(VF.cosine(col("embedding"), col("__bv")), 6)
+        >= lit(dupThreshold))
+      .select(col("__bid").as("vec_id")).distinct()
+    // within-batch dups: any shared gate list, keep the lower id of each
+    // dup pair (fully renamed right side — a raw self-join on gated would
+    // hit Spark's ambiguous-column resolution). A pair sharing BOTH gate
+    // lists collides twice; the distinct collapses it.
+    val a = gated.select(col("gate_list").as("__g"),
+      col("vec_id").as("__ida"), col("embedding").as("__va"))
+    val b = gated.select(col("gate_list").as("__g"),
+      col("vec_id").as("__idb"), col("embedding").as("__vb"))
+    val inBatch = a.join(broadcast(b), Seq("__g"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(VF.cosine(col("__va"), col("__vb")), 6)
+        >= lit(dupThreshold))
+      .select(col("__idb").as("vec_id")).distinct()
+    (vsIndex, inBatch)
+  }
+
+  /** The batch-ingest keep decision as a PURE query over plain
+    * (vec_id, embedding) frames — what q151 registers against the DuckDB
+    * oracle: assign both sides under `cents`, run exactly [[ingest]]'s gate
+    * (shared [[gateFrames]] implementation), and emit one row per batch
+    * vector: (vec_id, ivf_list, keep) with ivf_list the storage (nearest)
+    * list. No state is touched. */
+  def ingestDecision(stored: DataFrame, batch: DataFrame,
+                     cents: Seq[Seq[Double]], dupThreshold: Double,
+                     gateProbes: Int = 2): DataFrame = {
+    val storedAssigned = Similarity.ivfAssign(
+      stored.select(col("vec_id").cast("long"), col("embedding")),
+      "embedding", cents)
+    val assigned = Similarity.ivfAssign(
+      batch.select(col("vec_id").cast("long"), col("embedding")),
+      "embedding", cents)
+    val (vsIndex, inBatch) =
+      gateFrames(storedAssigned, assigned, cents, dupThreshold, gateProbes)
+    val drops = vsIndex.unionByName(inBatch).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select("vec_id", "ivf_list")
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("ivf_list"), col("__dup").isNull.as("keep"))
+  }
+
   /** Ingest one batch: coarse-assign, drop near-dups (cosine >= threshold)
-    * against the resident index — same-list candidates only — and within
-    * the batch itself (lower vec_id wins, the house tie rule), then append
-    * the survivors list-partitioned. Returns the report; at-least-once
-    * safe: a replay's append anti-joins stored vec_ids and inserts
-    * nothing. `failpoint` runs before the append (the torn window a replay
-    * must repair). */
+    * against the resident index — candidates from each vector's
+    * `gateProbes` nearest lists — and within the batch itself (lower
+    * vec_id wins), then append the survivors list-partitioned. Returns the
+    * report; at-least-once safe: a replay's append anti-joins stored
+    * vec_ids and inserts nothing, and its report equals the original run's
+    * (the gate excludes the batch's own stored ids — see [[gateFrames]]).
+    * `failpoint` runs before the append (the torn window a replay must
+    * repair).
+    *
+    * The batch BROADCASTS against the resident store, so it must be
+    * serving-bounded — ENFORCED: a batch beyond `maxBroadcastRows` is
+    * refused loudly (the knnJoin/embeddingNearDupPairs contract) instead
+    * of OOMing an executor. Corpus-sized loads belong to a bulk write +
+    * [[reconcile]], which dedups and assigns without any broadcast. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              dupThreshold: Double = 0.95,
+             gateProbes: Int = 2,
+             maxBroadcastRows: Long = 1L << 20,
              failpoint: () => Unit = () => ()): IngestReport =
     withWriterLock(spark, root) {
       val cents = centroids(spark, root)
@@ -99,34 +198,20 @@ object VectorLake {
         "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        assigned.count()
+        val batchRows = assigned.count()
+        require(batchRows <= maxBroadcastRows,
+          s"ingest batch has $batchRows rows > maxBroadcastRows=" +
+            s"$maxBroadcastRows — the ingest gate BROADCASTS the batch " +
+            "(serving-bounded by contract). For corpus-sized loads, bulk-" +
+            "write the store and run reconcile (banded dedup, no " +
+            "broadcast); raise maxBroadcastRows only if executors are " +
+            "sized for it.")
         val stored = readOr(spark, s"$root/vectors", vectorsSchema)
-        // near-dup gate vs the RESIDENT index: batch broadcast, candidates
-        // pruned to same-list pairs (the IVF banding analogue)
-        val vsIndex = stored.join(
-            broadcast(assigned.select(col("ivf_list"),
-              col("vec_id").as("__bid"), col("embedding").as("__bv"))),
-            Seq("ivf_list"))
-          // same-id match = an at-least-once REPLAY of an already-written
-          // row, not a duplicate — excluding it keeps the replayed report
-          // equal to the original (the append's anti-join dedups the write)
-          .filter(col("vec_id") =!= col("__bid"))
-          .filter(round(VF.cosine(col("embedding"), col("__bv")), 6)
-            >= lit(dupThreshold))
-          .select(col("__bid").as("vec_id")).distinct()
+        val (vsIndex0, inBatch0) =
+          gateFrames(stored, assigned, cents, dupThreshold, gateProbes)
+        val vsIndex = vsIndex0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // within-batch dups: same list, keep the lower id of each dup pair
-        // (fully renamed right side — a raw self-join on assigned would hit
-        // Spark's ambiguous-column resolution)
-        val a = assigned.select(col("ivf_list").as("__la"),
-          col("vec_id").as("__ida"), col("embedding").as("__va"))
-        val b = assigned.select(col("ivf_list").as("__lb"),
-          col("vec_id").as("__idb"), col("embedding").as("__vb"))
-        val inBatch = a.join(broadcast(b),
-            col("__la") === col("__lb") && col("__ida") < col("__idb"))
-          .filter(round(VF.cosine(col("__va"), col("__vb")), 6)
-            >= lit(dupThreshold))
-          .select(col("__idb").as("vec_id")).distinct()
+        val inBatch = inBatch0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // a batch vector can be a dup BOTH ways; the union is the drop set,
         // the two counts are reported independently (they may overlap).
@@ -157,15 +242,18 @@ object VectorLake {
       } finally { assigned.unpersist(blocking = false); () }
     }
 
+  /** The resident vectors — READER path (read-only swap resolution; safe
+    * concurrent with a locked writer's swap). */
   def vectors(spark: SparkSession, root: String): DataFrame =
-    readOr(spark, s"$root/vectors", vectorsSchema)
+    Writers.readOrEmptyReadOnly(spark, s"$root/vectors", vectorsSchema)
 
   /** Index-health check: q150's per-list drift report of an incoming batch
-    * against the resident vectors under the CURRENT centroids. */
+    * against the resident vectors under the CURRENT centroids. Reader path
+    * — holds no lease, mutates nothing. */
   def driftReport(spark: SparkSession, root: String,
                   batch: DataFrame): DataFrame =
     Similarity.ivfDriftReport(
-      readOr(spark, s"$root/vectors", vectorsSchema).select("embedding"),
+      vectors(spark, root).select("embedding"),
       batch.select("embedding"), "embedding", centroids(spark, root))
 
   /** Re-train the quantizer on the resident vectors (deterministic Lloyd,
@@ -175,15 +263,23 @@ object VectorLake {
     * between the vectors and centroids swaps leaves ingests gating batch
     * lists from one quantizer against stored lists from another, so
     * near-dup twins can slip in until the next reconcile — which is why
-    * reconcile deduplicates (same-NEW-list pairs at `dupThreshold`, lower
-    * id wins) instead of only reassigning. Within-list pair work is the
-    * SemDeDup within-cluster shape: bounded as long as k tracks the corpus
-    * (auto-k default). The full rewrite doubles as the compaction of the
+    * reconcile deduplicates instead of only reassigning.
+    *
+    * Repair candidates are SRP-LSH banded WITHIN each new list
+    * (`repairBands` bands × `repairPlanesPerBand` sign bits; recall ≈ 0.99
+    * at cosine 0.95 with the 8×8 default), so repair pair-work is
+    * O(rows · bucket) with bucket ≈ list/2^planes — bounded regardless of
+    * `targetClusterSize`, which sizes lists for RETRIEVAL recall (big) and
+    * is deliberately decoupled from the dedup-blocking granularity (small).
+    * The r7 wart was conflating the two: all-pairs within 2¹⁸-row lists is
+    * ~10¹⁴ cosines per 10⁹ vectors — the maintenance job that never
+    * finishes. The full rewrite doubles as the compaction of the
     * append-accumulated vectors dir. */
   def reconcile(spark: SparkSession, root: String,
                 k: Int = 0, iters: Int = 5,
                 dupThreshold: Double = 0.95,
-                targetClusterSize: Long = 1 << 18): Unit =
+                targetClusterSize: Long = 1 << 18,
+                repairBands: Int = 8, repairPlanesPerBand: Int = 8): Unit =
     withWriterLock(spark, root) {
       val stored = readOr(spark, s"$root/vectors", vectorsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -204,18 +300,15 @@ object VectorLake {
           .select("vec_id", "embedding", "ivf_list", "d2")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-        // near-dup REPAIR under the new assignment (see docstring): same-
-        // list pairs, keep the lower id — the maintenance-cadence pass that
-        // removes anything a mixed-quantizer ingest window let through
-        val ra = reassigned.select(col("ivf_list").as("__la"),
-          col("vec_id").as("__ida"), col("embedding").as("__va"))
-        val rb = reassigned.select(col("ivf_list").as("__lb"),
-          col("vec_id").as("__idb"), col("embedding").as("__vb"))
-        val dups = ra.join(rb,
-            col("__la") === col("__lb") && col("__ida") < col("__idb"))
-          .filter(round(VF.cosine(col("__va"), col("__vb")), 6)
-            >= lit(dupThreshold))
-          .select(col("__idb").as("vec_id")).distinct()
+        // near-dup REPAIR under the new assignment (see docstring): banded
+        // SRP candidates within each list, keep the lower id — the
+        // maintenance-cadence pass that removes anything a mixed-quantizer
+        // ingest window let through, at O(rows · SRP-bucket) pair work
+        val dups = Similarity.srpBandedNearDupPairs(
+            reassigned, "vec_id", "embedding", dupThreshold,
+            repairBands, repairPlanesPerBand, dims = cents.head.size,
+            blockCols = Seq("ivf_list"))
+          .select(col("id_b").as("vec_id")).distinct()
         val repaired = reassigned.join(dups, Seq("vec_id"), "left_anti")
         // write the rewritten store WITH its list partitioning (the pruning
         // that makes a probe read one list, not the corpus), then promote —

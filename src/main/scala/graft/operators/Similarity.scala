@@ -83,6 +83,70 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Per-vector array of `bands` independent SRP bucket ids (planesPerBand
+    * sign bits each) — band b uses hyperplanes [b·P, (b+1)·P), so the bands
+    * are disjoint deterministic projections of the same md5-derived family. */
+  private def bandBucketArray(vec: Column, bands: Int, planesPerBand: Int,
+                              dims: Int): Column = {
+    val planes = hyperplanes(bands * planesPerBand, dims)
+    array((0 until bands).map { b =>
+      VF.srpBucket(vec, planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }: _*)
+  }
+
+  // the shared join core of the banded-candidate family: pairs agreeing on
+  // ALL planesPerBand sign bits of SOME band, within the same blockCols group
+  private def srpBandedPairFrame(emb: DataFrame, idCol: String, vecCol: String,
+                                 bands: Int, planesPerBand: Int, dims: Int,
+                                 blockCols: Seq[String]): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1,
+      s"need bands >= 1 and planesPerBand >= 1, got $bands/$planesPerBand")
+    val banded = emb.select(
+      (blockCols.map(col) :+ col(idCol) :+ col(vecCol) :+
+        posexplode(bandBucketArray(col(vecCol), bands, planesPerBand, dims))
+          .as(Seq("__band", "__bkt"))): _*)
+    val keys = blockCols ++ Seq("__band", "__bkt")
+    val a = banded.select(
+      (keys.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("__va")): _*)
+    val b = banded.select(
+      (keys.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("__vb")): _*)
+    a.join(b, keys).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Banded SRP-LSH near-duplicate pairs — the MinHash-banding shape for
+    * EMBEDDINGS (candidates = pairs whose planesPerBand-bit SRP signature
+    * agrees in at least one of `bands` independent bands, then exact cosine
+    * decides). `blockCols` optionally restricts candidates to rows sharing a
+    * blocking key (e.g. an IVF list) — the repair-pass form, where pair work
+    * must be bounded by SRP bucket size regardless of how large the blocks
+    * are (an IVF list is sized for retrieval recall, ~2¹⁸ rows; a dedup
+    * block must be small — conflating the two was the r7 scale wart).
+    *
+    * Recall for a pair at cosine t: per-plane agreement p = 1 − arccos(t)/π,
+    * per-band p^P, overall 1 − (1 − p^P)^B — at t = 0.95, P = 8, B = 8
+    * that is ≈ 0.99. Work: each vector lands in exactly `bands` buckets, so
+    * candidate volume is Σ_buckets n_b² with n_b ≈ block/2^P for spread
+    * data — never block², never corpus². A pair colliding in several bands
+    * is deduplicated by the final distinct (its cosine is deterministic, so
+    * the 3-column distinct collapses exactly). */
+  def srpBandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, bands: Int, planesPerBand: Int,
+                            dims: Int, blockCols: Seq[String] = Nil): DataFrame =
+    srpBandedPairFrame(emb, idCol, vecCol, bands, planesPerBand, dims, blockCols)
+      .withColumn("cos", round(VF.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos").distinct()
+
+  /** The candidate set of [[srpBandedNearDupPairs]] BEFORE the cosine filter
+    * — distinct (id_a, id_b). This is the pair-work bound the banding buys:
+    * specs pin it far below the all-pairs count on blocks larger than any
+    * sane dedup granularity. */
+  def srpBandedCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                          bands: Int, planesPerBand: Int, dims: Int,
+                          blockCols: Seq[String] = Nil): DataFrame =
+    srpBandedPairFrame(emb, idCol, vecCol, bands, planesPerBand, dims, blockCols)
+      .select("id_a", "id_b").distinct()
+
   /** Johnson-Lindenstrauss random projection with a deterministic ±1 sign
     * matrix (Achlioptas, "Database-friendly random projections", 2001): out
     * component p = Σ_d x_d·s(p,d) / √outDims, where s(p,d) is the SIGN of the
@@ -141,17 +205,38 @@ object Similarity {
       .withColumn(distCol, round(m.getField("d2"), 6))
   }
 
+  /** The `nprobe` NEAREST coarse lists per vector, as an int array — the
+    * multi-probe assignment (q122/q124 idiom) applied to a whole frame:
+    * element 0 is the storage list (identical to [[ivfAssign]]'s argmin),
+    * the rest widen a GATE or probe. Ties rank (d2, i) ascending, exactly
+    * the oracle's ORDER BY. One codegen'd scan, nothing shuffled. */
+  def ivfGateLists(emb: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
+                   nprobe: Int, outCol: String = "gate_lists"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe=$nprobe outside [1, ${centroids.size}]")
+    require(centroids.size >= 2, "need >= 2 centroids to rank lists")
+    emb.withColumn(outCol, transform(
+      slice(array_sort(array(centroidDists(vecCol, centroids): _*)), 1, nprobe),
+      x => x.getField("i")))
+  }
+
   /** Per-list DRIFT report between the resident index (`base`) and an
     * incoming `batch` — the monitoring query that decides when an
     * incremental vector index needs reclustering: a list whose batch share
     * balloons or whose mean assigned-centroid distance shifts is a centroid
     * that no longer represents its data. Mean distances are kept in exact
-    * integer MICRO-units end to end (the house rule relearned on q149): the
-    * round(6) per-row distances become exact longs via round(d2·1e6), the
-    * per-list sums are integer sums (order-free), and the mean is ONE
+    * integer MICRO-units up to the mean (the house rule relearned on q149):
+    * the round(6) per-row distances become exact longs via round(d2·1e6),
+    * the per-list sums are integer sums (order-free), and the mean is ONE
     * floor-division — a decimal-sum/count mean hits exact 7-decimal halves
     * (e.g. 3 micros over 2 rows) where Spark's and DuckDB's round()
-    * disagree. `drift_d2_micros` is then an exact long subtraction. One
+    * disagree. Exactness bound: the floor-division casts the micro sum to
+    * double first, so the mean is exact while each list's summed micros
+    * stays under 2⁵³ (≈9.0·10¹⁵ — e.g. 9·10⁹ rows at d2 ≤ 10⁶ micros);
+    * past that the division may be off by one ulp before the floor.
+    * CROSS-ENGINE PARITY holds at any mass (the oracle performs the
+    * identical double division), only the absolute-exactness claim is
+    * bounded. `drift_d2_micros` is then an exact long subtraction. One
     * partial-agg shuffle per side keyed on ivf_list (numLists groups),
     * corpus scanned once per side. */
   def ivfDriftReport(base: DataFrame, batch: DataFrame, vecCol: String,

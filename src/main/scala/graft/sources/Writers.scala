@@ -121,7 +121,14 @@ object Writers {
     * before the listing) and through the path's Hadoop filesystem
     * (java.io.File is always false on hdfs://s3a:// URIs and would read
     * the state as empty). The read half of the swap protocol, shared by
-    * every lake-resident store for the same reason the write half is. */
+    * every lake-resident store for the same reason the write half is.
+    *
+    * WRITER-SIDE ONLY: the recovery performs renames, so this must run
+    * under the store's writer lease. A reader racing a live writer's
+    * [[promoteSwap]] between its two renames would otherwise itself promote
+    * `__tmp` (or restore `__old`) and make the writer's checked rename fail
+    * its `require` — loud but spurious (r7 advice). Readers use
+    * [[readOrEmptyReadOnly]]. */
   def readOrEmpty(spark: SparkSession, path: String,
                   schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
@@ -130,6 +137,33 @@ object Writers {
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The READER half of the swap protocol: resolve which dir an interrupted
+    * swap left the state in — destination if present, else a fully-written
+    * `__tmp` (its `_SUCCESS` proves the write completed), else the displaced
+    * `__old` — and read it WITHOUT performing the recovery renames. Content
+    * priority is identical to [[recoverSwap]]'s, so a reader sees exactly
+    * the post-recovery state; only the mutation is deferred to the next
+    * writer (which recovers under its lease). This is what lets lake
+    * readers (keep sets, vector scans, drift reports) run concurrently
+    * with a locked writer's swap without tripping its checked renames. */
+  def readOrEmptyReadOnly(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val (fs, dst) = hfsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val src =
+      if (fs.exists(dst)) Some(path)
+      else if (fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        Some(path + "__tmp")
+      else if (fs.exists(old)) Some(path + "__old")
+      else None
+    src.map(spark.read.schema(schema).parquet(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   /** Full-replace a state dir via write-new-then-swap: write `next` to

@@ -142,6 +142,42 @@ class SchedulerSpec extends AnyFunSuite {
     assert(second.getOffset.toString === "-05:00")
   }
 
+  test("nextFireZoned: a sub-hourly cron crossing a fall-back flags the skip loudly") {
+    import java.time.{Instant, ZoneId, ZonedDateTime}
+    val ny = ZoneId.of("America/New_York") // 2026-11-01: 02:00 EDT -> 01:00 EST
+    val s = parse("*/15 * * * *")
+    var flagged = List.empty[ZonedDateTime]
+    val cb = (_: CronSpec, z: ZonedDateTime) => { flagged ::= z; () }
+    // first pass of the repeated hour: normal fires, NO flag yet
+    var t = ZonedDateTime.of(2026, 11, 1, 0, 50, 0, 0, ny)
+    t = nextFireZoned(s, t, cb) // 01:00 EDT
+    assert(t.toInstant === Instant.parse("2026-11-01T05:00:00Z") && flagged.isEmpty)
+    t = nextFireZoned(s, t, cb) // 01:15 EDT
+    t = nextFireZoned(s, t, cb); t = nextFireZoned(s, t, cb) // 01:30, 01:45 EDT
+    assert(flagged.isEmpty)
+    // the fire that STEPS OVER the transition skips the whole EST second
+    // pass (01:00-01:45 EST) — exactly one flag, at the stepping fire
+    t = nextFireZoned(s, t, cb)
+    assert(t.toInstant === Instant.parse("2026-11-01T07:00:00Z")) // 02:00 EST
+    assert(flagged == List(t), flagged.toString)
+    // past the transition: quiet again
+    t = nextFireZoned(s, t, cb)
+    assert(flagged.size == 1)
+  }
+
+  test("nextFireZoned: daily cadence crossing the same fall-back stays quiet") {
+    import java.time.{ZoneId, ZonedDateTime}
+    val ny = ZoneId.of("America/New_York")
+    var flagged = 0
+    val cb = (_: CronSpec, _: ZonedDateTime) => { flagged += 1; () }
+    // the reference's daily cadence loses nothing on a fall-back day —
+    // the flag is for sub-hourly registrants only
+    val s = parse("0 15 * * *")
+    val from = ZonedDateTime.of(2026, 10, 31, 16, 0, 0, 0, ny)
+    val z = nextFireZoned(s, from, cb)
+    assert(z.getDayOfMonth == 1 && flagged == 0)
+  }
+
   test("nextFireZoned: fixed-offset zone (the reference's) matches the naive math") {
     import java.time.{ZoneId, ZonedDateTime}
     val vn = ZoneId.of("Asia/Ho_Chi_Minh") // no DST — prefect.yaml's zone

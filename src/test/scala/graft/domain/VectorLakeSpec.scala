@@ -77,6 +77,81 @@ class VectorLakeSpec extends SparkSpec {
       "quantizer not retrained")
   }
 
+  test("cross-list gate: a near-dup straddling a list border drops at ingest") {
+    // centroids at 0° and 45°; stored v1 at 20° assigns list 0; batch v2 at
+    // 23° assigns list 1 (top-1) with list 0 as its SECOND-nearest — only
+    // the multi-probe gate can see v1 across the border (r7 verdict ask)
+    val cents = Seq(Seq(1.0, 0.0),
+      Seq(0.7071067811865476, 0.7071067811865476))
+    val root = freshRoot("xgate")
+    VectorLake.init(spark, root, cents)
+    assert(VectorLake.ingest(spark, root,
+      Seq((1L, unit(20))).toDF("vec_id", "embedding")).kept == 1)
+    val r = VectorLake.ingest(spark, root,
+      Seq((2L, unit(23))).toDF("vec_id", "embedding"))
+    assert(r == VectorLake.IngestReport(0, 1, 0), r.toString)
+    assert(VectorLake.vectors(spark, root).count() == 1)
+    // the pure decision agrees, and pins WHY gateProbes=2 is the default:
+    // a top-1 gate lets the same pair slip
+    val stored = Seq((1L, unit(20))).toDF("vec_id", "embedding")
+    val batch = Seq((2L, unit(23))).toDF("vec_id", "embedding")
+    def kept(gp: Int) = VectorLake
+      .ingestDecision(stored, batch, cents, 0.95, gateProbes = gp)
+      .filter(col("keep")).count()
+    assert(kept(2) == 0 && kept(1) == 1)
+  }
+
+  test("ingest refuses a batch beyond the broadcast cap, naming the bulk path") {
+    val root = freshRoot("cap")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.ingest(spark, root,
+        Seq((1L, unit(0)), (2L, unit(90)), (3L, unit(45)))
+          .toDF("vec_id", "embedding"),
+        maxBroadcastRows = 2L)
+    }
+    assert(e.getMessage.contains("maxBroadcastRows") &&
+      e.getMessage.contains("reconcile"), e.getMessage)
+    assert(VectorLake.vectors(spark, root).count() == 0, "refusal must not write")
+  }
+
+  test("replayed batch report EQUALS the original, within-batch dups included") {
+    // the r7 advice: counting the batch's own stored rows as index dups
+    // reclassified a replay's in-batch dup as a vs-index dup
+    val root = freshRoot("replayrep")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val batch = Seq((1L, unit(0)), (2L, unit(0, 2f)), (3L, unit(90)))
+      .toDF("vec_id", "embedding")
+    val r1 = VectorLake.ingest(spark, root, batch)
+    assert(r1 == VectorLake.IngestReport(2, 0, 1), r1.toString)
+    val r2 = VectorLake.ingest(spark, root, batch)
+    assert(r2 == r1, s"replay reclassified: $r2 vs $r1")
+    assert(VectorLake.vectors(spark, root).count() == 2)
+  }
+
+  test("reconcile's banded repair removes a dup a mixed-quantizer window let in") {
+    val root = freshRoot("repair")
+    VectorLake.init(spark, root,
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0)))
+    assert(VectorLake.ingest(spark, root,
+      Seq((1L, unit(0)), (2L, unit(90))).toDF("vec_id", "embedding")).kept == 2)
+    // quantizer swapped mid-window (the twin-swap crash shape): under the
+    // NEW coarse map, vec 5's top-2 gate lists are {1, 2} while its twin
+    // vec 1 sits stored in list 0 — the gate cannot see it
+    VectorLake.init(spark, root,
+      Seq(Seq(-1.0, -1.0), Seq(0.9, 0.05), Seq(0.05, 0.9)))
+    val r = VectorLake.ingest(spark, root,
+      Seq((5L, unit(0, 2f))).toDF("vec_id", "embedding"))
+    assert(r.kept == 1, s"the mixed-quantizer window should admit the twin: $r")
+    assert(VectorLake.vectors(spark, root).count() == 3)
+    // reconcile re-trains, reassigns, and the SRP-banded within-list repair
+    // drops the higher-id twin — without all-pairs list scans
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    val ids = VectorLake.vectors(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"repair failed: $ids")
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -249,4 +249,43 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h == Map(3L -> 1L, 2L -> 1L))
   }
+
+  test("srpBandedCandidates: pair work stays near the bucket rate on one oversized block") {
+    // ONE block far larger than any sane dedup granularity — the r7 wart's
+    // shape (an IVF list sized for retrieval). Banding must price pairs at
+    // the SRP-bucket rate (~bands/2^planes of all-pairs for spread data),
+    // never at the block's all-pairs count.
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val n = 200
+    val emb = (0 until n).map(i =>
+      (i.toLong, Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat), 0))
+      .toDF("vec_id", "embedding", "ivf_list")
+    val cands = Similarity.srpBandedCandidates(emb, "vec_id", "embedding",
+      bands = 8, planesPerBand = 8, dims = dims,
+      blockCols = Seq("ivf_list")).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    // expected ~ allPairs * 8/256 ≈ 3%; assert an order of magnitude of slack
+    assert(cands < allPairs / 4,
+      s"banding bought nothing: $cands candidates of $allPairs all-pairs")
+  }
+
+  test("srpBandedNearDupPairs finds planted twins, honors blocks and the cosine cut") {
+    val v = Array(1f, 0f, 0f, 0f)
+    val w = Array(0f, 1f, 0f, 0f)
+    val emb = Seq(
+      (1L, v, 0), (2L, v.map(_ * 2f), 0), // twins (cos 1), same block
+      (3L, w, 0),                         // orthogonal, same block
+      (4L, v, 1)                          // twin DIRECTION, other block
+    ).toDF("vec_id", "embedding", "ivf_list")
+    val pairs = Similarity.srpBandedNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95, bands = 8, planesPerBand = 8, dims = 4,
+      blockCols = Seq("ivf_list"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // same-direction vectors share every band's signature — recall 1 on
+    // exact twins; the orthogonal pair fails the cosine cut even where a
+    // band collides; the cross-block twin must not pair at all
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) == 1.0)
+  }
 }

@@ -43,4 +43,36 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().toSet == (1 to 100).toSet)
     assert(!new java.io.File(dir + "__old").exists())
   }
+
+  test("readOrEmptyReadOnly resolves an interrupted swap WITHOUT renaming") {
+    // a reader racing a locked writer's promoteSwap must see the post-
+    // recovery content but leave the dirs exactly where the writer's
+    // checked renames expect them (r7 advice: a reader-side recovery
+    // rename spuriously failed the writer's require)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("roswap").toString + "/t"
+    // crash window 1: dst missing, displaced state at __old
+    (1 to 5).toDF("k").write.parquet(dir + "__old")
+    assert(Writers.readOrEmptyReadOnly(spark, dir, schema)
+      .as[Int].collect().toSet == (1 to 5).toSet)
+    assert(new java.io.File(dir + "__old").exists() &&
+      !new java.io.File(dir).exists(), "reader mutated the swap state")
+    // crash window 2: a COMPLETED __tmp (its _SUCCESS proves it) wins over
+    // __old — identical priority to recoverSwap's
+    (6 to 9).toDF("k").write.parquet(dir + "__tmp")
+    assert(Writers.readOrEmptyReadOnly(spark, dir, schema)
+      .as[Int].collect().toSet == (6 to 9).toSet)
+    assert(new java.io.File(dir + "__tmp").exists() &&
+      new java.io.File(dir + "__old").exists() &&
+      !new java.io.File(dir).exists(), "reader mutated the swap state")
+    // steady state: destination present reads the destination
+    (10 to 12).toDF("k").write.parquet(dir)
+    assert(Writers.readOrEmptyReadOnly(spark, dir, schema)
+      .as[Int].collect().toSet == (10 to 12).toSet)
+    // absent everywhere: empty frame, not an error
+    val none = java.nio.file.Files.createTempDirectory("roswap2").toString + "/x"
+    assert(Writers.readOrEmptyReadOnly(spark, none, schema).count() == 0)
+  }
 }

@@ -115,4 +115,82 @@ class StateLockSpec extends SparkSpec {
       now = () => 42L) { entered = true }
     assert(entered)
   }
+
+  /** In-memory CAS lock state — what a DynamoDB conditional put / ZooKeeper
+    * node gives on stores whose file CREATE is not atomic. tryCreate and
+    * deleteIfMatches are genuine compare-and-swap. */
+  private class CasProvider(
+      state: java.util.concurrent.atomic.AtomicReference[String])
+      extends StateLock.LockProvider {
+    def tryCreate(payload: String): Boolean = state.compareAndSet(null, payload)
+    def read(): Option[String] = Option(state.get())
+    def deleteIfMatches(observed: String): Boolean =
+      state.compareAndSet(observed, null)
+    def exists(): Boolean = state.get() != null
+  }
+
+  test("injected CAS provider serializes writers on a non-atomic-create store") {
+    // the simulated object store: file create is NOT exclusive, so the file
+    // protocol would admit two holders — the CAS provider is the lock
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val inCritical = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    var counter = 0L // deliberately unsynchronized: lost updates expose overlap
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try {
+          for (_ <- 1 to 25)
+            StateLock.withLock(spark, "(cas)", leaseMs = 60000L,
+              waitMs = 30000L, pollMs = 1L,
+              provider = Some(new CasProvider(state))) {
+              val c = inCritical.incrementAndGet()
+              maxSeen.getAndUpdate(m => math.max(m, c))
+              val v = counter; Thread.sleep(0, 200000); counter = v + 1
+              inCritical.decrementAndGet(); ()
+            }
+        } catch { case t: Throwable => errors.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, errors.toString)
+    assert(maxSeen.get() == 1, s"concurrent holders: ${maxSeen.get()}")
+    assert(counter == 100L, s"lost updates: $counter / 100")
+    assert(state.get() == null, "lock leaked after all releases")
+  }
+
+  test("a lock that exists but stays unreadable is LIVE: fail-fast refuses, never breaks") {
+    // two transient IO errors against a healthy holder must not delete its
+    // lease (the r7 advice race) — even past lease expiry, an unreadable
+    // payload is not evidence of staleness
+    var deleted = false
+    val p = new StateLock.LockProvider {
+      def tryCreate(payload: String): Boolean = false
+      def read(): Option[String] = None // persistent read error
+      def deleteIfMatches(observed: String): Boolean = { deleted = true; true }
+      def exists(): Boolean = true
+    }
+    val ex = intercept[IllegalArgumentException] {
+      StateLock.withLock(spark, "(flaky)", leaseMs = 10L,
+        now = () => 1000000L, provider = Some(p)) { fail("must not enter") }
+    }
+    assert(ex.getMessage.contains("locked by another writer"))
+    assert(!deleted, "an unreadable live lock was broken")
+  }
+
+  test("transient verify-read failure does not orphan a fresh lease") {
+    // the r7 advice low: verify reads fail transiently right after our own
+    // create — the retried second round must confirm ownership and acquire
+    // (an orphaned valid lease would block fail-fast writers for leaseMs)
+    val state = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(4)
+    val p = new CasProvider(state) {
+      override def read(): Option[String] =
+        if (failures.getAndDecrement() > 0) None else super.read()
+    }
+    var entered = false
+    StateLock.withLock(spark, "(verify-flaky)", leaseMs = 60000L,
+      provider = Some(p)) { entered = true }
+    assert(entered, "retried verify should have confirmed ownership")
+    assert(state.get() == null, "lock not released")
+  }
 }

@@ -1897,6 +1897,23 @@ object SparkEntry {
     }, Some(TextOracle.ivfDriftSql(nLists = 4, dims = 64, batchMod = 5,
       scale = 0.02))),
 
+    Q("q151_vector_ingest_gate", (s, dir) => {
+      // the lake's ingest keep decision as a pure oracle query: this calls
+      // VectorLake.ingestDecision, which shares the PRIVATE gateFrames body
+      // with ingest itself — the hash check certifies the real decision
+      // path, not a twin (r7 ask #5). Multi-probe gate (top-2 nearest
+      // lists) catches near-dup pairs straddling a list border; candidates
+      // are list-bucketed (batch broadcasts, stored side never reshuffles);
+      // lower vec_id wins within the batch. Same scaled centroids as q150.
+      val emb = T(s, dir, "embeddings")
+      graft.domain.VectorLake.ingestDecision(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02)),
+        dupThreshold = 0.4, gateProbes = 2)
+    }, Some(TextOracle.vectorIngestGateSql(nLists = 4, dims = 64,
+      scale = 0.02, batchMod = 5, threshold = 0.4, gateProbes = 2))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

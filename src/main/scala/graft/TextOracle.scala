@@ -1042,6 +1042,71 @@ object TextOracle {
     FROM base FULL OUTER JOIN batch ON base.ivf_list = batch.ivf_list"""
   }
 
+  /** q151: VectorLake's batch-ingest keep decision (the REAL gate —
+    * SparkEntry calls VectorLake.ingestDecision, which shares the private
+    * gateFrames implementation with ingest itself). Stored = vec_id %
+    * batchMod <> 0, batch = the rest. Per batch vector: its `gateProbes`
+    * NEAREST lists (ranked (d_i, i) ascending — exactly ivfGateLists'
+    * array_sort over (d2, i) structs); drop it if a stored vector in any
+    * gate list, or a LOWER-id batch vector sharing any gate list, has
+    * round(cosine, 6) >= threshold. Output: (vec_id, ivf_list, keep) for
+    * every batch vector, ivf_list the nearest (storage) list. Centroids are
+    * the scaled hyperplanes embedded as Scala-printed double literals
+    * (ivfDriftSql's parity contract — scale applied per WEIGHT before the
+    * fold). */
+  def vectorIngestGateSql(nLists: Int, dims: Int, scale: Double,
+                          batchMod: Int, threshold: Double,
+                          gateProbes: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+      .map(_.map(_ * scale))
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, d) => s"CAST(embedding[${d + 1}] AS DOUBLE) * $w" }
+        .mkString(" + ")
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * ($dot) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val dByIdx = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    def cos(a: String, b: String): String =
+      s"""round(${dotExpr(s"$a.embedding", s"$b.embedding")}
+                 / (sqrt(${dotExpr(s"$a.embedding", s"$a.embedding")})
+                    * sqrt(${dotExpr(s"$b.embedding", s"$b.embedding")})), 6)"""
+    s"""
+    WITH d AS (
+      SELECT vec_id, embedding, $d2
+      FROM embeddings),
+    a AS (
+      SELECT vec_id, embedding,
+             CASE $cases END AS ivf_list,
+             ${(0 until nLists).map(i => s"d$i").mkString(", ")}
+      FROM d),
+    gr AS (
+      SELECT a.vec_id, a.embedding, t.i AS gate_list,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY CASE t.i $dByIdx END, t.i) AS rk
+      FROM a, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)
+      WHERE a.vec_id % $batchMod = 0),
+    g AS (SELECT vec_id, embedding, gate_list FROM gr WHERE rk <= $gateProbes),
+    vsidx AS (
+      SELECT DISTINCT g.vec_id
+      FROM a s JOIN g ON s.ivf_list = g.gate_list
+      WHERE s.vec_id % $batchMod <> 0
+        AND ${cos("s", "g")} >= $threshold),
+    inb AS (
+      SELECT DISTINCT gb.vec_id
+      FROM g ga JOIN g gb
+        ON ga.gate_list = gb.gate_list AND ga.vec_id < gb.vec_id
+      WHERE ${cos("ga", "gb")} >= $threshold),
+    drops AS (SELECT vec_id FROM vsidx UNION SELECT vec_id FROM inb)
+    SELECT a.vec_id, a.ivf_list, (drops.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN drops ON a.vec_id = drops.vec_id
+    WHERE a.vec_id % $batchMod = 0"""
+  }
+
   /** IVF probing-search oracle: per-vector distances + CASE-argmin assignment
     * (as ivfAssignSql), probe set = the nprobe centroids nearest the QUERY
     * (ranked in SQL, ties to the lower index), then cosine top-k over the

@@ -221,4 +221,21 @@ object Engine {
                             cron: String = "0 4 * * 0")
       : graft.domain.Scheduler.Deployment =
     graft.domain.VectorLake.maintenanceDeployment(spark, lakeRoot, cron)
+
+  /** Continuous embedding ingest into the vector lake: each micro-batch
+    * runs the full near-dup gate and appends survivors (replays are
+    * no-ops); waits out a concurrent maintenance window instead of
+    * crashing. The streaming twin of [[vectorLakeIngest]]. */
+  def vectorLakeIngestStream(emb: DataFrame, lakeRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.streaming.Streams.vectorLakeIngestStream(emb, lakeRoot)
+
+  /** Recall@k of the int8 scalar-quantized (4× smaller) corpus
+    * representation vs exact search — the acceptance gate for serving a
+    * corpus from SQ codes, next to the PQ/ADC path. */
+  def evalSqRecall(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   probe: DataFrame, probeId: String, probeVec: String,
+                   k: Int, dims: Int): DataFrame =
+    Similarity.sqRecallEval(corpus, corpusId, corpusVec,
+      probe, probeId, probeVec, k, dims)
 }

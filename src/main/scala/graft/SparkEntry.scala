@@ -1897,6 +1897,39 @@ object SparkEntry {
     }, Some(TextOracle.ivfDriftSql(nLists = 4, dims = 64, batchMod = 5,
       scale = 0.02))),
 
+    Q("q152_sq8_recall", (s, dir) => {
+      // int8 scalar quantization (4× memory cut) gated by measured
+      // recall@k vs exact — the SQ sibling of q97's LSH recall gate and
+      // the quantization family's third member (PQ q71/q121, IVFPQ q122).
+      // Serving-bounded probe batch broadcasts; the corpus is scanned
+      // twice (raw + dequantized top-k), never shuffled; quantization
+      // stats are one 2·dims-cell agg collected as a bounded LUT
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      Similarity.sqRecallEval(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, dims = 64)
+    }, Some(TextOracle.sqRecallSql(k = 5, nProbes = 64, dims = 64))),
+
+    Q("q153_banded_repair", (s, dir) => {
+      // VectorLake.reconcile's SRP-banded within-list repair decision as a
+      // pure oracle row (the r7 wart's FIX, hash-checked): candidates come
+      // from band-bucket collisions WITHIN each IVF list — pair work
+      // bounded by SRP bucket size, never listSize² — and a vector drops
+      // iff a lower-id partner clears round(cos,6) >= threshold
+      val emb = T(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(emb.select("vec_id", "embedding"),
+        "embedding", Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02)))
+      val dups = Similarity.srpBandedNearDupPairs(assigned, "vec_id",
+          "embedding", threshold = 0.4, bands = 2, planesPerBand = 4,
+          dims = 64, blockCols = Seq("ivf_list"))
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("__dup", lit(true))
+      assigned.select("vec_id", "ivf_list").join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("ivf_list"), col("__dup").isNull.as("keep"))
+    }, Some(TextOracle.bandedRepairSql(nLists = 4, dims = 64, scale = 0.02,
+      threshold = 0.4, bands = 2, planesPerBand = 4))),
+
     Q("q151_vector_ingest_gate", (s, dir) => {
       // the lake's ingest keep decision as a pure oracle query: this calls
       // VectorLake.ingestDecision, which shares the PRIVATE gateFrames body

@@ -1107,6 +1107,131 @@ object TextOracle {
     WHERE a.vec_id % $batchMod = 0"""
   }
 
+  /** q152: int8 scalar-quantization recall@k vs exact search. Mirrors
+    * Similarity.sqRecallEval: per-dim (min, max) over the corpus, code =
+    * least(255, floor((x − mn)·255/(mx − mn))) (constant dims → 0),
+    * dequant = mn + code·(mx − mn)/255, then both top-k rankings by
+    * (round(cos, 6) DESC, vec_id) with self excluded, and per-probe
+    * |exact ∩ sq|. min/max of floats are exact doubles, so both engines'
+    * quantization grids are bit-identical; the dim-explode here is
+    * oracle-side only (the Spark stats pass is 2·dims aggregates, no
+    * explode). */
+  def sqRecallSql(k: Int, nProbes: Int, dims: Int): String = s"""
+    WITH dimstats AS (
+      SELECT t.d,
+             min(CAST(embedding[t.d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.d] AS DOUBLE)) AS mx
+      FROM embeddings, range(1, ${dims + 1}) t(d)
+      GROUP BY t.d),
+    lut AS (
+      SELECT list(mn ORDER BY d) AS mn_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END
+                  ORDER BY d) AS sc_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
+                  ORDER BY d) AS iv_l
+      FROM dimstats),
+    dq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, ${dims + 1}), d ->
+               mn_l[d] + least(255.0,
+                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d]))
+               * iv_l[d]) AS dqv
+      FROM embeddings e, lut),
+    probe AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings ORDER BY vec_id LIMIT $nProbes),
+    exact_k AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 round(${dotExpr("e.embedding", "p.pv")}
+                       / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                          * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+          FROM embeddings e, probe p
+          WHERE e.vec_id <> p.probe_id)
+        WHERE cos IS NOT NULL)
+      WHERE rank <= $k),
+    sq_k AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM (
+          SELECT p.probe_id, q.vec_id AS neighbor_id,
+                 round(${dotExpr("q.dqv", "p.pv")}
+                       / (sqrt(${dotExpr("q.dqv", "q.dqv")})
+                          * sqrt(${dotExpr("p.pv", "p.pv")})), 6) AS cos
+          FROM dq q, probe p
+          WHERE q.vec_id <> p.probe_id)
+        WHERE cos IS NOT NULL)
+      WHERE rank <= $k)
+    SELECT e.probe_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(s.neighbor_id) AS DOUBLE)
+                 / CAST($k AS DOUBLE), 6) AS recall
+    FROM exact_k e LEFT JOIN sq_k s
+      ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.probe_id"""
+
+  /** q153: the SRP-banded within-list near-dup REPAIR decision —
+    * VectorLake.reconcile's repair pass as a pure query (blockCols =
+    * ivf_list). Assignment = scaled-hyperplane CASE argmin (as q150/q151);
+    * band b's bucket = Σ_q [dot(v, plane_{b·P+q}) ≥ 0]·2^q over the RAW
+    * md5 hyperplane family (banding is scale-free — only the centroids are
+    * scaled); candidates share (ivf_list, band, bucket); a vector DROPS iff
+    * some qualifying partner (round(cos, 6) ≥ threshold) has a smaller id —
+    * exactly the repair's `dups → left_anti` rule, ties and all. */
+  def bandedRepairSql(nLists: Int, dims: Int, scale: Double,
+                      threshold: Double, bands: Int,
+                      planesPerBand: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+      .map(_.map(_ * scale))
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, d) => s"CAST(embedding[${d + 1}] AS DOUBLE) * $w" }
+        .mkString(" + ")
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * ($dot) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val bandBuckets = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { q =>
+        s"(CASE WHEN ${planeDotSql("embedding", b * planesPerBand + q, dims)} >= 0.0 " +
+          s"THEN CAST(${1L << q} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"WHEN $b THEN $bits"
+    }.mkString("\n             ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, embedding, $d2
+      FROM embeddings),
+    a AS (
+      SELECT vec_id, embedding,
+             CASE $cases END AS ivf_list
+      FROM d),
+    bb AS (
+      SELECT vec_id, embedding, ivf_list, t.band,
+             CASE t.band $bandBuckets END AS bkt
+      FROM a, (VALUES ${(0 until bands).map(b => s"($b)").mkString(",")}) t(band)),
+    dups AS (
+      SELECT DISTINCT y.vec_id AS id_b
+      FROM bb x JOIN bb y
+        ON x.ivf_list = y.ivf_list AND x.band = y.band AND x.bkt = y.bkt
+          AND x.vec_id < y.vec_id
+      WHERE round(${dotExpr("x.embedding", "y.embedding")}
+                  / (sqrt(${dotExpr("x.embedding", "x.embedding")})
+                     * sqrt(${dotExpr("y.embedding", "y.embedding")})), 6)
+            >= $threshold)
+    SELECT a.vec_id, a.ivf_list, (dups.id_b IS NULL) AS keep
+    FROM a LEFT JOIN dups ON a.vec_id = dups.id_b"""
+  }
+
   /** IVF probing-search oracle: per-vector distances + CASE-argmin assignment
     * (as ivfAssignSql), probe set = the nprobe centroids nearest the QUERY
     * (ranked in SQL, ties to the lower index), then cosine top-k over the

@@ -56,8 +56,9 @@ object VectorLake {
 
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
-                        now: () => Long = System.currentTimeMillis _)(f: => T): T =
-    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now)(f)
+                        now: () => Long = System.currentTimeMillis _,
+                        waitMs: Long = 0L)(f: => T): T =
+    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now, waitMs)(f)
 
   // WRITER-side read: performs swap-recovery renames, so only call under
   // the writer lease (appends need the dir physically at its destination)
@@ -185,8 +186,9 @@ object VectorLake {
              dupThreshold: Double = 0.95,
              gateProbes: Int = 2,
              maxBroadcastRows: Long = 1L << 20,
-             failpoint: () => Unit = () => ()): IngestReport =
-    withWriterLock(spark, root) {
+             failpoint: () => Unit = () => (),
+             lockWaitMs: Long = 0L): IngestReport =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
       val cents = centroids(spark, root)
       // the embedding cast is load-bearing: an uncast array<double> batch
       // would append double-typed files into the float-typed store and

@@ -308,6 +308,82 @@ object Similarity {
     }
   }
 
+  // ---- scalar quantization (int8) ----------------------------------------
+
+  /** Per-dimension corpus (min, max) — the scalar-quantization training
+    * stats. ONE agg pass producing 2·dims cells (no explode: the 64-dim
+    * default would 64× the row volume; element_at aggregates keep the scan
+    * narrow and codegen'd), collected as a single row — the bounded-LUT
+    * contract shared with centroid/codebook tables, NOT a corpus collect.
+    * min/max of floats are exact, so embedding them as plan literals is
+    * bit-identical to recomputing them engine-side. */
+  def sqMinMax(emb: DataFrame, vecCol: String, dims: Int): (Seq[Double], Seq[Double]) = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val aggs = (0 until dims).flatMap(d => Seq(
+      min(element_at(col(vecCol), d + 1).cast("double")).as(s"__mn$d"),
+      max(element_at(col(vecCol), d + 1).cast("double")).as(s"__mx$d")))
+    val r = emb.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.anyNull, "sqMinMax: corpus has no rows (or a null/short " +
+      "dimension) — quantization ranges are undefined")
+    ((0 until dims).map(d => r.getDouble(2 * d)),
+      (0 until dims).map(d => r.getDouble(2 * d + 1)))
+  }
+
+  /** Uniform int8 scalar quantization of a vector column: dim d maps to
+    * code ∈ [0, 255] via floor((x − min_d) · 255/(max_d − min_d)), capped at
+    * 255 (x = max_d can land exactly on 255 after the floor); a constant
+    * dimension (min = max) codes to 0. The 4×-smaller representation every
+    * billion-vector serving tier stores; codes stay DOUBLE-typed integral
+    * values here so the dequantized arithmetic below is one fused
+    * column expression (a production sink casts to tinyint at write). */
+  def sqCodes(vecCol: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val scales = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx == mn) 0.0 else 255.0 / (mx - mn) }
+    zip_with(
+      zip_with(vecCol, typedLit(mins), (x, mn) => x.cast("double") - mn),
+      typedLit(scales),
+      (s, sc) => least(lit(255.0), floor(s * sc).cast("double")))
+  }
+
+  /** Dequantized (reconstructed) vectors: dim d = min_d + code_d ·
+    * (max_d − min_d)/255 — the asymmetric-distance convention (probes stay
+    * full-precision; only the corpus side is reconstructed from codes). */
+  def sqDequant(vecCol: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val invs = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx == mn) 0.0 else (mx - mn) / 255.0 }
+    zip_with(
+      zip_with(sqCodes(vecCol, mins, maxs), typedLit(invs), (c, iv) => c * iv),
+      typedLit(mins), (v, mn) => mn + v)
+  }
+
+  /** Recall@k of int8 scalar quantization against exact search — the gate
+    * that decides whether the 4×-memory-saving SQ tier serves a corpus, the
+    * same contract shape as [[annRecall]] for LSH. Probes are a
+    * serving-bounded batch (broadcast, enforced by [[knnJoin]]); the corpus
+    * is scanned twice (raw top-k, dequantized top-k), never shuffled —
+    * both scans survive a 100 TB corpus untouched. The SQ side is
+    * ASYMMETRIC (ADC): probes keep full precision, only corpus vectors go
+    * through code→dequant. Output: (probe_id, n_hit, recall) with n_hit =
+    * |exact ∩ sq| over each probe's top-k (cos desc, id asc on the rounded
+    * score — [[knnJoin]]'s deterministic rank rule). */
+  def sqRecallEval(corpus: DataFrame, idCol: String, vecCol: String,
+                   probe: DataFrame, probeId: String, probeVec: String,
+                   k: Int, dims: Int): DataFrame = {
+    val (mins, maxs) = sqMinMax(corpus, vecCol, dims)
+    val exact = knnJoin(corpus, idCol, vecCol,
+      probe, probeId, probeVec, k, excludeSelf = true)
+    val dq = corpus.withColumn("__dqv", sqDequant(col(vecCol), mins, maxs))
+    val approx = knnJoin(dq, idCol, "__dqv",
+      probe, probeId, probeVec, k, excludeSelf = true)
+    exact.join(approx.select(col("probe_id"), col("neighbor_id"),
+        lit(1L).as("__hit")),
+      Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** PQ asymmetric-distance top-k (ADC; Jégou, Douze & Schmid 2011 §IV-A):
     * the probe stays un-quantized, the corpus is reduced to its PQ codes.
     * The numSub×ksub table of probe-subvector→centroid distances is computed

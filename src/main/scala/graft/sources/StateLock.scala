@@ -186,10 +186,14 @@ object StateLock {
   }
 
   /** The lake-writer convention shared by DedupLake and VectorLake: one
-    * `_LOCK` under the store's root, fail-fast (an ingest and a reconcile
-    * must never interleave, so a contender refuses instead of queueing). */
+    * `_LOCK` under the store's root, fail-fast by default (an ingest and a
+    * reconcile must never interleave, so a BATCH contender refuses instead
+    * of queueing). `waitMs` > 0 is the STREAMING-ingest stance: a
+    * micro-batch that collides with the scheduled reconcile should stall
+    * behind it and then proceed, not crash the query. */
   def withRootLock[T](spark: SparkSession, root: String,
                       leaseMs: Long = 30 * 60 * 1000L,
-                      now: () => Long = System.currentTimeMillis _)(f: => T): T =
-    withLock(spark, s"$root/_LOCK", leaseMs, waitMs = 0L, now = now)(f)
+                      now: () => Long = System.currentTimeMillis _,
+                      waitMs: Long = 0L)(f: => T): T =
+    withLock(spark, s"$root/_LOCK", leaseMs, waitMs = waitMs, now = now)(f)
 }

@@ -477,6 +477,33 @@ object Streams {
       try sink(kept) finally { bandPin.unpersist(blocking = false); () }
     }
 
+  /** Streaming ingest into the lake-resident VECTOR index — the embedding
+    * twin of [[indexDedupStream]]: each micro-batch runs VectorLake.ingest's
+    * full gate (multi-probe near-dup check vs the RESIDENT store,
+    * lower-id-wins within the batch) and appends survivors
+    * list-partitioned. Exactly-once EFFECT on at-least-once delivery by the
+    * lake's contract: a replayed micro-batch re-gates identically and its
+    * append anti-joins stored ids — writes nothing, reports the original
+    * counts. A micro-batch is serving-bounded by construction, inside the
+    * broadcast cap ingest enforces. `lockWaitMs` bounds the wait for the
+    * store's writer lease, so a micro-batch that collides with the
+    * scheduled reconcile stalls behind it and proceeds (the fail-fast
+    * refusal stays the BATCH-caller default — a crashed streaming query is
+    * the wrong outcome for a planned maintenance window). `onReport` sees
+    * (epochId, report) per batch — the metrics seam. */
+  def vectorLakeIngestStream(emb: DataFrame, root: String,
+                             dupThreshold: Double = 0.95,
+                             gateProbes: Int = 2,
+                             lockWaitMs: Long = 5 * 60 * 1000L,
+                             onReport: (Long, graft.domain.VectorLake.IngestReport) => Unit =
+                               (_, _) => ())
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val r = graft.domain.VectorLake.ingest(batch.sparkSession, root, batch,
+        dupThreshold, gateProbes, lockWaitMs = lockWaitMs)
+      onReport(epoch, r)
+    }
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

@@ -152,6 +152,55 @@ class VectorLakeSpec extends SparkSpec {
     assert(ids == Set(1L, 2L), s"repair failed: $ids")
   }
 
+  test("streaming ingest twin: micro-batches gate vs the growing store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("stream")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val reports =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, VectorLake.IngestReport)]
+    val q = graft.streaming.Streams.vectorLakeIngestStream(
+        input.toDF().toDF("vec_id", "embedding"), root,
+        onReport = (e, r) => reports.synchronized { reports += e -> r; () })
+      .start()
+    try {
+      input.addData(1L -> unit(0), 2L -> unit(90))
+      q.processAllAvailable()
+      // batch 2: v3 dups stored v1 (vs-index), v4 is new (lands in list 1),
+      // v5 dups v4 within the batch (same direction, higher id loses) —
+      // v4/v5 sit in DIFFERENT storage lists, so only the multi-probe gate
+      // (both vectors' gate sets = {0,1} at 2 centroids) catches the pair
+      input.addData(3L -> unit(0, 2f), 4L -> unit(45, 14f), 5L -> unit(45, 3f))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VectorLake.vectors(spark, root).select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(reports.sortBy(_._1).map(_._2).toList == List(
+      VectorLake.IngestReport(2, 0, 0), VectorLake.IngestReport(1, 1, 1)),
+      reports.toString)
+  }
+
+  test("streaming twin stalls behind a held lease instead of crashing") {
+    // a reconcile window: the lock is held when the micro-batch arrives;
+    // with lockWaitMs > 0 the batch waits the holder out and then commits
+    val root = freshRoot("streamwait")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val lock = new org.apache.hadoop.fs.Path(s"$root/_LOCK")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lock, false)
+    out.write(s"${System.currentTimeMillis()}:maintenance".getBytes("UTF-8"))
+    out.close()
+    val releaser = new Thread(() => { Thread.sleep(1500); fs.delete(lock, false); () })
+    releaser.start()
+    val r = try VectorLake.ingest(spark, root,
+      Seq((1L, unit(0))).toDF("vec_id", "embedding"),
+      lockWaitMs = 30 * 1000L)
+    finally releaser.join()
+    assert(r.kept == 1)
+    assert(VectorLake.vectors(spark, root).count() == 1)
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -288,4 +288,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
     assert(pairs((1L, 2L)) == 1.0)
   }
+
+  test("sqMinMax/sqCodes/sqDequant: exact grid, cap at 255, constant dims") {
+    val emb = Seq(
+      (1L, Array(0f, 10f, 5f)),
+      (2L, Array(1f, 20f, 5f)),
+      (3L, Array(2f, 30f, 5f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqMinMax(emb, "embedding", dims = 3)
+    assert(mins == Seq(0.0, 10.0, 5.0) && maxs == Seq(2.0, 30.0, 5.0))
+    val out = emb
+      .select(col("vec_id"), Similarity.sqCodes(col("embedding"), mins, maxs).as("c"),
+        Similarity.sqDequant(col("embedding"), mins, maxs).as("dq"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    // dim 0 spans [0,2]: codes 0/127/255 (x=max floors ONTO the cap);
+    // dim 2 is constant: code 0, dequant = min — no 0/0 blowup
+    assert(out(0)._1 == Seq(0.0, 0.0, 0.0))
+    assert(out(1)._1 == Seq(127.0, 127.0, 0.0))
+    assert(out(2)._1 == Seq(255.0, 255.0, 0.0))
+    // reconstruction error is within one grid step everywhere
+    emb.select(Similarity.sqDequant(col("embedding"), mins, maxs).as("dq"),
+        col("embedding")).collect().foreach { r =>
+      r.getSeq[Double](0).zip(r.getSeq[Float](1)).zip(maxs.zip(mins)).foreach {
+        case ((dq, x), (mx, mn)) =>
+          assert(math.abs(dq - x) <= (mx - mn) / 255.0 + 1e-12,
+            s"dequant $dq vs $x outside one grid step")
+      }
+    }
+    assert(out(2)._2(2) == 5.0, "constant dim must reconstruct exactly")
+  }
+
+  test("sqRecallEval: quantization-safe geometry scores recall 1, exact counts") {
+    // well-separated directions: one grid step (range/255) cannot reorder
+    // a 0.94-vs-0.17 cosine gap, so SQ top-k == exact top-k
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq((1L, v(0)), (2L, v(10)), (3L, v(80)), (4L, v(90)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((1L, v(0)), (4L, v(90))).toDF("vec_id", "embedding")
+    val r = Similarity.sqRecallEval(corpus, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = 1, dims = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == Map(1L -> (1L, 1.0), 4L -> (1L, 1.0)), r.toString)
+  }
 }

@@ -44,6 +44,11 @@ EXPLAINED = {
         "popcounts ~ sf^2; at larger vocab the dispatch falls to the "
         "inverted-index path whose cost tracks shared-shingle pairs.",
     "q90_decontaminate": "same containment dispatch as q53.",
+    "q92_semantic_decontaminate": "semantic twin of q90: the benchmark side "
+        "is a fixed FRACTION of the corpus (vec_id % 20), so the "
+        "benchmark-broadcast cosine gate is benchmark x corpus ~ sf^2 by "
+        "contract. A real decontamination run has a CONSTANT benchmark "
+        "suite — that serving shape is q145 (sf1-certified linear).",
     "q30_ngram_jaccard": "pair scoring over shared-shingle candidates; "
         "within-replica dup mass is linear but the probe-fraction contract "
         "adds the q53 shape.",

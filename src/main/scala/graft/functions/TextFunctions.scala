@@ -34,6 +34,19 @@ object TextFunctions {
   def cleanArrayString(c: Column, isLanguage: Boolean = false): Column =
     array_join(cleanArray(c, isLanguage), ", ")
 
+  /** Expression-level let-binding: evaluate `x` ONCE per row and use it
+    * several times in `body`. Column trees have no sharing — every
+    * reference re-embeds (and re-evaluates) the subtree, and Catalyst's
+    * subexpression elimination does not hoist out of `when` branches — so
+    * a cascade over an expensive subtree (a regex tokenization, say)
+    * multiplies its cost by the reference count. Wrapping the value as the
+    * element of a 1-element array and binding it as a `transform` lambda
+    * variable pins it to one evaluation (lambda variables are true
+    * bindings). Worth it only when `x` is expensive: `transform` itself is
+    * interpreted (no codegen), so cheap `x` should stay inline. */
+  def let1(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
   /** Whitespace tokenization of trimmed text; empty text -> empty array. */
   def tokens(c: Column): Column = {
     val t = trim(c)
@@ -120,14 +133,25 @@ object TextFunctions {
     * (undetermined). Word-level proxy for the usual char-n-gram model — same
     * plumbing, trivially swappable scoring table. */
   def langId(text: Column): Column = {
-    val toks = transform(tokens(text), t => lower(t))
-    val hits = Seq("en", "de", "fr", "es").map(l => l -> stopwordHits(toks, stopwords(l)))
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val cascade = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
-      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    // let-bindings via single-element transform scopes: a naive
+    // best/cascade tree embeds the tokenize pipeline in every `when`
+    // branch, and Catalyst's subexpression elimination does not hoist out
+    // of conditional branches — the scan re-tokenized each row ~12x.
+    // Binding the token array, then the 4 hit counts, as lambda variables
+    // pins each to ONE evaluation per row; the cascade then compares plain
+    // array elements. Semantics unchanged: highest hit count wins,
+    // deterministic tie-break by fixed language order, zero hits -> "und".
+    val langs = Seq("en", "de", "fr", "es")
+    let1(transform(tokens(text), t => lower(t))) { toks =>
+      let1(array(langs.map(l => stopwordHits(toks, stopwords(l))): _*)) { hs =>
+        val best = array_max(hs)
+        // foldRight builds en-first cascade: first match in order wins
+        langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), acc) =>
+          when(element_at(hs, i + 1) === best && best > 0, lit(lang))
+            .otherwise(acc)
+        }
+      }
     }
-    // foldRight builds en-first cascade: first match in fixed order wins
-    cascade
   }
 
   // ---- Quality scoring ----
@@ -139,20 +163,22 @@ object TextFunctions {
       .otherwise(length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / n)
   }
 
-  /** Ratio of English stopwords among tokens (proxy for "natural prose"). */
-  def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(stopwordHits(transform(toks, t => lower(t)), stopwords("en")).cast("double") / size(toks))
-  }
+  /** Ratio of English stopwords among tokens (proxy for "natural prose").
+    * The tokenization is let-bound: the zero-guard `when` would otherwise
+    * re-split in both the condition and each branch reference. */
+  def stopwordRatio(c: Column): Column =
+    let1(tokens(c)) { toks =>
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(stopwordHits(transform(toks, t => lower(t)), stopwords("en")).cast("double") / size(toks))
+    }
 
   /** Mean token length in chars (0 if no tokens). */
-  def meanTokenLen(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+  def meanTokenLen(c: Column): Column =
+    let1(tokens(c)) { toks =>
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    }
 
   /** Composite quality score in [0,1]: rewards prose-like length, stopword
     * presence, low punctuation noise. Deterministic, engine-independent. */

@@ -238,4 +238,14 @@ object Engine {
                    k: Int, dims: Int): DataFrame =
     Similarity.sqRecallEval(corpus, corpusId, corpusVec,
       probe, probeId, probeVec, k, dims)
+
+  /** IVF-SQ8 probing search: coarse pruning to the query's `nprobe`
+    * nearest lists, asymmetric scoring over the int8-dequantized corpus —
+    * the serving tier that combines partition pruning with the 4× memory
+    * cut, gated by [[evalSqRecall]]. */
+  def searchIvfSq(corpus: DataFrame, idCol: String, vecCol: String,
+                  queryVec: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
+                  nprobe: Int, mins: Seq[Double], maxs: Seq[Double]): DataFrame =
+    Similarity.ivfSqTopK(corpus, idCol, vecCol, queryVec, k, centroids,
+      nprobe, mins, maxs)
 }

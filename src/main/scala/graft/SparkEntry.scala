@@ -1930,6 +1930,21 @@ object SparkEntry {
     }, Some(TextOracle.bandedRepairSql(nLists = 4, dims = 64, scale = 0.02,
       threshold = 0.4, bands = 2, planesPerBand = 4))),
 
+    Q("q154_ivfsq_topk", (s, dir) => {
+      // IVF-SQ8 serving search: coarse probe pruning (q52's shape) over the
+      // int8 scalar-quantized corpus (q152's representation) — the fourth
+      // member of the quantized-serving family (PQ q71/q121, IVFPQ q122,
+      // SQ q152). Assignment on raw vectors; scoring asymmetric on the
+      // dequantized store; one pruned scan
+      val emb = T(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val (mins, maxs) = Similarity.sqMinMax(corpus, "embedding", dims = 64)
+      Similarity.ivfSqTopK(corpus, "vec_id", "embedding", qv, k = 10,
+        Similarity.hyperplanes(4, 64), nprobe = 2, mins, maxs)
+    }, Some(TextOracle.ivfSqTopkSql(k = 10, nLists = 4, dims = 64, nprobe = 2))),
+
     Q("q151_vector_ingest_gate", (s, dir) => {
       // the lake's ingest keep decision as a pure oracle query: this calls
       // VectorLake.ingestDecision, which shares the PRIVATE gateFrames body

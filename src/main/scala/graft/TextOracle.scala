@@ -1029,17 +1029,21 @@ object TextOracle {
     batch AS (
       SELECT ivf_list, COUNT(*) AS n_batch,
              SUM(CAST(round(dd * 1000000) AS BIGINT)) AS s_t, COUNT(dd) AS c_t
-      FROM a WHERE vec_id % $batchMod = 0 GROUP BY ivf_list)
-    SELECT COALESCE(base.ivf_list, batch.ivf_list) AS ivf_list,
+      FROM a WHERE vec_id % $batchMod = 0 GROUP BY ivf_list),
+    lists AS (SELECT CAST(t.x AS INTEGER) AS ivf_list FROM range(0, $nLists) t(x))
+    SELECT lists.ivf_list,
            CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
            CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
-           round(CAST(COALESCE(n_batch, 0) AS DOUBLE)
-                 / (COALESCE(n_base, 0) + COALESCE(n_batch, 0)), 6) AS share_batch,
+           CASE WHEN COALESCE(n_base, 0) + COALESCE(n_batch, 0) = 0 THEN NULL
+                ELSE round(CAST(COALESCE(n_batch, 0) AS DOUBLE)
+                      / (COALESCE(n_base, 0) + COALESCE(n_batch, 0)), 6)
+           END AS share_batch,
            CAST(floor(CAST(s_b AS DOUBLE) / c_b) AS BIGINT) AS mean_d2_micros_base,
            CAST(floor(CAST(s_t AS DOUBLE) / c_t) AS BIGINT) AS mean_d2_micros_batch,
            CAST(floor(CAST(s_t AS DOUBLE) / c_t) AS BIGINT)
              - CAST(floor(CAST(s_b AS DOUBLE) / c_b) AS BIGINT) AS drift_d2_micros
-    FROM base FULL OUTER JOIN batch ON base.ivf_list = batch.ivf_list"""
+    FROM lists LEFT JOIN base ON lists.ivf_list = base.ivf_list
+               LEFT JOIN batch ON lists.ivf_list = batch.ivf_list"""
   }
 
   /** q151: VectorLake's batch-ingest keep decision (the REAL gate —
@@ -1175,6 +1179,67 @@ object TextOracle {
     FROM exact_k e LEFT JOIN sq_k s
       ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
     GROUP BY e.probe_id"""
+
+  /** q154: IVF + int8 scalar-quantization probing search. Coarse pruning
+    * identical to ivfTopkSql (RAW-vector CASE argmin, probes = the nprobe
+    * centroids nearest the query); scoring identical to sqRecallSql's SQ
+    * side (per-dim min/max over the corpus EXCLUDING the query row — the
+    * Spark side trains sqMinMax on the corpus frame — dequantized cosine,
+    * query at full precision). Ties (cos DESC, vec_id). */
+  def ivfSqTopkSql(k: Int, nLists: Int, dims: Int, nprobe: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+    val d2cols = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * (${planeDotSql("embedding", i, dims)}) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val probeCase = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""
+    WITH dimstats AS (
+      SELECT t.d,
+             min(CAST(embedding[t.d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.d] AS DOUBLE)) AS mx
+      FROM embeddings, range(1, ${dims + 1}) t(d)
+      WHERE vec_id <> 0
+      GROUP BY t.d),
+    lut AS (
+      SELECT list(mn ORDER BY d) AS mn_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END
+                  ORDER BY d) AS sc_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
+                  ORDER BY d) AS iv_l
+      FROM dimstats),
+    dq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, ${dims + 1}), d ->
+               mn_l[d] + least(255.0,
+                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d]))
+               * iv_l[d]) AS dqv
+      FROM embeddings e, lut
+      WHERE e.vec_id <> 0),
+    d AS (
+      SELECT vec_id, embedding, $d2cols
+      FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 CASE $cases END AS ivf_list,
+                 ${(0 until nLists).map(i => s"d$i").mkString(", ")}
+          FROM d),
+    qrow AS (SELECT * FROM a WHERE vec_id = 0),
+    probes AS (
+      SELECT t.i FROM qrow, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)
+      ORDER BY CASE t.i $probeCase END, t.i
+      LIMIT $nprobe)
+    SELECT a.vec_id,
+           round(${dotExpr("q.dqv", "qrow.embedding")}
+                 / (sqrt(${dotExpr("q.dqv", "q.dqv")})
+                    * sqrt(${dotExpr("qrow.embedding", "qrow.embedding")})), 6) AS cos
+    FROM a JOIN dq q ON a.vec_id = q.vec_id, qrow
+    WHERE a.ivf_list IN (SELECT i FROM probes) AND a.vec_id <> 0
+    ORDER BY cos DESC, a.vec_id LIMIT $k"""
+  }
 
   /** q153: the SRP-banded within-list near-dup REPAIR decision —
     * VectorLake.reconcile's repair pass as a pure query (blockCols =

@@ -249,12 +249,24 @@ object Similarity {
           count(col("d2")).as(s"__c_$side"))
     def mean(side: String): Column =
       floor(col(s"__s_$side").cast("double") / col(s"__c_$side")).cast("long")
-    stats(base, "base").join(stats(batch, "batch"), Seq("ivf_list"), "full_outer")
+    // anchor the report on the CENTROID list ids, not on observed
+    // assignments: a list no vector lands in anymore (a dead centroid) is
+    // exactly the drift signal a monitor must surface, and a groupBy over
+    // assignments silently omits it. k rows — a literal-sized dimension.
+    val lists = base.sparkSession.range(centroids.size)
+      .select(col("id").cast("int").as("ivf_list"))
+    val total = coalesce(col("n_base"), lit(0L)) + coalesce(col("n_batch"), lit(0L))
+    lists
+      .join(stats(base, "base"), Seq("ivf_list"), "left")
+      .join(stats(batch, "batch"), Seq("ivf_list"), "left")
       .select(col("ivf_list"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),
-        round(coalesce(col("n_batch"), lit(0L)).cast("double") /
-          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_batch"), lit(0L))), 6)
+        // dead list: no rows on either side -> share is undefined (NULL),
+        // never a 0/0 NaN (engines disagree on double 0/0)
+        when(total === 0L, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("n_batch"), lit(0L)).cast("double")
+            / total, 6))
           .as("share_batch"),
         mean("base").as("mean_d2_micros_base"),
         mean("batch").as("mean_d2_micros_batch"),
@@ -382,6 +394,35 @@ object Similarity {
       .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
       .select(col("probe_id"), col("n_hit"),
         round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
+  /** IVF + int8 scalar quantization probing search — the FAISS "IVF-SQ8"
+    * serving shape, completing the quantized-serving family (PQ/ADC,
+    * IVFPQ, flat SQ recall): coarse pruning exactly as [[ivfTopK]] (only
+    * the `nprobe` lists nearest the query are scanned — partition pruning
+    * on a `partitionBy(ivf_list)` store), scoring against the DEQUANTIZED
+    * 4×-smaller corpus representation, asymmetric (the query keeps full
+    * precision — [[sqDequant]]'s ADC convention). List assignment uses the
+    * RAW vectors: the store assigns at write time, before quantization, so
+    * pruning is independent of code fidelity. One pruned scan, driver-side
+    * probe selection over the k-row centroid table, ties (cos desc, id
+    * asc) on the rounded score. */
+  def ivfSqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryVec: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
+                nprobe: Int, mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (queryD2(queryVec, c), i) }
+      .sortBy { case (d2, i) => (d2, i) }.take(nprobe).map(_._2)
+    val q = typedLit(queryVec)
+    ivfAssign(emb, vecCol, centroids)
+      .filter(col("ivf_list").isInCollection(probes))
+      .withColumn("__dqv", sqDequant(col(vecCol), mins, maxs))
+      .withColumn("cos", round(VF.cosine(col("__dqv"), q), 6))
+      .select(col(idCol), col("cos"))
+      .filter(col("cos").isNotNull) // the bruteForceTopK NULL-tail rule
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /** PQ asymmetric-distance top-k (ADC; Jégou, Douze & Schmid 2011 §IV-A):

@@ -318,6 +318,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2)._2(2) == 5.0, "constant dim must reconstruct exactly")
   }
 
+  test("ivfSqTopK: prunes to the probed lists, ranks by dequantized cosine") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),   // list 0, near the query
+      (2L, Array(0.8f, 0.3f)),   // list 0, second
+      (3L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding") // list 1: pruned
+    val (mins, maxs) = Similarity.sqMinMax(corpus, "embedding", dims = 2)
+    val got = Similarity.ivfSqTopK(corpus, "vec_id", "embedding",
+        queryVec = Seq(1.0f, 0.0f), k = 3, cents, nprobe = 1, mins, maxs)
+      .collect().map(_.getLong(0)).toSeq
+    // k=3 but only the probed list's two rows qualify; ranked 1 before 2
+    assert(got == Seq(1L, 2L), got.toString)
+  }
+
   test("sqRecallEval: quantization-safe geometry scores recall 1, exact counts") {
     // well-separated directions: one grid step (range/255) cannot reorder
     // a 0.94-vs-0.17 cosine gap, so SQ top-k == exact top-k

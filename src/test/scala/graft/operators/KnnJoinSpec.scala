@@ -226,6 +226,23 @@ class KnnJoinSpec extends SparkSpec {
       "a list with no batch rows reports null batch mean and null drift")
   }
 
+  test("ivfDriftReport: a dead list (no rows either side) is REPORTED, not omitted") {
+    // three centroids, but nothing lands near (100, 100): the report must
+    // still carry list 2 — a dead centroid is the drift signal itself —
+    // with zero counts and NULL share (never a 0/0 NaN)
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0), Seq(100.0, 100.0))
+    val base = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(10.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfDriftReport(base, batch, "embedding", cents)
+      .orderBy("ivf_list").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val dead = got(2)
+    assert((dead.getLong(1), dead.getLong(2)) == ((0L, 0L)))
+    assert(dead.isNullAt(3), "share of an empty list is NULL, not NaN")
+    assert(dead.isNullAt(4) && dead.isNullAt(5) && dead.isNullAt(6))
+  }
+
   test("ndcgWeightsMicros: exact integer discounts, strictly decreasing") {
     val w = Similarity.ndcgWeightsMicros(5)
     assert(w == Seq(1000000L, 630929L, 500000L, 430676L, 386852L))

@@ -230,6 +230,14 @@ object Engine {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     graft.streaming.Streams.vectorLakeIngestStream(emb, lakeRoot)
 
+  /** Probing search over the lake-resident index — the serving read: the
+    * stored centroids rank driver-side and only the `nprobe` nearest list
+    * PARTITIONS of the store are opened (the dir is partitionBy(ivf_list)).
+    * Reader path: no lease, safe concurrent with a writer. */
+  def vectorLakeSearch(spark: SparkSession, lakeRoot: String,
+                       queryVec: Seq[Float], k: Int, nprobe: Int = 2): DataFrame =
+    graft.domain.VectorLake.search(spark, lakeRoot, queryVec, k, nprobe)
+
   /** Recall@k of the int8 scalar-quantized (4× smaller) corpus
     * representation vs exact search — the acceptance gate for serving a
     * corpus from SQ codes, next to the PQ/ADC path. */

@@ -249,6 +249,33 @@ object VectorLake {
   def vectors(spark: SparkSession, root: String): DataFrame =
     Writers.readOrEmptyReadOnly(spark, s"$root/vectors", vectorsSchema)
 
+  /** Probing search over the RESIDENT store — the serving read this lake
+    * exists for. The stored centroids rank against the query driver-side
+    * (k rows); only the `nprobe` nearest lists are read. Because the
+    * vectors dir is written `partitionBy(ivf_list)`, the `ivf_list IN`
+    * filter is PARTITION PRUNING: a probe opens nprobe list directories,
+    * never the corpus — the IVF inverted file realized as the lake layout.
+    * Scoring uses the STORED assignment (no re-assignment scan), cosine
+    * top-k with the house tie rule (cos desc, vec_id asc on the rounded
+    * score). READER path: no lease, read-only swap resolution — safe
+    * concurrent with a locked writer's reconcile swap. Recall/latency
+    * dial: nprobe = numLists degrades to exact search over the store. */
+  def search(spark: SparkSession, root: String, queryVec: Seq[Float],
+             k: Int, nprobe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = centroids(spark, root)
+    val probes = Similarity.probeLists(
+      queryVec, cents, math.min(nprobe, cents.size))
+    vectors(spark, root)
+      .filter(col("ivf_list").isInCollection(probes))
+      .withColumn("cos",
+        round(VF.cosine(col("embedding"), typedLit(queryVec)), 6))
+      .filter(col("cos").isNotNull)
+      .select(col("vec_id"), col("ivf_list"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Index-health check: q150's per-list drift report of an incoming batch
     * against the resident vectors under the CURRENT centroids. Reader path
     * — holds no lease, mutates nothing. */

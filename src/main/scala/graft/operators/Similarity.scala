@@ -410,10 +410,7 @@ object Similarity {
   def ivfSqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryVec: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
                 nprobe: Int, mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids.size)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (queryD2(queryVec, c), i) }
-      .sortBy { case (d2, i) => (d2, i) }.take(nprobe).map(_._2)
+    val probes = probeLists(queryVec, centroids, nprobe)
     val q = typedLit(queryVec)
     ivfAssign(emb, vecCol, centroids)
       .filter(col("ivf_list").isInCollection(probes))
@@ -588,6 +585,18 @@ object Similarity {
   /** Query-side squared distance to a centroid, folded LEFT TO RIGHT over
     * doubles — the same association order as the codegen'd DotProduct and the
     * SQL oracles, so probe selection is bit-identical across engines. */
+  /** The `nprobe` coarse lists nearest the query, ranked (d2, i) ascending
+    * — driver-side probe selection over the k-row centroid table, shared
+    * by every IVF serving path (ivfTopK, ivfSqTopK, VectorLake.search). */
+  def probeLists(queryVec: Seq[Float], centroids: Seq[Seq[Double]],
+                 nprobe: Int): Seq[Int] = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe=$nprobe outside [1, ${centroids.size}]")
+    centroids.zipWithIndex
+      .map { case (c, i) => (queryD2(queryVec, c), i) }
+      .sortBy { case (d2, i) => (d2, i) }.take(nprobe).map(_._2)
+  }
+
   private def queryD2(q: Seq[Float], c: Seq[Double]): Double = {
     val qq = q.indices.foldLeft(0.0)((acc, i) => acc + q(i).toDouble * q(i).toDouble)
     val qc = c.indices.foldLeft(0.0)((acc, i) => acc + q(i).toDouble * c(i))
@@ -605,10 +614,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryVec: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
               nprobe: Int): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids.size)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (queryD2(queryVec, c), i) }
-      .sortBy { case (d2, i) => (d2, i) }.take(nprobe).map(_._2)
+    val probes = probeLists(queryVec, centroids, nprobe)
     val q = typedLit(queryVec)
     ivfAssign(emb, vecCol, centroids)
       .filter(col("ivf_list").isInCollection(probes))

@@ -417,6 +417,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no global sort in the rerank")
   }
 
+  test("sq recall: two corpus scans, stats as literals, top-k never a global sort (q152)") {
+    val p = plan("q152_sq8_recall")
+    // exact + dequantized sides each scan the corpus once and re-read the
+    // 64-row probe batch: 4 scans, none of them a repeated corpus pass for
+    // the SQ stats — the min/max LUT is collected to plan literals, NOT
+    // joined (no fifth scan, no stats exchange)
+    val scans = p.linesIterator.count(_.contains("ReadSchema"))
+    assert(scans == 4, s"expected 4 scans (2 corpus + 2 probe), got $scans:\n${p.take(1200)}")
+    // per-probe top-k runs through the bounded TopKAgg (ObjectHashAggregate),
+    // so no rangepartitioning (global sort) appears anywhere
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(1500))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
+  test("ivf-sq serving search: pruned single scan, k-row TakeOrdered head (q154)") {
+    val p = plan("q154_ivfsq_topk")
+    // the list filter prunes BEFORE dequantized scoring; the final top-k is
+    // TakeOrderedAndProject (k rows per partition -> driver), never a
+    // global sort-exchange of the corpus
+    assert(p.contains("TakeOrdered"), p.take(1200))
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(1500))
+    // one corpus scan feeds assignment+dequant+score (stats are literals)
+    val scans = p.linesIterator.count(_.contains("ReadSchema"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans")
+  }
+
+  test("banded repair decision: band-bucket exchanges only, no pair cartesian (q153)") {
+    val p = plan("q153_banded_repair")
+    // candidates come from an equi-join on (list, band, bucket) — a hash
+    // join, never a cartesian/broadcast-nested-loop pair blowup
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("ivf drift report: two pruned scans, group-count-bounded exchanges (q150)") {
     val p = plan("q150_ivf_drift")
     // one scan per side, each reading ONLY the embedding column

@@ -201,6 +201,28 @@ class VectorLakeSpec extends SparkSpec {
     assert(VectorLake.vectors(spark, root).count() == 1)
   }
 
+  test("search: probing read partition-prunes to the nprobe nearest lists") {
+    val root = freshRoot("search")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    // v1 -> list 0 (unit scale); v2/v3 -> list 1 (scale 14 ~ centroid mass)
+    val r = VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(45, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding"))
+    assert(r.kept == 3, r.toString)
+    val hits = VectorLake.search(spark, root, unit(44, 14f), k = 3, nprobe = 1)
+    // nprobe=1 prunes list 0: k=3 but only list 1's two rows qualify,
+    // ranked by cosine to the 44-degree query (45 beats 80)
+    assert(hits.collect().map(x => (x.getLong(0), x.getInt(1))).toSeq ==
+      Seq((2L, 1), (3L, 1)))
+    // the pruning is PARTITION pruning on the lake layout, not a row filter
+    // over a full scan: the file scan's partition filters name ivf_list
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("ivf_list"),
+      s"expected ivf_list partition filters in:\n$plan")
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -259,7 +259,16 @@ object VectorLake {
     * top-k with the house tie rule (cos desc, vec_id asc on the rounded
     * score). READER path: no lease, read-only swap resolution — safe
     * concurrent with a locked writer's reconcile swap. Recall/latency
-    * dial: nprobe = numLists degrades to exact search over the store. */
+    * dial: nprobe = numLists degrades to exact search over the store.
+    *
+    * Mixed-generation window (the search twin of ingest's twin-swap note):
+    * centroids and vectors are two reads, and a reconcile promoting
+    * between them serves THIS probe with one side from each quantizer
+    * generation — probe selection may then target renamed lists, a
+    * transient recall dip (never a wrong score: scoring reads stored
+    * embeddings, not centroids) that heals on the next search. A deployment
+    * that cannot tolerate it should version the root (write reconcile
+    * output to a new root and flip a pointer), not lock readers. */
   def search(spark: SparkSession, root: String, queryVec: Seq[Float],
              k: Int, nprobe: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

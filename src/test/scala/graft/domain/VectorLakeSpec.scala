@@ -223,6 +223,54 @@ class VectorLakeSpec extends SparkSpec {
       s"expected ivf_list partition filters in:\n$plan")
   }
 
+  test("lifecycle e2e: init -> ingest -> stream -> drift -> reconcile -> search") {
+    // the vector serving day, composed: every stage consumes the previous
+    // stage's REAL on-disk state, so cross-stage contracts (stored
+    // assignment vs search pruning, reconcile swap vs reader) get exercised
+    // together rather than in isolation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("day")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    // day 0 bulk batch: v2 dups v1 in-batch; survivors v1 (list 0), v3 (list 1)
+    val r0 = VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(1), 3L -> unit(45, 14f))
+      .toDF("vec_id", "embedding"))
+    assert(r0 == VectorLake.IngestReport(kept = 2, dupsVsIndex = 0, dupsInBatch = 1))
+    // streaming micro-batches: v4 dups stored v1 vs-index; v5 is new
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streams.vectorLakeIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), root).start()
+    try {
+      input.addData(4L -> unit(2), 5L -> unit(85, 14f))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VectorLake.vectors(spark, root).select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    // drift check runs (reader) and covers every centroid list
+    assert(VectorLake.driftReport(spark, root,
+      Seq(6L -> unit(80, 14f)).toDF("vec_id", "embedding")).count() == 2)
+    // maintenance: recluster on the resident data (k=2 Lloyd) + repair
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    // the reconciled store serves: exact search (nprobe = numLists) ranks
+    // the 85-degree neighbor first for an 80-degree query, and a pruned
+    // nprobe=1 probe still finds it (same list by construction)
+    val exact = VectorLake.search(spark, root, unit(80, 14f), k = 3,
+      nprobe = 2).collect()
+    assert(exact.map(_.getLong(0)).toSeq.take(1) == Seq(5L), exact.mkString(","))
+    assert(exact.length == 3, "exact search sees the whole store")
+    val pruned = VectorLake.search(spark, root, unit(80, 14f), k = 1, nprobe = 1)
+      .collect()
+    assert(pruned.map(_.getLong(0)).toSeq == Seq(5L), pruned.mkString(","))
+    // a replayed day-0 batch after ALL of this is still a write no-op
+    val r0b = VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(1), 3L -> unit(45, 14f))
+      .toDF("vec_id", "embedding"))
+    assert(r0b.kept == 0 || VectorLake.vectors(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L),
+      s"replay must not re-insert: $r0b")
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -62,8 +62,10 @@ object DedupLake {
     * a contender refuses immediately rather than queueing. */
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
-                        now: () => Long = System.currentTimeMillis _)(f: => T): T =
-    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now)(f)
+                        now: () => Long = System.currentTimeMillis _,
+                        heartbeatMs: Long = 0L)(f: => T): T =
+    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now,
+      heartbeatMs = heartbeatMs)(f)
 
   /** Greedy per-batch ingest: probe the stored index, append the batch to
     * the archive, the survivors' band rows to the index, and the survivor
@@ -144,8 +146,12 @@ object DedupLake {
     * durable source of truth — so the daemon's cadence bounds the skew. */
   def reconcile(spark: SparkSession, root: String,
                 numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
-                targetRecordsPerFile: Long = 1000000L): ReconcileReport =
-    withWriterLock(spark, root) {
+                targetRecordsPerFile: Long = 1000000L,
+                leaseMs: Long = 30 * 60 * 1000L): ReconcileReport =
+    // corpus-scale wall time -> renewed lease (heartbeat), the VectorLake
+    // .reconcile rationale: a fixed lease breaks mid-run at 100 TB and the
+    // contender's ingest gets overwritten by this pass's swap
+    withWriterLock(spark, root, leaseMs = leaseMs, heartbeatMs = leaseMs / 3) {
       val archive = readOr(spark, s"$root/archive", archiveSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

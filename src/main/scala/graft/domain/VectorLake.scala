@@ -57,8 +57,10 @@ object VectorLake {
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
                         now: () => Long = System.currentTimeMillis _,
-                        waitMs: Long = 0L)(f: => T): T =
-    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now, waitMs)(f)
+                        waitMs: Long = 0L,
+                        heartbeatMs: Long = 0L)(f: => T): T =
+    graft.sources.StateLock.withRootLock(spark, root, leaseMs, now, waitMs,
+      heartbeatMs)(f)
 
   // WRITER-side read: performs swap-recovery renames, so only call under
   // the writer lease (appends need the dir physically at its destination)
@@ -317,8 +319,13 @@ object VectorLake {
                 k: Int = 0, iters: Int = 5,
                 dupThreshold: Double = 0.95,
                 targetClusterSize: Long = 1 << 18,
-                repairBands: Int = 8, repairPlanesPerBand: Int = 8): Unit =
-    withWriterLock(spark, root) {
+                repairBands: Int = 8, repairPlanesPerBand: Int = 8,
+                leaseMs: Long = 30 * 60 * 1000L): Unit =
+    // the retrain's wall time scales with the corpus, so the lease RENEWS
+    // (heartbeat at leaseMs/3) instead of betting a fixed leaseMs covers
+    // 100 TB — without it a contender breaks the "stale" lock mid-run,
+    // ingests, and this pass's swap would discard those vectors
+    withWriterLock(spark, root, leaseMs = leaseMs, heartbeatMs = leaseMs / 3) {
       val stored = readOr(spark, s"$root/vectors", vectorsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

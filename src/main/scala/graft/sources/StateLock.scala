@@ -61,6 +61,12 @@ object StateLock {
     def read(): Option[String]
     def deleteIfMatches(observed: String): Boolean
     def exists(): Boolean
+    /** Unconditional replace (heartbeat write). Unlike [[tryCreate]] this
+      * need NOT be atomic: heartbeat readers ignore anything torn, garbage,
+      * or token-mismatched, so the worst a broken write can do is fail to
+      * extend the lease. Providers that cannot replace keep the default
+      * (heartbeats silently unsupported — leases behave as fixed-length). */
+    def writeReplace(payload: String): Boolean = false
   }
 
   /** The Hadoop-filesystem protocol (HDFS/local): atomic-create lock file,
@@ -99,10 +105,38 @@ object StateLock {
       else false
 
     def exists(): Boolean = fs.exists(lock)
+
+    override def writeReplace(payload: String): Boolean =
+      try {
+        val out = fs.create(lock, /*overwrite=*/ true)
+        try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
   }
 
   private def payloadTs(p: String): Option[Long] =
     p.split(":", 2).headOption.flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  private def payloadToken(p: String): Option[String] =
+    p.split(":", 2) match { case Array(_, tok) => Some(tok); case _ => None }
+
+  /** Lease-expiry timestamp of an observed lock payload, heartbeat-aware:
+    * a readable heartbeat whose TOKEN matches the lock's extends the lease
+    * to the later of the two timestamps. Everything else about the
+    * heartbeat is ignored — torn, garbage, unreadable, stale-token (a
+    * previous broken holder's leftover) all fall back to the lock's own
+    * timestamp, so a failed renewal can only SHORTEN a lease back to its
+    * base length, never corrupt classification. */
+  private def effectiveTs(lockPayload: String,
+                          hb: Option[LockProvider]): Option[Long] =
+    payloadTs(lockPayload).map { t0 =>
+      val hbTs = for {
+        p <- hb; hp <- p.read(); tok <- payloadToken(lockPayload)
+        if payloadToken(hp).contains(tok); ts <- payloadTs(hp)
+      } yield ts
+      math.max(t0, hbTs.getOrElse(Long.MinValue))
+    }
 
   // a transient IO hiccup must not be mistaken for a missing/garbage
   // payload at ANY decision point — stale classification, acquire verify,
@@ -112,14 +146,32 @@ object StateLock {
     Iterator.range(0, attempts).map(_ => p.read())
       .find(_.isDefined).flatten
 
+  /** `heartbeatMs` > 0 turns the fixed lease into a RENEWED one: a daemon
+    * thread rewrites `<lockPath>.hb` with a fresh `<ts>:<token>` every
+    * heartbeatMs, and contenders measure expiry from the LATEST
+    * token-matched timestamp (lock or heartbeat). This is what lets a
+    * maintenance pass whose wall time scales with the corpus (a reconcile
+    * retraining on 100 TB) hold the lease for its whole run without
+    * either picking an unbounded leaseMs up front or getting broken
+    * mid-swap by a contender that then ingests into a store the reconcile
+    * is about to overwrite. A holder that CRASHES stops heartbeating and
+    * expires leaseMs after its last beat — renewal never makes a dead
+    * lease immortal. */
   def withLock[T](spark: SparkSession, lockPath: String,
                   leaseMs: Long = 30 * 60 * 1000L,
                   waitMs: Long = 0L,
                   pollMs: Long = 200L,
                   now: () => Long = System.currentTimeMillis _,
                   sleep: Long => Unit = Thread.sleep(_: Long),
-                  provider: Option[LockProvider] = None)(f: => T): T = {
+                  provider: Option[LockProvider] = None,
+                  heartbeatMs: Long = 0L,
+                  hbProvider: Option[LockProvider] = None)(f: => T): T = {
     val lock = provider.getOrElse(new HadoopFileLockProvider(spark, lockPath))
+    val hb: Option[LockProvider] =
+      hbProvider.orElse(
+        if (provider.isEmpty)
+          Some(new HadoopFileLockProvider(spark, s"$lockPath.hb"))
+        else None)
     val uuid = java.util.UUID.randomUUID().toString
     // the payload actually written on the successful acquire — its timestamp
     // is taken AT acquisition, not at withLock entry: a contender that spent
@@ -134,9 +186,19 @@ object StateLock {
       // (no valid holder wrote it) or a parsed timestamp past the lease.
       if (lock.exists()) {
         val observed = readRetry(lock)
+        // expiry measures from the LATEST token-matched timestamp — the
+        // lock's own, or a live holder's heartbeat (see effectiveTs)
         val stale = observed.exists(p =>
-          payloadTs(p).forall(t => now() - t > leaseMs))
-        if (stale) lock.deleteIfMatches(observed.get)
+          effectiveTs(p, hb).forall(t => now() - t > leaseMs))
+        if (stale) {
+          // hygiene: drop the broken holder's heartbeat with the lock (an
+          // orphaned hb is harmless — token-mismatched against any future
+          // holder — but would sit there forever)
+          for (p <- hb; hp <- p.read()
+               if payloadToken(hp) == observed.flatMap(payloadToken))
+            p.deleteIfMatches(hp)
+          lock.deleteIfMatches(observed.get)
+        }
       }
       val payload = s"${now()}:$uuid"
       if (!lock.tryCreate(payload)) false
@@ -173,7 +235,33 @@ object StateLock {
         (if (waitMs > 0) s"; waited ${waitMs} ms" else "") +
         ") — concurrent mutators would interleave index probes with appends. " +
         "Retry after the holder finishes, or raise waitMs to serialize behind it.")
+    // lease renewal: a daemon beats <lockPath>.hb with a fresh
+    // <ts>:<our-token> while f runs. A failed/torn beat is ignored by
+    // readers (token/parse-gated), so the thread never needs to handle
+    // write errors; a crash of THIS process stops the beats and the lease
+    // expires leaseMs after the last one.
+    val beating = new java.util.concurrent.atomic.AtomicBoolean(
+      heartbeatMs > 0 && hb.nonEmpty)
+    val beater = if (!beating.get) None else Some {
+      val t = new Thread(() => {
+        try {
+          while (beating.get) {
+            sleep(heartbeatMs)
+            if (beating.get) { hb.foreach(_.writeReplace(s"${now()}:$uuid")); () }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"statelock-heartbeat-${lockPath.hashCode}")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
     try f finally {
+      beating.set(false)
+      beater.foreach { t => t.interrupt(); t.join(1000) }
+      // remove our own heartbeat (ownership-checked: a successor after an
+      // overrun break writes its own token, which must stay)
+      for (p <- hb; hp <- p.read() if payloadToken(hp).contains(uuid))
+        p.deleteIfMatches(hp)
       // release ONLY our own lock: if this holder overran its lease and a
       // contender broke it and acquired, the payload no longer carries our
       // token and the new holder's lock must stay. deleteIfMatches performs
@@ -194,6 +282,8 @@ object StateLock {
   def withRootLock[T](spark: SparkSession, root: String,
                       leaseMs: Long = 30 * 60 * 1000L,
                       now: () => Long = System.currentTimeMillis _,
-                      waitMs: Long = 0L)(f: => T): T =
-    withLock(spark, s"$root/_LOCK", leaseMs, waitMs = waitMs, now = now)(f)
+                      waitMs: Long = 0L,
+                      heartbeatMs: Long = 0L)(f: => T): T =
+    withLock(spark, s"$root/_LOCK", leaseMs, waitMs = waitMs, now = now,
+      heartbeatMs = heartbeatMs)(f)
 }

@@ -19,6 +19,78 @@ class StateLockSpec extends SparkSpec {
     lock
   }
 
+  private def plant(path: String, payload: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = fs(path).create(p, true)
+    out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  test("heartbeat extends a live holder's lease: contender refuses past base expiry") {
+    val dir = java.nio.file.Files.createTempDirectory("lock-hb-live").toString
+    plant(s"$dir/__LOCK", "1000000:tokA")
+    plant(s"$dir/__LOCK.hb", "5000000:tokA") // renewed 4000 s later
+    val t = 5000500L // lock ts is long stale; the hb is 500 ms old
+    intercept[IllegalArgumentException] {
+      StateLock.withLock(spark, s"$dir/__LOCK", leaseMs = 1000L,
+        now = () => t) { fail("must not enter: the heartbeat renewed the lease") }
+    }
+  }
+
+  test("token-mismatched / garbage heartbeats are ignored in classification") {
+    // a leftover hb from a PREVIOUS broken holder must not extend a new
+    // holder's (here: stale) lease; unparseable beats likewise
+    for (hbPayload <- Seq("5000000:tokB", "not-a-heartbeat")) {
+      val dir = java.nio.file.Files.createTempDirectory("lock-hb-mm").toString
+      plant(s"$dir/__LOCK", "1000000:tokA")
+      plant(s"$dir/__LOCK.hb", hbPayload)
+      var entered = false
+      StateLock.withLock(spark, s"$dir/__LOCK", leaseMs = 1000L,
+        now = () => 1002000L) { entered = true }
+      assert(entered, s"hb '$hbPayload' wrongly extended a stale lease")
+    }
+  }
+
+  test("breaking a dead holder also cleans its token-matched heartbeat") {
+    val dir = java.nio.file.Files.createTempDirectory("lock-hb-dead").toString
+    plant(s"$dir/__LOCK", "1000000:tokA")
+    plant(s"$dir/__LOCK.hb", "2000000:tokA") // last beat, then crash
+    var entered = false
+    // 1500 ms after the LAST BEAT (not the lock ts): expired -> broken
+    StateLock.withLock(spark, s"$dir/__LOCK", leaseMs = 1000L,
+      now = () => 2001500L) { entered = true }
+    assert(entered)
+    assert(!fs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/__LOCK.hb")),
+      "the dead holder's heartbeat must be swept with its lock")
+  }
+
+  test("e2e: a slow holder outlives its base lease via real heartbeats") {
+    val dir = java.nio.file.Files.createTempDirectory("lock-hb-e2e").toString
+    val lockPath = s"$dir/__LOCK"
+    @volatile var holderDone = false
+    val holder = new Thread(() => {
+      StateLock.withLock(spark, lockPath, leaseMs = 500L, heartbeatMs = 100L) {
+        Thread.sleep(1500) // 3x the base lease
+      }
+      holderDone = true
+    })
+    holder.start()
+    try {
+      Thread.sleep(900) // base lease long expired; beats keep it live
+      intercept[IllegalArgumentException] {
+        StateLock.withLock(spark, lockPath, leaseMs = 500L) {
+          fail("must not enter while the holder is beating")
+        }
+      }
+    } finally holder.join(10000)
+    assert(holderDone)
+    assert(!fs(dir).exists(new org.apache.hadoop.fs.Path(s"$lockPath.hb")),
+      "release must remove the holder's own heartbeat")
+    var entered = false
+    StateLock.withLock(spark, lockPath, leaseMs = 500L) { entered = true }
+    assert(entered, "after release the lock is free")
+  }
+
   test("bounded wait: a contender enters once the holder releases mid-wait") {
     val dir = java.nio.file.Files.createTempDirectory("lock-wait").toString
     var t = 1000000L

@@ -84,8 +84,12 @@ object DedupLake {
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
              failpoint: () => Unit = () => (),
-             failpointAfterIndex: () => Unit = () => ()): DataFrame =
-    withWriterLock(spark, root) {
+             failpointAfterIndex: () => Unit = () => (),
+             lockWaitMs: Long = 0L): DataFrame =
+    // lockWaitMs > 0 is the scheduled-caller stance (stall behind a running
+    // reconcile, then proceed); the default stays fail-fast (VectorLake
+    // .ingest's contract)
+    graft.sources.StateLock.withRootLock(spark, root, waitMs = lockWaitMs) {
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
       val index = readOr(spark, s"$root/index", indexSchema)
       val (kept0, bandPin) = Dedup.incrementalKeepPinned(

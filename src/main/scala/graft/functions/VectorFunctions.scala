@@ -20,14 +20,15 @@ object VectorFunctions {
   /** L2 norm (double). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double; NULL if either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
-      .otherwise(d / (na * nb))
-  }
+  /** Cosine similarity in double; NULL if either norm is 0. Backed by the
+    * fused CosineSim expression (graft.plans): ONE pass accumulates
+    * dot/||a||²/||b||² together — the composed when(dot/sqrt·sqrt) form it
+    * replaced re-embedded the norm subtrees in the zero-guard's condition
+    * AND result branch (conditional branches defeat subexpression
+    * elimination), costing up to five O(dims) traversals per row on the
+    * brute-force kNN hot path. Bit-identical per-accumulator IEEE order. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSim(a, b)
 
   /** Sign-random-projection bucket id for LSH over embeddings: `planes` is a
     * fixed per-plane weight vector; bit p = 1 iff dot(v, plane_p) >= 0. The

@@ -28,6 +28,9 @@ object VectorExpressions {
 
   def nearestCentroid(vec: Column, centroids: Column): Column =
     GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(vec), GraftBridge.toExpression(centroids)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.toColumn(CosineSim(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }
 
 /** dot(a, b) over array<float|double>, accumulated in double, left-to-right
@@ -73,6 +76,88 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
           $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
         }
         ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine similarity over array<float|double>: one pass accumulates
+  * dot(a,b), ||a||², and ||b||² together instead of the composed
+  * `dot/(sqrt(dot)·sqrt(dot))` column form, whose zero-norm `when` guard
+  * re-embeds the norm subtrees in both the condition and the result branch
+  * (conditional branches defeat Catalyst's subexpression elimination) — up
+  * to FIVE O(dims) traversals per row on the brute-force kNN hot path.
+  *
+  * Bit-identical to the composed form by construction: each accumulator is
+  * an independent left-to-right double sum (interleaving loops does not
+  * change per-accumulator IEEE order), xy runs over the SHORTER length
+  * while xx/yy run over their own array's full length (dot(a,a) semantics),
+  * and a zero norm yields NULL, never NaN. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"cosineSim needs array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n1 = x.numElements(); val n2 = y.numElements()
+    val nMin = math.min(n1, n2); val nMax = math.max(n1, n2)
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < nMax) {
+      if (i < n1) { val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i); xx += xv * xv }
+      if (i < n2) { val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i); yy += yv * yv }
+      if (i < nMin) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        xy += xv * yv
+      }
+      i += 1
+    }
+    val na = math.sqrt(xx); val nb = math.sqrt(yy)
+    if (na == 0.0 || nb == 0.0) null else (xy / (na * nb)): java.lang.Double
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val nMin = ctx.freshName("nMin"); val nMax = ctx.freshName("nMax")
+      val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        int $n1 = $a.numElements(); int $n2 = $b.numElements();
+        int $nMin = java.lang.Math.min($n1, $n2);
+        int $nMax = java.lang.Math.max($n1, $n2);
+        double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+        for (int $i = 0; $i < $nMax; $i++) {
+          if ($i < $n1) { double $xv = (double) $a.$lGet($i); $xx += $xv * $xv; }
+          if ($i < $n2) { double $yv = (double) $b.$rGet($i); $yy += $yv * $yv; }
+          if ($i < $nMin) {
+            $xy += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+          }
+        }
+        double $na = java.lang.Math.sqrt($xx);
+        double $nb = java.lang.Math.sqrt($yy);
+        if ($na == 0.0 || $nb == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $xy / ($na * $nb);
+        }
       """
     })
   }

@@ -23,6 +23,48 @@ class ExpressionsSpec extends SparkSpec {
     assert(withNull.select(VectorExpressions.dotProduct(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("CosineSim matches the composed dot/norm formulation bit-for-bit") {
+    // fused vs composed on varied geometry incl. a float/double mix and
+    // RAGGED lengths (xy over min, each norm over its OWN array — the
+    // dot(a,a) semantics the composed form had)
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val d = VectorExpressions.dotProduct(a, b)
+      val na = sqrt(VectorExpressions.dotProduct(a, a))
+      val nb = sqrt(VectorExpressions.dotProduct(b, b))
+      when(na === 0.0 || nb === 0.0, lit(null).cast("double")).otherwise(d / (na * nb))
+    }
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f)),
+      (Seq(0.3f, 0.7f), Seq(0.3f, 0.7f)),
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)), // ragged
+      (Seq(-1.5f, 2.5f, 0.1f), Seq(4.0f, -0.25f, 8.0f))).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.cosineSim(col("a"), col("b")).as("fused"),
+      composed(col("a"), col("b")).as("comp")).collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"fused ${r.getDouble(0)} != composed ${r.getDouble(1)}"))
+    // double-typed side (the SQ dequant path) against a float probe —
+    // parity again (sqrt(20)*sqrt(5) is one ulp off 10, so the exact
+    // value is 0.999..., identically in both forms)
+    val mixed = Seq((Seq(2.0, 4.0), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val mr = mixed.select(
+      VectorExpressions.cosineSim(col("a"), col("b")).as("fused"),
+      composed(col("a"), col("b")).as("comp")).head()
+    assert(java.lang.Double.doubleToLongBits(mr.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(mr.getDouble(1)))
+  }
+
+  test("CosineSim: zero norms are NULL (never NaN); null inputs are NULL") {
+    val df = Seq(
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(0.0f, 0.0f))),
+      (None: Option[Seq[Float]], Some(Seq(1.0f)))).toDF("a", "b")
+    val out = df.select(VectorExpressions.cosineSim(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)), out.mkString(","))
+  }
+
   test("Bitset round-trip: indices -> bitset -> intersection count") {
     val df = Seq((Seq(0, 3, 64, 100), Seq(3, 64, 99))).toDF("x", "y")
     val out = df.select(VectorExpressions.bitsetIntersectCount(

@@ -45,8 +45,8 @@ class PlanSpec extends SparkSpec {
     assert(plan("q07_semi_join").contains("LeftSemi"))
   }
 
-  test("custom DotProduct expression appears in the cosine plan (q33)") {
-    assert(plan("q33_cosine_topk").toLowerCase.contains("dotproduct"))
+  test("the fused native CosineSim expression appears in the cosine plan (q33)") {
+    assert(plan("q33_cosine_topk").toLowerCase.contains("cosinesim"))
   }
 
   test("global top-k plans as TakeOrderedAndProject, not full sort (q19)") {

@@ -123,16 +123,22 @@ object StateLock {
 
   /** Lease-expiry timestamp of an observed lock payload, heartbeat-aware:
     * a readable heartbeat whose TOKEN matches the lock's extends the lease
-    * to the later of the two timestamps. Everything else about the
-    * heartbeat is ignored — torn, garbage, unreadable, stale-token (a
-    * previous broken holder's leftover) all fall back to the lock's own
+    * to the later of the two timestamps. Torn, garbage, or stale-token (a
+    * previous broken holder's leftover) beats fall back to the lock's own
     * timestamp, so a failed renewal can only SHORTEN a lease back to its
-    * base length, never corrupt classification. */
+    * base length, never corrupt classification. The hb read is RETRIED
+    * (same rule as every other lease-fate read): a renewing holder's lock
+    * timestamp is old BY DESIGN, so mistaking one transient hb read error
+    * for no-heartbeat would break a live holder — the exact
+    * single-attempt-read race the r7 advice closed on the lock itself.
+    * A heartbeat that stays unreadable after retries cannot extend the
+    * lease (we can't know its timestamp), but the base leaseMs still
+    * applies from the lock's own write — the bounded-harm side. */
   private def effectiveTs(lockPayload: String,
                           hb: Option[LockProvider]): Option[Long] =
     payloadTs(lockPayload).map { t0 =>
       val hbTs = for {
-        p <- hb; hp <- p.read(); tok <- payloadToken(lockPayload)
+        p <- hb; hp <- readRetry(p); tok <- payloadToken(lockPayload)
         if payloadToken(hp).contains(tok); ts <- payloadTs(hp)
       } yield ts
       math.max(t0, hbTs.getOrElse(Long.MinValue))

@@ -68,14 +68,24 @@ class StateLockSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("lock-hb-e2e").toString
     val lockPath = s"$dir/__LOCK"
     @volatile var holderDone = false
+    @volatile var holderErr: Throwable = null
+    // the contender must measure its 900 ms from the holder's ACQUISITION,
+    // not from thread start — provider init latency made a start-relative
+    // sleep race the acquire itself (observed flaky)
+    val acquired = new java.util.concurrent.CountDownLatch(1)
     val holder = new Thread(() => {
-      StateLock.withLock(spark, lockPath, leaseMs = 500L, heartbeatMs = 100L) {
-        Thread.sleep(1500) // 3x the base lease
-      }
-      holderDone = true
+      try {
+        StateLock.withLock(spark, lockPath, leaseMs = 500L, heartbeatMs = 100L) {
+          acquired.countDown()
+          Thread.sleep(1500) // 3x the base lease
+        }
+        holderDone = true
+      } catch { case t: Throwable => holderErr = t }
     })
     holder.start()
     try {
+      assert(acquired.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "holder never acquired")
       Thread.sleep(900) // base lease long expired; beats keep it live
       intercept[IllegalArgumentException] {
         StateLock.withLock(spark, lockPath, leaseMs = 500L) {
@@ -83,6 +93,7 @@ class StateLockSpec extends SparkSpec {
         }
       }
     } finally holder.join(10000)
+    assert(holderErr == null, String.valueOf(holderErr))
     assert(holderDone)
     assert(!fs(dir).exists(new org.apache.hadoop.fs.Path(s"$lockPath.hb")),
       "release must remove the holder's own heartbeat")
@@ -199,6 +210,34 @@ class StateLockSpec extends SparkSpec {
     def deleteIfMatches(observed: String): Boolean =
       state.compareAndSet(observed, null)
     def exists(): Boolean = state.get() != null
+  }
+
+  test("a transient heartbeat read error must not break a live renewing holder") {
+    // the renewing holder's LOCK timestamp is old by design — only its
+    // heartbeat proves it alive. One flaky hb read classified as
+    // no-heartbeat would break the lease; the hb read must retry (the r7
+    // single-attempt-read race, hb edition).
+    val lockState = new java.util.concurrent.atomic.AtomicReference[String](
+      "1000000:tokA") // written long ago
+    val hbReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hbState = new java.util.concurrent.atomic.AtomicReference[String](
+      "9000000:tokA") // fresh beat
+    val flakyHb = new StateLock.LockProvider {
+      def tryCreate(p: String): Boolean = false
+      def read(): Option[String] =
+        if (hbReads.incrementAndGet() == 1) None // one transient failure
+        else Option(hbState.get())
+      def deleteIfMatches(o: String): Boolean = hbState.compareAndSet(o, null)
+      def exists(): Boolean = hbState.get() != null
+    }
+    intercept[IllegalArgumentException] {
+      StateLock.withLock(spark, "(cas)", leaseMs = 1000L,
+        now = () => 9000500L,
+        provider = Some(new CasProvider(lockState)),
+        hbProvider = Some(flakyHb)) { fail("a renewing holder was broken") }
+    }
+    assert(hbReads.get() >= 2, "the hb classification read must be retried")
+    assert(lockState.get() == "1000000:tokA", "the live holder's lock survived")
   }
 
   test("injected CAS provider serializes writers on a non-atomic-create store") {

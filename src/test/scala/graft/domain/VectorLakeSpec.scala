@@ -271,6 +271,14 @@ class VectorLakeSpec extends SparkSpec {
       s"replay must not re-insert: $r0b")
   }
 
+  test("search on an initialized-but-empty store returns empty, never throws") {
+    val root = freshRoot("searchempty")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    assert(VectorLake.search(spark, root, unit(10), k = 5).count() == 0)
+    // nprobe beyond the list count clamps to exact search, same contract
+    assert(VectorLake.search(spark, root, unit(10), k = 5, nprobe = 99).count() == 0)
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

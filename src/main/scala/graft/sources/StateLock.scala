@@ -108,10 +108,32 @@ object StateLock {
 
     override def writeReplace(payload: String): Boolean =
       try {
-        val out = fs.create(lock, /*overwrite=*/ true)
+        // ATOMIC for readers (r8 advice, medium): create(overwrite=true) is
+        // truncate-then-write, and a contender classifying a renewing
+        // holder's lease during that window reads an EMPTY payload — which
+        // is "readable garbage", classifies the heartbeat useless, falls
+        // back to the lock's by-design-old timestamp, and breaks a LIVE
+        // holder mid-run. Write the new beat to a sibling tmp and RENAME it
+        // over the hb path instead: readers see the old beat or the new
+        // beat, never a torn one. FileContext.rename(OVERWRITE) is atomic
+        // on HDFS and local; stores without it fall back to
+        // delete-then-rename, whose worst case is a transient ABSENT read —
+        // which readRetry already retries and effectiveTs treats as
+        // bounded-harm (base lease), never as garbage.
+        val tmp = new org.apache.hadoop.fs.Path(lockPath + ".tmp")
+        val out = fs.create(tmp, /*overwrite=*/ true)
         try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        true
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri, fs.getConf)
+          fc.rename(fs.makeQualified(tmp), fs.makeQualified(lock),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch { case _: Exception =>
+          if (fs.exists(lock)) fs.delete(lock, false)
+          fs.rename(tmp, lock)
+        }
       } catch { case _: java.io.IOException => false }
   }
 
@@ -253,7 +275,22 @@ object StateLock {
         try {
           while (beating.get) {
             sleep(heartbeatMs)
-            if (beating.get) { hb.foreach(_.writeReplace(s"${now()}:$uuid")); () }
+            if (beating.get) {
+              // all holders share ONE hb path, so a holder that overran its
+              // lease and was (rightly or wrongly) broken must stop beating
+              // once the lock carries someone else's token — its stale
+              // token-mismatched beats would otherwise keep overwriting the
+              // NEW holder's renewals for the rest of this run (r8 advice).
+              // Only a READABLE foreign payload stops the beats: an
+              // unreadable lock is indistinguishable from a transient IO
+              // error, and wrongly silencing a live holder's renewal is the
+              // exact failure heartbeats exist to prevent (a stale extra
+              // beat, by contrast, is token-gated by every reader).
+              val broken = readRetry(lock)
+                .exists(p => !payloadToken(p).contains(uuid))
+              if (broken) beating.set(false)
+              else { hb.foreach(_.writeReplace(s"${now()}:$uuid")); () }
+            }
           }
         } catch { case _: InterruptedException => () }
       }, s"statelock-heartbeat-${lockPath.hashCode}")

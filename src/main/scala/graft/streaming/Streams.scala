@@ -489,12 +489,20 @@ object Streams {
     * store's writer lease, so a micro-batch that collides with the
     * scheduled reconcile stalls behind it and proceeds (the fail-fast
     * refusal stays the BATCH-caller default — a crashed streaming query is
-    * the wrong outcome for a planned maintenance window). `onReport` sees
-    * (epochId, report) per batch — the metrics seam. */
+    * the wrong outcome for a planned maintenance window). The default
+    * matches reconcile's default leaseMs (30 min), but the bound is a BOUND,
+    * not a guarantee (r8 advice): reconciles are heartbeat-RENEWED precisely
+    * because their wall time scales with the corpus, so a reconcile can
+    * legitimately outlive ANY fixed wait — a colliding micro-batch then
+    * fails loudly and the streaming query's own restart/retry policy
+    * re-attempts it after the maintenance window. Size lockWaitMs to the
+    * p99 reconcile wall time of YOUR corpus if that crash-restart is too
+    * noisy. `onReport` sees (epochId, report) per batch — the metrics
+    * seam. */
   def vectorLakeIngestStream(emb: DataFrame, root: String,
                              dupThreshold: Double = 0.95,
                              gateProbes: Int = 2,
-                             lockWaitMs: Long = 5 * 60 * 1000L,
+                             lockWaitMs: Long = 30 * 60 * 1000L,
                              onReport: (Long, graft.domain.VectorLake.IngestReport) => Unit =
                                (_, _) => ())
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -288,6 +288,71 @@ class StateLockSpec extends SparkSpec {
     assert(!deleted, "an unreadable live lock was broken")
   }
 
+  test("heartbeat writes are atomic for readers: no torn/empty payload is ever visible") {
+    // the r8 medium: create(overwrite=true) is truncate-then-write, and a
+    // contender classifying during the window reads Some("") — readable
+    // garbage that falls back to the lock's by-design-old timestamp and
+    // breaks a LIVE renewing holder. writeReplace must rename a fully
+    // written sibling over the hb path, so a racing reader sees the old
+    // beat or the new one, never a torn one.
+    val dir = java.nio.file.Files.createTempDirectory("lock-hb-atomic").toString
+    val hbPath = s"$dir/__LOCK.hb"
+    val p = new StateLock.HadoopFileLockProvider(spark, hbPath)
+    assert(p.writeReplace("1000:tokA"), "first beat must succeed")
+    @volatile var stop = false
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val reader = new Thread(() => {
+      while (!stop) p.read().foreach { s =>
+        if (!s.matches("\\d+:tok[AB]")) { torn.add(s"'$s'"); () }
+      }
+    })
+    reader.start()
+    for (i <- 2 to 300) assert(p.writeReplace(s"${i * 1000}:tokB"))
+    stop = true
+    reader.join(10000)
+    assert(torn.isEmpty, s"readers saw torn heartbeat payloads: $torn")
+    assert(p.read().contains("300000:tokB"))
+    assert(!fs(dir).exists(new org.apache.hadoop.fs.Path(s"$hbPath.tmp")),
+      "writeReplace must not strand its tmp sibling")
+  }
+
+  test("a broken holder's beater stops once the lock carries a successor's token") {
+    // the r8 low: all holders share one hb path, so after a (wrongful or
+    // overrun) break the OLD holder's still-running beater would keep
+    // overwriting the NEW holder's heartbeats with token-mismatched
+    // payloads — silently disabling the new lease's renewal. The beater
+    // re-reads the lock and stops once its token no longer matches.
+    val lockState = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val hbState = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val hbP = new StateLock.LockProvider {
+      def tryCreate(p: String): Boolean = hbState.compareAndSet(null, p)
+      def read(): Option[String] = Option(hbState.get())
+      def deleteIfMatches(o: String): Boolean = hbState.compareAndSet(o, null)
+      def exists(): Boolean = hbState.get() != null
+      override def writeReplace(p: String): Boolean = { hbState.set(p); true }
+    }
+    StateLock.withLock(spark, "(cas)", leaseMs = 600L, heartbeatMs = 30L,
+      provider = Some(new CasProvider(lockState)),
+      hbProvider = Some(hbP)) {
+      // wait for the beater to prove it's alive
+      val t0 = System.currentTimeMillis()
+      while (hbState.get() == null &&
+        System.currentTimeMillis() - t0 < 5000) Thread.sleep(5)
+      assert(hbState.get() != null, "beater never beat")
+      // simulate a contender breaking this lease and acquiring: the lock now
+      // carries the successor's token, and the successor starts beating
+      lockState.set("999999:successor-token")
+      hbState.set("123456:successor-token")
+      // the old beater must stop, leaving the successor's beat untouched
+      Thread.sleep(300)
+      assert(hbState.get() == "123456:successor-token",
+        s"stale beater stomped the successor's heartbeat: ${hbState.get()}")
+    }
+    // release was ownership-checked: the successor's lock and beat survive
+    assert(lockState.get() == "999999:successor-token")
+    assert(hbState.get() == "123456:successor-token")
+  }
+
   test("transient verify-read failure does not orphan a fresh lease") {
     // the r7 advice low: verify reads fail transiently right after our own
     // create — the retried second round must confirm ownership and acquire

@@ -1962,6 +1962,29 @@ object SparkEntry {
     }, Some(TextOracle.vectorIngestGateSql(nLists = 4, dims = 64,
       scale = 0.02, batchMod = 5, threshold = 0.4, gateProbes = 2))),
 
+    Q("q155_multiprobe_knn_serve", (s, dir) => {
+      // the BATCHED lake serving read (VectorLake.searchBatch's core) as a
+      // pure oracle query: the corpus carries its write-time stored
+      // assignment, probes are the CONSTANT 64-probe serving batch (q144's
+      // policy — cost linear in the corpus, the serving-twin discipline),
+      // and each probe ranks only the rows stored in its nprobe=2 nearest
+      // lists through the bounded-heap Aggregator. One corpus scan, probe
+      // batch broadcast; on the lake layout the ivf_list restriction is
+      // PARTITION pruning (VectorLakeSpec-pinned) — this is what replaces
+      // search()'s one-job-per-query ~10 QPS ceiling. Same scaled
+      // centroids as q150/q151.
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "embedding", cents)
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
+        "ivf_list", probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
+        excludeSelf = true)
+    }, Some(TextOracle.multiProbeKnnServeSql(k = 5, nLists = 4, dims = 64,
+      scale = 0.02, nprobe = 2, nProbes = 64))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

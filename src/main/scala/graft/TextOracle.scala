@@ -1113,7 +1113,8 @@ object TextOracle {
 
   /** q152: int8 scalar-quantization recall@k vs exact search. Mirrors
     * Similarity.sqRecallEval: per-dim (min, max) over the corpus, code =
-    * least(255, floor((x − mn)·255/(mx − mn))) (constant dims → 0),
+    * greatest(0, least(255, floor((x − mn)·255/(mx − mn)))) (constant dims
+    * → 0; the 0-clamp is a no-op on corpus vectors, in-range by training),
     * dequant = mn + code·(mx − mn)/255, then both top-k rankings by
     * (round(cos, 6) DESC, vec_id) with self excluded, and per-probe
     * |exact ∩ sq|. min/max of floats are exact doubles, so both engines'
@@ -1137,8 +1138,8 @@ object TextOracle {
     dq AS (
       SELECT e.vec_id,
              list_transform(range(1, ${dims + 1}), d ->
-               mn_l[d] + least(255.0,
-                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d]))
+               mn_l[d] + greatest(0.0, least(255.0,
+                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d])))
                * iv_l[d]) AS dqv
       FROM embeddings e, lut),
     probe AS (
@@ -1215,8 +1216,8 @@ object TextOracle {
     dq AS (
       SELECT e.vec_id,
              list_transform(range(1, ${dims + 1}), d ->
-               mn_l[d] + least(255.0,
-                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d]))
+               mn_l[d] + greatest(0.0, least(255.0,
+                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d])))
                * iv_l[d]) AS dqv
       FROM embeddings e, lut
       WHERE e.vec_id <> 0),
@@ -1375,6 +1376,62 @@ object TextOracle {
                                 ORDER BY cos DESC, vec_id) AS rank
       FROM cand WHERE cos IS NOT NULL)
     SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+
+  /** q155: the BATCHED multi-probe IVF serving search (VectorLake
+    * .searchBatch's core, Similarity.ivfMultiProbeKnnJoin): corpus rows
+    * carry their write-time (nearest-centroid) list; each of the `nProbes`
+    * constant probes ranks only the rows stored in its `nprobe` nearest
+    * lists (rank (d_i, i) ascending — ivfGateLists' array_sort order);
+    * per-probe top-k by (round(cos,6) DESC, vec_id). Centroids are the
+    * scaled hyperplanes as Scala-printed double literals (q150/q151's
+    * parity contract). */
+  def multiProbeKnnServeSql(k: Int, nLists: Int, dims: Int, scale: Double,
+                            nprobe: Int, nProbes: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+      .map(_.map(_ * scale))
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, d) => s"CAST(embedding[${d + 1}] AS DOUBLE) * $w" }
+        .mkString(" + ")
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * ($dot) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val dByIdx = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""
+    WITH d AS (
+      SELECT vec_id, embedding, $d2
+      FROM embeddings),
+    a AS (
+      SELECT vec_id, embedding,
+             CASE $cases END AS ivf_list,
+             ${(0 until nLists).map(i => s"d$i").mkString(", ")}
+      FROM d),
+    pb AS (SELECT * FROM a ORDER BY vec_id LIMIT $nProbes),
+    gr AS (
+      SELECT pb.vec_id, pb.embedding, t.i AS gate_list,
+             row_number() OVER (PARTITION BY pb.vec_id
+               ORDER BY CASE t.i $dByIdx END, t.i) AS rk
+      FROM pb, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)),
+    g AS (SELECT vec_id AS probe_id, embedding AS pv, gate_list
+          FROM gr WHERE rk <= $nprobe),
+    cand AS (
+      SELECT g.probe_id, e.vec_id AS neighbor_id,
+             round(${dotExpr("e.embedding", "g.pv")}
+                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
+                      * sqrt(${dotExpr("g.pv", "g.pv")})), 6) AS cos
+      FROM a e JOIN g ON e.ivf_list = g.gate_list
+      WHERE e.vec_id <> g.probe_id),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+  }
 
   /** q141: the relational skeleton of the multimodal curation pipeline on
     * the embeddings table — component-spike quality gate → pairwise

@@ -274,6 +274,9 @@ object VectorLake {
   def search(spark: SparkSession, root: String, queryVec: Seq[Float],
              k: Int, nprobe: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // name the real problems before the clamp can turn them into
+    // probeLists' confusing "nprobe=0 outside [1, 0]" (r8 advice)
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = centroids(spark, root)
     val probes = Similarity.probeLists(
       queryVec, cents, math.min(nprobe, cents.size))
@@ -285,6 +288,46 @@ object VectorLake {
       .select(col("vec_id"), col("ivf_list"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batched probing search — the serving read a retrieval deployment
+    * actually issues (r8 verdict ask #1): ONE partition-pruned store scan
+    * amortized over a whole probe batch, instead of [[search]]'s one Spark
+    * job per query (a ~0.1 s scheduling floor each — a ~10 QPS ceiling
+    * regardless of cluster size). Probe→list ranking is driver-free
+    * ([[Similarity.ivfGateLists]] over the broadcast probe batch); the
+    * store is opened once with an `ivf_list IN (union of all probes'
+    * nprobe gate lists)` filter — PARTITION PRUNING on the
+    * partitionBy(ivf_list) layout, so only the probed list directories are
+    * read (the tiny union collect is <= numLists ints, the bounded-LUT
+    * contract, never a corpus collect) — and per-probe ranking runs
+    * through the bounded-heap kNN Aggregator (q144's plan): shuffle volume
+    * <= probes × partitions × k. Scoring uses the STORED assignment (no
+    * re-assignment scan) and the house tie rule (cos desc, vec_id asc on
+    * the rounded score), so each probe's rows EQUAL
+    * [[search]](itsVec, k, nprobe)'s — spec-pinned parity. Output:
+    * (probe_id, neighbor_id, cos, rank). READER path: no lease, read-only
+    * swap resolution. The probe batch BROADCASTS, serving-bounded by
+    * contract and enforced exactly like ingest's gate. */
+  def searchBatch(spark: SparkSession, root: String, probes: DataFrame,
+                  k: Int, nprobe: Int = 2,
+                  probeId: String = "probe_id",
+                  probeVec: String = "embedding",
+                  maxBroadcastProbes: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = centroids(spark, root)
+    val np = math.min(nprobe, cents.size)
+    val pframe = probes.select(col(probeId).cast("long").as("probe_id"),
+      col(probeVec).cast(vectorsSchema("embedding").dataType).as("__pv"))
+    val unionLists = Similarity.ivfGateLists(pframe, "__pv", cents, np)
+      .select(explode(col("gate_lists")).as("l")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = vectors(spark, root)
+      .filter(col("ivf_list").isInCollection(unionLists))
+    Similarity.ivfMultiProbeKnnJoin(store, "vec_id", "embedding", "ivf_list",
+      pframe, "probe_id", "__pv", k, cents, np,
+      maxBroadcastProbes = maxBroadcastProbes)
   }
 
   /** Index-health check: q150's per-list drift report of an incoming batch

@@ -354,7 +354,14 @@ object Similarity {
     zip_with(
       zip_with(vecCol, typedLit(mins), (x, mn) => x.cast("double") - mn),
       typedLit(scales),
-      (s, sc) => least(lit(255.0), floor(s * sc).cast("double")))
+      // clamp BOTH grid edges (r8 advice): only corpus vectors are in-range
+      // by construction — a non-corpus input (a probe quantized by mistake,
+      // a post-training arrival) below min_d would otherwise code NEGATIVE
+      // and dequantize outside the grid, a silent trap for the documented
+      // tinyint-at-write production sink (tinyint would also wrap it).
+      // In-range values are untouched, so resident-corpus results (q152/
+      // q154 hashes) are identical.
+      (s, sc) => greatest(lit(0.0), least(lit(255.0), floor(s * sc).cast("double"))))
   }
 
   /** Dequantized (reconstructed) vectors: dim d = min_d + code_d ·
@@ -770,6 +777,55 @@ object Similarity {
       "__pv", centroids)
     val cand = c.join(broadcast(p), Seq("ivf_list"))
     val filtered = if (excludeSelf) cand.filter(col("__nid") =!= col("probe_id")) else cand
+    filtered
+      .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cos"), col("__nid")).as("__topk"))
+      .select(col("probe_id"), posexplode(col("__topk")).as(Seq("__pos", "__nb")))
+      .select(col("probe_id"),
+        col("__nb._2").as("neighbor_id"),
+        col("__nb._1").as("cos"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Batched MULTI-PROBE kNN join over a PRE-ASSIGNED corpus — the serving
+    * read of an IVF lake store ([[graft.domain.VectorLake.searchBatch]]):
+    * every probe row gets its k nearest corpus rows by cosine among the
+    * corpus rows whose STORED list is one of the probe's `nprobe` nearest
+    * lists. Unlike [[ivfKnnJoin]] (nprobe = 1, assigns both sides) this
+    * trusts the corpus frame's existing `listCol` — a lake store assigns at
+    * write time — and widens the probe side to `nprobe` gate lists (the
+    * q122/q124 multi-probe recall dial applied to the batch join). A corpus
+    * row matches a probe AT MOST ONCE (one stored list vs a set of distinct
+    * gate lists), so the join needs no dedup. Same bounded-heap TopKAgg
+    * tail as [[knnJoin]]: partial aggregation reduces each corpus partition
+    * to <= k rows per probe before the exchange, so shuffle volume is
+    * probes x partitions x k and the corpus is scanned once, never
+    * shuffled. Output: (probe_id, neighbor_id, cos, rank), rank 1..k by
+    * (cos desc, neighbor_id asc) on the 6-decimal-rounded score. */
+  def ivfMultiProbeKnnJoin(assigned: DataFrame, corpusId: String,
+                           corpusVec: String, listCol: String,
+                           probe: DataFrame, probeId: String, probeVec: String,
+                           k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
+                           excludeSelf: Boolean = false,
+                           maxBroadcastProbes: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireBroadcastable(probe, maxBroadcastProbes)
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val p = ivfGateLists(
+        probe.select(col(probeId).cast("long").as("probe_id"),
+          col(probeVec).as("__pv")),
+        "__pv", centroids, nprobe)
+      .select(col("probe_id"), col("__pv"),
+        explode(col("gate_lists")).as(listCol))
+    val cand = assigned
+      .select(col(listCol), col(corpusId).cast("long").as("__nid"),
+        col(corpusVec).as("__cv"))
+      .join(broadcast(p), Seq(listCol))
+    val filtered =
+      if (excludeSelf) cand.filter(col("__nid") =!= col("probe_id")) else cand
     filtered
       .withColumn("cos", round(VF.cosine(col("__cv"), col("__pv")), 6))
       .filter(col("cos").isNotNull && !isnan(col("cos")))

@@ -223,6 +223,50 @@ class VectorLakeSpec extends SparkSpec {
       s"expected ivf_list partition filters in:\n$plan")
   }
 
+  test("searchBatch: ONE pruned store scan amortized over the batch; per-probe parity with search") {
+    val root = freshRoot("sbatch")
+    // three lists; vectors at 0/30 -> list 0, 80/100 -> list 1, 170 -> list 2
+    VectorLake.init(spark, root,
+      Seq(Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(-10.0, 0.0)))
+    val r = VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f),
+      4L -> unit(100, 14f), 5L -> unit(170, 14f)).toDF("vec_id", "embedding"))
+    assert(r.kept == 5, r.toString)
+    // both probes gate to lists {0,1}: the union prunes list 2 entirely
+    val probeVecs = Seq(101L -> unit(10, 14f), 102L -> unit(40, 14f))
+    val got = VectorLake.searchBatch(spark, root,
+      probeVecs.toDF("probe_id", "embedding"), k = 5, nprobe = 2)
+    val rows = got.collect()
+    // vec 5 (list 2) is outside every probe's gate set — pruned, not ranked
+    assert(rows.nonEmpty && !rows.map(_.getLong(1)).contains(5L), rows.mkString(","))
+    // per-probe parity with the single-query read, rows AND order
+    for ((pid, vec) <- probeVecs) {
+      val single = VectorLake.search(spark, root, vec, k = 5, nprobe = 2)
+        .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      val batch = rows.filter(_.getLong(0) == pid).sortBy(_.getLong(3))
+        .map(x => (x.getLong(1), x.getDouble(2))).toSeq
+      assert(batch == single, s"probe $pid: $batch vs $single")
+    }
+    // the scale pin (r8 verdict ask #1's Done bar): the store is opened ONCE
+    // — one file scan over the vectors dir, amortized across the whole probe
+    // batch — and the ivf_list restriction is PARTITION pruning on the lake
+    // layout, not a row filter over a full scan
+    val plan = got.queryExecution.executedPlan.toString
+    // AQE prints the same node in its Final and Initial sections — count
+    // DISTINCT FileScan lines (a genuine second scan would carry different
+    // expression ids and survive the distinct)
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lake/vectors"))
+      .map(l => l.substring(l.indexOf("FileScan"))).toSeq.distinct
+    assert(scanLines.size == 1,
+      s"expected ONE store scan, saw ${scanLines.size} in:\n$plan")
+    // the union of the probes' gate lists rides the scan as a STATIC
+    // partition filter — list 2's directory is never opened
+    assert(scanLines.head.contains("PartitionFilters") &&
+      scanLines.head.contains("ivf_list") && scanLines.head.contains("IN (0,1)"),
+      s"expected static ivf_list IN (0,1) partition filters in:\n${scanLines.head}")
+  }
+
   test("lifecycle e2e: init -> ingest -> stream -> drift -> reconcile -> search") {
     // the vector serving day, composed: every stage consumes the previous
     // stage's REAL on-disk state, so cross-stage contracts (stored

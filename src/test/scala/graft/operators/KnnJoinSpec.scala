@@ -131,6 +131,31 @@ class KnnJoinSpec extends SparkSpec {
     assert(got.sortBy(_._2).toSeq == brute.toSeq)
   }
 
+  test("ivfMultiProbeKnnJoin: nprobe widens candidates over the stored assignment") {
+    // centroids on the axes split the corpus at 45 deg: {0,15,30} -> list 0,
+    // {60,90} -> list 1. A 50-deg probe's nearest list is 1, so nprobe=1
+    // misses the 30-deg neighbor across the border; nprobe=2 at 2 lists
+    // degrades to exact search. The corpus side carries its PRE-ASSIGNED
+    // list (the lake's write-time assignment) — never re-assigned here.
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
+    val probe = Seq((100L, unit(50))).toDF("vec_id", "embedding")
+    def ids(np: Int) = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
+        "embedding", "ivf_list", probe, "vec_id", "embedding", k = 5, cents, np)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ids(1) == Seq(3L, 4L), "nprobe=1 must see only the probe's own list")
+    val brute = Similarity.knnJoin(corpus, "vec_id", "embedding",
+      probe, "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ids(2) == brute && brute == Seq(3L, 2L, 1L, 4L, 0L),
+      s"nprobe=numLists must equal brute force: ${ids(2)} vs $brute")
+    // nprobe=1 agrees with ivfKnnJoin's single-list blocking
+    val ivf1 = Similarity.ivfKnnJoin(corpus, "vec_id", "embedding",
+      probe, "vec_id", "embedding", k = 5, cents)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ids(1) == ivf1)
+  }
+
   test("knnJoin enforces the probe-side broadcast contract") {
     val probe = corpus // 5 rows, cap of 3 -> refused with the scale pointer
     val e = intercept[IllegalArgumentException] {

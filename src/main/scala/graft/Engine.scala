@@ -238,6 +238,17 @@ object Engine {
                        queryVec: Seq[Float], k: Int, nprobe: Int = 2): DataFrame =
     graft.domain.VectorLake.search(spark, lakeRoot, queryVec, k, nprobe)
 
+  /** BATCHED probing search over the lake-resident index — the serving
+    * read a retrieval deployment actually issues: one partition-pruned
+    * store scan (the union of the batch's gate lists) amortized over the
+    * whole probe batch through the bounded-heap kNN plan, instead of
+    * [[vectorLakeSearch]]'s one job per query. Per-probe results equal
+    * the single-query read's. */
+  def vectorLakeSearchBatch(spark: SparkSession, lakeRoot: String,
+                            probes: DataFrame, k: Int,
+                            nprobe: Int = 2): DataFrame =
+    graft.domain.VectorLake.searchBatch(spark, lakeRoot, probes, k, nprobe)
+
   /** Recall@k of the int8 scalar-quantized (4× smaller) corpus
     * representation vs exact search — the acceptance gate for serving a
     * corpus from SQ codes, next to the PQ/ADC path. */

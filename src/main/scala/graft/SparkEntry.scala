@@ -53,6 +53,30 @@ object SparkEntry {
     oneTimeSecs.asScala.toMap
   }
 
+  /** 1-min loadavg at the START of each one-time materialization, keyed
+    * like [[oneTimeCosts]] — the contamination stamp for the bench's
+    * one-time stage. The r8 blind spot: per-query suspect flags only cover
+    * work measured multiple times, so the sweep's largest single cost (a
+    * build that runs ONCE) could swing 5× under box load with n_suspect
+    * still 0. The reader is injectable so a spec can simulate a
+    * contaminated box. */
+  private val oneTimeLoads =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def oneTimeLoadAvgs: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    oneTimeLoads.asScala.toMap
+  }
+  private[graft] var loadAvg1Reader: () => Double = () =>
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+  private[graft] def recordOneTime(key: String, secs: Double,
+                                   load1m: Double): Unit = {
+    oneTimeSecs.put(key, secs)
+    oneTimeLoads.put(key, load1m)
+    ()
+  }
+
   /** Temp dirs backing shared artifacts, deleted on JVM exit — a sweep must
     * not strew graft_cluster_labels_* dirs across /tmp. */
   private val tempArtifacts =
@@ -76,13 +100,14 @@ object SparkEntry {
       val p = java.nio.file.Files
         .createTempDirectory("graft_cluster_labels_").toString
       tempArtifacts.add(p)
+      val load0 = loadAvg1Reader()
       val t0 = System.nanoTime()
       Dedup.resolveClusters(
         Dedup.minhashLshCandidates(T(s, dir, "documents"), "doc_id", "text",
           numHashes = 8, bandRows = 2, shingleN = 2),
         "doc_a", "doc_b")
         .write.mode("overwrite").parquet(p)
-      oneTimeSecs.put(s"cluster_labels:$dir", (System.nanoTime() - t0) / 1e9)
+      recordOneTime(s"cluster_labels:$dir", (System.nanoTime() - t0) / 1e9, load0)
       p
     })
     s.read.parquet(path)
@@ -1918,8 +1943,13 @@ object SparkEntry {
       // bounded by SRP bucket size, never listSize² — and a vector drops
       // iff a lower-id partner clears round(cos,6) >= threshold
       val emb = T(s, dir, "embeddings")
+      // pinned upstream (the streaming callers' idiom — reconcile pins
+      // `reassigned` the same way): the banding self-join would otherwise
+      // re-derive the assignment subtree on both sides (r8 nit #4).
+      // localCheckpoint survives Bench's between-query cache clears.
       val assigned = Similarity.ivfAssign(emb.select("vec_id", "embedding"),
         "embedding", Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02)))
+        .localCheckpoint(true)
       val dups = Similarity.srpBandedNearDupPairs(assigned, "vec_id",
           "embedding", threshold = 0.4, bands = 2, planesPerBand = 4,
           dims = 64, blockCols = Seq("ivf_list"))
@@ -1983,6 +2013,34 @@ object SparkEntry {
         "ivf_list", probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
         excludeSelf = true)
     }, Some(TextOracle.multiProbeKnnServeSql(k = 5, nLists = 4, dims = 64,
+      scale = 0.02, nprobe = 2, nProbes = 64))),
+
+    Q("q156_sq8_serve_batch", (s, dir) => {
+      // the SQ8-RESIDENT serving read (VectorLake.searchBatch(quantized =
+      // true)'s plan as a pure oracle query): the corpus is held as int8
+      // STORED CODES (tinyint, the 4×-smaller lake representation) with
+      // its write-time IVF assignment; each of the constant 64 probes
+      // ranks only its nprobe=2 nearest lists, scoring ASYMMETRIC — the
+      // probe keeps full precision, the store dequantizes from the codes
+      // it stored (the tinyint offset roundtrip is hash-checked here, not
+      // assumed). Composes q152's grid, q154's asymmetric scoring, and
+      // q155's batched multi-probe plan — the complete quantized serving
+      // stack in one row.
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val (mins, maxs) = Similarity.sqMinMax(emb, "embedding", dims = 64)
+      val stored = Similarity.ivfAssign(
+          emb.select("vec_id", "embedding"), "embedding", cents)
+        .withColumn("codes",
+          Similarity.sqCodesTiny(col("embedding"), mins, maxs))
+        .select(col("vec_id"), col("ivf_list"),
+          Similarity.sqDequantTiny(col("codes"), mins, maxs).as("dqv"))
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      Similarity.ivfMultiProbeKnnJoin(stored, "vec_id", "dqv", "ivf_list",
+        probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
+        excludeSelf = true)
+    }, Some(TextOracle.sq8ServeBatchSql(k = 5, nLists = 4, dims = 64,
       scale = 0.02, nprobe = 2, nProbes = 64))),
 
     Q("q149_mmr_rerank", (s, dir) => {

@@ -1433,6 +1433,81 @@ object TextOracle {
     SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
   }
 
+  /** q156: the SQ8-resident BATCHED serving search — q155's multi-probe
+    * skeleton scoring against the q152-grid dequantized corpus (stored
+    * codes, asymmetric: probes full-precision). Codes are
+    * greatest(0, least(255, floor(...))) per dim; the Spark side stores
+    * them tinyint-offset and undoes the offset at dequant, which is
+    * bit-exact, so this oracle's direct code·inv form matches. */
+  def sq8ServeBatchSql(k: Int, nLists: Int, dims: Int, scale: Double,
+                       nprobe: Int, nProbes: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
+      .map(_.map(_ * scale))
+    val d2 = planes.zipWithIndex.map { case (c, i) =>
+      val ss = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, d) => s"CAST(embedding[${d + 1}] AS DOUBLE) * $w" }
+        .mkString(" + ")
+      s"(${dotExpr("embedding", "embedding")} - 2.0 * ($dot) + $ss) AS d$i"
+    }.mkString(",\n             ")
+    val cases = (0 until nLists).map { i =>
+      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
+      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
+    }.mkString("\n           ")
+    val dByIdx = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""
+    WITH dimstats AS (
+      SELECT t.d,
+             min(CAST(embedding[t.d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.d] AS DOUBLE)) AS mx
+      FROM embeddings, range(1, ${dims + 1}) t(d)
+      GROUP BY t.d),
+    lut AS (
+      SELECT list(mn ORDER BY d) AS mn_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END
+                  ORDER BY d) AS sc_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
+                  ORDER BY d) AS iv_l
+      FROM dimstats),
+    dq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, ${dims + 1}), d ->
+               mn_l[d] + greatest(0.0, least(255.0,
+                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d])))
+               * iv_l[d]) AS dqv
+      FROM embeddings e, lut),
+    d AS (
+      SELECT vec_id, embedding, $d2
+      FROM embeddings),
+    a AS (
+      SELECT vec_id, embedding,
+             CASE $cases END AS ivf_list,
+             ${(0 until nLists).map(i => s"d$i").mkString(", ")}
+      FROM d),
+    pb AS (SELECT * FROM a ORDER BY vec_id LIMIT $nProbes),
+    gr AS (
+      SELECT pb.vec_id, pb.embedding, t.i AS gate_list,
+             row_number() OVER (PARTITION BY pb.vec_id
+               ORDER BY CASE t.i $dByIdx END, t.i) AS rk
+      FROM pb, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)),
+    g AS (SELECT vec_id AS probe_id, embedding AS pv, gate_list
+          FROM gr WHERE rk <= $nprobe),
+    cand AS (
+      SELECT g.probe_id, a.vec_id AS neighbor_id,
+             round(${dotExpr("q.dqv", "g.pv")}
+                   / (sqrt(${dotExpr("q.dqv", "q.dqv")})
+                      * sqrt(${dotExpr("g.pv", "g.pv")})), 6) AS cos
+      FROM a JOIN dq q ON a.vec_id = q.vec_id
+             JOIN g ON a.ivf_list = g.gate_list
+      WHERE a.vec_id <> g.probe_id),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+  }
+
   /** q141: the relational skeleton of the multimodal curation pipeline on
     * the embeddings table — component-spike quality gate → pairwise
     * near-dup with the drop-later rule → self-kNN of the survivors. Gate

@@ -16,11 +16,31 @@ import graft.sources.Writers
   * centroids are re-trained on a maintenance cadence once drift says they
   * no longer represent the data.
   *
-  * Layout under one root (all parquet):
-  *  - `vectors/`   — (vec_id, embedding, ivf_list, d2), written
+  * Layout under one root (all parquet), GENERATION-VERSIONED:
+  *  - `GEN`        — pointer file naming the current generation N.
+  *  - `gen-N/vectors/`   — (vec_id, embedding, ivf_list, d2), written
   *    `partitionBy(ivf_list)` so a serving probe reads only its own lists
   *    (partition pruning is the IVF inverted file).
-  *  - `centroids/` — (ivf_list, c array<double>), the coarse quantizer.
+  *  - `gen-N/centroids/` — (ivf_list, c array<double>), the coarse
+  *    quantizer THAT ASSIGNED gen-N's vectors.
+  *  - `gen-N/codes/`, `gen-N/sqstats/` — OPTIONAL int8 scalar-quantized
+  *    serving tier (tinyint codes, 4× smaller list reads, + the per-dim
+  *    min/max LUT), adopted at reconcile only when the measured recall@k
+  *    of dequantized-vs-exact search on the resident data clears the
+  *    caller's gate (q152's contract as a lifecycle step). While resident,
+  *    every ingest appends codes for its survivors (clamped into the
+  *    generation's grid — out-of-range dims saturate until the next
+  *    retrain refreshes the stats, the standard SQ serving trade), so the
+  *    codes tier stays COMPLETE and a quantized search never misses rows.
+  * Readers resolve the pointer ONCE per operation and read both sides
+  * under that generation, so a reconcile promoting between a reader's two
+  * reads can never serve centroids from one quantizer and vectors from
+  * another (the r8 mixed-generation window, now closed structurally
+  * instead of documented). Reconcile writes `gen-(N+1)` in full and flips
+  * the pointer as its commit; the PREVIOUS generation is retained for
+  * in-flight readers and dropped by the NEXT reconcile. A pointer-less
+  * root (a store created before versioning) keeps working at the root
+  * layout and is migrated to `gen-0` by its first reconcile.
   *
   * Scale shape: ingest broadcasts the (serving-bounded — ENFORCED, see
   * [[ingest]]) batch against the resident vectors ONCE, with candidates
@@ -51,6 +71,13 @@ object VectorLake {
   val centroidsSchema: StructType = StructType(Seq(
     StructField("ivf_list", IntegerType),
     StructField("c", ArrayType(DoubleType))))
+  val codesSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", ArrayType(org.apache.spark.sql.types.ByteType)),
+    StructField("ivf_list", IntegerType)))
+  val sqStatsSchema: StructType = StructType(Seq(
+    StructField("mins", ArrayType(DoubleType)),
+    StructField("maxs", ArrayType(DoubleType))))
 
   final case class IngestReport(kept: Long, dupsVsIndex: Long, dupsInBatch: Long)
 
@@ -68,17 +95,84 @@ object VectorLake {
                      schema: StructType): DataFrame =
     Writers.readOrEmpty(spark, path, schema)
 
-  /** Install the coarse quantizer. Idempotent (swap-replace). */
+  private def genPointer(root: String): String = s"$root/GEN"
+
+  /** The CURRENT generation's data root, resolved READ-ONLY. Every
+    * operation resolves this ONCE and reads centroids AND vectors under
+    * it — the structural guarantee that no read ever mixes quantizer
+    * generations. Pointer-less roots (pre-versioning stores) fall back to
+    * the root itself. */
+  private[graft] def dataRoot(spark: SparkSession, root: String): String =
+    Writers.readPointerReadOnly(spark, genPointer(root))
+      .map(g => s"$root/gen-$g").getOrElse(root)
+
+  private def currentGen(spark: SparkSession, root: String): Option[Long] =
+    Writers.readPointerReadOnly(spark, genPointer(root)).map(_.toLong)
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Install the coarse quantizer. Idempotent (swap-replace within the
+    * current generation — re-init on a populated store replaces ONLY the
+    * quantizer, which is exactly the mixed-quantizer window the ingest
+    * gate must tolerate and reconcile repairs). A fresh root starts at
+    * generation 0; a pointer-less legacy root with resident vectors stays
+    * at the root layout until its first reconcile versions it. */
   def init(spark: SparkSession, root: String,
            centroids: Seq[Seq[Double]]): Unit = {
     require(centroids.size >= 2, "need >= 2 centroids")
     import scala.jdk.CollectionConverters._
     val rows = centroids.zipWithIndex
       .map { case (c, i) => org.apache.spark.sql.Row(i, c) }.asJava
+    val df = spark.createDataFrame(rows, centroidsSchema)
     withWriterLock(spark, root) {
-      Writers.swapReplace(spark, s"$root/centroids",
-        spark.createDataFrame(rows, centroidsSchema))
+      Writers.recoverPointer(spark, genPointer(root))
+      currentGen(spark, root) match {
+        case Some(g) =>
+          Writers.swapReplace(spark, s"$root/gen-$g/centroids", df)
+        case None =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")))
+            // legacy store: replace the quantizer in place, no migration
+            Writers.swapReplace(spark, s"$root/centroids", df)
+          else {
+            // fresh root: write gen-0 fully, then commit via the pointer
+            Writers.swapReplace(spark, s"$root/gen-0/centroids", df)
+            Writers.writePointer(spark, genPointer(root), "0")
+          }
+      }
     }
+  }
+
+  // generation-scoped reads (private): callers pass ONE resolved dataRoot
+  private def centroidsAt(spark: SparkSession, droot: String,
+                          root: String): Seq[Seq[Double]] = {
+    val rows = Writers
+      .readOrEmptyReadOnly(spark, s"$droot/centroids", centroidsSchema)
+      .orderBy("ivf_list").collect()
+    require(rows.nonEmpty, s"vector lake at $root has no centroids — run init")
+    rows.map(_.getSeq[Double](1).toIndexedSeq)
+  }
+
+  private def vectorsAt(spark: SparkSession, droot: String): DataFrame =
+    Writers.readOrEmptyReadOnly(spark, s"$droot/vectors", vectorsSchema)
+
+  private def codesAt(spark: SparkSession, droot: String): DataFrame =
+    Writers.readOrEmptyReadOnly(spark, s"$droot/codes", codesSchema)
+
+  /** The generation's SQ quantization LUT, or None when the recall gate
+    * never adopted an SQ tier for it — 2·dims cells, the bounded-LUT
+    * contract. */
+  private def sqStatsAt(spark: SparkSession,
+                        droot: String): Option[(Seq[Double], Seq[Double])] = {
+    val rows = Writers
+      .readOrEmptyReadOnly(spark, s"$droot/sqstats", sqStatsSchema).collect()
+    rows.headOption.map(r =>
+      (r.getSeq[Double](0).toIndexedSeq, r.getSeq[Double](1).toIndexedSeq))
   }
 
   /** The stored quantizer as literals — k rows, the broadcast-LUT contract
@@ -86,13 +180,8 @@ object VectorLake {
     * swap resolution: callable with or without the writer lease (the
     * centroids dir is swap-replaced, never appended, so the content a
     * reader resolves is identical to post-recovery content). */
-  def centroids(spark: SparkSession, root: String): Seq[Seq[Double]] = {
-    val rows = Writers
-      .readOrEmptyReadOnly(spark, s"$root/centroids", centroidsSchema)
-      .orderBy("ivf_list").collect()
-    require(rows.nonEmpty, s"vector lake at $root has no centroids — run init")
-    rows.map(_.getSeq[Double](1).toIndexedSeq)
-  }
+  def centroids(spark: SparkSession, root: String): Seq[Seq[Double]] =
+    centroidsAt(spark, dataRoot(spark, root), root)
 
   /** The near-dup gate shared by [[ingest]] and [[ingestDecision]] (so the
     * oracle-registered q151 hash-checks the lake's REAL decision path, not
@@ -157,9 +246,15 @@ object VectorLake {
     val storedAssigned = Similarity.ivfAssign(
       stored.select(col("vec_id").cast("long"), col("embedding")),
       "embedding", cents)
+    // pin the batch side (the *Pinned idiom ingest itself uses by
+    // persisting `assigned`): the gate's within-batch arm self-joins the
+    // gated subtree, and exchange reuse does not fire across join subtrees
+    // — unpinned, both sides re-derive the assignment from the source (r8
+    // nit #4). localCheckpoint, not persist: the registered q151 runs
+    // under Bench, which clears the SQL cache between queries.
     val assigned = Similarity.ivfAssign(
       batch.select(col("vec_id").cast("long"), col("embedding")),
-      "embedding", cents)
+      "embedding", cents).localCheckpoint(true)
     val (vsIndex, inBatch) =
       gateFrames(storedAssigned, assigned, cents, dupThreshold, gateProbes)
     val drops = vsIndex.unionByName(inBatch).distinct()
@@ -189,9 +284,13 @@ object VectorLake {
              gateProbes: Int = 2,
              maxBroadcastRows: Long = 1L << 20,
              failpoint: () => Unit = () => (),
+             failpointAfterVectors: () => Unit = () => (),
              lockWaitMs: Long = 0L): IngestReport =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
-      val cents = centroids(spark, root)
+      // one generation resolution for the whole mutation; the pointer
+      // cannot flip while we hold the writer lease
+      val droot = dataRoot(spark, root)
+      val cents = centroidsAt(spark, droot, root)
       // the embedding cast is load-bearing: an uncast array<double> batch
       // would append double-typed files into the float-typed store and
       // brick every subsequent schema-imposed read
@@ -210,7 +309,7 @@ object VectorLake {
             "write the store and run reconcile (banded dedup, no " +
             "broadcast); raise maxBroadcastRows only if executors are " +
             "sized for it.")
-        val stored = readOr(spark, s"$root/vectors", vectorsSchema)
+        val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
         val (vsIndex0, inBatch0) =
           gateFrames(stored, assigned, cents, dupThreshold, gateProbes)
         val vsIndex = vsIndex0
@@ -237,7 +336,27 @@ object VectorLake {
           val toWrite = kept.join(storedScoped, Seq("vec_id"), "left_anti")
             .select("vec_id", "embedding", "ivf_list", "d2")
           toWrite.write.mode("append").partitionBy("ivf_list")
-            .parquet(s"$root/vectors")
+            .parquet(s"$droot/vectors")
+          failpointAfterVectors()
+          // SQ tier resident for this generation: append the survivors'
+          // codes too, so the quantized serving read stays COMPLETE. The
+          // "new" set derives from the CODES dir itself (scoped to the
+          // batch), not from toWrite — a crash between the two appends
+          // leaves vectors-without-codes, and a replay (whose toWrite is
+          // empty) must still repair them (the DedupLake
+          // derive-from-your-own-store rule). Codes clamp into this
+          // generation's grid; the next reconcile refreshes the stats.
+          for ((mins, maxs) <- sqStatsAt(spark, droot)) {
+            val codedScoped = readOr(spark, s"$droot/codes", codesSchema)
+              .select("vec_id")
+              .join(broadcast(assigned.select("vec_id")), Seq("vec_id"), "left_semi")
+            kept.join(codedScoped, Seq("vec_id"), "left_anti")
+              .withColumn("codes",
+                Similarity.sqCodesTiny(col("embedding"), mins, maxs))
+              .select("vec_id", "codes", "ivf_list")
+              .write.mode("append").partitionBy("ivf_list")
+              .parquet(s"$droot/codes")
+          }
           report
         } finally {
           vsIndex.unpersist(blocking = false)
@@ -249,7 +368,7 @@ object VectorLake {
   /** The resident vectors — READER path (read-only swap resolution; safe
     * concurrent with a locked writer's swap). */
   def vectors(spark: SparkSession, root: String): DataFrame =
-    Writers.readOrEmptyReadOnly(spark, s"$root/vectors", vectorsSchema)
+    vectorsAt(spark, dataRoot(spark, root))
 
   /** Probing search over the RESIDENT store — the serving read this lake
     * exists for. The stored centroids rank against the query driver-side
@@ -263,24 +382,25 @@ object VectorLake {
     * concurrent with a locked writer's reconcile swap. Recall/latency
     * dial: nprobe = numLists degrades to exact search over the store.
     *
-    * Mixed-generation window (the search twin of ingest's twin-swap note):
-    * centroids and vectors are two reads, and a reconcile promoting
-    * between them serves THIS probe with one side from each quantizer
-    * generation — probe selection may then target renamed lists, a
-    * transient recall dip (never a wrong score: scoring reads stored
-    * embeddings, not centroids) that heals on the next search. A deployment
-    * that cannot tolerate it should version the root (write reconcile
-    * output to a new root and flip a pointer), not lock readers. */
+    * Generation consistency: the pointer is resolved ONCE, then centroids
+    * and vectors both read under that generation — a reconcile promoting
+    * mid-search cannot mix quantizers (the r8 window, closed structurally;
+    * the displaced generation stays on disk until the NEXT reconcile, so
+    * this probe's reads stay valid). `failpoint` (test seam) runs after
+    * the resolution, where a concurrent swap would land. */
   def search(spark: SparkSession, root: String, queryVec: Seq[Float],
-             k: Int, nprobe: Int = 2): DataFrame = {
+             k: Int, nprobe: Int = 2,
+             failpoint: () => Unit = () => ()): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // name the real problems before the clamp can turn them into
     // probeLists' confusing "nprobe=0 outside [1, 0]" (r8 advice)
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = centroids(spark, root)
+    val droot = dataRoot(spark, root)
+    failpoint()
+    val cents = centroidsAt(spark, droot, root)
     val probes = Similarity.probeLists(
       queryVec, cents, math.min(nprobe, cents.size))
-    vectors(spark, root)
+    vectorsAt(spark, droot)
       .filter(col("ivf_list").isInCollection(probes))
       .withColumn("cos",
         round(VF.cosine(col("embedding"), typedLit(queryVec)), 6))
@@ -313,19 +433,41 @@ object VectorLake {
                   k: Int, nprobe: Int = 2,
                   probeId: String = "probe_id",
                   probeVec: String = "embedding",
+                  quantized: Boolean = false,
                   maxBroadcastProbes: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = centroids(spark, root)
+    val droot = dataRoot(spark, root) // one resolution: no generation mixing
+    val cents = centroidsAt(spark, droot, root)
     val np = math.min(nprobe, cents.size)
     val pframe = probes.select(col(probeId).cast("long").as("probe_id"),
       col(probeVec).cast(vectorsSchema("embedding").dataType).as("__pv"))
     val unionLists = Similarity.ivfGateLists(pframe, "__pv", cents, np)
       .select(explode(col("gate_lists")).as("l")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val store = vectors(spark, root)
-      .filter(col("ivf_list").isInCollection(unionLists))
-    Similarity.ivfMultiProbeKnnJoin(store, "vec_id", "embedding", "ivf_list",
+    // quantized = the SQ8 serving tier: 4×-smaller pruned list reads,
+    // ASYMMETRIC scoring (probes stay full-precision, the store
+    // dequantizes from its stored tinyint codes). Complete by lifecycle
+    // contract (adoption writes every row's codes; every later ingest
+    // appends its survivors'); only available when this generation's
+    // recall gate adopted it.
+    val store =
+      if (!quantized)
+        vectorsAt(spark, droot)
+          .filter(col("ivf_list").isInCollection(unionLists))
+          .select(col("vec_id"), col("ivf_list"), col("embedding").as("__sv"))
+      else {
+        val (mins, maxs) = sqStatsAt(spark, droot).getOrElse(
+          throw new IllegalArgumentException(
+            s"no SQ8 tier resident for the current generation at $root — " +
+              "reconcile with sqMinRecall > 0 (and pass its recall gate) " +
+              "before serving quantized, or search with quantized=false"))
+        codesAt(spark, droot)
+          .filter(col("ivf_list").isInCollection(unionLists))
+          .select(col("vec_id"), col("ivf_list"),
+            Similarity.sqDequantTiny(col("codes"), mins, maxs).as("__sv"))
+      }
+    Similarity.ivfMultiProbeKnnJoin(store, "vec_id", "__sv", "ivf_list",
       pframe, "probe_id", "__pv", k, cents, np,
       maxBroadcastProbes = maxBroadcastProbes)
   }
@@ -334,19 +476,32 @@ object VectorLake {
     * against the resident vectors under the CURRENT centroids. Reader path
     * — holds no lease, mutates nothing. */
   def driftReport(spark: SparkSession, root: String,
-                  batch: DataFrame): DataFrame =
+                  batch: DataFrame): DataFrame = {
+    val droot = dataRoot(spark, root) // one resolution: no generation mixing
     Similarity.ivfDriftReport(
-      vectors(spark, root).select("embedding"),
-      batch.select("embedding"), "embedding", centroids(spark, root))
+      vectorsAt(spark, droot).select("embedding"),
+      batch.select("embedding"), "embedding",
+      centroidsAt(spark, droot, root))
+  }
 
   /** Re-train the quantizer on the resident vectors (deterministic Lloyd,
     * auto-k unless overridden), REPAIR the near-dup invariant, reassign
-    * everything, and swap both stores — the recluster a drifted index
-    * needs. The repair pass matters for the twin-swap window: a crash
-    * between the vectors and centroids swaps leaves ingests gating batch
-    * lists from one quantizer against stored lists from another, so
-    * near-dup twins can slip in until the next reconcile — which is why
-    * reconcile deduplicates instead of only reassigning.
+    * everything, and promote the result as a NEW GENERATION — the
+    * recluster a drifted index needs. The whole gen-(N+1) tree (vectors +
+    * centroids) is written BEFORE the pointer flips, so there is no window
+    * where a reader can pair one generation's quantizer with another's
+    * vectors — the flip IS the commit, and a crash anywhere before it
+    * leaves readers on gen-N with only an orphan gen-(N+1) dir (overwritten
+    * by the next attempt). The DISPLACED generation is retained for
+    * in-flight readers and deleted by the NEXT reconcile (two-generation
+    * retention); `failpoint` (test seam) runs after the data writes, before
+    * the pointer flip — the crash window the spec drives.
+    *
+    * The repair pass matters for the mixed-QUANTIZER ingest window (a
+    * re-init replacing centroids under resident vectors): batch gate lists
+    * from one quantizer against stored lists from another let near-dup
+    * twins slip in until this pass — which is why reconcile deduplicates
+    * instead of only reassigning.
     *
     * Repair candidates are SRP-LSH banded WITHIN each new list
     * (`repairBands` bands × `repairPlanesPerBand` sign bits; recall ≈ 0.99
@@ -363,13 +518,20 @@ object VectorLake {
                 dupThreshold: Double = 0.95,
                 targetClusterSize: Long = 1 << 18,
                 repairBands: Int = 8, repairPlanesPerBand: Int = 8,
-                leaseMs: Long = 30 * 60 * 1000L): Unit =
+                leaseMs: Long = 30 * 60 * 1000L,
+                failpoint: () => Unit = () => (),
+                sqMinRecall: Double = 0.0,
+                sqRecallK: Int = 10, sqRecallProbes: Int = 64,
+                onSqGate: (Double, Boolean) => Unit = (_, _) => ()): Unit =
     // the retrain's wall time scales with the corpus, so the lease RENEWS
     // (heartbeat at leaseMs/3) instead of betting a fixed leaseMs covers
     // 100 TB — without it a contender breaks the "stale" lock mid-run,
     // ingests, and this pass's swap would discard those vectors
     withWriterLock(spark, root, leaseMs = leaseMs, heartbeatMs = leaseMs / 3) {
-      val stored = readOr(spark, s"$root/vectors", vectorsSchema)
+      Writers.recoverPointer(spark, genPointer(root))
+      val cur = currentGen(spark, root)
+      val droot = cur.map(g => s"$root/gen-$g").getOrElse(root)
+      val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = stored.count()
@@ -398,18 +560,63 @@ object VectorLake {
             blockCols = Seq("ivf_list"))
           .select(col("id_b").as("vec_id")).distinct()
         val repaired = reassigned.join(dups, Seq("vec_id"), "left_anti")
-        // write the rewritten store WITH its list partitioning (the pruning
-        // that makes a probe read one list, not the corpus), then promote —
-        // plain swapReplace would flatten the layout. The full rewrite IS
-        // the compaction, so no separate compact pass is needed.
+        // write the NEW GENERATION in full — vectors WITH the list
+        // partitioning (the pruning that makes a probe read one list, not
+        // the corpus) and the quantizer that produced it — then commit by
+        // flipping the pointer. The full rewrite IS the compaction, so no
+        // separate compact pass is needed. An orphan gen dir from a
+        // crashed previous attempt is overwritten here before any flip.
+        val newGen = cur.map(_ + 1).getOrElse(0L)
+        val ngRoot = s"$root/gen-$newGen"
+        deleteDir(spark, ngRoot)
         repaired.write.mode("overwrite").partitionBy("ivf_list")
-          .parquet(s"$root/vectors__tmp")
-        Writers.promoteSwap(spark, s"$root/vectors")
+          .parquet(s"$ngRoot/vectors")
         import scala.jdk.CollectionConverters._
-        Writers.swapReplace(spark, s"$root/centroids",
-          spark.createDataFrame(cents.zipWithIndex
+        spark.createDataFrame(cents.zipWithIndex
             .map { case (c, i) => org.apache.spark.sql.Row(i, c) }.asJava,
-            centroidsSchema))
+            centroidsSchema)
+          .write.mode("overwrite").parquet(s"$ngRoot/centroids")
+        // SQ8 serving-tier adoption (r8 ask #4): sqMinRecall > 0 measures
+        // recall@k of int8-dequantized search vs exact on the RESIDENT
+        // data (q152's contract as a lifecycle step) and, only if it
+        // clears the gate, writes the 4×-smaller codes tier + LUT INTO
+        // this generation — before the pointer flip, so adoption is as
+        // atomic as the generation itself. A refused gate leaves the
+        // generation float-only (the safe default); a quantized read then
+        // fails loudly instead of serving unvetted codes.
+        if (sqMinRecall > 0.0) {
+          val dims = cents.head.size
+          val resident = repaired.select(col("vec_id"), col("embedding"))
+          val kk2 = math.max(1, math.min(sqRecallK.toLong, n - 1).toInt)
+          val probes = resident.orderBy("vec_id").limit(sqRecallProbes)
+          val recall = Similarity.sqRecallEval(resident, "vec_id", "embedding",
+              probes, "vec_id", "embedding", kk2, dims)
+            .agg(avg(col("recall"))).head().getDouble(0)
+          val adopt = recall >= sqMinRecall
+          onSqGate(recall, adopt)
+          if (adopt) {
+            val (mins, maxs) = Similarity.sqMinMax(resident, "embedding", dims)
+            repaired
+              .withColumn("codes",
+                Similarity.sqCodesTiny(col("embedding"), mins, maxs))
+              .select("vec_id", "codes", "ivf_list")
+              .write.mode("overwrite").partitionBy("ivf_list")
+              .parquet(s"$ngRoot/codes")
+            spark.createDataFrame(
+                Seq(org.apache.spark.sql.Row(mins, maxs)).asJava, sqStatsSchema)
+              .write.mode("overwrite").parquet(s"$ngRoot/sqstats")
+          }
+        }
+        failpoint() // the crash window: data written, pointer not yet flipped
+        Writers.writePointer(spark, genPointer(root), newGen.toString)
+        // two-generation retention: keep gen-(N) for in-flight readers,
+        // drop everything older — including the legacy root layout once
+        // the first versioned generation has itself been displaced
+        for (g <- 0L until math.max(0L, newGen - 1))
+          deleteDir(spark, s"$root/gen-$g")
+        if (newGen >= 1)
+          for (leg <- Seq("vectors", "centroids"); suf <- Seq("", "__tmp", "__old"))
+            deleteDir(spark, s"$root/$leg$suf")
         } finally { reassigned.unpersist(blocking = false); () }
       } finally { stored.unpersist(blocking = false); () }
     }

@@ -375,6 +375,28 @@ object Similarity {
       typedLit(mins), (v, mn) => mn + v)
   }
 
+  /** [[sqCodes]] shifted into Spark's SIGNED tinyint for STORAGE (code−128
+    * ∈ [−128, 127]) — the honest 1-byte-per-dim representation a lake
+    * store writes (parquet INT(8) annotation + dictionary/bit-packing),
+    * 4× smaller list reads than float32. The shift exists only because
+    * Spark/parquet have no unsigned byte; [[sqDequantTiny]] undoes it. */
+  def sqCodesTiny(vecCol: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    transform(sqCodes(vecCol, mins, maxs), c => (c - lit(128.0)).cast("tinyint"))
+
+  /** Dequantize STORED tinyint codes: dim d = min_d + (code_d + 128) ·
+    * (max_d − min_d)/255 — bit-identical to [[sqDequant]] over the raw
+    * vector (codes are exact small integers on both routes, and the ±128
+    * shift is exact in IEEE), so a store that persists codes and a query
+    * that re-derives them from floats rank identically. */
+  def sqDequantTiny(codesCol: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val invs = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx == mn) 0.0 else (mx - mn) / 255.0 }
+    zip_with(
+      zip_with(codesCol, typedLit(invs),
+        (c, iv) => (c.cast("double") + lit(128.0)) * iv),
+      typedLit(mins), (v, mn) => mn + v)
+  }
+
   /** Recall@k of int8 scalar quantization against exact search — the gate
     * that decides whether the 4×-memory-saving SQ tier serves a corpus, the
     * same contract shape as [[annRecall]] for LSH. Probes are a

@@ -192,6 +192,67 @@ object Writers {
     } else require(fs.rename(tmpP, dst), s"state swap failed: $tmpP -> $dst")
   }
 
+  // ---- generation-pointer protocol (shared lake-lifecycle primitive) -----
+  // A tiny text file naming the CURRENT generation of a versioned store
+  // (e.g. VectorLake's `GEN` -> "3" meaning gen-3/{vectors,centroids}).
+  // The flip is write-tmp / delete / rename: a reader sees the old value,
+  // the new value (via the fully-written __tmp during the rename window),
+  // or — one racing instant — neither, which the retry below absorbs. The
+  // pointer is the COMMIT of a generation swap: data dirs are fully written
+  // before the flip, so any resolvable value names a complete generation.
+
+  /** READER-side pointer resolution: destination first, else a non-empty
+    * `__tmp` (the flip's rename window), retried once for the instant
+    * between the delete and the rename. Returns None only when no pointer
+    * exists at all (an unversioned/legacy store). */
+  def readPointerReadOnly(spark: SparkSession, path: String): Option[String] = {
+    val (fs, dst) = hfsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    def readF(p: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+        finally in.close()
+      } catch { case _: Exception => None }
+    Iterator.range(0, 3).map { _ =>
+      if (fs.exists(dst)) readF(dst)
+      else if (fs.exists(tmp)) readF(tmp)
+      else None
+    }.find(_.isDefined).flatten
+  }
+
+  /** WRITER-side flip (call under the store's lease): write the new value
+    * to `__tmp`, then delete + rename over the destination. Runs pointer
+    * recovery first so a flip interrupted last run is resolved before the
+    * new one starts. */
+  def writePointer(spark: SparkSession, path: String, value: String): Unit = {
+    require(value.nonEmpty, "pointer value must be non-empty")
+    recoverPointer(spark, path)
+    val (fs, dst) = hfsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val out = fs.create(tmp, /*overwrite=*/ true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"pointer flip failed: $tmp -> $dst")
+  }
+
+  /** WRITER-side recovery: complete a flip that crashed between its delete
+    * and rename (promote the surviving `__tmp`), or drop a stale `__tmp`
+    * from an attempt that crashed before its delete. */
+  def recoverPointer(spark: SparkSession, path: String): Unit = {
+    val (fs, dst) = hfsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dst)) require(fs.rename(tmp, dst),
+        s"pointer recovery failed: $tmp -> $dst")
+      else fs.delete(tmp, false)
+      ()
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every streaming/incremental
     * ingest needs: micro-batches leave a long tail of tiny part files whose
     * per-file open/footer cost eventually dominates scans. Rewrites the

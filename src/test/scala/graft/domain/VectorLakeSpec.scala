@@ -256,7 +256,7 @@ class VectorLakeSpec extends SparkSpec {
     // DISTINCT FileScan lines (a genuine second scan would carry different
     // expression ids and survive the distinct)
     val scanLines = plan.linesIterator
-      .filter(l => l.contains("FileScan") && l.contains("lake/vectors"))
+      .filter(l => l.contains("FileScan") && l.contains("/vectors"))
       .map(l => l.substring(l.indexOf("FileScan"))).toSeq.distinct
     assert(scanLines.size == 1,
       s"expected ONE store scan, saw ${scanLines.size} in:\n$plan")
@@ -313,6 +313,191 @@ class VectorLakeSpec extends SparkSpec {
     assert(r0b.kept == 0 || VectorLake.vectors(spark, root)
       .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L),
       s"replay must not re-insert: $r0b")
+  }
+
+  test("generation swap: a reader interleaved with a reconcile never observes mixed generations") {
+    val root = freshRoot("genswap")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    val r = VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding"))
+    assert(r.kept == 3, r.toString)
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-0")
+    val q = unit(10, 14f)
+    val before = VectorLake.search(spark, root, q, k = 3, nprobe = 1)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSeq
+    // a full reconcile (retrain + reassign + pointer flip) lands exactly
+    // between the reader's pointer resolution and its reads. The displaced
+    // generation is retained, so the interleaved search serves ENTIRELY
+    // from gen-0 — identical rows, list ids, and scores. A mixed read
+    // (gen-1 centroids ranking gen-0 lists) would probe differently:
+    // nprobe=1 makes that discriminating.
+    @volatile var swapped = false
+    val during = VectorLake.search(spark, root, q, k = 3, nprobe = 1,
+        failpoint = () => {
+          VectorLake.reconcile(spark, root, k = 2, iters = 3); swapped = true
+        })
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).toSeq
+    assert(swapped)
+    assert(during == before, s"interleaved read mixed generations: $during vs $before")
+    // after the swap: readers resolve gen-1; gen-0 is retained for
+    // in-flight readers until the NEXT reconcile displaces it
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-1")
+    assert(VectorLake.search(spark, root, q, k = 3, nprobe = 2).count() == 3)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/gen-0")),
+      "the displaced generation must be retained for in-flight readers")
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-2")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/gen-0")),
+      "two-generation retention: gen-0 outlived its window")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1")))
+  }
+
+  test("reconcile crash before the pointer flip: readers stay on the old generation; rerun completes") {
+    val root = freshRoot("gencrash")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding")).kept == 3)
+    intercept[RuntimeException] {
+      VectorLake.reconcile(spark, root, k = 2, iters = 3,
+        failpoint = () => throw new RuntimeException("torn before flip"))
+    }
+    // the crash left a fully-written orphan gen-1 — but the pointer is the
+    // commit, so readers still resolve gen-0 and serve consistently
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-0")
+    assert(VectorLake.search(spark, root, unit(10, 14f), k = 3, nprobe = 2)
+      .count() == 3)
+    // the rerun overwrites the orphan and completes the swap
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-1")
+    assert(VectorLake.search(spark, root, unit(10, 14f), k = 3, nprobe = 2)
+      .count() == 3)
+  }
+
+  test("a pointer-less legacy store keeps serving and is versioned by its first reconcile") {
+    val root = freshRoot("legacy")
+    val cents = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))
+    // hand-build the PRE-VERSIONING layout: centroids + vectors at the root
+    import scala.jdk.CollectionConverters._
+    graft.sources.Writers.swapReplace(spark, s"$root/centroids",
+      spark.createDataFrame(cents.zipWithIndex
+        .map { case (c, i) => org.apache.spark.sql.Row(i, c) }.asJava,
+        VectorLake.centroidsSchema))
+    graft.operators.Similarity.ivfAssignWithDist(
+        Seq(1L -> unit(0, 14f), 2L -> unit(80, 14f))
+          .toDF("vec_id", "embedding"), "embedding", cents)
+      .select("vec_id", "embedding", "ivf_list", "d2")
+      .write.partitionBy("ivf_list").parquet(s"$root/vectors")
+    // no pointer: every operation falls back to the root layout
+    assert(VectorLake.dataRoot(spark, root) == root)
+    assert(VectorLake.search(spark, root, unit(5, 14f), k = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(VectorLake.ingest(spark, root,
+      Seq(3L -> unit(40, 14f)).toDF("vec_id", "embedding")).kept == 1)
+    // first reconcile migrates to gen-0; the second displaces the legacy
+    // dirs entirely (retention window passed)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-0")
+    assert(VectorLake.vectors(spark, root).count() == 3)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(VectorLake.dataRoot(spark, root) == s"$root/gen-1")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")),
+      "legacy dirs must be cleaned once displaced beyond the retention window")
+    assert(VectorLake.search(spark, root, unit(5, 14f), k = 3, nprobe = 2)
+      .count() == 3)
+  }
+
+  test("SQ8 tier: adopted behind the recall gate, quantized serving parity, ingest keeps codes complete") {
+    val root = freshRoot("sq8")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f),
+      4L -> unit(170, 14f)).toDF("vec_id", "embedding")).kept == 4)
+    var gate: Option[(Double, Boolean)] = None
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.5, sqRecallK = 2,
+      onSqGate = (r, a) => gate = Some((r, a)))
+    assert(gate.exists(_._2), s"well-separated vectors must pass the gate: $gate")
+    val droot = VectorLake.dataRoot(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$droot/codes")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$droot/sqstats")),
+      "adoption must write the codes tier INTO the promoted generation")
+    // stored codes are genuinely 1-byte-typed
+    assert(spark.read.parquet(s"$droot/codes").schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // quantized serving parity: same per-probe neighbor order as raw
+    // (scores differ within grid error; ranking survives on spread data)
+    val probes = Seq(101L -> unit(10, 14f), 102L -> unit(85, 14f))
+      .toDF("probe_id", "embedding")
+    def order(quantized: Boolean) = VectorLake
+      .searchBatch(spark, root, probes, k = 4, nprobe = 2, quantized = quantized)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(order(quantized = true) == order(quantized = false))
+    // ingest WHILE the tier is resident appends the survivors' codes too —
+    // the quantized read immediately serves the new row
+    assert(VectorLake.ingest(spark, root,
+      Seq(9L -> unit(120, 14f)).toDF("vec_id", "embedding")).kept == 1)
+    assert(spark.read.parquet(s"$droot/codes").count() ==
+      VectorLake.vectors(spark, root).count())
+    assert(VectorLake.searchBatch(spark, root,
+        Seq(103L -> unit(121, 14f)).toDF("probe_id", "embedding"),
+        k = 1, nprobe = 2, quantized = true)
+      .collect().map(_.getLong(1)).toSeq == Seq(9L))
+  }
+
+  test("SQ8 tier: a refused recall gate leaves the generation float-only; quantized read fails loudly") {
+    val root = freshRoot("sq8no")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding")).kept == 3)
+    var gate: Option[(Double, Boolean)] = None
+    // an unreachable bar: the gate must REFUSE and adoption must not happen
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 1.01, sqRecallK = 2,
+      onSqGate = (r, a) => gate = Some((r, a)))
+    assert(gate.exists(!_._2), s"an unreachable bar must refuse: $gate")
+    val droot = VectorLake.dataRoot(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$droot/codes")))
+    val probes = Seq(101L -> unit(10, 14f)).toDF("probe_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.searchBatch(spark, root, probes, k = 1, quantized = true)
+    }
+    assert(e.getMessage.contains("sqMinRecall"), e.getMessage)
+    // the float path is untouched by the refusal
+    assert(VectorLake.searchBatch(spark, root, probes, k = 3).count() == 3)
+  }
+
+  test("SQ8 tier: a crash between the vectors and codes appends is repaired by the replay") {
+    val root = freshRoot("sq8torn")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(80, 14f)).toDF("vec_id", "embedding")).kept == 2)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.5, sqRecallK = 1)
+    val droot = VectorLake.dataRoot(spark, root)
+    val batch = Seq(5L -> unit(40, 14f)).toDF("vec_id", "embedding")
+    intercept[RuntimeException] {
+      VectorLake.ingest(spark, root, batch,
+        failpointAfterVectors = () => throw new RuntimeException("torn"))
+    }
+    // the torn window: the vector landed, its codes did not
+    assert(VectorLake.vectors(spark, root).count() == 3)
+    assert(spark.read.parquet(s"$droot/codes").count() == 2)
+    // the replay writes no vectors (anti-joined) but REPAIRS the codes —
+    // derived from the codes dir itself, not from the replay's empty toWrite
+    assert(VectorLake.ingest(spark, root, batch).kept == 1)
+    assert(VectorLake.vectors(spark, root).count() == 3)
+    assert(spark.read.parquet(s"$droot/codes").count() == 3)
   }
 
   test("search on an initialized-but-empty store returns empty, never throws") {

@@ -75,4 +75,40 @@ class CompactionSpec extends SparkSpec {
     val none = java.nio.file.Files.createTempDirectory("roswap2").toString + "/x"
     assert(Writers.readOrEmptyReadOnly(spark, none, schema).count() == 0)
   }
+
+  test("pointer protocol: flip is atomic-enough for readers; recovery completes or discards") {
+    val dir = java.nio.file.Files.createTempDirectory("ptr").toString
+    val ptr = s"$dir/GEN"
+    // no pointer at all -> None (the legacy-store signal)
+    assert(Writers.readPointerReadOnly(spark, ptr).isEmpty)
+    Writers.writePointer(spark, ptr, "0")
+    assert(Writers.readPointerReadOnly(spark, ptr).contains("0"))
+    Writers.writePointer(spark, ptr, "1")
+    assert(Writers.readPointerReadOnly(spark, ptr).contains("1"))
+    val fs = new org.apache.hadoop.fs.Path(ptr)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(path: String, v: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+      out.write(v.getBytes("UTF-8")); out.close()
+    }
+    // crash between the delete and the rename: only __tmp survives — a
+    // reader resolves the NEW value; writer-side recovery promotes it
+    fs.delete(new org.apache.hadoop.fs.Path(ptr), false)
+    plant(s"${ptr}__tmp", "2")
+    assert(Writers.readPointerReadOnly(spark, ptr).contains("2"))
+    Writers.recoverPointer(spark, ptr)
+    assert(Writers.readPointerReadOnly(spark, ptr).contains("2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${ptr}__tmp")))
+    // crash BEFORE the delete: destination wins, the stale attempt drops
+    plant(s"${ptr}__tmp", "9")
+    assert(Writers.readPointerReadOnly(spark, ptr).contains("2"),
+      "destination must shadow a not-yet-committed __tmp")
+    Writers.recoverPointer(spark, ptr)
+    assert(Writers.readPointerReadOnly(spark, ptr).contains("2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${ptr}__tmp")))
+    // an empty/torn pointer file reads as absent, never as a garbage value
+    fs.delete(new org.apache.hadoop.fs.Path(ptr), false)
+    plant(ptr, "")
+    assert(Writers.readPointerReadOnly(spark, ptr).isEmpty)
+  }
 }

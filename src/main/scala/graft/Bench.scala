@@ -41,6 +41,21 @@ object Bench {
   // documented ambient band on this box is ~1.2-2x, genuine contention 3-9x.
   private val SuspectSpread = 2.5
 
+  // 1-min loadavg above this at a one-time stage's START marks that stage
+  // contaminated. The r8 evidence pair: 7.25 s one-time at loadavg 1.76
+  // (idle) vs 36.97 s at 6.02 (driver box, same commit) — 3.0 cleanly
+  // separates the observed ambient band from genuine contention.
+  private val OneTimeLoadSuspect = 3.0
+
+  /** One-time-stage contamination flags (pure, spec-driven): stages whose
+    * start-of-build 1-min loadavg exceeded the threshold. Unlike queries,
+    * a one-time build runs ONCE, so the min/median spread heuristic cannot
+    * see interference — the load stamp is the only witness. */
+  private[graft] def oneTimeSuspects(loads: Map[String, Double],
+                                     threshold: Double = OneTimeLoadSuspect)
+      : Seq[String] =
+    loads.toSeq.filter(_._2 > threshold).map(_._1).sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,15 +139,24 @@ object Bench {
     val ots = oneTime.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val otTotal = r3(oneTime.values.sum)
+    // the one-time stage's contamination witness (r8 verdict finding #1):
+    // each build stamps the 1-min loadavg at its start; a stamp above the
+    // threshold flags the stage, since a build that runs once has no
+    // min/median spread to tell on it
+    val otLoads = SparkEntry.oneTimeLoadAvgs
+    val otl = otLoads.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val otSuspects = oneTimeSuspects(otLoads)
+    val otSuspectArr = otSuspects.map(n => s""""$n"""").mkString("[", ",", "]")
     val suspectArr = suspects.map(n => s""""$n"""").mkString("[", ",", "]")
     def loadArr(xs: Seq[Double]) = xs.map(r3).mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"one_time_s":$ots,"one_time_s_total":$otTotal,"sweep_wall_s":${r3(sweepWall)},"loadavg_before":${loadArr(load0)},"loadavg_after":${loadArr(load1)},"suspect":$suspectArr,"n_suspect":${suspects.size},"bench_runs":$runs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"one_time_s":$ots,"one_time_s_total":$otTotal,"one_time_loadavg":$otl,"one_time_suspect":$otSuspectArr,"n_one_time_suspect":${otSuspects.size},"sweep_wall_s":${r3(sweepWall)},"loadavg_before":${loadArr(load0)},"loadavg_after":${loadArr(load1)},"suspect":$suspectArr,"n_suspect":${suspects.size},"bench_runs":$runs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // stdout: ONE JSON line guaranteed to fit the 2 KB capture — aggregate,
     // failure list, and the 20 slowest queries; everything else is in the file
     val top = results.filter(_.ok).sortBy(-_.time).take(20)
       .map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"n_suspect":${suspects.size},"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"n_suspect":${suspects.size},"n_one_time_suspect":${otSuspects.size},"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

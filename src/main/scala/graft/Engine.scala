@@ -246,8 +246,10 @@ object Engine {
     * the single-query read's. */
   def vectorLakeSearchBatch(spark: SparkSession, lakeRoot: String,
                             probes: DataFrame, k: Int,
-                            nprobe: Int = 2): DataFrame =
-    graft.domain.VectorLake.searchBatch(spark, lakeRoot, probes, k, nprobe)
+                            nprobe: Int = 2,
+                            quantized: Boolean = false): DataFrame =
+    graft.domain.VectorLake.searchBatch(spark, lakeRoot, probes, k, nprobe,
+      quantized = quantized)
 
   /** Recall@k of the int8 scalar-quantized (4× smaller) corpus
     * representation vs exact search — the acceptance gate for serving a

@@ -451,10 +451,14 @@ object VectorLake {
     // contract (adoption writes every row's codes; every later ingest
     // appends its survivors'); only available when this generation's
     // recall gate adopted it.
+    // an empty probe batch has no gate lists; isInCollection needs a
+    // non-empty literal set, so prune to nothing explicitly
+    def pruneLists(df: DataFrame): DataFrame =
+      if (unionLists.isEmpty) df.filter(lit(false))
+      else df.filter(col("ivf_list").isInCollection(unionLists))
     val store =
       if (!quantized)
-        vectorsAt(spark, droot)
-          .filter(col("ivf_list").isInCollection(unionLists))
+        pruneLists(vectorsAt(spark, droot))
           .select(col("vec_id"), col("ivf_list"), col("embedding").as("__sv"))
       else {
         val (mins, maxs) = sqStatsAt(spark, droot).getOrElse(
@@ -462,8 +466,7 @@ object VectorLake {
             s"no SQ8 tier resident for the current generation at $root — " +
               "reconcile with sqMinRecall > 0 (and pass its recall gate) " +
               "before serving quantized, or search with quantized=false"))
-        codesAt(spark, droot)
-          .filter(col("ivf_list").isInCollection(unionLists))
+        pruneLists(codesAt(spark, droot))
           .select(col("vec_id"), col("ivf_list"),
             Similarity.sqDequantTiny(col("codes"), mins, maxs).as("__sv"))
       }
@@ -584,14 +587,16 @@ object VectorLake {
         // atomic as the generation itself. A refused gate leaves the
         // generation float-only (the safe default); a quantized read then
         // fails loudly instead of serving unvetted codes.
-        if (sqMinRecall > 0.0) {
+        // n >= 2: with one resident row, exclude-self search has no
+        // neighbors and the recall average would be an empty (null) agg
+        if (sqMinRecall > 0.0 && n >= 2) {
           val dims = cents.head.size
           val resident = repaired.select(col("vec_id"), col("embedding"))
           val kk2 = math.max(1, math.min(sqRecallK.toLong, n - 1).toInt)
           val probes = resident.orderBy("vec_id").limit(sqRecallProbes)
           val recall = Similarity.sqRecallEval(resident, "vec_id", "embedding",
               probes, "vec_id", "embedding", kk2, dims)
-            .agg(avg(col("recall"))).head().getDouble(0)
+            .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
           val adopt = recall >= sqMinRecall
           onSqGate(recall, adopt)
           if (adopt) {

@@ -1,0 +1,146 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** The SHARED lake-lifecycle crash matrix (r8 verdict ask #6): every
+  * lake-resident store — DedupLake, VectorLake, and whatever lake comes
+  * next — must satisfy the same contracts: exclusive writer lease
+  * (fail-fast refusal), a torn ingest at EVERY failpoint repaired by an
+  * exact replay, replay-is-a-state-no-op on a completed batch, and a
+  * reconcile that preserves the resident keep semantics while rewriting
+  * the layout. One adapter-driven matrix, two (so far) adapters — a new
+  * lake inherits the proven lifecycle by writing an adapter, not by
+  * re-implementing the spec. The lakes' OWN specs keep their
+  * store-specific scenarios (generations, SQ tiers, band indexes); this
+  * matrix is the common denominator.
+  */
+trait LakeCrashMatrix { self: SparkSpec =>
+
+  /** The minimal surface a lake must expose to run the matrix. The
+    * canonical batch must contain at least one within-batch duplicate so
+    * the replay check exercises the dedup state, not just the appends. */
+  trait LakeAdapter {
+    def name: String
+    def spark: SparkSession = self.spark
+    /** A freshly initialized, empty store. */
+    def freshRoot(): String
+    /** Ingest the canonical batch; `failAt` (one of [[failpoints]]) makes
+      * the named torn window throw AFTER its preceding writes landed. */
+    def ingestBatch(root: String, failAt: Option[String]): Unit
+    /** Every torn window the lake's ingest exposes. */
+    def failpoints: Seq[String]
+    /** Rows the store considers resident/kept. */
+    def residentCount(root: String): Long
+    /** The canonical batch's keep count once fully ingested. */
+    def expectedAfterBatch: Long
+    def reconcile(root: String): Unit
+    def plantForeignLock(root: String): Unit = {
+      val lock = new org.apache.hadoop.fs.Path(s"${lockRoot(root)}/_LOCK")
+      val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(lock, false)
+      out.write(s"${System.currentTimeMillis()}:foreign-holder".getBytes("UTF-8"))
+      out.close()
+    }
+    def lockRoot(root: String): String = root
+  }
+
+  final def runCrashMatrix(adapter: LakeAdapter): Unit = {
+    test(s"[matrix:${adapter.name}] a torn ingest at every failpoint is repaired by an exact replay") {
+      for (fp <- adapter.failpoints) {
+        val root = adapter.freshRoot()
+        intercept[RuntimeException] { adapter.ingestBatch(root, Some(fp)) }
+        adapter.ingestBatch(root, None) // the at-least-once replay
+        assert(adapter.residentCount(root) == adapter.expectedAfterBatch,
+          s"state not repaired after torn window '$fp'")
+        adapter.ingestBatch(root, None) // and a replay of the COMPLETE batch
+        assert(adapter.residentCount(root) == adapter.expectedAfterBatch,
+          s"replay after '$fp' repair was not a no-op")
+      }
+    }
+
+    test(s"[matrix:${adapter.name}] reconcile preserves the keep set; post-reconcile replay is a no-op") {
+      val root = adapter.freshRoot()
+      adapter.ingestBatch(root, None)
+      adapter.reconcile(root)
+      assert(adapter.residentCount(root) == adapter.expectedAfterBatch,
+        "reconcile must reorganize, not change, the resident keep set")
+      adapter.ingestBatch(root, None)
+      assert(adapter.residentCount(root) == adapter.expectedAfterBatch,
+        "a replay after reconcile must insert nothing")
+    }
+
+    test(s"[matrix:${adapter.name}] the writer lease refuses a second writer, state untouched") {
+      val root = adapter.freshRoot()
+      adapter.plantForeignLock(root)
+      val e = intercept[IllegalArgumentException] {
+        adapter.ingestBatch(root, None)
+      }
+      assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+      assert(adapter.residentCount(root) == 0, "a refused writer must not write")
+    }
+  }
+}
+
+class LakeCrashMatrixSpec extends SparkSpec with LakeCrashMatrix {
+  import spark.implicits._
+
+  private def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+    val r = math.toRadians(deg)
+    Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+  }
+
+  runCrashMatrix(new LakeAdapter {
+    val name = "DedupLake"
+    def freshRoot(): String =
+      java.nio.file.Files.createTempDirectory("matrix_dedup").toString + "/lake"
+    // docs 1 and 2 are exact twins (every band collides); 3 is disjoint —
+    // the canonical keep set is {1, 3}
+    private def batch = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    val failpoints = Seq("after-archive", "after-index")
+    def ingestBatch(root: String, failAt: Option[String]): Unit = {
+      def boom(name: String): () => Unit = () =>
+        if (failAt.contains(name)) throw new RuntimeException(s"torn at $name")
+      DedupLake.ingest(spark, root, batch,
+        failpoint = boom("after-archive"),
+        failpointAfterIndex = boom("after-index")).count()
+      ()
+    }
+    def residentCount(root: String): Long = DedupLake.keeps(spark, root).count()
+    val expectedAfterBatch = 2L
+    def reconcile(root: String): Unit = {
+      DedupLake.reconcile(spark, root); ()
+    }
+  })
+
+  runCrashMatrix(new LakeAdapter {
+    val name = "VectorLake"
+    def freshRoot(): String = {
+      val root =
+        java.nio.file.Files.createTempDirectory("matrix_vec").toString + "/lake"
+      VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+      root
+    }
+    // vectors 1 and 2 share a direction (cos 1 — a within-batch dup);
+    // 3 is orthogonal — the canonical keep set is {1, 3}
+    private def batch = Seq(
+      (1L, unit(0, 14f)), (2L, unit(0, 7f)), (3L, unit(90, 14f)))
+      .toDF("vec_id", "embedding")
+    val failpoints = Seq("before-append", "after-vectors")
+    def ingestBatch(root: String, failAt: Option[String]): Unit = {
+      def boom(name: String): () => Unit = () =>
+        if (failAt.contains(name)) throw new RuntimeException(s"torn at $name")
+      VectorLake.ingest(spark, root, batch,
+        failpoint = boom("before-append"),
+        failpointAfterVectors = boom("after-vectors"))
+      ()
+    }
+    def residentCount(root: String): Long =
+      VectorLake.vectors(spark, root).count()
+    val expectedAfterBatch = 2L
+    def reconcile(root: String): Unit =
+      VectorLake.reconcile(spark, root, k = 2, iters = 3)
+  })
+}

@@ -506,6 +506,13 @@ class VectorLakeSpec extends SparkSpec {
     assert(VectorLake.search(spark, root, unit(10), k = 5).count() == 0)
     // nprobe beyond the list count clamps to exact search, same contract
     assert(VectorLake.search(spark, root, unit(10), k = 5, nprobe = 99).count() == 0)
+    // batched read: an empty store AND an empty probe batch both yield
+    // empty results (an empty batch has no gate lists to prune to)
+    assert(VectorLake.searchBatch(spark, root,
+      Seq(1L -> unit(10)).toDF("probe_id", "embedding"), k = 5).count() == 0)
+    assert(VectorLake.searchBatch(spark, root,
+      Seq.empty[(Long, Array[Float])].toDF("probe_id", "embedding"),
+      k = 5).count() == 0)
   }
 
   test("writer lease: a second writer fails fast") {

@@ -15,16 +15,26 @@ import graft.sources.Writers
   *
   * Layout under one root (all parquet):
   *  - `archive/` — (doc_id, text) of EVERY ingested doc, kept and dropped;
-  *    the verdict lake. Dropped rows are exactly the chain links the keep
-  *    index is missing, which is why reconciliation reads the archive.
-  *  - `index/`   — (doc_id, band, bh) LSH band rows of the KEPT docs; the
-  *    probe target of [[Dedup.incrementalKeep]].
-  *  - `keeps/`   — (doc_id) current keep set (greedy until a reconcile
-  *    repairs it to full-batch semantics).
+  *    the verdict lake, append-only at the ROOT (the durable source of
+  *    truth is not versioned — only compacted). Dropped rows are exactly
+  *    the chain links the keep index is missing, which is why
+  *    reconciliation reads the archive.
+  *  - `GEN` + `gen-N/index/`, `gen-N/keeps/` — the MUTABLE state,
+  *    generation-versioned through the shared [[GenStore]] lifecycle
+  *    (VectorLake's contract): `index/` holds (doc_id, band, bh) LSH band
+  *    rows of the KEPT docs — the probe target of
+  *    [[Dedup.incrementalKeep]] — and `keeps/` the (doc_id) keep set
+  *    (greedy until a reconcile repairs it to full-batch semantics).
   *
-  * Ingest appends; reconcile rewrites keeps/index via the house
-  * write-new-then-swap (crash between renames recovers on next read, the
-  * PricePipeline contract) and then compacts the append-accumulated dirs.
+  * Ingest appends into the current generation; reconcile writes
+  * gen-(N+1)/{keeps,index} IN FULL and commits by flipping the pointer —
+  * so the round-7-era window where a crash between the two swaps left
+  * keeps and index one reconcile apart is structurally gone: any reader
+  * or ingest probe sees keeps and index from ONE generation. The
+  * displaced generation survives one more reconcile for in-flight
+  * readers; a pointer-less pre-versioning store keeps working at the
+  * root layout and is migrated by its first reconcile. The archive is
+  * compacted on the same cadence.
   *
   * Concurrent-writer safety: every mutation runs under an exclusive lease
   * file (`_LOCK`, created atomically with overwrite=false — atomic on HDFS
@@ -90,8 +100,12 @@ object DedupLake {
     // reconcile, then proceed); the default stays fail-fast (VectorLake
     // .ingest's contract)
     graft.sources.StateLock.withRootLock(spark, root, waitMs = lockWaitMs) {
+      // one generation resolution for the whole mutation (the pointer
+      // cannot flip while we hold the lease); the archive stays at the
+      // unversioned root
+      val droot = GenStore.dataRoot(spark, root)
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
-      val index = readOr(spark, s"$root/index", indexSchema)
+      val index = readOr(spark, s"$droot/index", indexSchema)
       val (kept0, bandPin) = Dedup.incrementalKeepPinned(
         docs, "doc_id", "text", index, numHashes, bandRows, shingleN)
       // the kept set feeds three writes — pin it so the probe join runs
@@ -119,15 +133,15 @@ object DedupLake {
         // re-append band rows on a replay that crashed between the index
         // and keeps appends (r7 review finding)
         val notInIndex = kept.select("doc_id")
-          .join(scoped(s"$root/index", indexSchema).select("doc_id").distinct(),
+          .join(scoped(s"$droot/index", indexSchema).select("doc_id").distinct(),
             Seq("doc_id"), "left_anti")
         bandPin.join(notInIndex, Seq("doc_id"), "left_semi")
           .select("doc_id", "band", "bh")
-          .write.mode("append").parquet(s"$root/index")
+          .write.mode("append").parquet(s"$droot/index")
         failpointAfterIndex()
         kept.select("doc_id")
-          .join(scoped(s"$root/keeps", keepsSchema), Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(s"$root/keeps")
+          .join(scoped(s"$droot/keeps", keepsSchema), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(s"$droot/keeps")
         kept
       } finally {
         bandPin.unpersist(blocking = false)
@@ -142,12 +156,12 @@ object DedupLake {
     * append-grown archive. One banded candidate pass + closure — the
     * periodic-batch cost profile, run from the scheduled deployment.
     *
-    * Each swap is individually crash-safe (write-new-then-rename, recovered
-    * by readOr), but a crash BETWEEN the keeps and index swaps leaves the
-    * pair one reconcile apart (e.g. a repaired-away doc still probing from
-    * the old index). That window is eventually consistent by construction:
-    * the next scheduled reconcile recomputes both from the archive — the
-    * durable source of truth — so the daemon's cadence bounds the skew. */
+    * Keeps and index commit TOGETHER: the whole gen-(N+1) pair is written
+    * before the [[GenStore]] pointer flips, so the old crash-between-swaps
+    * skew (a repaired-away doc still probing from the previous index) is
+    * structurally impossible — a crash anywhere before the flip leaves
+    * readers on gen-N with only an orphan dir, overwritten by the rerun.
+    * The archive remains the durable source of truth either way. */
   def reconcile(spark: SparkSession, root: String,
                 numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
                 targetRecordsPerFile: Long = 1000000L,
@@ -156,11 +170,14 @@ object DedupLake {
     // .reconcile rationale: a fixed lease breaks mid-run at 100 TB and the
     // contender's ingest gets overwritten by this pass's swap
     withWriterLock(spark, root, leaseMs = leaseMs, heartbeatMs = leaseMs / 3) {
+      Writers.recoverPointer(spark, GenStore.pointer(root))
+      val genCur = GenStore.currentGen(spark, root)
+      val droot = GenStore.dataRootOf(root, genCur)
       val archive = readOr(spark, s"$root/archive", archiveSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         archive.count()
-        val cur = readOr(spark, s"$root/keeps", keepsSchema)
+        val cur = readOr(spark, s"$droot/keeps", keepsSchema)
         val r = Dedup.reconcileLshKeeps(archive, "doc_id", "text", cur,
           numHashes, bandRows, shingleN)
         val repaired = r.repairedKeeps
@@ -168,12 +185,20 @@ object DedupLake {
         val report = ReconcileReport(repaired.count(),
           r.drops.count(), r.resurrections.count())
         try {
-          Writers.swapReplace(spark, s"$root/keeps", repaired.select("doc_id"))
-          Writers.swapReplace(spark, s"$root/index",
+          // write the NEW GENERATION (keeps + index) in full, then the
+          // pointer flip commits both AT ONCE — keeps and index can never
+          // again be observed one reconcile apart (the old twin-swap
+          // window, now closed the VectorLake way via GenStore)
+          GenStore.promote(spark, root, genCur,
+            legacyDirs = Seq("keeps", "index")) { ngRoot =>
+            repaired.select("doc_id")
+              .write.mode("overwrite").parquet(s"$ngRoot/keeps")
             Dedup.lshBands(
               archive.join(repaired.select("doc_id"), Seq("doc_id"), "left_semi"),
               "doc_id", "text", numHashes, bandRows, shingleN)
-              .select("doc_id", "band", "bh"))
+              .select("doc_id", "band", "bh")
+              .write.mode("overwrite").parquet(s"$ngRoot/index")
+          }
         } finally { repaired.unpersist(blocking = false); () }
         // the archive accumulates one small file set per ingest batch —
         // compact it on the same cadence so reads stay one healthy scan
@@ -183,10 +208,10 @@ object DedupLake {
     }
 
   def keeps(spark: SparkSession, root: String): DataFrame =
-    // READER path: no writer lease held, so swap resolution must be
-    // read-only — a recovery rename here could race a live reconcile's
-    // promoteSwap and spuriously fail its checked rename (r7 advice)
-    Writers.readOrEmptyReadOnly(spark, s"$root/keeps", keepsSchema)
+    // READER path: one pointer resolution, read-only swap resolution — no
+    // lease held, safe concurrent with a locked writer's promotion
+    Writers.readOrEmptyReadOnly(spark,
+      s"${GenStore.dataRoot(spark, root)}/keeps", keepsSchema)
 
   /** The reconcile pass as a cron [[Scheduler.Deployment]] — default weekly
     * (Sunday 03:00, the off-peak compaction slot), driven by the same

@@ -95,25 +95,13 @@ object VectorLake {
                      schema: StructType): DataFrame =
     Writers.readOrEmpty(spark, path, schema)
 
-  private def genPointer(root: String): String = s"$root/GEN"
-
-  /** The CURRENT generation's data root, resolved READ-ONLY. Every
-    * operation resolves this ONCE and reads centroids AND vectors under
-    * it — the structural guarantee that no read ever mixes quantizer
-    * generations. Pointer-less roots (pre-versioning stores) fall back to
-    * the root itself. */
+  /** The CURRENT generation's data root, resolved READ-ONLY (shared
+    * [[GenStore]] lifecycle). Every operation resolves this ONCE and reads
+    * centroids AND vectors under it — the structural guarantee that no
+    * read ever mixes quantizer generations. Pointer-less roots
+    * (pre-versioning stores) fall back to the root itself. */
   private[graft] def dataRoot(spark: SparkSession, root: String): String =
-    Writers.readPointerReadOnly(spark, genPointer(root))
-      .map(g => s"$root/gen-$g").getOrElse(root)
-
-  private def currentGen(spark: SparkSession, root: String): Option[Long] =
-    Writers.readPointerReadOnly(spark, genPointer(root)).map(_.toLong)
-
-  private def deleteDir(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) { fs.delete(p, true); () }
-  }
+    GenStore.dataRoot(spark, root)
 
   /** Install the coarse quantizer. Idempotent (swap-replace within the
     * current generation — re-init on a populated store replaces ONLY the
@@ -129,8 +117,8 @@ object VectorLake {
       .map { case (c, i) => org.apache.spark.sql.Row(i, c) }.asJava
     val df = spark.createDataFrame(rows, centroidsSchema)
     withWriterLock(spark, root) {
-      Writers.recoverPointer(spark, genPointer(root))
-      currentGen(spark, root) match {
+      Writers.recoverPointer(spark, GenStore.pointer(root))
+      GenStore.currentGen(spark, root) match {
         case Some(g) =>
           Writers.swapReplace(spark, s"$root/gen-$g/centroids", df)
         case None =>
@@ -142,7 +130,7 @@ object VectorLake {
           else {
             // fresh root: write gen-0 fully, then commit via the pointer
             Writers.swapReplace(spark, s"$root/gen-0/centroids", df)
-            Writers.writePointer(spark, genPointer(root), "0")
+            Writers.writePointer(spark, GenStore.pointer(root), "0")
           }
       }
     }
@@ -531,8 +519,8 @@ object VectorLake {
     // 100 TB — without it a contender breaks the "stale" lock mid-run,
     // ingests, and this pass's swap would discard those vectors
     withWriterLock(spark, root, leaseMs = leaseMs, heartbeatMs = leaseMs / 3) {
-      Writers.recoverPointer(spark, genPointer(root))
-      val cur = currentGen(spark, root)
+      Writers.recoverPointer(spark, GenStore.pointer(root))
+      val cur = GenStore.currentGen(spark, root)
       val droot = cur.map(g => s"$root/gen-$g").getOrElse(root)
       val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -569,9 +557,8 @@ object VectorLake {
         // flipping the pointer. The full rewrite IS the compaction, so no
         // separate compact pass is needed. An orphan gen dir from a
         // crashed previous attempt is overwritten here before any flip.
-        val newGen = cur.map(_ + 1).getOrElse(0L)
-        val ngRoot = s"$root/gen-$newGen"
-        deleteDir(spark, ngRoot)
+        GenStore.promote(spark, root, cur,
+          legacyDirs = Seq("vectors", "centroids")) { ngRoot =>
         repaired.write.mode("overwrite").partitionBy("ivf_list")
           .parquet(s"$ngRoot/vectors")
         import scala.jdk.CollectionConverters._
@@ -613,15 +600,7 @@ object VectorLake {
           }
         }
         failpoint() // the crash window: data written, pointer not yet flipped
-        Writers.writePointer(spark, genPointer(root), newGen.toString)
-        // two-generation retention: keep gen-(N) for in-flight readers,
-        // drop everything older — including the legacy root layout once
-        // the first versioned generation has itself been displaced
-        for (g <- 0L until math.max(0L, newGen - 1))
-          deleteDir(spark, s"$root/gen-$g")
-        if (newGen >= 1)
-          for (leg <- Seq("vectors", "centroids"); suf <- Seq("", "__tmp", "__old"))
-            deleteDir(spark, s"$root/$leg$suf")
+        } // GenStore.promote flips the pointer and applies retention
         } finally { reassigned.unpersist(blocking = false); () }
       } finally { stored.unpersist(blocking = false); () }
     }

@@ -116,6 +116,46 @@ class DedupLakeSpec extends SparkSpec {
       "replay added ONLY the missing keeps row — no duplicate band rows")
   }
 
+  test("reconcile promotes keeps+index as ONE generation; legacy root migrates and is cleaned") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-gen").toString
+    // pre-versioning shape: ingests on a fresh root write the ROOT layout
+    DedupLake.ingest(spark, root,
+      Seq((30L, textB), (40L, "unrelated content entirely elsewhere"))
+        .toDF("doc_id", "text")).count()
+    assert(GenStore.dataRoot(spark, root) == root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/keeps")))
+    // first reconcile versions the store: keeps+index commit together via
+    // the pointer flip, so they can never again be one reconcile apart
+    DedupLake.reconcile(spark, root)
+    assert(GenStore.dataRoot(spark, root) == s"$root/gen-0")
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(30L, 40L))
+    // ingest probes and appends the CURRENT generation (a dup of an
+    // indexed doc still drops; a new doc's keeps row lands under gen-0)
+    assert(keepIds(DedupLake.ingest(spark, root,
+      Seq((99L, textB)).toDF("doc_id", "text"))).isEmpty)
+    assert(keepIds(DedupLake.ingest(spark, root,
+      Seq((60L, "another standalone document topic")).toDF("doc_id", "text")))
+      == Set(60L))
+    assert(spark.read.parquet(s"$root/gen-0/keeps").count() == 3)
+    // second reconcile: gen-1 current, gen-0 retained for in-flight
+    // readers, the legacy root dirs cleaned (retention window passed)
+    DedupLake.reconcile(spark, root)
+    assert(GenStore.dataRoot(spark, root) == s"$root/gen-1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/keeps")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/index")),
+      "legacy dirs must be cleaned once displaced beyond the retention window")
+    // third: gen-2 current, gen-0 dropped
+    DedupLake.reconcile(spark, root)
+    assert(GenStore.dataRoot(spark, root) == s"$root/gen-2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-0")))
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(30L, 40L, 60L))
+    // the archive stayed unversioned at the root throughout
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/archive")))
+  }
+
   test("writer lease: a second writer fails fast; an expired lease is broken") {
     val root = java.nio.file.Files.createTempDirectory("dedup-lock").toString
     var t = 1000000L

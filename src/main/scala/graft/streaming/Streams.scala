@@ -468,6 +468,11 @@ object Streams {
                        numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2)
                       (sink: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // NOTE: `index` is captured ONCE — its underlying path must outlive the
+    // stream. Against the generation-versioned DedupLake store use
+    // [[dedupLakeIngestStream]] instead: it re-resolves the current
+    // generation per micro-batch, so a reconcile promotion mid-stream is
+    // picked up rather than eventually stranding a displaced path.
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       // pinned form + per-batch release: the probe pins the batch band table,
       // and a persisted DataFrame is a CacheManager entry, not GC-reclaimed —
@@ -475,6 +480,29 @@ object Streams {
       val (kept, bandPin) = graft.operators.Dedup.incrementalKeepPinned(
         batch, idCol, textCol, index, numHashes, bandRows, shingleN)
       try sink(kept) finally { bandPin.unpersist(blocking = false); () }
+    }
+
+  /** Streaming ingest into the managed DEDUP lake — the document twin of
+    * [[vectorLakeIngestStream]]: each micro-batch runs DedupLake.ingest's
+    * full probe-append cycle (archive, index, keeps) under the store's
+    * writer lease, with the CURRENT generation resolved per batch — a
+    * scheduled reconcile promoting between micro-batches is picked up on
+    * the very next one. Exactly-once EFFECT on at-least-once delivery by
+    * the lake's replay contract (anti-joined appends; a redelivered batch
+    * inserts nothing). `lockWaitMs` stalls a batch behind a running
+    * maintenance window instead of crashing the query (the
+    * vectorLakeIngestStream bound and caveat apply). `onKept` sees
+    * (epochId, keptCount) per batch — the metrics seam. */
+  def dedupLakeIngestStream(docs: DataFrame, root: String,
+                            numHashes: Int = 8, bandRows: Int = 2,
+                            shingleN: Int = 2,
+                            lockWaitMs: Long = 30 * 60 * 1000L,
+                            onKept: (Long, Long) => Unit = (_, _) => ())
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val kept = graft.domain.DedupLake.ingest(batch.sparkSession, root,
+        batch, numHashes, bandRows, shingleN, lockWaitMs = lockWaitMs)
+      onKept(epoch, kept.count())
     }
 
   /** Streaming ingest into the lake-resident VECTOR index — the embedding

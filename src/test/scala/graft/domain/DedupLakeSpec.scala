@@ -156,6 +156,31 @@ class DedupLakeSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/archive")))
   }
 
+  test("streaming lake ingest resolves the generation PER BATCH across a mid-stream reconcile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("dedup-stream").toString
+    val input = MemoryStream[(Long, String)]
+    val kepts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.Streams.dedupLakeIngestStream(
+        input.toDF().toDF("doc_id", "text"), root,
+        onKept = (e, n) => kepts.synchronized { kepts += e -> n; () })
+      .start()
+    try {
+      input.addData(30L -> textB, 40L -> "unrelated content entirely elsewhere")
+      q.processAllAvailable()
+      // mid-stream maintenance: versions the store (root layout -> gen-0)
+      DedupLake.reconcile(spark, root)
+      assert(GenStore.dataRoot(spark, root) == s"$root/gen-0")
+      // the next micro-batch must probe the NEW generation's index: a dup
+      // of the indexed doc still drops, a fresh doc still keeps
+      input.addData(99L -> textB, 60L -> "another standalone document topic")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(kepts.sortBy(_._1).map(_._2).toList == List(2L, 1L), kepts.toString)
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(30L, 40L, 60L))
+  }
+
   test("writer lease: a second writer fails fast; an expired lease is broken") {
     val root = java.nio.file.Files.createTempDirectory("dedup-lock").toString
     var t = 1000000L

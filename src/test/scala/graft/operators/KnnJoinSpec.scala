@@ -76,6 +76,22 @@ class KnnJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(probe_id".r.findAllIn(p).size == 1, p)
   }
 
+  test("plan: ivfMultiProbeKnnJoin keeps the knnJoin shuffle shape — partial heap, probe broadcast, list equi-join") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
+    val probe = Seq((100L, unit(50)), (101L, unit(20))).toDF("vec_id", "embedding")
+    val p = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
+        "ivf_list", probe, "vec_id", "embedding", k = 3, cents, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+    // the exploded gate-list probe side broadcasts into a HASH join on the
+    // list key — never a shuffle of the corpus side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one shuffle: the k-bounded partial results keyed on probe_id
+    assert("Exchange hashpartitioning\\(probe_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("property: heap aggregation == declarative window rank on random corpora") {
     // the risky part of a hand-rolled Aggregator is merge order under
     // partitioning; pin it against the declarative row_number reference on

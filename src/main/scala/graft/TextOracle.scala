@@ -1377,16 +1377,19 @@ object TextOracle {
       FROM cand WHERE cos IS NOT NULL)
     SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
 
-  /** q155: the BATCHED multi-probe IVF serving search (VectorLake
-    * .searchBatch's core, Similarity.ivfMultiProbeKnnJoin): corpus rows
-    * carry their write-time (nearest-centroid) list; each of the `nProbes`
-    * constant probes ranks only the rows stored in its `nprobe` nearest
-    * lists (rank (d_i, i) ascending — ivfGateLists' array_sort order);
-    * per-probe top-k by (round(cos,6) DESC, vec_id). Centroids are the
-    * scaled hyperplanes as Scala-printed double literals (q150/q151's
-    * parity contract). */
-  def multiProbeKnnServeSql(k: Int, nLists: Int, dims: Int, scale: Double,
-                            nprobe: Int, nProbes: Int): String = {
+  // the shared multi-probe batched-serving skeleton of q155/q156: scaled-
+  // hyperplane CASE-argmin assignment, constant nProbes probe batch with
+  // per-probe gate lists (rank (d_i, i) ascending — ivfGateLists' order),
+  // candidates = stored list IN gate lists, per-probe top-k by
+  // (round(cos,6) DESC, vec_id). ONE implementation, parameterized by the
+  // corpus-side scoring (raw embeddings vs SQ8-dequantized) — a fix to the
+  // gate/tie rules lands in both oracles at once (r9 review: the two
+  // generators had drifted-prone verbatim copies).
+  private def multiProbeServeSkeleton(k: Int, nLists: Int, dims: Int,
+                                      scale: Double, nprobe: Int,
+                                      nProbes: Int, prefixCtes: String,
+                                      candFrom: String,
+                                      scoreVec: String): String = {
     val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
       .map(_.map(_ * scale))
     val d2 = planes.zipWithIndex.map { case (c, i) =>
@@ -1402,81 +1405,7 @@ object TextOracle {
     }.mkString("\n           ")
     val dByIdx = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
     s"""
-    WITH d AS (
-      SELECT vec_id, embedding, $d2
-      FROM embeddings),
-    a AS (
-      SELECT vec_id, embedding,
-             CASE $cases END AS ivf_list,
-             ${(0 until nLists).map(i => s"d$i").mkString(", ")}
-      FROM d),
-    pb AS (SELECT * FROM a ORDER BY vec_id LIMIT $nProbes),
-    gr AS (
-      SELECT pb.vec_id, pb.embedding, t.i AS gate_list,
-             row_number() OVER (PARTITION BY pb.vec_id
-               ORDER BY CASE t.i $dByIdx END, t.i) AS rk
-      FROM pb, (VALUES ${(0 until nLists).map(i => s"($i)").mkString(",")}) t(i)),
-    g AS (SELECT vec_id AS probe_id, embedding AS pv, gate_list
-          FROM gr WHERE rk <= $nprobe),
-    cand AS (
-      SELECT g.probe_id, e.vec_id AS neighbor_id,
-             round(${dotExpr("e.embedding", "g.pv")}
-                   / (sqrt(${dotExpr("e.embedding", "e.embedding")})
-                      * sqrt(${dotExpr("g.pv", "g.pv")})), 6) AS cos
-      FROM a e JOIN g ON e.ivf_list = g.gate_list
-      WHERE e.vec_id <> g.probe_id),
-    ranked AS (
-      SELECT probe_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
-      FROM cand WHERE cos IS NOT NULL)
-    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
-  }
-
-  /** q156: the SQ8-resident BATCHED serving search — q155's multi-probe
-    * skeleton scoring against the q152-grid dequantized corpus (stored
-    * codes, asymmetric: probes full-precision). Codes are
-    * greatest(0, least(255, floor(...))) per dim; the Spark side stores
-    * them tinyint-offset and undoes the offset at dequant, which is
-    * bit-exact, so this oracle's direct code·inv form matches. */
-  def sq8ServeBatchSql(k: Int, nLists: Int, dims: Int, scale: Double,
-                       nprobe: Int, nProbes: Int): String = {
-    val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
-      .map(_.map(_ * scale))
-    val d2 = planes.zipWithIndex.map { case (c, i) =>
-      val ss = c.map(x => x * x).sum
-      val dot = c.zipWithIndex
-        .map { case (w, d) => s"CAST(embedding[${d + 1}] AS DOUBLE) * $w" }
-        .mkString(" + ")
-      s"(${dotExpr("embedding", "embedding")} - 2.0 * ($dot) + $ss) AS d$i"
-    }.mkString(",\n             ")
-    val cases = (0 until nLists).map { i =>
-      val conds = ((i + 1) until nLists).map(j => s"d$i <= d$j")
-      if (conds.isEmpty) s"ELSE $i" else s"WHEN ${conds.mkString(" AND ")} THEN $i"
-    }.mkString("\n           ")
-    val dByIdx = (0 until nLists).map(i => s"WHEN $i THEN d$i").mkString(" ")
-    s"""
-    WITH dimstats AS (
-      SELECT t.d,
-             min(CAST(embedding[t.d] AS DOUBLE)) AS mn,
-             max(CAST(embedding[t.d] AS DOUBLE)) AS mx
-      FROM embeddings, range(1, ${dims + 1}) t(d)
-      GROUP BY t.d),
-    lut AS (
-      SELECT list(mn ORDER BY d) AS mn_l,
-             list(CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END
-                  ORDER BY d) AS sc_l,
-             list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
-                  ORDER BY d) AS iv_l
-      FROM dimstats),
-    dq AS (
-      SELECT e.vec_id,
-             list_transform(range(1, ${dims + 1}), d ->
-               mn_l[d] + greatest(0.0, least(255.0,
-                 floor((CAST(e.embedding[d] AS DOUBLE) - mn_l[d]) * sc_l[d])))
-               * iv_l[d]) AS dqv
-      FROM embeddings e, lut),
-    d AS (
+    WITH $prefixCtes d AS (
       SELECT vec_id, embedding, $d2
       FROM embeddings),
     a AS (
@@ -1494,11 +1423,10 @@ object TextOracle {
           FROM gr WHERE rk <= $nprobe),
     cand AS (
       SELECT g.probe_id, a.vec_id AS neighbor_id,
-             round(${dotExpr("q.dqv", "g.pv")}
-                   / (sqrt(${dotExpr("q.dqv", "q.dqv")})
+             round(${dotExpr(scoreVec, "g.pv")}
+                   / (sqrt(${dotExpr(scoreVec, scoreVec)})
                       * sqrt(${dotExpr("g.pv", "g.pv")})), 6) AS cos
-      FROM a JOIN dq q ON a.vec_id = q.vec_id
-             JOIN g ON a.ivf_list = g.gate_list
+      FROM $candFrom JOIN g ON a.ivf_list = g.gate_list
       WHERE a.vec_id <> g.probe_id),
     ranked AS (
       SELECT probe_id, neighbor_id, cos,
@@ -1506,6 +1434,50 @@ object TextOracle {
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM cand WHERE cos IS NOT NULL)
     SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+  }
+
+  /** q155: the BATCHED multi-probe IVF serving search (VectorLake
+    * .searchBatch's core, Similarity.ivfMultiProbeKnnJoin): corpus rows
+    * carry their write-time (nearest-centroid) list; each of the `nProbes`
+    * constant probes ranks only the rows stored in its `nprobe` nearest
+    * lists. Centroids are the scaled hyperplanes as Scala-printed double
+    * literals (q150/q151's parity contract). */
+  def multiProbeKnnServeSql(k: Int, nLists: Int, dims: Int, scale: Double,
+                            nprobe: Int, nProbes: Int): String =
+    multiProbeServeSkeleton(k, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = "", candFrom = "a", scoreVec = "a.embedding")
+
+  /** q156: the SQ8-resident BATCHED serving search — the same skeleton
+    * scoring against the q152-grid dequantized corpus (stored codes,
+    * asymmetric: probes full-precision). Codes are
+    * greatest(0, least(255, floor(...))) per dim; the Spark side stores
+    * them tinyint-offset and undoes the offset at dequant, which is
+    * bit-exact, so this oracle's direct code·inv form matches. */
+  def sq8ServeBatchSql(k: Int, nLists: Int, dims: Int, scale: Double,
+                       nprobe: Int, nProbes: Int): String = {
+    val prefix = s"""dimstats AS (
+      SELECT t.d,
+             min(CAST(embedding[t.d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.d] AS DOUBLE)) AS mx
+      FROM embeddings, range(1, ${dims + 1}) t(d)
+      GROUP BY t.d),
+    lut AS (
+      SELECT list(mn ORDER BY d) AS mn_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END
+                  ORDER BY d) AS sc_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
+                  ORDER BY d) AS iv_l
+      FROM dimstats),
+    dq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, ${dims + 1}), dd ->
+               mn_l[dd] + greatest(0.0, least(255.0,
+                 floor((CAST(e.embedding[dd] AS DOUBLE) - mn_l[dd]) * sc_l[dd])))
+               * iv_l[dd]) AS dqv
+      FROM embeddings e, lut),"""
+    multiProbeServeSkeleton(k, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = prefix, candFrom = "a JOIN dq q ON a.vec_id = q.vec_id",
+      scoreVec = "q.dqv")
   }
 
   /** q141: the relational skeleton of the multimodal curation pipeline on

@@ -95,7 +95,8 @@ object DedupLake {
              numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
              failpoint: () => Unit = () => (),
              failpointAfterIndex: () => Unit = () => (),
-             lockWaitMs: Long = 0L): DataFrame =
+             lockWaitMs: Long = 0L,
+             onKeptCount: Long => Unit = _ => ()): DataFrame =
     // lockWaitMs > 0 is the scheduled-caller stance (stall behind a running
     // reconcile, then proceed); the default stays fail-fast (VectorLake
     // .ingest's contract)
@@ -117,7 +118,12 @@ object DedupLake {
       // (or persist) the result before the maintenance deployment fires.
       val kept = kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        kept.count()
+        // the count runs while kept is PINNED and the lease held — callers
+        // that only need the number (the streaming twin's metrics seam)
+        // take it from onKeptCount instead of re-counting the returned
+        // frame, whose recompute would re-run the whole probe gate after
+        // the unpersist and outside the lock (r9 review)
+        onKeptCount(kept.count())
         val batchIds = docs.select("doc_id").distinct()
         // existing-state scans below are all scoped to batchIds via a
         // semi-join first, so replay checks cost O(batch), not O(lake)

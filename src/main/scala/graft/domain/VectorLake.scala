@@ -392,7 +392,10 @@ object VectorLake {
       .filter(col("ivf_list").isInCollection(probes))
       .withColumn("cos",
         round(VF.cosine(col("embedding"), typedLit(queryVec)), 6))
-      .filter(col("cos").isNotNull)
+      // null AND NaN drop — the same scorer contract as searchBatch's
+      // bounded-heap tail, so the documented per-probe parity holds even
+      // for degenerate scores (NaN would sort FIRST under desc)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .select(col("vec_id"), col("ivf_list"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -428,8 +431,14 @@ object VectorLake {
     val droot = dataRoot(spark, root) // one resolution: no generation mixing
     val cents = centroidsAt(spark, droot, root)
     val np = math.min(nprobe, cents.size)
+    // PINNED: the probe frame is evaluated several times (union-list
+    // collect, broadcast cap probe, the join itself) — an unpinned
+    // non-deterministic source (limit without order, a sample) could gate
+    // the pruning on one probe set and score another, silently dropping
+    // neighbors whose list fell outside the pruned union (r9 review).
     val pframe = probes.select(col(probeId).cast("long").as("probe_id"),
       col(probeVec).cast(vectorsSchema("embedding").dataType).as("__pv"))
+      .localCheckpoint(true)
     val unionLists = Similarity.ivfGateLists(pframe, "__pv", cents, np)
       .select(explode(col("gate_lists")).as("l")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -521,7 +530,7 @@ object VectorLake {
     withWriterLock(spark, root, leaseMs = leaseMs, heartbeatMs = leaseMs / 3) {
       Writers.recoverPointer(spark, GenStore.pointer(root))
       val cur = GenStore.currentGen(spark, root)
-      val droot = cur.map(g => s"$root/gen-$g").getOrElse(root)
+      val droot = GenStore.dataRootOf(root, cur)
       val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -550,7 +559,13 @@ object VectorLake {
             repairBands, repairPlanesPerBand, dims = cents.head.size,
             blockCols = Seq("ivf_list"))
           .select(col("id_b").as("vec_id")).distinct()
+        // pinned: with SQ adoption on, `repaired` feeds the vectors write,
+        // the recall eval (twice), the stats pass, and the codes write —
+        // unpinned, the banded repair join (the dominant reconcile cost)
+        // would re-execute for each while holding the writer lease
         val repaired = reassigned.join(dups, Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // write the NEW GENERATION in full — vectors WITH the list
         // partitioning (the pruning that makes a probe read one list, not
         // the corpus) and the quantizer that produced it — then commit by
@@ -601,6 +616,7 @@ object VectorLake {
         }
         failpoint() // the crash window: data written, pointer not yet flipped
         } // GenStore.promote flips the pointer and applies retention
+        } finally { repaired.unpersist(blocking = false); () }
         } finally { reassigned.unpersist(blocking = false); () }
       } finally { stored.unpersist(blocking = false); () }
     }

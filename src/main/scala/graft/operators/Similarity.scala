@@ -833,7 +833,6 @@ object Similarity {
                            excludeSelf: Boolean = false,
                            maxBroadcastProbes: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    requireBroadcastable(probe, maxBroadcastProbes)
     val topk = udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val p = ivfGateLists(
@@ -842,6 +841,12 @@ object Similarity {
         "__pv", centroids, nprobe)
       .select(col("probe_id"), col("__pv"),
         explode(col("gate_lists")).as(listCol))
+    // the cap guards what actually BROADCASTS — the gate-list-EXPLODED
+    // frame, nprobe x the probe count (each row still carrying its
+    // embedding); checking the pre-explosion frame would under-count by
+    // the nprobe factor and wave through exactly the OOM the loud refusal
+    // exists to prevent (r9 review)
+    requireBroadcastable(p, maxBroadcastProbes)
     val cand = assigned
       .select(col(listCol), col(corpusId).cast("long").as("__nid"),
         col(corpusVec).as("__cv"))

@@ -500,9 +500,13 @@ object Streams {
                             onKept: (Long, Long) => Unit = (_, _) => ())
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      val kept = graft.domain.DedupLake.ingest(batch.sparkSession, root,
-        batch, numHashes, bandRows, shingleN, lockWaitMs = lockWaitMs)
-      onKept(epoch, kept.count())
+      // the count comes from ingest's PINNED evaluation under the lease —
+      // counting the returned frame here would re-run the probe gate after
+      // the unpersist, outside the lock (r9 review)
+      graft.domain.DedupLake.ingest(batch.sparkSession, root,
+        batch, numHashes, bandRows, shingleN, lockWaitMs = lockWaitMs,
+        onKeptCount = n => onKept(epoch, n))
+      ()
     }
 
   /** Streaming ingest into the lake-resident VECTOR index — the embedding

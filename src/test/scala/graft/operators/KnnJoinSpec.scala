@@ -172,6 +172,25 @@ class KnnJoinSpec extends SparkSpec {
     assert(ids(1) == ivf1)
   }
 
+  test("ivfMultiProbeKnnJoin's broadcast cap counts the EXPLODED gate rows, not the probes") {
+    // 3 probes x nprobe=2 = 6 broadcast rows: a cap of 5 must refuse even
+    // though only 3 probe ROWS exist — checking pre-explosion under-counts
+    // by the nprobe factor and waves through the broadcast OOM the loud
+    // refusal exists to prevent
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
+    val probe = corpus.filter(col("vec_id") <= 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
+        "ivf_list", probe, "vec_id", "embedding", k = 2, cents, nprobe = 2,
+        maxBroadcastProbes = 5L)
+    }
+    assert(e.getMessage.contains("cannot broadcast"))
+    assert(Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
+      "ivf_list", probe, "vec_id", "embedding", k = 2, cents, nprobe = 2,
+      maxBroadcastProbes = 6L).count() > 0)
+  }
+
   test("knnJoin enforces the probe-side broadcast contract") {
     val probe = corpus // 5 rows, cap of 3 -> refused with the scale pointer
     val e = intercept[IllegalArgumentException] {

@@ -171,7 +171,8 @@ object DedupLake {
   def reconcile(spark: SparkSession, root: String,
                 numHashes: Int = 8, bandRows: Int = 2, shingleN: Int = 2,
                 targetRecordsPerFile: Long = 1000000L,
-                leaseMs: Long = 30 * 60 * 1000L): ReconcileReport =
+                leaseMs: Long = 30 * 60 * 1000L,
+                retainGenerations: Int = 2): ReconcileReport =
     // corpus-scale wall time -> renewed lease (heartbeat), the VectorLake
     // .reconcile rationale: a fixed lease breaks mid-run at 100 TB and the
     // contender's ingest gets overwritten by this pass's swap
@@ -196,7 +197,8 @@ object DedupLake {
           // again be observed one reconcile apart (the old twin-swap
           // window, now closed the VectorLake way via GenStore)
           GenStore.promote(spark, root, genCur,
-            legacyDirs = Seq("keeps", "index")) { ngRoot =>
+            legacyDirs = Seq("keeps", "index"),
+            retainGenerations = retainGenerations) { ngRoot =>
             repaired.select("doc_id")
               .write.mode("overwrite").parquet(s"$ngRoot/keeps")
             Dedup.lshBands(
@@ -215,9 +217,12 @@ object DedupLake {
 
   def keeps(spark: SparkSession, root: String): DataFrame =
     // READER path: one pointer resolution, read-only swap resolution — no
-    // lease held, safe concurrent with a locked writer's promotion
-    Writers.readOrEmptyReadOnly(spark,
-      s"${GenStore.dataRoot(spark, root)}/keeps", keepsSchema)
+    // lease held, safe concurrent with a locked writer's promotion. The
+    // GenStore expiry guard makes a stranded reader (resolved generation
+    // dropped by retention) fail loudly instead of serving an EMPTY keep
+    // set as an answer (r9 verdict finding #3)
+    GenStore.readGenOrEmpty(spark, GenStore.dataRoot(spark, root),
+      "keeps", keepsSchema)
 
   /** The reconcile pass as a cron [[Scheduler.Deployment]] — default weekly
     * (Sunday 03:00, the off-peak compaction slot), driven by the same

@@ -136,29 +136,33 @@ object VectorLake {
     }
   }
 
-  // generation-scoped reads (private): callers pass ONE resolved dataRoot
+  // generation-scoped reads (private): callers pass ONE resolved dataRoot.
+  // All ride GenStore.readGenOrEmpty, whose expiry guard turns a stranded
+  // reader (resolved generation dropped by later promotions' retention)
+  // into a loud re-resolve message instead of an empty frame or a mid-scan
+  // FileNotFoundException (r9 verdict finding #3)
   private def centroidsAt(spark: SparkSession, droot: String,
                           root: String): Seq[Seq[Double]] = {
-    val rows = Writers
-      .readOrEmptyReadOnly(spark, s"$droot/centroids", centroidsSchema)
+    val rows = GenStore
+      .readGenOrEmpty(spark, droot, "centroids", centroidsSchema)
       .orderBy("ivf_list").collect()
     require(rows.nonEmpty, s"vector lake at $root has no centroids — run init")
     rows.map(_.getSeq[Double](1).toIndexedSeq)
   }
 
   private def vectorsAt(spark: SparkSession, droot: String): DataFrame =
-    Writers.readOrEmptyReadOnly(spark, s"$droot/vectors", vectorsSchema)
+    GenStore.readGenOrEmpty(spark, droot, "vectors", vectorsSchema)
 
   private def codesAt(spark: SparkSession, droot: String): DataFrame =
-    Writers.readOrEmptyReadOnly(spark, s"$droot/codes", codesSchema)
+    GenStore.readGenOrEmpty(spark, droot, "codes", codesSchema)
 
   /** The generation's SQ quantization LUT, or None when the recall gate
     * never adopted an SQ tier for it — 2·dims cells, the bounded-LUT
     * contract. */
   private def sqStatsAt(spark: SparkSession,
                         droot: String): Option[(Seq[Double], Seq[Double])] = {
-    val rows = Writers
-      .readOrEmptyReadOnly(spark, s"$droot/sqstats", sqStatsSchema).collect()
+    val rows = GenStore
+      .readGenOrEmpty(spark, droot, "sqstats", sqStatsSchema).collect()
     rows.headOption.map(r =>
       (r.getSeq[Double](0).toIndexedSeq, r.getSeq[Double](1).toIndexedSeq))
   }
@@ -290,11 +294,19 @@ object VectorLake {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val batchRows = assigned.count()
-        require(batchRows <= maxBroadcastRows,
-          s"ingest batch has $batchRows rows > maxBroadcastRows=" +
-            s"$maxBroadcastRows — the ingest gate BROADCASTS the batch " +
-            "(serving-bounded by contract). For corpus-sized loads, bulk-" +
-            "write the store and run reconcile (banded dedup, no " +
+        // the cap guards what actually BROADCASTS: the gate-list-EXPLODED
+        // frame — gateProbes rows per batch vector, each still carrying its
+        // embedding ([[gateFrames]]). Capping the pre-explosion count would
+        // under-count by the probe factor and wave through exactly the OOM
+        // the loud refusal exists to prevent (the ivfMultiProbeKnnJoin cap
+        // semantics, r9 verdict finding #1).
+        val nprobe = math.max(1, math.min(gateProbes, cents.size)).toLong
+        require(batchRows * nprobe <= maxBroadcastRows,
+          s"ingest batch explodes to ${batchRows * nprobe} gate rows " +
+            s"($batchRows rows x $nprobe gate probes) > maxBroadcastRows=" +
+            s"$maxBroadcastRows — the ingest gate BROADCASTS the exploded " +
+            "batch (serving-bounded by contract). For corpus-sized loads, " +
+            "bulk-write the store and run reconcile (banded dedup, no " +
             "broadcast); raise maxBroadcastRows only if executors are " +
             "sized for it.")
         val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
@@ -522,7 +534,8 @@ object VectorLake {
                 failpoint: () => Unit = () => (),
                 sqMinRecall: Double = 0.0,
                 sqRecallK: Int = 10, sqRecallProbes: Int = 64,
-                onSqGate: (Double, Boolean) => Unit = (_, _) => ()): Unit =
+                onSqGate: (Double, Boolean) => Unit = (_, _) => (),
+                retainGenerations: Int = 2): Unit =
     // the retrain's wall time scales with the corpus, so the lease RENEWS
     // (heartbeat at leaseMs/3) instead of betting a fixed leaseMs covers
     // 100 TB — without it a contender breaks the "stale" lock mid-run,
@@ -565,6 +578,12 @@ object VectorLake {
         // would re-execute for each while holding the writer lease
         val repaired = reassigned.join(dups, Seq("vec_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the SQ gate below sizes its recall eval from the POST-repair
+        // count: the banded pass may have shrunk the store, and a gate
+        // guarded by the pre-dedup n could run an empty exclude-self eval
+        // (coalesced to recall 0.0 — spurious refusal) or set kk2 beyond
+        // repaired-1, deflating measured recall (r9 advice)
+        val nr = repaired.count()
         try {
         // write the NEW GENERATION in full — vectors WITH the list
         // partitioning (the pruning that makes a probe read one list, not
@@ -573,7 +592,8 @@ object VectorLake {
         // separate compact pass is needed. An orphan gen dir from a
         // crashed previous attempt is overwritten here before any flip.
         GenStore.promote(spark, root, cur,
-          legacyDirs = Seq("vectors", "centroids")) { ngRoot =>
+          legacyDirs = Seq("vectors", "centroids"),
+          retainGenerations = retainGenerations) { ngRoot =>
         repaired.write.mode("overwrite").partitionBy("ivf_list")
           .parquet(s"$ngRoot/vectors")
         import scala.jdk.CollectionConverters._
@@ -589,12 +609,12 @@ object VectorLake {
         // atomic as the generation itself. A refused gate leaves the
         // generation float-only (the safe default); a quantized read then
         // fails loudly instead of serving unvetted codes.
-        // n >= 2: with one resident row, exclude-self search has no
+        // nr >= 2: with one SURVIVING row, exclude-self search has no
         // neighbors and the recall average would be an empty (null) agg
-        if (sqMinRecall > 0.0 && n >= 2) {
+        if (sqMinRecall > 0.0 && nr >= 2) {
           val dims = cents.head.size
           val resident = repaired.select(col("vec_id"), col("embedding"))
-          val kk2 = math.max(1, math.min(sqRecallK.toLong, n - 1).toInt)
+          val kk2 = math.max(1, math.min(sqRecallK.toLong, nr - 1).toInt)
           val probes = resident.orderBy("vec_id").limit(sqRecallProbes)
           val recall = Similarity.sqRecallEval(resident, "vec_id", "embedding",
               probes, "vec_id", "embedding", kk2, dims)

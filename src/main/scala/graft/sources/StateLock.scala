@@ -285,9 +285,15 @@ object StateLock {
               // unreadable lock is indistinguishable from a transient IO
               // error, and wrongly silencing a live holder's renewal is the
               // exact failure heartbeats exist to prevent (a stale extra
-              // beat, by contrast, is token-gated by every reader).
+              // beat, by contrast, is token-gated by every reader). Same
+              // rule for a readable-but-TOKENLESS payload (a contender that
+              // crashed mid-tryCreate leaves an empty create-window file):
+              // garbage parses to no token, readers already ignore it, and
+              // stopping a live holder's beats over it would let the lease
+              // expire under a running writer — only a parsed token that
+              // MISMATCHES proves a new holder owns the lock.
               val broken = readRetry(lock)
-                .exists(p => !payloadToken(p).contains(uuid))
+                .exists(p => payloadToken(p).exists(_ != uuid))
               if (broken) beating.set(false)
               else { hb.foreach(_.writeReplace(s"${now()}:$uuid")); () }
             }

@@ -202,9 +202,15 @@ object Writers {
   // before the flip, so any resolvable value names a complete generation.
 
   /** READER-side pointer resolution: destination first, else a non-empty
-    * `__tmp` (the flip's rename window), retried once for the instant
-    * between the delete and the rename. Returns None only when no pointer
-    * exists at all (an unversioned/legacy store). */
+    * `__tmp` (the flip's rename window), retried with backoff for the
+    * instant between the delete and the rename. Returns None ONLY when no
+    * pointer exists at all (an unversioned/legacy store). A pointer that
+    * EXISTS but stays unreadable/empty through the retries THROWS instead:
+    * returning None there would silently degrade a versioned store to the
+    * root layout — DedupLake.keeps would serve an empty frame and a
+    * post-migration VectorLake would see no vectors — turning a transient
+    * IO error into a wrong answer (the lock protocol's live-on-read-error
+    * rule, applied to the pointer). */
   def readPointerReadOnly(spark: SparkSession, path: String): Option[String] = {
     val (fs, dst) = hfsOf(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
@@ -216,11 +222,21 @@ object Writers {
           java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
         finally in.close()
       } catch { case _: Exception => None }
-    Iterator.range(0, 3).map { _ =>
-      if (fs.exists(dst)) readF(dst)
-      else if (fs.exists(tmp)) readF(tmp)
+    var sawPointer = false
+    val resolved = Iterator.range(0, 3).map { i =>
+      if (i > 0) Thread.sleep(25L << i)
+      if (fs.exists(dst)) { sawPointer = true; readF(dst) }
+      else if (fs.exists(tmp)) { sawPointer = true; readF(tmp) }
       else None
     }.find(_.isDefined).flatten
+    if (resolved.isEmpty && sawPointer)
+      throw new IllegalStateException(
+        s"generation pointer at $path exists but could not be read (empty " +
+          "or IO error through 3 backoff retries) — refusing to fall back " +
+          "to the legacy root layout, which would silently serve an empty " +
+          "store. Retry the read; if the pointer file is truly corrupt, " +
+          "restore it under the writer lease.")
+    resolved
   }
 
   /** WRITER-side flip (call under the store's lease): write the new value

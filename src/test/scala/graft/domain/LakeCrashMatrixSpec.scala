@@ -70,6 +70,27 @@ trait LakeCrashMatrix { self: SparkSpec =>
         "a replay after reconcile must insert nothing")
     }
 
+    test(s"[matrix:${adapter.name}] a reader stranded past retention fails loudly, not emptily") {
+      // the r9 verdict's unfriendliest-failure finding: a reader resolves
+      // gen-N, sleeps through retainGenerations promotions, and its next
+      // generation-scoped read must raise the actionable expiry message —
+      // NOT return a silently-empty frame (a wrong answer) and NOT die
+      // mid-scan on a raw FileNotFoundException
+      val root = adapter.freshRoot()
+      adapter.ingestBatch(root, None)
+      adapter.reconcile(root) // versions the store (legacy -> gen-0)
+      val droot = GenStore.dataRoot(spark, root) // the reader's resolution
+      adapter.reconcile(root) // promotion 1: displaces the reader's gen
+      adapter.reconcile(root) // promotion 2: retention (default 2) drops it
+      val e = intercept[IllegalStateException] {
+        GenStore.readGenOrEmpty(spark, droot, "any",
+          new org.apache.spark.sql.types.StructType())
+      }
+      assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+      // a fresh resolution under the CURRENT pointer still serves
+      assert(adapter.residentCount(root) == adapter.expectedAfterBatch)
+    }
+
     test(s"[matrix:${adapter.name}] the writer lease refuses a second writer, state untouched") {
       val root = adapter.freshRoot()
       adapter.plantForeignLock(root)

@@ -115,6 +115,70 @@ class VectorLakeSpec extends SparkSpec {
     assert(VectorLake.vectors(spark, root).count() == 0, "refusal must not write")
   }
 
+  test("ingest's broadcast cap counts the gate-EXPLODED rows, not the batch rows") {
+    // the r9 verdict's finding #1: what broadcasts is the gate-list-exploded
+    // frame — batchRows x gateProbes rows, each carrying its embedding. A
+    // cap on the pre-explosion count under-counts by the probe factor. With
+    // B = 3 and gateProbes = 2: cap 2B-1 = 5 must refuse, cap 2B = 6 must
+    // proceed (the ivfMultiProbeKnnJoin cap semantics, applied to ingest).
+    val root = freshRoot("capx")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val batch = Seq((1L, unit(0)), (2L, unit(90)), (3L, unit(45)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.ingest(spark, root, batch, gateProbes = 2,
+        maxBroadcastRows = 5L)
+    }
+    assert(e.getMessage.contains("gate rows") &&
+      e.getMessage.contains("2 gate probes"), e.getMessage)
+    assert(VectorLake.vectors(spark, root).count() == 0, "refusal must not write")
+    val r = VectorLake.ingest(spark, root, batch, gateProbes = 2,
+      maxBroadcastRows = 6L)
+    assert(r.kept == 3, r.toString)
+  }
+
+  test("a search stranded past retention raises the expiry message, not FileNotFound") {
+    // search resolves the pointer ONCE; its failpoint runs after that
+    // resolution — exactly where back-to-back reconciles can land. Two
+    // promotions drop the resolved generation (default retention 2); the
+    // search's next read must raise GenStore's actionable expiry message
+    // instead of dying mid-scan or serving an empty store.
+    val root = freshRoot("stranded")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root,
+      Seq((1L, unit(0, 14f)), (2L, unit(90, 14f))).toDF("vec_id", "embedding"))
+    val e = intercept[IllegalStateException] {
+      VectorLake.search(spark, root, unit(0).toSeq, k = 1,
+        failpoint = () => {
+          VectorLake.reconcile(spark, root, k = 2, iters = 2)
+          VectorLake.reconcile(spark, root, k = 2, iters = 2)
+        })
+    }
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+    // a fresh search under the current pointer serves normally
+    assert(VectorLake.search(spark, root, unit(0).toSeq, k = 1).count() == 1)
+  }
+
+  test("retainGenerations = 3 keeps a reader live through two promotions") {
+    val root = freshRoot("retain3")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root,
+      Seq((1L, unit(0, 14f)), (2L, unit(90, 14f))).toDF("vec_id", "embedding"))
+    VectorLake.reconcile(spark, root, k = 2, iters = 2, retainGenerations = 3)
+    val droot = GenStore.dataRoot(spark, root)
+    VectorLake.reconcile(spark, root, k = 2, iters = 2, retainGenerations = 3)
+    VectorLake.reconcile(spark, root, k = 2, iters = 2, retainGenerations = 3)
+    // two promotions after the resolution: still within the 3-gen window
+    assert(GenStore.readGenOrEmpty(spark, droot, "vectors",
+      VectorLake.vectorsSchema).count() == 2)
+    VectorLake.reconcile(spark, root, k = 2, iters = 2, retainGenerations = 3)
+    // the third promotion drops it
+    val e = intercept[IllegalStateException] {
+      GenStore.readGenOrEmpty(spark, droot, "vectors", VectorLake.vectorsSchema)
+    }
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+  }
+
   test("replayed batch report EQUALS the original, within-batch dups included") {
     // the r7 advice: counting the batch's own stored rows as index dups
     // reclassified a replay's in-batch dup as a vs-index dup

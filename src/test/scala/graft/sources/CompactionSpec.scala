@@ -106,9 +106,15 @@ class CompactionSpec extends SparkSpec {
     Writers.recoverPointer(spark, ptr)
     assert(Writers.readPointerReadOnly(spark, ptr).contains("2"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${ptr}__tmp")))
-    // an empty/torn pointer file reads as absent, never as a garbage value
+    // an empty/torn pointer file throws LOUDLY rather than reading as
+    // absent: absent means "legacy store, use the root layout", and a
+    // versioned store degraded there serves an empty frame — a transient-
+    // IO-to-wrong-answer path (round-9 advice)
     fs.delete(new org.apache.hadoop.fs.Path(ptr), false)
     plant(ptr, "")
-    assert(Writers.readPointerReadOnly(spark, ptr).isEmpty)
+    val ex = intercept[IllegalStateException] {
+      Writers.readPointerReadOnly(spark, ptr)
+    }
+    assert(ex.getMessage.contains("could not be read"))
   }
 }

@@ -2043,6 +2043,37 @@ object SparkEntry {
     }, Some(TextOracle.sq8ServeBatchSql(k = 5, nLists = 4, dims = 64,
       scale = 0.02, nprobe = 2, nProbes = 64))),
 
+    Q("q157_sq8_refine_serve", (s, dir) => {
+      // the quantized-scan + FLOAT-REFINE serving read (VectorLake
+      // .searchBatch(quantized = true, refineFactor = 4)'s plan as a pure
+      // oracle query; r9 verdict ask #1): q156's SQ8 asymmetric scan
+      // widened to each probe's top-(k·4) candidates at 4×-smaller list
+      // I/O, then ONLY those candidates rescore against the full-precision
+      // embeddings — k·4 float cosines per probe, never a float list
+      // re-rank — and re-rank exact. Float-serving recall at SQ8 scan
+      // cost: the read-amplification story the SQ8 tier exists for,
+      // completed. Constant 64-probe batch (the serving-twin discipline);
+      // the emitted cos is the EXACT float score, hash-checked.
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val (mins, maxs) = Similarity.sqMinMax(emb, "embedding", dims = 64)
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "embedding", cents)
+      val sqStore = assigned
+        .withColumn("codes",
+          Similarity.sqCodesTiny(col("embedding"), mins, maxs))
+        .select(col("vec_id"), col("ivf_list"),
+          Similarity.sqDequantTiny(col("codes"), mins, maxs).as("dqv"))
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      Similarity.ivfSqRefineKnnJoin(sqStore,
+        emb.select("vec_id", "embedding"),
+        "vec_id", "dqv", "ivf_list", "embedding",
+        probes, "vec_id", "embedding", k = 5, refineFactor = 4,
+        cents, nprobe = 2, excludeSelf = true)
+    }, Some(TextOracle.sq8RefineServeSql(k = 5, refineFactor = 4,
+      nLists = 4, dims = 64, scale = 0.02, nprobe = 2, nProbes = 64))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

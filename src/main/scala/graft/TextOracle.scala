@@ -1389,7 +1389,8 @@ object TextOracle {
                                       scale: Double, nprobe: Int,
                                       nProbes: Int, prefixCtes: String,
                                       candFrom: String,
-                                      scoreVec: String): String = {
+                                      scoreVec: String,
+                                      tailSql: Option[String] = None): String = {
     val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
       .map(_.map(_ * scale))
     val d2 = planes.zipWithIndex.map { case (c, i) =>
@@ -1432,8 +1433,8 @@ object TextOracle {
       SELECT probe_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos DESC, neighbor_id) AS rank
-      FROM cand WHERE cos IS NOT NULL)
-    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k"""
+      FROM cand WHERE cos IS NOT NULL)${tailSql.getOrElse(s"""
+    SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k""")}"""
   }
 
   /** q155: the BATCHED multi-probe IVF serving search (VectorLake
@@ -1478,6 +1479,60 @@ object TextOracle {
     multiProbeServeSkeleton(k, nLists, dims, scale, nprobe, nProbes,
       prefixCtes = prefix, candFrom = "a JOIN dq q ON a.vec_id = q.vec_id",
       scoreVec = "q.dqv")
+  }
+
+  /** q157: the quantized-scan + FLOAT-REFINE serving read
+    * (VectorLake.searchBatch(quantized = true, refineFactor = r),
+    * Similarity.ivfSqRefineKnnJoin) — q156's SQ8 asymmetric scan widened to
+    * each probe's top-(k·r) CANDIDATES, then ONLY those k·r rows rescored
+    * against the full-precision embeddings and re-ranked exact. The final
+    * `cos` is the EXACT float score; candidate-cut ties break by
+    * (sq-cos DESC, vec_id) exactly like the Spark heap, so the refine set
+    * is deterministic across engines. */
+  def sq8RefineServeSql(k: Int, refineFactor: Int, nLists: Int, dims: Int,
+                        scale: Double, nprobe: Int, nProbes: Int): String = {
+    val prefix = s"""dimstats AS (
+      SELECT t.d,
+             min(CAST(embedding[t.d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.d] AS DOUBLE)) AS mx
+      FROM embeddings, range(1, ${dims + 1}) t(d)
+      GROUP BY t.d),
+    lut AS (
+      SELECT list(mn ORDER BY d) AS mn_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE 255.0 / (mx - mn) END
+                  ORDER BY d) AS sc_l,
+             list(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
+                  ORDER BY d) AS iv_l
+      FROM dimstats),
+    dq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, ${dims + 1}), dd ->
+               mn_l[dd] + greatest(0.0, least(255.0,
+                 floor((CAST(e.embedding[dd] AS DOUBLE) - mn_l[dd]) * sc_l[dd])))
+               * iv_l[dd]) AS dqv
+      FROM embeddings e, lut),"""
+    val tail = s""",
+    refine AS (
+      SELECT probe_id, neighbor_id FROM ranked
+      WHERE rank <= ${k * refineFactor}),
+    ex AS (
+      SELECT r.probe_id, r.neighbor_id,
+             round(${dotExpr("a.embedding", "pb.embedding")}
+                   / (sqrt(${dotExpr("a.embedding", "a.embedding")})
+                      * sqrt(${dotExpr("pb.embedding", "pb.embedding")})), 6)
+               AS cos
+      FROM refine r
+      JOIN a ON a.vec_id = r.neighbor_id
+      JOIN pb ON pb.vec_id = r.probe_id),
+    refined AS (
+      SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM ex WHERE cos IS NOT NULL)
+    SELECT probe_id, neighbor_id, cos, rank FROM refined WHERE rank <= $k"""
+    multiProbeServeSkeleton(k, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = prefix, candFrom = "a JOIN dq q ON a.vec_id = q.vec_id",
+      scoreVec = "q.dqv", tailSql = Some(tail))
   }
 
   /** q141: the relational skeleton of the multimodal curation pipeline on

@@ -516,6 +516,48 @@ class VectorLakeSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(9L))
   }
 
+  test("SQ8 refine: quantized scan + float rescore EQUALS the float serve, scores included") {
+    // the r9 verdict's top ask, lake-level: searchBatch(quantized = true,
+    // refineFactor = r) scans the 4×-smaller codes tier for top-(k·r)
+    // candidates, rescores ONLY those against gen-N/vectors, and re-ranks
+    // exact. Where the candidate set contains the float top-k (q152's
+    // recall contract — guaranteed here by well-separated data), the
+    // refined rows must equal the float serve EXACTLY — ids, ranks, AND
+    // the 6-decimal cos, because the final scores are float cosines on the
+    // same rows, not dequantized approximations.
+    val root = freshRoot("sq8refine")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f),
+      4L -> unit(170, 14f)).toDF("vec_id", "embedding")).kept == 4)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.5, sqRecallK = 2)
+    val probes = Seq(101L -> unit(10, 14f), 102L -> unit(85, 14f))
+      .toDF("probe_id", "embedding")
+    def rows(quantized: Boolean, refine: Int) = VectorLake
+      .searchBatch(spark, root, probes, k = 3, nprobe = 2,
+        quantized = quantized, refineFactor = refine)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val exact = rows(quantized = false, refine = 0)
+    assert(rows(quantized = true, refine = 2) == exact,
+      "refined serve must reproduce the float serve bit-for-bit")
+    // refineFactor = 1 rescans exactly the quantized top-k — ids may match
+    // but the SCORES must already be float-exact (the refine contract)
+    assert(rows(quantized = true, refine = 1).forall { case (p, n, c, _) =>
+      exact.exists(e => e._1 == p && e._2 == n && e._3 == c) ||
+        !exact.exists(e => e._1 == p && e._2 == n)
+    }, "a refined score must be the float cosine, never the dequantized one")
+    // refine without a quantized scan is refused loudly: a float scan is
+    // already exact
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.searchBatch(spark, root, probes, k = 3,
+        quantized = false, refineFactor = 2)
+    }
+    assert(e.getMessage.contains("refine"), e.getMessage)
+  }
+
   test("SQ8 tier: a refused recall gate leaves the generation float-only; quantized read fails loudly") {
     val root = freshRoot("sq8no")
     VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))

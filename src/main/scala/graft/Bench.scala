@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 object Bench {
   private final case class R(name: String, time: Double, median: Double,
                              rows: Long, ok: Boolean,
-                             gcMs: Long, peakMb: Long)
+                             gcMs: Long, peakMb: Long, startLoad: Double)
 
   // Per-query pollution telemetry: driver-bench runs showed q102 at 2-3x its
   // idle-box time with min != median; GC-time delta and heap peak per query
@@ -56,6 +56,24 @@ object Bench {
       : Seq[String] =
     loads.toSeq.filter(_._2 > threshold).map(_._1).sorted
 
+  /** Auto-requeue decision (pure, spec-driven; r9 verdict ask #5): a query
+    * earns ONE post-sweep re-run when its min/median spread trips the
+    * interference heuristic, OR its sweep ran under contention (run-start
+    * 1-min loadavg above the one-time threshold) AND its time is beyond
+    * the scheduling floor — a floor-dominated query's number carries no
+    * signal worth a re-run, and on a loaded box the load trigger would
+    * otherwise requeue the whole sweep. The committed artifact then sums
+    * CLEAN measurements instead of ambient ones, with the dirty originals
+    * preserved in a `contaminated` field (the r9 judge burned forensics
+    * time proving q90/q117's inflated medians were load, not code). */
+  private[graft] def shouldRequeue(min: Double, median: Double,
+                                   startLoad: Double, runs: Int,
+                                   spread: Double = SuspectSpread,
+                                   loadThreshold: Double = OneTimeLoadSuspect)
+      : Boolean =
+    (runs >= 2 && min > 0.05 && median / min > spread) ||
+      (startLoad > loadThreshold && min > 0.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -81,11 +99,14 @@ object Bench {
       s"unknown queries: ${only.filterNot(SparkEntry.queries.contains).mkString(", ")}")
     val load0 = loadAvg
     val sweepT0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
       resetPeaks()
       val gc0 = gcMillis
+      // the query's contamination witness: 1-min loadavg at its first
+      // attempt's start (the requeue trigger's load arm)
+      val startLoad = loadAvg.headOption.getOrElse(0.0)
       // a failed run is recorded as a FAILURE, never as a timing — folding a
       // fast-fail elapsed into min would make regressions look like speedups
       val attempts: Seq[(Option[Long], Double)] = (1 to runs).map { _ =>
@@ -107,16 +128,41 @@ object Bench {
       val gcd = gcMillis - gc0
       val pk = peakHeapMb
       if (ok.nonEmpty) R(name, ok.map(_._2).min, median(ok.map(_._2)), ok.head._1,
-        ok = true, gcMs = gcd, peakMb = pk)
-      else R(name, -1.0, -1.0, -1L, ok = false, gcMs = gcd, peakMb = pk)
+        ok = true, gcMs = gcd, peakMb = pk, startLoad = startLoad)
+      else R(name, -1.0, -1.0, -1L, ok = false, gcMs = gcd, peakMb = pk,
+        startLoad = startLoad)
+    }
+    // AUTO-REQUEUE (r9 verdict ask #5): one clean re-run, after the sweep,
+    // for every query whose numbers the heuristics say are partly ambient —
+    // the committed `value`/`queries` then carry the cleanest observed
+    // measurement, and the dirty sweep numbers move to `contaminated`
+    // instead of silently summing into the headline.
+    val requeued = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = results0.map { r =>
+      if (!(r.ok && shouldRequeue(r.time, r.median, r.startLoad, runs))) r
+      else {
+        val fn = SparkEntry.queries(r.name)
+        val reLoad = loadAvg.headOption.getOrElse(0.0)
+        val t0 = System.nanoTime()
+        val reTime = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        spark.catalog.clearCache()
+        requeued(r.name) =
+          s"""{"sweep_min":${math.rint(r.time * 1000) / 1000},"sweep_median":${math.rint(r.median * 1000) / 1000},"sweep_loadavg":${math.rint(r.startLoad * 1000) / 1000},"requeue_s":${reTime.map(t => math.rint(t * 1000) / 1000).getOrElse(-1)},"requeue_loadavg":${math.rint(reLoad * 1000) / 1000}}"""
+        reTime match {
+          case Some(t) if t < r.time => r.copy(time = t, median = math.min(r.median, t))
+          case _ => r // a failed/slower re-run never replaces the sweep number
+        }
+      }
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     val load1 = loadAvg
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // suspect = median/min spread beyond the ambient band on an otherwise-idle
     // box; only meaningful with >=2 successful runs and non-trivial times
-    // (sub-50ms queries jitter freely without meaning anything)
-    val suspects = results.filter(r =>
+    // (sub-50ms queries jitter freely without meaning anything). Computed
+    // from the SWEEP's numbers (pre-requeue) — it is the sweep's witness.
+    val suspects = results0.filter(r =>
       r.ok && runs >= 2 && r.time > 0.05 && r.median / r.time > SuspectSpread)
       .map(_.name)
     val qs = results.map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
@@ -130,6 +176,10 @@ object Bench {
     // diffable record.
     val gcm = results.map(r => s""""${r.name}":${r.gcMs}""").mkString("{", ",", "}")
     val pks = results.map(r => s""""${r.name}":${r.peakMb}""").mkString("{", ",", "}")
+    val qloads = results.map(r => s""""${r.name}":${r3(r.startLoad)}""")
+      .mkString("{", ",", "}")
+    val contaminated = requeued
+      .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
     // honest accounting for shared artifacts (the cluster-label closure et
     // al.): their build lands in ONE query's first run and is then excluded
     // by the min statistic, so without naming it the sweep total under-counts
@@ -150,13 +200,13 @@ object Bench {
     val otSuspectArr = otSuspects.map(n => s""""$n"""").mkString("[", ",", "]")
     val suspectArr = suspects.map(n => s""""$n"""").mkString("[", ",", "]")
     def loadArr(xs: Seq[Double]) = xs.map(r3).mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"one_time_s":$ots,"one_time_s_total":$otTotal,"one_time_loadavg":$otl,"one_time_suspect":$otSuspectArr,"n_one_time_suspect":${otSuspects.size},"sweep_wall_s":${r3(sweepWall)},"loadavg_before":${loadArr(load0)},"loadavg_after":${loadArr(load1)},"suspect":$suspectArr,"n_suspect":${suspects.size},"bench_runs":$runs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"gc_ms":$gcm,"peak_heap_mb":$pks,"queries_loadavg":$qloads,"contaminated":$contaminated,"n_requeued":${requeued.size},"one_time_s":$ots,"one_time_s_total":$otTotal,"one_time_loadavg":$otl,"one_time_suspect":$otSuspectArr,"n_one_time_suspect":${otSuspects.size},"sweep_wall_s":${r3(sweepWall)},"loadavg_before":${loadArr(load0)},"loadavg_after":${loadArr(load1)},"suspect":$suspectArr,"n_suspect":${suspects.size},"bench_runs":$runs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // stdout: ONE JSON line guaranteed to fit the 2 KB capture — aggregate,
     // failure list, and the 20 slowest queries; everything else is in the file
     val top = results.filter(_.ok).sortBy(-_.time).take(20)
       .map(r => s""""${r.name}":${r3(r.time)}""").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"n_suspect":${suspects.size},"n_one_time_suspect":${otSuspects.size},"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","one_time_s_total":$otTotal,"n_suspect":${suspects.size},"n_one_time_suspect":${otSuspects.size},"n_requeued":${requeued.size},"queries":$top,"queries_truncated":true,"n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

@@ -282,6 +282,10 @@ object VectorLake {
       // one generation resolution for the whole mutation; the pointer
       // cannot flip while we hold the writer lease
       val droot = dataRoot(spark, root)
+      // repair any compaction crash BEFORE reading: a leaf absent mid-swap
+      // would silently drop that list's rows from the gate's resident side
+      Writers.recoverPartitionCompact(spark, s"$droot/vectors")
+      Writers.recoverPartitionCompact(spark, s"$droot/codes")
       val cents = centroidsAt(spark, droot, root)
       // the embedding cast is load-bearing: an uncast array<double> batch
       // would append double-typed files into the float-typed store and
@@ -565,6 +569,8 @@ object VectorLake {
       Writers.recoverPointer(spark, GenStore.pointer(root))
       val cur = GenStore.currentGen(spark, root)
       val droot = GenStore.dataRootOf(root, cur)
+      // a compaction crash must not silently shrink the retrain corpus
+      Writers.recoverPartitionCompact(spark, s"$droot/vectors")
       val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -669,4 +675,63 @@ object VectorLake {
                             k: Int = 0, iters: Int = 5): Scheduler.Deployment =
     Scheduler.Deployment("vector_recluster", Scheduler.parse(cron),
       () => reconcile(spark, root, k, iters))
+
+  /** Collapse the small files a high-frequency ingest accumulates BETWEEN
+    * reconciles (r9 verdict ask #4): every ingest batch appends ≥1 parquet
+    * file per touched list partition of `vectors/` (and `codes/` while the
+    * SQ tier is resident); reconcile's full rewrite compacts weekly, but a
+    * streaming `vectorLakeIngestStream` leaves thousands of files per list
+    * in between — per-file open/footer cost exactly where partition
+    * pruning should make a probe cheap. Each list whose data-file count
+    * reaches `minFilesPerList` is rewritten to
+    * ceil(rows / targetRecordsPerFile) files via the hidden-sibling leaf
+    * swap ([[Writers.compactPartition]] — crash states are invisible to
+    * readers and repaired under the next lease). Values untouched;
+    * CURRENT generation only (an expired generation is already dead — its
+    * reads fail loudly, never slowly). Returns the compacted leaves with
+    * their prior file counts. Runs under the writer lease; `lockWaitMs > 0`
+    * is the scheduled-caller stance (stall behind a running reconcile). */
+  def compactLists(spark: SparkSession, root: String,
+                   targetRecordsPerFile: Long = 1000000L,
+                   minFilesPerList: Int = 8,
+                   lockWaitMs: Long = 0L): Map[String, Long] =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val droot = dataRoot(spark, root)
+      val conf = spark.sessionState.newHadoopConf()
+      val out = Map.newBuilder[String, Long]
+      for (tier <- Seq("vectors", "codes")) {
+        val base = new org.apache.hadoop.fs.Path(s"$droot/$tier")
+        val fs = base.getFileSystem(conf)
+        if (fs.exists(base)) {
+          Writers.recoverPartitionCompact(spark, base.toString)
+          for (st <- fs.listStatus(base)
+               if st.isDirectory && st.getPath.getName.contains("=")
+                 && !st.getPath.getName.startsWith(".")) {
+            val nFiles = fs.listStatus(st.getPath).count(f =>
+              f.isFile && !f.getPath.getName.startsWith("_") &&
+                !f.getPath.getName.startsWith("."))
+            if (nFiles >= minFilesPerList) {
+              Writers.compactPartition(spark, st.getPath.toString,
+                targetRecordsPerFile)
+              out += s"$tier/${st.getPath.getName}" -> nFiles.toLong
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
+  /** [[compactLists]] as a cron [[Scheduler.Deployment]] — the in-between
+    * maintenance slot (default daily 02:00, off-peak before the weekly
+    * recluster). Waits behind a running reconcile's lease instead of
+    * failing the scheduled run. */
+  def compactionDeployment(spark: SparkSession, root: String,
+                           cron: String = "0 2 * * *",
+                           targetRecordsPerFile: Long = 1000000L,
+                           minFilesPerList: Int = 8,
+                           lockWaitMs: Long = 10 * 60 * 1000L)
+      : Scheduler.Deployment =
+    Scheduler.Deployment("vector_compact", Scheduler.parse(cron),
+      () => { compactLists(spark, root, targetRecordsPerFile,
+        minFilesPerList, lockWaitMs); () })
 }

@@ -295,4 +295,75 @@ object Writers {
     df.coalesce(files.toInt).write.mode("overwrite").parquet(s"${dir}__tmp")
     promoteSwap(spark, dir)
   }
+
+  // ---- hidden-sibling compaction for PARTITION LEAF dirs ------------------
+  // [[compact]]'s __tmp/__old names are unusable on a leaf of a
+  // partitionBy'd table: a crash would leave `ivf_list=3__old` as a SIBLING
+  // PARTITION whose value fails the partition-column cast and surfaces
+  // ghost null-partition rows to every table reader until a writer
+  // recovers. The leaf swap therefore goes through HIDDEN dot-prefixed
+  // siblings (`.ivf_list=3__ctmp` / `.ivf_list=3__cold`), which Spark's
+  // file listing skips at every level — no crash state is ever VISIBLE to
+  // a reader; the only reader-observable anomaly is the leaf-absent
+  // instant between the two renames (the same instant [[compact]]
+  // documents), and a crash there is repaired by
+  // [[recoverPartitionCompact]] under the next writer lease.
+
+  private def leafTmp(dst: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dst.getParent, s".${dst.getName}__ctmp")
+  private def leafOld(dst: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dst.getParent, s".${dst.getName}__cold")
+
+  /** [[compact]] for ONE leaf of a partitioned table (values untouched,
+    * layout-only). WRITER-SIDE: call under the store's lease, AFTER
+    * [[recoverPartitionCompact]] on the table dir. */
+  def compactPartition(spark: SparkSession, leafDir: String,
+                       targetRecordsPerFile: Long = 1000000L): Unit = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val (fs, dst) = hfsOf(spark, leafDir)
+    val tmp = leafTmp(dst)
+    val old = leafOld(dst)
+    val df = spark.read.parquet(leafDir)
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.coalesce(files.toInt).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // stale leftover: rename onto an
+    // existing dir would nest INTO it on HDFS/local instead of replacing
+    require(fs.rename(dst, old), s"leaf compact failed: $dst -> $old")
+    require(fs.rename(tmp, dst), s"leaf compact failed: $tmp -> $dst")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** WRITER-side recovery for [[compactPartition]] crashes anywhere in a
+    * table's leaves: restore a leaf absent mid-swap (complete hidden
+    * `__ctmp` first, else the displaced `__cold`), then drop stale hidden
+    * leftovers. One listing of the table dir — cheap enough to run at the
+    * start of every leased mutation. No-op when the table dir is absent. */
+  def recoverPartitionCompact(spark: SparkSession, tableDir: String): Unit = {
+    val (fs, base) = hfsOf(spark, tableDir)
+    if (!fs.exists(base)) return
+    val names = fs.listStatus(base).map(_.getPath.getName)
+    val leaves = names.collect {
+      case n if n.startsWith(".") && n.endsWith("__ctmp") =>
+        n.stripPrefix(".").stripSuffix("__ctmp")
+      case n if n.startsWith(".") && n.endsWith("__cold") =>
+        n.stripPrefix(".").stripSuffix("__cold")
+    }.distinct
+    for (leaf <- leaves) {
+      val dst = new org.apache.hadoop.fs.Path(base, leaf)
+      val tmp = leafTmp(dst)
+      val old = leafOld(dst)
+      if (!fs.exists(dst)) {
+        if (fs.exists(tmp) &&
+            fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+          require(fs.rename(tmp, dst), s"leaf recovery failed: $tmp -> $dst")
+        else if (fs.exists(old))
+          require(fs.rename(old, dst), s"leaf recovery failed: $old -> $dst")
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+  }
 }

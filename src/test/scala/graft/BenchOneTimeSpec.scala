@@ -41,6 +41,27 @@ class BenchOneTimeSpec extends SparkSpec {
     } finally SparkEntry.loadAvg1Reader = orig
   }
 
+  test("pure requeue decision: spread or load trips a clean re-run; floor queries never requeue on load alone") {
+    // r9 verdict ask #5: the committed artifact summed load-inflated
+    // medians into `value` (q90 6.72 s committed vs 2.62 s idle at the
+    // same HEAD) — a flagged query now earns ONE post-sweep re-run.
+    // spread arm: median/min beyond the ambient band
+    assert(Bench.shouldRequeue(min = 1.0, median = 3.0, startLoad = 1.0, runs = 3))
+    // load arm: a non-floor query that RAN under contention, even with a
+    // tight spread (both sweep runs can land in the same busy window)
+    assert(Bench.shouldRequeue(min = 2.0, median = 2.1, startLoad = 4.0, runs = 3))
+    // floor-dominated under load: no signal worth a re-run — and the guard
+    // that keeps a busy box from requeueing the whole 111-floor-query sweep
+    assert(!Bench.shouldRequeue(min = 0.3, median = 0.31, startLoad = 6.0, runs = 3))
+    // idle + tight: clean
+    assert(!Bench.shouldRequeue(min = 1.0, median = 1.2, startLoad = 1.0, runs = 3))
+    // single-run sweeps have no spread witness; the load arm still works
+    assert(!Bench.shouldRequeue(min = 1.0, median = 1.0, startLoad = 1.0, runs = 1))
+    assert(Bench.shouldRequeue(min = 1.0, median = 1.0, startLoad = 4.0, runs = 1))
+    // sub-50ms jitter never trips the spread arm
+    assert(!Bench.shouldRequeue(min = 0.01, median = 0.04, startLoad = 1.0, runs = 3))
+  }
+
   test("q153/q151 registered forms are PINNED: one assignment derivation feeds the self-join") {
     // unpinned, the gate/banding self-join re-derives the assignment from
     // the embeddings scan on BOTH sides — distinct FileScan lines (distinct

@@ -516,6 +516,72 @@ class VectorLakeSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(9L))
   }
 
+  test("compactLists collapses per-list ingest files; serve results byte-identical") {
+    // r9 verdict ask #4: a high-frequency ingest leaves one small file set
+    // per touched list per batch; the scheduled compaction must collapse
+    // each list to ceil(rows/target) files WITHOUT changing a single
+    // served byte, and a second run below threshold must be a no-op.
+    val root = freshRoot("compactl")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    for (i <- 0 until 6)
+      assert(VectorLake.ingest(spark, root,
+        Seq((10L + i) -> unit(i * 5, 14f), (20L + i) -> unit(90 - i * 5, 14f))
+          .toDF("vec_id", "embedding"),
+        dupThreshold = 0.9999).kept == 2)
+    val droot = VectorLake.dataRoot(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def filesPerList(): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$droot/vectors"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ivf_list="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+        .toMap
+    val probes = Seq(101L -> unit(10, 14f), 102L -> unit(85, 14f))
+      .toDF("probe_id", "embedding")
+    def serve() = VectorLake
+      .searchBatch(spark, root, probes, k = 12, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    val before = serve()
+    val fBefore = filesPerList()
+    assert(fBefore.values.forall(_ >= 6), s"expected >= 6 files/list: $fBefore")
+    val report = VectorLake.compactLists(spark, root, minFilesPerList = 4)
+    assert(report.keySet == fBefore.keySet.map(l => s"vectors/$l"), report)
+    assert(filesPerList().values.forall(_ == 1),
+      s"6 rows / 1e6 target must collapse to ONE file: ${filesPerList()}")
+    assert(serve() == before, "compaction changed served bytes")
+    // below threshold now: the next scheduled run compacts nothing
+    assert(VectorLake.compactLists(spark, root, minFilesPerList = 4).isEmpty)
+  }
+
+  test("a crashed leaf compaction is invisible to readers and repaired at the next lease") {
+    val root = freshRoot("compactcrash")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root,
+      Seq(1L -> unit(0, 14f), 2L -> unit(90, 14f)).toDF("vec_id", "embedding"))
+      .kept == 2)
+    val droot = VectorLake.dataRoot(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$droot/vectors")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the crash-between-renames window: the leaf is displaced to
+    // its HIDDEN __cold sibling and the process died before the promote
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base, "ivf_list=0"),
+      new org.apache.hadoop.fs.Path(base, ".ivf_list=0__cold")))
+    // readers see the list transiently missing — but NEVER a ghost
+    // null-partition row (the hidden name is skipped by the listing)
+    val visible = VectorLake.vectors(spark, root)
+    assert(visible.filter(col("ivf_list").isNull).count() == 0)
+    assert(visible.count() == 1)
+    // the next leased mutation repairs the leaf before reading
+    assert(VectorLake.ingest(spark, root,
+      Seq(3L -> unit(45, 14f)).toDF("vec_id", "embedding")).kept == 1)
+    assert(VectorLake.vectors(spark, root).count() == 3,
+      "recovery must restore the displaced leaf")
+  }
+
   test("SQ8 refine: quantized scan + float rescore EQUALS the float serve, scores included") {
     // the r9 verdict's top ask, lake-level: searchBatch(quantized = true,
     // refineFactor = r) scans the 4×-smaller codes tier for top-(k·r)

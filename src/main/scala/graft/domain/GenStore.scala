@@ -51,8 +51,14 @@ private[domain] object GenStore {
     * holds a root that retention has deleted. Raise the actionable message
     * at the next read instead of letting [[Writers.readOrEmptyReadOnly]]
     * return a silently-EMPTY frame (DedupLake.keeps would serve "no keeps"
-    * as an answer) or a mid-scan FileNotFoundException. Root-layout stores
-    * (no `gen-N` suffix) are never retention-dropped, so they pass. */
+    * as an answer) or a mid-scan FileNotFoundException.
+    *
+    * A resolved ROOT layout (no `gen-N` suffix) expires the same way: it
+    * means "no pointer existed at resolution time", so if a pointer exists
+    * NOW, the store was versioned since — this reader's legacy dirs are at
+    * most one promotion from deletion, and after that deletion its reads
+    * would silently come up empty (the r9 ask-#6 focus: promote's
+    * legacy-dir drop at newGen=1 under a mid-flight legacy reader). */
   def requireLive(spark: SparkSession, droot: String): Unit =
     if (droot.matches("""(?s).*/gen-\d+""")) {
       val p = new org.apache.hadoop.fs.Path(droot)
@@ -64,6 +70,16 @@ private[domain] object GenStore {
             "(GenStore.dataRoot) and re-read under the current generation; " +
             "if readers legitimately outlive two promotions, raise " +
             "retainGenerations on the reconcile/promote call.")
+    } else {
+      val p = new org.apache.hadoop.fs.Path(pointer(droot))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        throw new IllegalStateException(
+          s"the legacy root layout at $droot has EXPIRED — the store was " +
+            "versioned (a GEN pointer now exists) after this reader " +
+            "resolved it, and promotions delete the legacy dirs once " +
+            "displaced. Re-resolve the pointer (GenStore.dataRoot) and " +
+            "re-read under the current generation.")
     }
 
   /** READER-side generation-scoped read: [[Writers.readOrEmptyReadOnly]]

@@ -159,6 +159,36 @@ class VectorLakeSpec extends SparkSpec {
     assert(VectorLake.search(spark, root, unit(0).toSeq, k = 1).count() == 1)
   }
 
+  test("a legacy-layout reader stranded past the store's migration fails loudly") {
+    // r9 ask-#6 focus: promote deletes the legacy root dirs once displaced
+    // beyond the retention window, and a reader that resolved the ROOT
+    // layout (= "no pointer existed then") would afterwards read silently
+    // empty. The expiry guard treats a since-appeared pointer as the same
+    // re-resolve signal as a dropped generation.
+    val root = freshRoot("legacystrand")
+    val cents = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))
+    import scala.jdk.CollectionConverters._
+    graft.sources.Writers.swapReplace(spark, s"$root/centroids",
+      spark.createDataFrame(cents.zipWithIndex
+        .map { case (c, i) => org.apache.spark.sql.Row(i, c) }.asJava,
+        VectorLake.centroidsSchema))
+    graft.operators.Similarity.ivfAssignWithDist(
+        Seq(1L -> unit(0, 14f), 2L -> unit(80, 14f))
+          .toDF("vec_id", "embedding"), "embedding", cents)
+      .select("vec_id", "embedding", "ivf_list", "d2")
+      .write.partitionBy("ivf_list").parquet(s"$root/vectors")
+    val droot = VectorLake.dataRoot(spark, root) // legacy: the root itself
+    assert(droot == root)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3) // migrates to gen-0
+    val e = intercept[IllegalStateException] {
+      GenStore.readGenOrEmpty(spark, droot, "vectors", VectorLake.vectorsSchema)
+    }
+    assert(e.getMessage.contains("legacy root layout") &&
+      e.getMessage.contains("EXPIRED"), e.getMessage)
+    // a fresh resolution serves from the migrated generation
+    assert(VectorLake.vectors(spark, root).count() == 2)
+  }
+
   test("retainGenerations = 3 keeps a reader live through two promotions") {
     val root = freshRoot("retain3")
     VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))

@@ -2074,6 +2074,29 @@ object SparkEntry {
     }, Some(TextOracle.sq8RefineServeSql(k = 5, refineFactor = 4,
       nLists = 4, dims = 64, scale = 0.02, nprobe = 2, nProbes = 64))),
 
+    Q("q158_filtered_knn_serve", (s, dir) => {
+      // FILTERED vector search — the metadata predicate every production
+      // vector store bolts onto kNN ("nearest docs WITH license X /
+      // language Y"): q155's batched multi-probe serve over the corpus
+      // restricted to label = 3. Zero new operator code — the filter is a
+      // plain relational predicate BEFORE the assignment, so Catalyst
+      // pushes it into the parquet scan (PushedFilters, plan-spec-pinned)
+      // and the heap ranks only qualifying rows; on the lake layout it
+      // composes with the ivf_list partition pruning. Probes stay the
+      // unfiltered constant 64-probe batch.
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val assigned = Similarity.ivfAssign(
+        emb.filter(col("label") === 3).select("vec_id", "embedding"),
+        "embedding", cents)
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
+        "ivf_list", probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
+        excludeSelf = true)
+    }, Some(TextOracle.filteredKnnServeSql(k = 5, nLists = 4, dims = 64,
+      scale = 0.02, nprobe = 2, nProbes = 64, label = 3))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

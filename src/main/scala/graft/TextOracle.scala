@@ -1390,7 +1390,8 @@ object TextOracle {
                                       nProbes: Int, prefixCtes: String,
                                       candFrom: String,
                                       scoreVec: String,
-                                      tailSql: Option[String] = None): String = {
+                                      tailSql: Option[String] = None,
+                                      extraCandCond: String = ""): String = {
     val planes = graft.operators.Similarity.hyperplanes(nLists, dims)
       .map(_.map(_ * scale))
     val d2 = planes.zipWithIndex.map { case (c, i) =>
@@ -1428,7 +1429,7 @@ object TextOracle {
                    / (sqrt(${dotExpr(scoreVec, scoreVec)})
                       * sqrt(${dotExpr("g.pv", "g.pv")})), 6) AS cos
       FROM $candFrom JOIN g ON a.ivf_list = g.gate_list
-      WHERE a.vec_id <> g.probe_id),
+      WHERE a.vec_id <> g.probe_id$extraCandCond),
     ranked AS (
       SELECT probe_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY probe_id
@@ -1534,6 +1535,21 @@ object TextOracle {
       prefixCtes = prefix, candFrom = "a JOIN dq q ON a.vec_id = q.vec_id",
       scoreVec = "q.dqv", tailSql = Some(tail))
   }
+
+  /** q158: FILTERED vector search — the multi-probe batched serve
+    * restricted to corpus rows passing a metadata predicate (label =
+    * `label`), the filter every production vector store bolts onto kNN
+    * ("nearest docs WITH license X / language Y"). Probes stay the
+    * unfiltered constant batch; only the candidate side filters, exactly
+    * like the Spark plan, where the predicate pushes into the pruned
+    * parquet scan (plan-spec-pinned PushedFilters). */
+  def filteredKnnServeSql(k: Int, nLists: Int, dims: Int, scale: Double,
+                          nprobe: Int, nProbes: Int, label: Int): String =
+    multiProbeServeSkeleton(k, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = "",
+      candFrom = "a JOIN embeddings ee ON a.vec_id = ee.vec_id",
+      scoreVec = "a.embedding",
+      extraCandCond = s" AND ee.label = $label")
 
   /** q141: the relational skeleton of the multimodal curation pipeline on
     * the embeddings table — component-spike quality gate → pairwise

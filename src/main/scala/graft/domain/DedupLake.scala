@@ -19,6 +19,9 @@ import graft.sources.Writers
   *    truth is not versioned — only compacted). Dropped rows are exactly
   *    the chain links the keep index is missing, which is why
   *    reconciliation reads the archive.
+  *  - `tombstones/` — (doc_id) ids [[delete]]d, root-level because they
+  *    guard the root-level archive: excluded from every read immediately,
+  *    physically purged from the archive by the next reconcile.
   *  - `GEN` + `gen-N/index/`, `gen-N/keeps/` — the MUTABLE state,
   *    generation-versioned through the shared [[GenStore]] lifecycle
   *    (VectorLake's contract): `index/` holds (doc_id, band, bh) LSH band
@@ -57,6 +60,8 @@ object DedupLake {
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("bh", StringType)))
   val keepsSchema: StructType = StructType(Seq(StructField("doc_id", LongType)))
+  val tombstonesSchema: StructType =
+    StructType(Seq(StructField("doc_id", LongType)))
 
   final case class ReconcileReport(keeps: Long, dropped: Long, resurrected: Long)
 
@@ -106,7 +111,15 @@ object DedupLake {
       // unversioned root
       val droot = GenStore.dataRoot(spark, root)
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      // the PROBE index is the LOGICAL store (tombstoned docs' band rows
+      // excluded): purged content must not keep suppressing near-dups — a
+      // deletion is not a content ban (the VectorLake.delete gate rule).
+      // The appends below keep anti-joining the PHYSICAL stores, so a
+      // replay stays a no-op and a tombstoned id is not reusable until
+      // reconcile reclaims it.
       val index = readOr(spark, s"$droot/index", indexSchema)
+        .join(readOr(spark, s"$root/tombstones", tombstonesSchema),
+          Seq("doc_id"), "left_anti")
       val (kept0, bandPin) = Dedup.incrementalKeepPinned(
         docs, "doc_id", "text", index, numHashes, bandRows, shingleN)
       // the kept set feeds three writes — pin it so the probe join runs
@@ -180,10 +193,19 @@ object DedupLake {
       Writers.recoverPointer(spark, GenStore.pointer(root))
       val genCur = GenStore.currentGen(spark, root)
       val droot = GenStore.dataRootOf(root, genCur)
+      // tombstoned docs drop out of the durable truth HERE: the repaired
+      // keep set is computed over the PURGED archive, and the archive
+      // itself is physically rewritten below (the reclaim delete deferred)
+      val hadTombstones = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }
       val archive = readOr(spark, s"$root/archive", archiveSchema)
+        .join(readOr(spark, s"$root/tombstones", tombstonesSchema),
+          Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        archive.count()
+        val archiveRows = archive.count()
         val cur = readOr(spark, s"$droot/keeps", keepsSchema)
         val r = Dedup.reconcileLshKeeps(archive, "doc_id", "text", cur,
           numHashes, bandRows, shingleN)
@@ -209,20 +231,69 @@ object DedupLake {
           }
         } finally { repaired.unpersist(blocking = false); () }
         // the archive accumulates one small file set per ingest batch —
-        // compact it on the same cadence so reads stay one healthy scan
-        Writers.compact(spark, s"$root/archive", targetRecordsPerFile)
+        // compact it on the same cadence so reads stay one healthy scan.
+        // With tombstones resident the rewrite uses the PURGED frame (the
+        // physical reclaim), then drops the now-applied tombstones; a
+        // crash between those two steps re-runs harmlessly (the ids are
+        // gone, every anti-join no-ops, the next reconcile clears).
+        if (hadTombstones) {
+          val files = math.max(1L,
+            (archiveRows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+          Writers.swapReplace(spark, s"$root/archive",
+            archive.coalesce(files.toInt))
+          GenStore.deleteDir(spark, s"$root/tombstones")
+        } else Writers.compact(spark, s"$root/archive", targetRecordsPerFile)
         report
       } finally { archive.unpersist(blocking = false); () }
     }
 
-  def keeps(spark: SparkSession, root: String): DataFrame =
+  def keeps(spark: SparkSession, root: String): DataFrame = {
     // READER path: one pointer resolution, read-only swap resolution — no
     // lease held, safe concurrent with a locked writer's promotion. The
     // GenStore expiry guard makes a stranded reader (resolved generation
     // dropped by retention) fail loudly instead of serving an EMPTY keep
-    // set as an answer (r9 verdict finding #3)
-    GenStore.readGenOrEmpty(spark, GenStore.dataRoot(spark, root),
+    // set as an answer (r9 verdict finding #3). Tombstoned docs excluded
+    // (the existence probe keeps the common no-deletes plan join-free).
+    val base = GenStore.readGenOrEmpty(spark, GenStore.dataRoot(spark, root),
       "keeps", keepsSchema)
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) base
+    else base.join(
+      Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+        tombstonesSchema),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** DELETE by doc id — the right-to-be-forgotten path through the dedup
+    * lake (VectorLake.delete's document twin): tombstone now, reclaim at
+    * the next reconcile. A tombstoned doc vanishes from [[keeps]]
+    * immediately, its band rows stop gating new ingests (a purge is not a
+    * content ban — a re-submitted near-duplicate is kept again), and the
+    * next [[reconcile]] rewrites the ARCHIVE without it (the durable copy
+    * is purged too — the whole point of the request) before clearing the
+    * tombstones. Ids never archived are ignored; an exact replay appends
+    * nothing. Same id-reuse caveat as the vector lake: until the reclaim
+    * runs, re-ingesting a tombstoned id is a state no-op. Returns the
+    * number of ids newly tombstoned. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+             lockWaitMs: Long = 0L): Long =
+    graft.sources.StateLock.withRootLock(spark, root, waitMs = lockWaitMs) {
+      val del = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      val resident = readOr(spark, s"$root/archive", archiveSchema)
+        .select("doc_id")
+      val existing = readOr(spark, s"$root/tombstones", tombstonesSchema)
+      val toWrite = del
+        .join(resident, Seq("doc_id"), "left_semi")
+        .join(existing, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = toWrite.count() // while pinned, BEFORE the append
+        if (n > 0)
+          toWrite.write.mode("append").parquet(s"$root/tombstones")
+        n
+      } finally { toWrite.unpersist(blocking = false); () }
+    }
 
   /** The reconcile pass as a cron [[Scheduler.Deployment]] — default weekly
     * (Sunday 03:00, the off-peak compaction slot), driven by the same
@@ -235,4 +306,53 @@ object DedupLake {
       : Scheduler.Deployment =
     Scheduler.Deployment("dedup_reconcile", Scheduler.parse(cron),
       () => onReport(reconcile(spark, root, numHashes, bandRows, shingleN)))
+
+  /** Collapse the small files a high-frequency ingest accumulates BETWEEN
+    * reconciles — the dedup twin of [[VectorLake.compactLists]]: every
+    * batch appends one file set each to `archive/`, the current
+    * generation's `index/` and `keeps/`, and reconcile compacts weekly,
+    * but a streaming `dedupLakeIngestStream` leaves thousands of tiny
+    * files in between. Each store whose data-file count reaches
+    * `minFilesPerStore` is rewritten to ceil(rows/target) files via the
+    * table-level [[Writers.compact]] swap (safe next to concurrent readers:
+    * they resolve `__tmp`/`__old` read-only). Values untouched; CURRENT
+    * generation only. Returns the compacted stores with their prior file
+    * counts. `lockWaitMs > 0` is the scheduled-caller stance. */
+  def compactStores(spark: SparkSession, root: String,
+                    targetRecordsPerFile: Long = 1000000L,
+                    minFilesPerStore: Int = 8,
+                    lockWaitMs: Long = 0L): Map[String, Long] =
+    graft.sources.StateLock.withRootLock(spark, root, waitMs = lockWaitMs) {
+      val droot = GenStore.dataRoot(spark, root)
+      val conf = spark.sessionState.newHadoopConf()
+      val out = Map.newBuilder[String, Long]
+      for ((label, dir) <- Seq("archive" -> s"$root/archive",
+          "index" -> s"$droot/index", "keeps" -> s"$droot/keeps")) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) {
+          val nFiles = fs.listStatus(p).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          if (nFiles >= minFilesPerStore) {
+            Writers.compact(spark, dir, targetRecordsPerFile)
+            out += label -> nFiles.toLong
+          }
+        }
+      }
+      out.result()
+    }
+
+  /** [[compactStores]] as a cron [[Scheduler.Deployment]] — the in-between
+    * maintenance slot (default daily 02:00, before the weekly reconcile),
+    * waiting behind a running reconcile's lease instead of failing. */
+  def compactionDeployment(spark: SparkSession, root: String,
+                           cron: String = "0 2 * * *",
+                           targetRecordsPerFile: Long = 1000000L,
+                           minFilesPerStore: Int = 8,
+                           lockWaitMs: Long = 10 * 60 * 1000L)
+      : Scheduler.Deployment =
+    Scheduler.Deployment("dedup_compact", Scheduler.parse(cron),
+      () => { compactStores(spark, root, targetRecordsPerFile,
+        minFilesPerStore, lockWaitMs); () })
 }

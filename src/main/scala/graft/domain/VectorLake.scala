@@ -23,6 +23,9 @@ import graft.sources.Writers
   *    (partition pruning is the IVF inverted file).
   *  - `gen-N/centroids/` — (ivf_list, c array<double>), the coarse
   *    quantizer THAT ASSIGNED gen-N's vectors.
+  *  - `gen-N/tombstones/` — (vec_id) ids [[delete]]d from this generation,
+  *    excluded from every read immediately and physically reclaimed by the
+  *    next reconcile (which starts gen-(N+1) tombstone-free).
   *  - `gen-N/codes/`, `gen-N/sqstats/` — OPTIONAL int8 scalar-quantized
   *    serving tier (tinyint codes, 4× smaller list reads, + the per-dim
   *    min/max LUT), adopted at reconcile only when the measured recall@k
@@ -78,6 +81,8 @@ object VectorLake {
   val sqStatsSchema: StructType = StructType(Seq(
     StructField("mins", ArrayType(DoubleType)),
     StructField("maxs", ArrayType(DoubleType))))
+  val tombstonesSchema: StructType =
+    StructType(Seq(StructField("vec_id", LongType)))
 
   final case class IngestReport(kept: Long, dupsVsIndex: Long, dupsInBatch: Long)
 
@@ -150,11 +155,31 @@ object VectorLake {
     rows.map(_.getSeq[Double](1).toIndexedSeq)
   }
 
+  /** TOMBSTONE filter — the delete lifecycle's read half: a tombstoned
+    * vec_id vanishes from every read the moment [[delete]] commits, while
+    * the physical rows wait for [[reconcile]] to drop them (deletes are
+    * rare; rewriting a list per delete would be write amplification for
+    * nothing). The existence probe keeps the COMMON no-deletes plan free
+    * of a dead join node; with tombstones resident the anti-join's build
+    * side is the (small) tombstone set, never the corpus. */
+  private def minusTombstones(spark: SparkSession, droot: String,
+                              df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$droot/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) df
+    else df.join(
+      Writers.readOrEmptyReadOnly(spark, s"$droot/tombstones",
+        tombstonesSchema),
+      Seq("vec_id"), "left_anti")
+  }
+
   private def vectorsAt(spark: SparkSession, droot: String): DataFrame =
-    GenStore.readGenOrEmpty(spark, droot, "vectors", vectorsSchema)
+    minusTombstones(spark, droot,
+      GenStore.readGenOrEmpty(spark, droot, "vectors", vectorsSchema))
 
   private def codesAt(spark: SparkSession, droot: String): DataFrame =
-    GenStore.readGenOrEmpty(spark, droot, "codes", codesSchema)
+    minusTombstones(spark, droot,
+      GenStore.readGenOrEmpty(spark, droot, "codes", codesSchema))
 
   /** The generation's SQ quantization LUT, or None when the recall gate
     * never adopted an SQ tier for it — 2·dims cells, the bounded-LUT
@@ -314,8 +339,17 @@ object VectorLake {
             "broadcast); raise maxBroadcastRows only if executors are " +
             "sized for it.")
         val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
+        // the GATE probes the LOGICAL store (tombstoned rows excluded):
+        // deleted content must not suppress a new near-duplicate — that
+        // would make a purge also a permanent content ban. The REPLAY
+        // anti-join below stays on the PHYSICAL ids: appending a second
+        // row under a tombstoned id would leave two rows sharing a vec_id
+        // (see [[delete]]'s id-reuse caveat).
+        val storedLogical = stored.join(
+          readOr(spark, s"$droot/tombstones", tombstonesSchema),
+          Seq("vec_id"), "left_anti")
         val (vsIndex0, inBatch0) =
-          gateFrames(stored, assigned, cents, dupThreshold, gateProbes)
+          gateFrames(storedLogical, assigned, cents, dupThreshold, gateProbes)
         val vsIndex = vsIndex0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inBatch = inBatch0
@@ -370,9 +404,47 @@ object VectorLake {
     }
 
   /** The resident vectors — READER path (read-only swap resolution; safe
-    * concurrent with a locked writer's swap). */
+    * concurrent with a locked writer's swap). Tombstoned ids excluded. */
   def vectors(spark: SparkSession, root: String): DataFrame =
     vectorsAt(spark, dataRoot(spark, root))
+
+  /** DELETE by id — the retraction/right-to-be-forgotten path a serving
+    * index needs (the training-data-pipeline twin of a GDPR purge):
+    * tombstone the ids now, reclaim the bytes later. Commits a tombstone
+    * row per RESIDENT id (ids never stored are ignored; an exact replay
+    * appends nothing — the lake's at-least-once contract); every read —
+    * [[vectors]], [[search]], [[searchBatch]] float and quantized,
+    * [[driftReport]], the ingest near-dup gate — excludes tombstoned rows
+    * from that moment, so deleted content can neither be served nor
+    * suppress new ingests. The PHYSICAL rows (and their SQ codes) wait for
+    * the next [[reconcile]], whose generation rewrite drops them and
+    * starts the new generation tombstone-free — deletes are rare, and
+    * rewriting a list partition per delete would be pure write
+    * amplification. Caveat: re-ingesting a TOMBSTONED id is a no-op write
+    * until that reconcile (the replay anti-join sees the physical row);
+    * id reuse after deletion needs the reclaim to run first. Returns the
+    * number of ids newly tombstoned. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+             lockWaitMs: Long = 0L): Long =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val droot = dataRoot(spark, root)
+      val del = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      val resident = readOr(spark, s"$droot/vectors", vectorsSchema)
+        .select("vec_id")
+      val existing = readOr(spark, s"$droot/tombstones", tombstonesSchema)
+      val toWrite = del
+        .join(resident, Seq("vec_id"), "left_semi")
+        .join(existing, Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // count while pinned and BEFORE the append — afterwards the plan's
+        // tombstone read would see its own rows
+        val n = toWrite.count()
+        if (n > 0)
+          toWrite.write.mode("append").parquet(s"$droot/tombstones")
+        n
+      } finally { toWrite.unpersist(blocking = false); () }
+    }
 
   /** Probing search over the RESIDENT store — the serving read this lake
     * exists for. The stored centroids rank against the query driver-side
@@ -571,11 +643,18 @@ object VectorLake {
       val droot = GenStore.dataRootOf(root, cur)
       // a compaction crash must not silently shrink the retrain corpus
       Writers.recoverPartitionCompact(spark, s"$droot/vectors")
+      // tombstoned rows are dropped HERE, physically: the generation
+      // rewrite is the reclaim [[delete]] deferred to, and the new
+      // generation starts tombstone-free (the dir is simply not carried —
+      // retention deletes it with its generation)
       val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
+        .join(readOr(spark, s"$droot/tombstones", tombstonesSchema),
+          Seq("vec_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = stored.count()
-        require(n > 0, s"vector lake at $root is empty — nothing to recluster")
+        require(n > 0, s"vector lake at $root is empty (or fully " +
+          "tombstoned) — nothing to recluster")
         val kk = if (k > 0) k
           else math.max(2, Clustering.autoK(n, targetClusterSize, kMin = 2))
         val cents = Clustering.kmeansCentroids(

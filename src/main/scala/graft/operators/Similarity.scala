@@ -711,7 +711,12 @@ object Similarity {
     * embeddingNearDupPairs carries): a cheap limit-probe rejects probe sets
     * beyond `maxBroadcastProbes` with a pointer at the scale paths, instead
     * of letting a million-probe broadcast OOM the driver. Raise the cap
-    * explicitly if your executors are sized for it. */
+    * explicitly if your executors are sized for it.
+    *
+    * Probe ids must be UNIQUE: the per-probe groupBy folds rows sharing an
+    * id into one combined top-k (the serving path,
+    * [[ivfMultiProbeKnnJoin]], refuses duplicates loudly; the eval-harness
+    * joins here trust their generated keys). */
   def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
               probe: DataFrame, probeId: String, probeVec: String,
               k: Int, excludeSelf: Boolean = false,

@@ -22,6 +22,16 @@ class PlanSpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(l_quantity,3"), p)
   }
 
+  test("filtered vector search pushes the metadata predicate into the scan (q158)") {
+    // the production filtered-kNN contract: the label predicate must reach
+    // the parquet scan as a pushed filter (row-group stats can skip), not
+    // evaluate above the join — and the serving heap then ranks only
+    // qualifying rows. On the lake layout this composes with ivf_list
+    // partition pruning.
+    val p = plan("q158_filtered_knn_serve")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3)"), p)
+  }
+
   test("scan reads only the projected columns (q08 column pruning)") {
     val p = plan("q08_filter_range")
     // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag

@@ -181,6 +181,64 @@ class DedupLakeSpec extends SparkSpec {
     assert(keepIds(DedupLake.keeps(spark, root)) == Set(30L, 40L, 60L))
   }
 
+  test("delete: purged docs leave keeps and stop gating; reconcile purges the archive and clears") {
+    // the right-to-be-forgotten path: doc 10 (text A) is kept, then
+    // deleted — it must vanish from keeps immediately, its band rows must
+    // stop suppressing a re-submitted near-duplicate (a purge is not a
+    // content ban), and the next reconcile must rewrite the ARCHIVE
+    // without it (the durable copy is the point of the request).
+    val root = java.nio.file.Files.createTempDirectory("dedup-del").toString
+    DedupLake.ingest(spark, root,
+      Seq((10L, textA), (50L, textC)).toDF("doc_id", "text")).count()
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(10L, 50L))
+    assert(DedupLake.delete(spark, root, Seq(10L).toDF("doc_id")) == 1)
+    // replay + never-archived id: state no-ops
+    assert(DedupLake.delete(spark, root, Seq(10L, 999L).toDF("doc_id")) == 0)
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(50L))
+    // the SAME text re-submitted under a new id is kept again: the probe
+    // index is the logical store, the tombstoned doc's bands don't gate
+    val kept = DedupLake.ingest(spark, root,
+      Seq((70L, textA)).toDF("doc_id", "text"))
+    assert(keepIds(kept) == Set(70L), "purged content must be re-ingestable")
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(50L, 70L))
+    // reconcile reclaims: the archive drops doc 10 physically, the
+    // tombstones clear, and the keep set survives
+    DedupLake.reconcile(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    assert(spark.read.schema(DedupLake.archiveSchema)
+      .parquet(s"$root/archive").collect().map(_.getLong(0)).toSet
+      == Set(50L, 70L), "the archive rewrite must purge the deleted doc")
+    assert(keepIds(DedupLake.keeps(spark, root)) == Set(50L, 70L))
+  }
+
+  test("compactStores collapses per-batch small files between reconciles; keeps unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-compact").toString
+    val texts = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi")
+    for ((t, i) <- texts.zipWithIndex)
+      DedupLake.ingest(spark, root,
+        Seq((i.toLong + 1, t)).toDF("doc_id", "text")).count()
+    val before = keepIds(DedupLake.keeps(spark, root))
+    assert(before == Set(1L, 2L, 3L, 4L))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(dir: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+    assert(dataFiles(s"$root/archive") >= 4, "four batches, four file sets")
+    val report = DedupLake.compactStores(spark, root, minFilesPerStore = 3)
+    assert(report.keySet == Set("archive", "index", "keeps"), report)
+    assert(dataFiles(s"$root/archive") == 1 && dataFiles(s"$root/keeps") == 1,
+      "4 rows / 1e6 target must collapse to ONE file")
+    assert(keepIds(DedupLake.keeps(spark, root)) == before,
+      "compaction changed the keep set")
+    // everything below threshold now: the next scheduled run is a no-op
+    assert(DedupLake.compactStores(spark, root, minFilesPerStore = 3).isEmpty)
+  }
+
   test("writer lease: a second writer fails fast; an expired lease is broken") {
     val root = java.nio.file.Files.createTempDirectory("dedup-lock").toString
     var t = 1000000L

@@ -546,6 +546,46 @@ class VectorLakeSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(9L))
   }
 
+  test("delete: tombstoned ids vanish from every read; reconcile reclaims and clears") {
+    // the retraction/right-to-be-forgotten lifecycle: tombstone now,
+    // reclaim at the next generation rewrite. Hidden from the float serve,
+    // the quantized serve, AND the ingest gate (deleted content must not
+    // suppress a new near-duplicate); physical rows drop at reconcile and
+    // the new generation carries no tombstones.
+    val root = freshRoot("delete")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding")).kept == 3)
+    // adopt the SQ tier so the quantized read path is exercised too
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.5, sqRecallK = 2)
+    assert(VectorLake.delete(spark, root, Seq(2L).toDF("vec_id")) == 1)
+    // replay + never-stored ids: state no-ops
+    assert(VectorLake.delete(spark, root, Seq(2L, 99L).toDF("vec_id")) == 0)
+    assert(VectorLake.vectors(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+    assert(!VectorLake.search(spark, root, unit(30, 14f).toSeq, k = 3,
+      nprobe = 2).collect().map(_.getLong(0)).contains(2L))
+    val probes = Seq(101L -> unit(30, 14f)).toDF("probe_id", "embedding")
+    assert(!VectorLake.searchBatch(spark, root, probes, k = 3, nprobe = 2,
+      quantized = true).collect().map(_.getLong(1)).contains(2L),
+      "the quantized tier must hide tombstoned codes too")
+    // the gate probes the LOGICAL store: a near-dup of the DELETED vector
+    // is ingestable again (a purge is not a content ban)
+    assert(VectorLake.ingest(spark, root,
+      Seq(12L -> unit(30, 14f)).toDF("vec_id", "embedding")).kept == 1)
+    // reconcile reclaims: physical rows drop, new generation tombstone-free
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    val droot = VectorLake.dataRoot(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$droot/tombstones")))
+    assert(spark.read.schema(VectorLake.vectorsSchema)
+      .parquet(s"$droot/vectors").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 12L), "the generation rewrite must reclaim the bytes")
+  }
+
   test("compactLists collapses per-list ingest files; serve results byte-identical") {
     // r9 verdict ask #4: a high-frequency ingest leaves one small file set
     // per touched list per batch; the scheduled compaction must collapse

@@ -2097,6 +2097,40 @@ object SparkEntry {
     }, Some(TextOracle.filteredKnnServeSql(k = 5, nLists = 4, dims = 64,
       scale = 0.02, nprobe = 2, nProbes = 64, label = 3))),
 
+    Q("q159_hybrid_rrf_serve", (s, dir) => {
+      // HYBRID retrieval — the lexical+vector fusion every RAG/retrieval
+      // deployment serves: the constant 64-probe batched vector serve
+      // (q155's plan, top-10 per probe) merged with the query-global BM25
+      // top-20 (q67's scorer) by reciprocal-rank fusion in exact integer
+      // micro-units (Similarity.rrfFuse). doc_id = vec_id by the testdata
+      // contract, so the two retrievers share an id space. The lexical cut
+      // is TakeOrderedAndProject (never a corpus-wide single-partition
+      // window); fusion is bounded full-outer + one rank window over
+      // probes x (k_vec + n_lex) rows — corpus size never enters after the
+      // two retrievers' own cuts.
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "embedding", cents)
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
+        "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
+        cents, nprobe = 2, excludeSelf = true)
+      val lexTop = graft.operators.TextStats.bm25(T(s, dir, "documents"),
+          "doc_id", "text", queryTerms = Seq("spark", "query", "merge"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      // rank the ALREADY-CUT 20-row list: the unpartitioned window is
+      // bounded by construction, the corpus cut above was the TopK
+      val lex = lexTop.withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id").as("neighbor_id"), col("rank"))
+      Similarity.rrfFuse(vec, lex,
+        probes.select(col("vec_id").as("probe_id")), k = 5, kRrf = 60)
+    }, Some(TextOracle.hybridRrfServeSql(k = 5, kVec = 10, nLex = 20,
+      kRrf = 60, nLists = 4, dims = 64, scale = 0.02, nprobe = 2,
+      nProbes = 64, terms = Seq("spark", "query", "merge")))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

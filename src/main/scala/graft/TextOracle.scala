@@ -1551,6 +1551,47 @@ object TextOracle {
       scoreVec = "a.embedding",
       extraCandCond = s" AND ee.label = $label")
 
+  /** q159: HYBRID retrieval by reciprocal-rank fusion
+    * (Similarity.rrfFuse) — the batched multi-probe vector serve (q155's
+    * skeleton, top-`kVec` per probe) merged with the query-global BM25
+    * top-`nLex` lexical list (q67's CTEs, doc_id = vec_id by the testdata
+    * contract): per (probe, candidate) `rrf_micros =
+    * floor(1e6/(kRrf+rank_vec)) + floor(1e6/(kRrf+rank_lex))`, absence
+    * contributing 0 — exact integer micro-units, so the fused order never
+    * compares accumulated float sums — re-ranked by (rrf_micros DESC,
+    * neighbor_id) and cut at `k`. */
+  def hybridRrfServeSql(k: Int, kVec: Int, nLex: Int, kRrf: Int,
+                        nLists: Int, dims: Int, scale: Double, nprobe: Int,
+                        nProbes: Int, terms: Seq[String],
+                        k1: Double = 1.2, b: Double = 0.75): String = {
+    val tail = s""",
+    vtop AS (SELECT probe_id, neighbor_id, rank FROM ranked
+             WHERE rank <= $kVec),
+    lexr AS (SELECT neighbor_id, rl FROM (
+      SELECT doc_id AS neighbor_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+      FROM bmscore) WHERE rl <= $nLex),
+    lexp AS (SELECT pb.vec_id AS probe_id, lexr.neighbor_id, lexr.rl
+             FROM pb, lexr),
+    fused AS (
+      SELECT COALESCE(v.probe_id, l.probe_id) AS probe_id,
+             COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+             COALESCE(CAST(floor(1000000.0 / ($kRrf + v.rank)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 / ($kRrf + l.rl)) AS BIGINT), 0)
+               AS rrf_micros
+      FROM vtop v FULL OUTER JOIN lexp l
+        ON v.probe_id = l.probe_id AND v.neighbor_id = l.neighbor_id),
+    fr AS (
+      SELECT probe_id, neighbor_id, rrf_micros,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY rrf_micros DESC, neighbor_id) AS rank
+      FROM fused)
+    SELECT probe_id, neighbor_id, rrf_micros, rank FROM fr WHERE rank <= $k"""
+    multiProbeServeSkeleton(kVec, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = bm25Ctes(terms, k1, b) + ",", candFrom = "a",
+      scoreVec = "a.embedding", tailSql = Some(tail))
+  }
+
   /** q141: the relational skeleton of the multimodal curation pipeline on
     * the embeddings table — component-spike quality gate → pairwise
     * near-dup with the drop-later rule → self-kNN of the survivors. Gate
@@ -1927,16 +1968,17 @@ object TextOracle {
           FROM sc)
     SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= $k"""
 
-  /** BM25 with per-term CASE columns summed in fixed order — the same
-    * left-to-right double addition as TextStats.bm25's reduceLeft. */
-  def bm25Sql(terms: Seq[String], k1: Double, b: Double): String = {
+  /** The BM25 computation as a reusable CTE chain ending in
+    * `bmscore(doc_id, bm25)` — shared by the standalone q67 statement and
+    * the hybrid-fusion oracle (q159), which composes it with the vector
+    * serving skeleton in one WITH. */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val sCols = terms.zipWithIndex.map { case (t, i) =>
       s"max(CASE WHEN term = '$t' THEN sc END) AS s$i"
     }.mkString(",\n             ")
     val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
-    s"""
-    WITH $toksCte,
+    s"""$toksCte,
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -1949,9 +1991,15 @@ object TextOracle {
              * ((tf * CAST(${k1 + 1} AS DOUBLE)) / (tf + $k1 * (${1 - b} + $b * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))) AS sc
       FROM dl LEFT JOIN tfd ON tfd.doc_id = dl.doc_id CROSS JOIN stats),
     agg AS (SELECT doc_id, $sCols
-            FROM sc GROUP BY doc_id)
-    SELECT doc_id, round($total, 6) AS bm25 FROM agg"""
+            FROM sc GROUP BY doc_id),
+    bmscore AS (SELECT doc_id, round($total, 6) AS bm25 FROM agg)"""
   }
+
+  /** BM25 with per-term CASE columns summed in fixed order — the same
+    * left-to-right double addition as TextStats.bm25's reduceLeft. */
+  def bm25Sql(terms: Seq[String], k1: Double, b: Double): String = s"""
+    WITH ${bm25Ctes(terms, k1, b)}
+    SELECT doc_id, bm25 FROM bmscore"""
 
   def rollingHashSql(base: Long, mod: Long): String = s"""
     SELECT doc_id,

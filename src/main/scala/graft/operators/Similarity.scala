@@ -939,6 +939,60 @@ object Similarity {
         (col("__pos") + 1).cast("long").as("rank"))
   }
 
+  /** Reciprocal-rank FUSION of a per-probe vector result list with a
+    * lexical (BM25/TF-IDF) result list — hybrid retrieval's standard merge
+    * (Cormack, Clarke & Buettcher 2009: RRF outperforms either list alone
+    * and needs no score calibration, only ranks). Per (probe, candidate):
+    * `rrf_micros = floor(1e6/(kRrf + rank_vec)) + floor(1e6/(kRrf +
+    * rank_lex))`, a list the candidate is absent from contributing 0 —
+    * EXACT integer micro-units end to end (the house determinism rule:
+    * ranks are integers, each reciprocal is one float division of exact
+    * integers floored immediately, so the greedy order never compares
+    * accumulated float sums — q147/q149's rr_micros idiom). Re-rank by
+    * (rrf_micros desc, neighbor_id asc), keep top `k`.
+    *
+    * `vecRanks` is (probe_id, neighbor_id, rank) — any per-probe ANN/kNN
+    * output ([[ivfMultiProbeKnnJoin]], [[ivfSqRefineKnnJoin]], a lake
+    * [[graft.domain.VectorLake.searchBatch]]). `lexRanks` is (neighbor_id,
+    * rank) — ONE query-global lexical list (the fixed-term BM25 top-n),
+    * fused into every probe's list: the lexical prior + per-probe vector
+    * shape a batched hybrid endpoint actually serves. `probeIds` names the
+    * probe universe explicitly (a probe with zero vector candidates still
+    * fuses the lexical list; deriving the universe from `vecRanks` would
+    * silently drop it).
+    *
+    * Scale shape: every input is serving-bounded by contract — `lexRanks`
+    * is a top-n list (ENFORCED broadcastable), `vecRanks` is probes × k
+    * rows, and the fusion is one full-outer join plus one rank window over
+    * probes × (k + n) rows. Corpus size never enters: fusion happens
+    * strictly AFTER both retrievers' bounded-heap/limit cuts. */
+  def rrfFuse(vecRanks: DataFrame, lexRanks: DataFrame, probeIds: DataFrame,
+              k: Int, kRrf: Int = 60,
+              maxBroadcastLex: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf (60 is the standard)")
+    val v = vecRanks.select(col("probe_id").cast("long").as("probe_id"),
+      col("neighbor_id").cast("long").as("neighbor_id"),
+      col("rank").cast("long").as("__rv"))
+    val lex = lexRanks.select(col("neighbor_id").cast("long").as("neighbor_id"),
+      col("rank").cast("long").as("__rl"))
+    requireBroadcastable(lex, maxBroadcastLex)
+    val p = probeIds.select(col("probe_id").cast("long").as("probe_id"))
+      .distinct()
+    // the global lexical list replicates per probe (bounded × bounded);
+    // broadcast keeps the replication exchange-free
+    val lexp = p.crossJoin(broadcast(lex))
+    def rr(rank: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(kRrf) + rank)).cast("long"), lit(0L))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rrf_micros").desc, col("neighbor_id"))
+    v.join(lexp, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_micros", rr(col("__rv")) + rr(col("__rl")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rrf_micros", "rank")
+  }
+
   /** Per-probe RETRIEVAL EVALUATION of an approximate result list against
     * exact truth — the report card every ANN deployment publishes before
     * and after retuning (q97's aggregate recall, resolved per probe, plus

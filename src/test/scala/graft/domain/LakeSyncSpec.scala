@@ -1,0 +1,121 @@
+package graft.domain
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Cross-lake deletion sync (LakeSync): the write-ahead intent log, the
+  * two-lake fan-out, the crash matrix (torn between the lake deletes, torn
+  * before the retire), replay idempotence, and the scheduled catch-up. */
+class LakeSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+    val r = math.toRadians(deg)
+    Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+  }
+
+  private def roots(tag: String): (String, String, String) = {
+    val base = java.nio.file.Files.createTempDirectory(s"lakesync_$tag").toString
+    (s"$base/sync", s"$base/dedup", s"$base/vector")
+  }
+
+  // one doc per lake-resident id: text in the dedup lake, an embedding in
+  // the vector lake (the shared-id-space production shape)
+  private def seed(dedupRoot: String, vectorRoot: String): Unit = {
+    DedupLake.ingest(spark, dedupRoot, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different content over here"),
+      (3L, "yet another unrelated document body")).toDF("doc_id", "text"))
+    VectorLake.init(spark, vectorRoot, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, vectorRoot, Seq(
+      (1L, unit(0)), (2L, unit(45, 14f)), (3L, unit(90)))
+      .toDF("vec_id", "embedding"))
+  }
+
+  private def dedupIds(root: String): Set[Long] =
+    DedupLake.keeps(spark, root).collect().map(_.getLong(0)).toSet
+  private def vecIds(root: String): Set[Long] =
+    VectorLake.vectors(spark, root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("deleteDocs purges both lakes and retires the log") {
+    val (sync, dedup, vector) = roots("happy")
+    seed(dedup, vector)
+    val rep = LakeSync.deleteDocs(spark, sync, dedup, vector,
+      Seq(1L).toDF("doc_id"))
+    assert(rep == LakeSync.SyncReport(1, 1, 1, 1))
+    assert(dedupIds(dedup) == Set(2L, 3L))
+    assert(vecIds(vector) == Set(2L, 3L))
+    assert(LakeSync.pending(spark, sync).count() == 0L)
+    // ids never stored anywhere: logged, applied as no-ops, retired
+    val rep2 = LakeSync.deleteDocs(spark, sync, dedup, vector,
+      Seq(99L).toDF("doc_id"))
+    assert(rep2 == LakeSync.SyncReport(1, 0, 0, 1))
+  }
+
+  test("a crash between the two lake deletes is repaired by the next propagate") {
+    val (sync, dedup, vector) = roots("torn")
+    seed(dedup, vector)
+    LakeSync.requestDelete(spark, sync, Seq(2L).toDF("doc_id"))
+    val boom = intercept[RuntimeException] {
+      LakeSync.propagate(spark, sync, dedup, vector,
+        failpointAfterDedup = () => throw new RuntimeException("torn"))
+    }
+    assert(boom.getMessage == "torn")
+    // half-purged: dedup applied, vector not, log still pending
+    assert(dedupIds(dedup) == Set(1L, 3L))
+    assert(vecIds(vector) == Set(1L, 2L, 3L))
+    assert(LakeSync.pending(spark, sync).count() == 1L)
+    // the replay: dedup side no-ops (already tombstoned), vector applies
+    val rep = LakeSync.propagate(spark, sync, dedup, vector)
+    assert(rep == LakeSync.SyncReport(1, 0, 1, 1))
+    assert(vecIds(vector) == Set(1L, 3L))
+    assert(LakeSync.pending(spark, sync).count() == 0L)
+  }
+
+  test("a crash before the retire replays as all no-ops; propagate on an empty log is free") {
+    val (sync, dedup, vector) = roots("retire")
+    seed(dedup, vector)
+    LakeSync.requestDelete(spark, sync, Seq(3L).toDF("doc_id"))
+    intercept[RuntimeException] {
+      LakeSync.propagate(spark, sync, dedup, vector,
+        failpointBeforeRetire = () => throw new RuntimeException("torn2"))
+    }
+    // both lakes already purged; the log just never retired
+    assert(dedupIds(dedup) == Set(1L, 2L))
+    assert(vecIds(vector) == Set(1L, 2L))
+    assert(LakeSync.pending(spark, sync).count() == 1L)
+    val rep = LakeSync.propagate(spark, sync, dedup, vector)
+    assert(rep == LakeSync.SyncReport(1, 0, 0, 1))
+    assert(LakeSync.pending(spark, sync).count() == 0L)
+    assert(LakeSync.propagate(spark, sync, dedup, vector)
+      == LakeSync.SyncReport(0, 0, 0, 0))
+  }
+
+  test("requestDelete is at-least-once safe: an exact replay logs nothing new") {
+    val (sync, _, _) = roots("replaylog")
+    val ids: DataFrame = Seq(5L, 6L).toDF("doc_id")
+    assert(LakeSync.requestDelete(spark, sync, ids) == 2L)
+    assert(LakeSync.requestDelete(spark, sync, ids) == 0L)
+    assert(LakeSync.pending(spark, sync).count() == 2L)
+  }
+
+  test("the scheduled catch-up deployment closes a crashed fan-out") {
+    val (sync, dedup, vector) = roots("sched")
+    seed(dedup, vector)
+    LakeSync.requestDelete(spark, sync, Seq(1L).toDF("doc_id"))
+    intercept[RuntimeException] {
+      LakeSync.propagate(spark, sync, dedup, vector,
+        failpointAfterDedup = () => throw new RuntimeException("torn"))
+    }
+    var clock = java.time.LocalDateTime.of(2026, 8, 14, 12, 0)
+    val log = Scheduler.drive(
+      Seq(LakeSync.deployment(spark, sync, dedup, vector)),
+      start = clock, until = java.time.LocalDateTime.of(2026, 8, 15, 12, 0),
+      now = () => clock, sleep = d => clock = clock.plus(d))
+    assert(log.map(r => (r.name, r.error)) ===
+      Seq(("lake_delete_sync", None)))
+    assert(vecIds(vector) == Set(2L, 3L))
+    assert(LakeSync.pending(spark, sync).count() == 0L)
+  }
+}

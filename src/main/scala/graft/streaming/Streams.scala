@@ -544,6 +544,35 @@ object Streams {
       onReport(epoch, r)
     }
 
+  /** Streaming SERVE over the lake-resident vector index — the query-side
+    * twin of [[vectorLakeIngestStream]]: each micro-batch of probe rows
+    * (probe_id, embedding; ids unique per batch — searchBatch refuses
+    * duplicates loudly) runs ONE partition-pruned
+    * [[graft.domain.VectorLake.searchBatch]] over the store and hands the
+    * per-probe top-k to `sink` with the epoch — the retrieval endpoint as
+    * a stream job (probe batches arrive on a queue, results go to a keyed
+    * store), amortizing the scheduling floor across the batch exactly like
+    * the batch serve (q155). READER path: no lease is taken, and the
+    * CURRENT generation is re-resolved inside every searchBatch call, so a
+    * reconcile promoting mid-stream is picked up on the very next
+    * micro-batch — a quantized tier adopted (or dropped) by that promotion
+    * changes what `quantized = true` serves accordingly, and a replayed
+    * epoch after a promotion can legitimately see the NEW generation's
+    * results (serving reads are not versioned effects; pin a generation
+    * only by holding the results, not by replaying the query). Delivery is
+    * foreachBatch at-least-once: the standard sink is an idempotent keyed
+    * upsert on (probe_id, rank). */
+  def vectorLakeServeStream(probes: DataFrame, root: String, k: Int,
+                            nprobe: Int = 2, quantized: Boolean = false,
+                            refineFactor: Int = 0)
+                           (sink: (Long, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      sink(epoch, graft.domain.VectorLake.searchBatch(
+        batch.sparkSession, root, batch, k, nprobe,
+        quantized = quantized, refineFactor = refineFactor))
+    }
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

@@ -32,6 +32,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3)"), p)
   }
 
+  test("hybrid fusion stays bounded: lexical cut is a TopK, lex side broadcasts (q159)") {
+    // the two retrievers cut BEFORE fusion: the BM25 global top-20 must
+    // plan as TakeOrderedAndProject (never a corpus-wide single-partition
+    // window — that was the stated scale contract), and the per-probe
+    // replication of the cut list is a broadcast nested loop, not an
+    // exchange of the corpus
+    val p = plan("q159_hybrid_rrf_serve")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("scan reads only the projected columns (q08 column pruning)") {
     val p = plan("q08_filter_range")
     // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag

@@ -757,6 +757,48 @@ class VectorLakeSpec extends SparkSpec {
       k = 5).count() == 0)
   }
 
+  test("streaming serve: per-epoch searchBatch parity; a promotion lands on the next micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("servestream")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(45, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long)]]
+    val q = graft.streaming.Streams.vectorLakeServeStream(
+        input.toDF().toDF("probe_id", "embedding"), root, k = 2,
+        nprobe = 2) { (epoch, df) =>
+      val rows = df.orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      results.synchronized { results += epoch -> rows; () }
+    }.start()
+    try {
+      input.addData(101L -> unit(44, 14f))
+      q.processAllAvailable()
+      // epoch 0 equals the direct batched read over the same store
+      val direct = VectorLake.searchBatch(spark, root,
+          Seq(101L -> unit(44, 14f)).toDF("probe_id", "embedding"),
+          k = 2, nprobe = 2)
+        .orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(results.values.flatten.toSeq.sorted == direct.sorted,
+        s"stream=$results direct=$direct")
+      // a reconcile PROMOTES a new generation mid-stream (k=2 retrain);
+      // the next micro-batch re-resolves the pointer and serves it —
+      // same data, so the same neighbors come back (the store did not
+      // strand the stream on a displaced generation path)
+      VectorLake.reconcile(spark, root, k = 2, iters = 3)
+      input.addData(102L -> unit(44, 14f))
+      q.processAllAvailable()
+      val post = results.synchronized {
+        results.toSeq.sortBy(_._1).last._2 }
+      assert(post.map(_._2) == direct.map(_._2),
+        s"post-promotion neighbors drifted: $post vs $direct")
+    } finally q.stop()
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

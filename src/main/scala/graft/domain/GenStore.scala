@@ -117,8 +117,22 @@ private[domain] object GenStore {
     deleteDir(spark, ngRoot)
     write(ngRoot)
     Writers.writePointer(spark, pointer(root), newGen.toString)
-    for (g <- 0L until math.max(0L, newGen - (retainGenerations - 1)))
-      deleteDir(spark, s"$root/gen-$g")
+    // retention drops the generations that actually EXIST below the cutoff
+    // (one root listing), not a 0..newGen probe sweep — at generation 10⁴
+    // the per-promotion existence probes would dwarf the deletions (all but
+    // retainGenerations of them hit nothing, every promotion, forever)
+    val cutoff = newGen - (retainGenerations - 1)
+    if (cutoff > 0) {
+      val base = new org.apache.hadoop.fs.Path(root)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      val genName = """gen-(\d+)""".r
+      for (st <- fs.listStatus(base) if st.isDirectory)
+        st.getPath.getName match {
+          case genName(g) if g.toLong < cutoff =>
+            deleteDir(spark, st.getPath.toString)
+          case _ => ()
+        }
+    }
     // the legacy root layout counts as the generation BEFORE gen-0: it
     // leaves the retention window at the same promotion gen-0 would
     if (newGen >= retainGenerations - 1)

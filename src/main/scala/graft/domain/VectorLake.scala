@@ -514,14 +514,62 @@ object VectorLake {
                   probeVec: String = "embedding",
                   quantized: Boolean = false,
                   refineFactor: Int = 0,
-                  maxBroadcastProbes: Long = 1L << 20): DataFrame = {
+                  maxBroadcastProbes: Long = 1L << 20): DataFrame =
+    searchBatchIn(spark, dataRoot(spark, root), root, probes, k, nprobe,
+      probeId, probeVec, quantized, refineFactor, maxBroadcastProbes)
+
+  /** The resident generation numbers, oldest first — what [[searchBatchAt]]
+    * accepts. Under the default retention this is (displaced, current): the
+    * displaced generation survives exactly one promotion FOR THIS — shadow
+    * reads. Read-only; empty for a pointer-less legacy store. */
+  def generations(spark: SparkSession, root: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val genName = """gen-(\d+)""".r
+      fs.listStatus(base).toSeq.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case genName(g) => Some(g.toLong)
+            case _ => None
+          }
+      }.flatten.sorted
+    }
+  }
+
+  /** [[searchBatch]] PINNED to an explicit resident generation — the shadow
+    * read an index deployment runs BEFORE trusting a promotion: serve the
+    * same probe batch against the displaced generation and the new one
+    * ([[generations]] lists both under the default retention), diff the
+    * result lists (retrievalEval/nDCG with one side as truth), and roll
+    * back — re-promote from the old generation's data — if the retrain
+    * regressed recall. A generation retention has dropped (or never wrote)
+    * refuses loudly at resolve time, same message as a stranded reader. */
+  def searchBatchAt(spark: SparkSession, root: String, generation: Long,
+                    probes: DataFrame, k: Int, nprobe: Int = 2,
+                    probeId: String = "probe_id",
+                    probeVec: String = "embedding",
+                    quantized: Boolean = false,
+                    refineFactor: Int = 0,
+                    maxBroadcastProbes: Long = 1L << 20): DataFrame =
+    searchBatchIn(spark, s"$root/gen-$generation", root, probes, k, nprobe,
+      probeId, probeVec, quantized, refineFactor, maxBroadcastProbes)
+
+  private def searchBatchIn(spark: SparkSession, droot: String, root: String,
+                            probes: DataFrame, k: Int, nprobe: Int,
+                            probeId: String, probeVec: String,
+                            quantized: Boolean, refineFactor: Int,
+                            maxBroadcastProbes: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(refineFactor == 0 || quantized,
       s"refineFactor=$refineFactor without quantized=true — the refine " +
         "stage rescores a QUANTIZED scan's candidates against the float " +
         "tier; a float scan is already exact and has nothing to refine")
-    val droot = dataRoot(spark, root) // one resolution: no generation mixing
+    // a pinned generation that retention dropped (or that never existed)
+    // fails HERE with the stranded-reader message, not on an empty scan
+    GenStore.requireLive(spark, droot)
     val cents = centroidsAt(spark, droot, root)
     val np = math.min(nprobe, cents.size)
     // PINNED: the probe frame is evaluated several times (union-list

@@ -757,6 +757,44 @@ class VectorLakeSpec extends SparkSpec {
       k = 5).count() == 0)
   }
 
+  test("shadow read: searchBatchAt serves the displaced generation next to the current one") {
+    val root = freshRoot("shadow")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(45, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding"))
+    // two promotions: gen-0 (init) -> gen-1 -> gen-2; retention keeps 1 and 2
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.generations(spark, root) == Seq(1L, 2L))
+    val probes = Seq(101L -> unit(44, 14f)).toDF("probe_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // the A/B read: both resident generations serve the same probe batch;
+    // same data (no ingest between), so the shadow diff is empty — the
+    // promotion did not regress recall
+    val cur = ids(VectorLake.searchBatch(spark, root, probes, k = 2, nprobe = 2))
+    val shadowNew = ids(VectorLake.searchBatchAt(spark, root, 2L, probes, k = 2, nprobe = 2))
+    val shadowOld = ids(VectorLake.searchBatchAt(spark, root, 1L, probes, k = 2, nprobe = 2))
+    assert(cur == shadowNew && shadowNew == shadowOld, s"$cur / $shadowNew / $shadowOld")
+    // a generation retention dropped fails loudly at resolve time
+    val e = intercept[IllegalStateException] {
+      VectorLake.searchBatchAt(spark, root, 0L, probes, k = 2).count()
+    }
+    assert(e.getMessage.contains("EXPIRED"))
+    // hybrid composition: the lake's batched serve feeds rrfFuse directly
+    // (the serving stack's lexical+vector merge over a LAKE read)
+    val lex = Seq((3L, 1L), (9L, 2L)).toDF("neighbor_id", "rank")
+    val fused = graft.operators.Similarity.rrfFuse(
+      VectorLake.searchBatch(spark, root, probes, k = 2, nprobe = 2),
+      lex, probes.select(org.apache.spark.sql.functions.col("probe_id")), k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // doc 3 is in both lists (vector hit for a 44deg probe? 45 and 80 are
+    // the two hits; 3 ranks second) and must fuse ABOVE the vector-only 2
+    assert(fused.head == 3L, s"fused order: $fused")
+    assert(fused.contains(9L), s"lexical-only doc must appear: $fused")
+  }
+
   test("streaming serve: per-epoch searchBatch parity; a promotion lands on the next micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

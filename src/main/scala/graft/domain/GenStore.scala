@@ -91,6 +91,29 @@ private[domain] object GenStore {
     Writers.readOrEmptyReadOnly(spark, s"$droot/$sub", schema)
   }
 
+  /** WRITER-side ROLLBACK (call under the store's lease): flip the pointer
+    * BACK to a still-resident older generation — the undo of a promotion a
+    * shadow read (searchBatchAt vs the current generation) judged a
+    * regression. Strictly backward: `toGen` must be BELOW the current
+    * pointer, because a gen dir ABOVE it is a crashed promotion's orphan —
+    * possibly torn, never committed — and flipping to it would serve a
+    * half-written tree. The regressed generation stays resident (in-flight
+    * readers keep working) and is overwritten by the next promotion, whose
+    * newGen = toGen + 1 lands exactly on it; retention then proceeds as if
+    * the regression never happened. */
+  def rollback(spark: SparkSession, root: String, toGen: Long): Unit = {
+    Writers.recoverPointer(spark, pointer(root))
+    val cur = currentGen(spark, root).getOrElse(throw new IllegalStateException(
+      s"store at $root has no generation pointer — nothing to roll back"))
+    require(toGen < cur,
+      s"rollback target gen-$toGen is not BELOW the current gen-$cur — a " +
+        "generation dir above the pointer is a crashed promotion's orphan " +
+        "(possibly torn, never committed); only committed past generations " +
+        "can be rolled back to")
+    requireLive(spark, s"$root/gen-$toGen")
+    Writers.writePointer(spark, pointer(root), toGen.toString)
+  }
+
   def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

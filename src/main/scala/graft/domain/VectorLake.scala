@@ -428,6 +428,11 @@ object VectorLake {
              lockWaitMs: Long = 0L): Long =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
       val droot = dataRoot(spark, root)
+      // repair any compaction crash BEFORE the resident read: a leaf absent
+      // mid-swap would make this writer silently SKIP tombstoning the ids
+      // stored in it (the left_semi below would miss them) while reporting
+      // the purge done — the one delete outcome worse than failing
+      Writers.recoverPartitionCompact(spark, s"$droot/vectors")
       val del = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
       val resident = readOr(spark, s"$droot/vectors", vectorsSchema)
         .select("vec_id")
@@ -628,6 +633,23 @@ object VectorLake {
         pframe, "probe_id", "__pv", k, cents, np,
         maxBroadcastProbes = maxBroadcastProbes)
   }
+
+  /** ROLL BACK to a still-resident older generation — the undo a shadow
+    * read ([[searchBatchAt]] old-vs-new, diffed with
+    * [[Similarity.retrievalEval]]/nDCG) calls for when a promotion
+    * regressed recall. One pointer flip under the writer lease (the
+    * generation trees are immutable once written, so there is nothing else
+    * to undo); strictly backward — a gen dir above the pointer is a
+    * crashed promotion's possibly-torn orphan and is refused loudly. The
+    * regressed generation stays resident for in-flight readers and is
+    * overwritten by the next [[reconcile]]. NOTE: ingests that landed
+    * AFTER the regressed promotion live only in the regressed generation —
+    * re-ingest them (replay-safe) after rolling back. */
+  def rollback(spark: SparkSession, root: String, toGeneration: Long,
+               lockWaitMs: Long = 0L): Unit =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      GenStore.rollback(spark, root, toGeneration)
+    }
 
   /** Index-health check: q150's per-list drift report of an incoming batch
     * against the resident vectors under the CURRENT centroids. Reader path

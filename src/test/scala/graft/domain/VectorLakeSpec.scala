@@ -652,6 +652,25 @@ class VectorLakeSpec extends SparkSpec {
       "recovery must restore the displaced leaf")
   }
 
+  test("delete repairs a crashed leaf compaction first — never silently skips ids in the displaced leaf") {
+    val root = freshRoot("delcrash")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root,
+      Seq(1L -> unit(0, 14f), 2L -> unit(90, 14f)).toDF("vec_id", "embedding"))
+      .kept == 2)
+    val droot = VectorLake.dataRoot(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$droot/vectors")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base, "ivf_list=0"),
+      new org.apache.hadoop.fs.Path(base, ".ivf_list=0__cold")))
+    // vec 1 lives in the displaced leaf: without the repair, delete's
+    // resident semi-join would miss it, report 0, and the purge would
+    // silently not happen — the one delete outcome worse than failing
+    assert(VectorLake.delete(spark, root, Seq(1L).toDF("vec_id")) == 1L)
+    assert(VectorLake.vectors(spark, root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("SQ8 refine: quantized scan + float rescore EQUALS the float serve, scores included") {
     // the r9 verdict's top ask, lake-level: searchBatch(quantized = true,
     // refineFactor = r) scans the 4×-smaller codes tier for top-(k·r)
@@ -793,6 +812,41 @@ class VectorLakeSpec extends SparkSpec {
     // the two hits; 3 ranks second) and must fuse ABOVE the vector-only 2
     assert(fused.head == 3L, s"fused order: $fused")
     assert(fused.contains(9L), s"lexical-only doc must appear: $fused")
+  }
+
+  test("rollback: the pointer flips back to a resident generation; orphans above are refused") {
+    val root = freshRoot("rollback")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(45, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding"))
+    VectorLake.reconcile(spark, root, k = 2, iters = 3) // gen-1
+    VectorLake.reconcile(spark, root, k = 2, iters = 3) // gen-2
+    val probes = Seq(101L -> unit(44, 14f)).toDF("probe_id", "embedding")
+    def serveIds(): Seq[Long] =
+      VectorLake.searchBatch(spark, root, probes, k = 2, nprobe = 2)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val before = serveIds()
+    // the shadow read judged gen-2 a regression (here: same data, same
+    // results — the mechanics are what the test pins): flip back to gen-1
+    VectorLake.rollback(spark, root, 1L)
+    assert(serveIds() == before)
+    assert(VectorLake.generations(spark, root) == Seq(1L, 2L),
+      "the regressed generation stays resident for in-flight readers")
+    // forward rollback = a possibly-torn orphan: refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.rollback(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("not BELOW"))
+    // an expired target is refused with the stranded-reader message
+    assert(intercept[IllegalStateException] {
+      VectorLake.rollback(spark, root, 0L)
+    }.getMessage.contains("EXPIRED"))
+    // the next reconcile promotes FROM gen-1, overwriting the regressed
+    // gen-2 dir, and the lake serves on as if the regression never happened
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.generations(spark, root) == Seq(1L, 2L))
+    assert(serveIds() == before)
   }
 
   test("streaming serve: per-epoch searchBatch parity; a promotion lands on the next micro-batch") {

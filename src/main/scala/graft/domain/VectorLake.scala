@@ -648,6 +648,34 @@ object VectorLake {
   def rollback(spark: SparkSession, root: String, toGeneration: Long,
                lockWaitMs: Long = 0L): Unit =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
+      // CARRY THE TOMBSTONES FIRST: they live under the generation dir, so
+      // a bare pointer flip would resurrect every id deleted while the
+      // regressed generation served — a purge silently undone by an index
+      // rollback, the worst possible interaction of the two lifecycles.
+      // Tombstones for ids the older generation never stored are harmless
+      // (the exclusion anti-join just misses); the carry runs BEFORE the
+      // flip so a crash between the two leaves only extra tombstones in a
+      // not-yet-current generation, and the retry re-carries (anti-joined,
+      // appends nothing).
+      val cur = GenStore.currentGen(spark, root)
+      val curRoot = GenStore.dataRootOf(root, cur)
+      val target = s"$root/gen-$toGeneration"
+      // validate BEFORE the carry writes anything: an invalid target (a
+      // possibly-torn promotion orphan above the pointer, or an expired
+      // generation) must refuse without first seeding tombstones into it
+      require(cur.exists(toGeneration < _),
+        s"rollback target gen-$toGeneration is not BELOW the current " +
+          s"generation (${cur.fold("no pointer")(g => s"gen-$g")}) — only " +
+          "committed past generations can be rolled back to")
+      GenStore.requireLive(spark, target)
+      val pending = readOr(spark, s"$curRoot/tombstones", tombstonesSchema)
+        .join(readOr(spark, s"$target/tombstones", tombstonesSchema),
+          Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (pending.count() > 0)
+          pending.write.mode("append").parquet(s"$target/tombstones")
+      } finally { pending.unpersist(blocking = false); () }
       GenStore.rollback(spark, root, toGeneration)
     }
 

@@ -849,6 +849,30 @@ class VectorLakeSpec extends SparkSpec {
     assert(serveIds() == before)
   }
 
+  test("rollback carries the regressed generation's tombstones — a purge survives the undo") {
+    val root = freshRoot("rolldel")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0), 2L -> unit(45, 14f), 3L -> unit(80, 14f))
+      .toDF("vec_id", "embedding"))
+    VectorLake.reconcile(spark, root, k = 2, iters = 3) // gen-1
+    VectorLake.reconcile(spark, root, k = 2, iters = 3) // gen-2
+    // the purge lands while gen-2 serves: its tombstones live under gen-2
+    assert(VectorLake.delete(spark, root, Seq(2L).toDF("vec_id")) == 1L)
+    assert(VectorLake.vectors(spark, root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // a bare pointer flip would resurrect id 2 (gen-1 has no tombstones);
+    // rollback must carry them so the purge survives the index undo
+    VectorLake.rollback(spark, root, 1L)
+    assert(VectorLake.vectors(spark, root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "a deleted id must NOT resurface after rollback")
+    // and the next reconcile physically reclaims it as usual
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.vectors(spark, root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("streaming serve: per-epoch searchBatch parity; a promotion lands on the next micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

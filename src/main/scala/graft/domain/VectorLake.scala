@@ -606,7 +606,7 @@ object VectorLake {
       else {
         val (mins, maxs) = sqStatsAt(spark, droot).getOrElse(
           throw new IllegalArgumentException(
-            s"no SQ8 tier resident for the current generation at $root — " +
+            s"no SQ8 tier resident for the generation at $droot — " +
               "reconcile with sqMinRecall > 0 (and pass its recall gate) " +
               "before serving quantized, or search with quantized=false"))
         pruneLists(codesAt(spark, droot))

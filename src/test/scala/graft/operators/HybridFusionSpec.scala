@@ -69,6 +69,47 @@ class HybridFusionSpec extends SparkSpec {
     assert(byProbe(1L).head.getLong(1) == 11L)
   }
 
+  test("seeded-random parity with an in-memory reference fusion") {
+    // the invariant a user relies on: rrfFuse IS the textbook RRF in
+    // integer micro-units, for any rank lists — checked against a plain
+    // Scala reimplementation over seeded-random inputs (no scalatestplus
+    // bridge in this env; deterministic across runs)
+    val rnd = new scala.util.Random(1142)
+    (1 to 5).foreach { _ =>
+      val nProbes = 1 + rnd.nextInt(4)
+      val probeIds = (0 until nProbes).map(_.toLong)
+      val vecRows = probeIds.flatMap { p =>
+        val docs = rnd.shuffle((0L until 12L).toList).take(rnd.nextInt(6))
+        docs.zipWithIndex.map { case (d, i) => (p, d, (i + 1).toLong) }
+      }
+      val lexRows = rnd.shuffle((0L until 12L).toList).take(rnd.nextInt(6))
+        .zipWithIndex.map { case (d, i) => (d, (i + 1).toLong) }
+      val k = 1 + rnd.nextInt(8)
+      val got = Similarity.rrfFuse(
+          vecRows.toDF("probe_id", "neighbor_id", "rank"),
+          lexRows.toDF("neighbor_id", "rank"),
+          probeIds.toDF("probe_id"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // reference: per probe, union of candidates, exact integer micros,
+      // sort by (micros desc, id asc), take k
+      val vecByProbe = vecRows.groupBy(_._1)
+        .map { case (p, rs) => p -> rs.map(r => r._2 -> r._3).toMap }
+      val lexMap = lexRows.toMap
+      val want = probeIds.flatMap { p =>
+        val vm = vecByProbe.getOrElse(p, Map.empty[Long, Long])
+        val cands = (vm.keySet ++ lexMap.keySet).toSeq
+        cands.map { d =>
+          val m = vm.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+            lexMap.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L)
+          (d, m)
+        }.sortBy { case (d, m) => (-m, d) }.take(k).zipWithIndex
+          .map { case ((d, m), i) => (p, d, m, (i + 1).toLong) }
+      }.toSet
+      assert(got == want, s"nProbes=$nProbes k=$k\n got=$got\nwant=$want")
+    }
+  }
+
   test("an over-cap lexical list is refused loudly (it broadcasts)") {
     val big = spark.range(0, 100)
       .select(col("id").as("neighbor_id"), (col("id") + 1).as("rank"))

@@ -2131,6 +2131,41 @@ object SparkEntry {
       kRrf = 60, nLists = 4, dims = 64, scale = 0.02, nprobe = 2,
       nProbes = 64, terms = Seq("spark", "query", "merge")))),
 
+    Q("q160_rrf3_serve", (s, dir) => {
+      // THREE-WAY fusion (Similarity.rrfFuseAll): q159's vector+lexical
+      // hybrid plus a query-global QUALITY prior (q26's scorer, top-20) —
+      // the retriever-plus-priors stack a production endpoint actually
+      // serves. Every list is cut to its serving bound BEFORE the fold of
+      // full-outer joins; the three integer micro-reciprocals sum exactly,
+      // so the fused order is engine-independent.
+      val emb = T(s, dir, "embeddings")
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "embedding", cents)
+      val probes = emb.orderBy(col("vec_id")).limit(64)
+        .select("vec_id", "embedding")
+      val pids = probes.select(col("vec_id").as("probe_id"))
+      val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
+        "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
+        cents, nprobe = 2, excludeSelf = true)
+      def globalTop(scored: DataFrame, scoreCol: String): DataFrame = {
+        // TakeOrdered cut first (corpus-safe), bounded window rank after
+        val top = scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(20)
+        pids.crossJoin(broadcast(top.withColumn("rank", row_number().over(
+            Window.orderBy(col(scoreCol).desc, col("doc_id"))))
+          .select(col("doc_id").as("neighbor_id"), col("rank"))))
+      }
+      val lexp = globalTop(graft.operators.TextStats.bm25(docs, "doc_id",
+        "text", queryTerms = Seq("spark", "query", "merge")), "bm25")
+      val qualp = globalTop(docs.select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality")), "quality")
+      Similarity.rrfFuseAll(Seq(vec, lexp, qualp), k = 5, kRrf = 60)
+    }, Some(TextOracle.rrf3ServeSql(k = 5, kVec = 10, nLex = 20, nQual = 20,
+      kRrf = 60, nLists = 4, dims = 64, scale = 0.02, nprobe = 2,
+      nProbes = 64, terms = Seq("spark", "query", "merge")))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

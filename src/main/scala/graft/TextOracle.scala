@@ -1592,6 +1592,57 @@ object TextOracle {
       scoreVec = "a.embedding", tailSql = Some(tail))
   }
 
+  /** q160: THREE-WAY fusion (Similarity.rrfFuseAll) — q159's hybrid plus a
+    * query-global QUALITY prior (q26's score transcription, top-`nQual`):
+    * the vector + lexical + prior stack a production retrieval endpoint
+    * actually serves. Chained FULL OUTER JOIN ... USING coalesces the keys
+    * exactly like Spark's column-list full outer; the three micro-unit
+    * reciprocals are integer summands, so addition order cannot drift the
+    * fused total. */
+  def rrf3ServeSql(k: Int, kVec: Int, nLex: Int, nQual: Int, kRrf: Int,
+                   nLists: Int, dims: Int, scale: Double, nprobe: Int,
+                   nProbes: Int, terms: Seq[String],
+                   k1: Double = 1.2, b: Double = 0.75): String = {
+    def rrT(c: String) =
+      s"COALESCE(CAST(floor(1000000.0 / ($kRrf + $c)) AS BIGINT), 0)"
+    val tail = s""",
+    vtop AS (SELECT probe_id, neighbor_id, rank AS rv FROM ranked
+             WHERE rank <= $kVec),
+    lexr AS (SELECT neighbor_id, rl FROM (
+      SELECT doc_id AS neighbor_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+      FROM bmscore) WHERE rl <= $nLex),
+    lexp AS (SELECT pb.vec_id AS probe_id, lexr.neighbor_id, lexr.rl
+             FROM pb, lexr),
+    qualr AS (SELECT neighbor_id, rq FROM (
+      SELECT doc_id AS neighbor_id,
+             row_number() OVER (ORDER BY q DESC, doc_id) AS rq
+      FROM (SELECT doc_id, $qualityFromRawSql AS q
+            FROM (SELECT doc_id, text, $prawSql AS praw, $srawSql AS sraw
+                  FROM documents
+                  WHERE text IS NOT NULL AND length(trim(text)) > 0)))
+      WHERE rq <= $nQual),
+    qualp AS (SELECT pb.vec_id AS probe_id, qualr.neighbor_id, qualr.rq
+              FROM pb, qualr),
+    f2 AS (SELECT probe_id, neighbor_id, rv, rl
+           FROM vtop FULL OUTER JOIN lexp USING (probe_id, neighbor_id)),
+    f3 AS (SELECT probe_id, neighbor_id, rv, rl, rq
+           FROM f2 FULL OUTER JOIN qualp USING (probe_id, neighbor_id)),
+    fused AS (
+      SELECT probe_id, neighbor_id,
+             ${rrT("rv")} + ${rrT("rl")} + ${rrT("rq")} AS rrf_micros
+      FROM f3),
+    fr AS (
+      SELECT probe_id, neighbor_id, rrf_micros,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY rrf_micros DESC, neighbor_id) AS rank
+      FROM fused)
+    SELECT probe_id, neighbor_id, rrf_micros, rank FROM fr WHERE rank <= $k"""
+    multiProbeServeSkeleton(kVec, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = bm25Ctes(terms, k1, b) + ",", candFrom = "a",
+      scoreVec = "a.embedding", tailSql = Some(tail))
+  }
+
   /** q141: the relational skeleton of the multimodal curation pipeline on
     * the embeddings table — component-spike quality gate → pairwise
     * near-dup with the drop-later rule → self-kNN of the survivors. Gate

@@ -971,23 +971,46 @@ object Similarity {
               maxBroadcastLex: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf (60 is the standard)")
-    val v = vecRanks.select(col("probe_id").cast("long").as("probe_id"),
-      col("neighbor_id").cast("long").as("neighbor_id"),
-      col("rank").cast("long").as("__rv"))
     val lex = lexRanks.select(col("neighbor_id").cast("long").as("neighbor_id"),
-      col("rank").cast("long").as("__rl"))
+      col("rank").cast("long").as("rank"))
     requireBroadcastable(lex, maxBroadcastLex)
     val p = probeIds.select(col("probe_id").cast("long").as("probe_id"))
       .distinct()
     // the global lexical list replicates per probe (bounded × bounded);
     // broadcast keeps the replication exchange-free
     val lexp = p.crossJoin(broadcast(lex))
+    rrfFuseAll(Seq(vecRanks, lexp), k, kRrf)
+  }
+
+  /** N-LIST reciprocal-rank fusion — [[rrfFuse]]'s general form, for the
+    * production stacks that merge MORE than two retrievers (vector + BM25 +
+    * a recency or source-quality prior is the common three). Every list is
+    * per-probe (probe_id, neighbor_id, rank) with at most one rank per
+    * (probe, candidate); turn a query-global list into a per-probe one by
+    * cross-joining the broadcast list with the probe ids (what [[rrfFuse]]
+    * does for its lexical side). `rrf_micros` sums
+    * floor(1e6/(kRrf + rank_i)) over the lists, absence contributing 0 —
+    * integer summands, so the order of addition cannot drift the total.
+    * A probe absent from every list yields no rows. Scale shape: the fold
+    * of full-outer joins runs over serving-bounded frames only (each list
+    * is probes × its own cut by contract); one rank window tails it. */
+  def rrfFuseAll(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list to fuse")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf (60 is the standard)")
+    val named = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("probe_id").cast("long").as("probe_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank").cast("long").as(s"__r$i"))
+    }
+    val joined = named.reduce(
+      (a, b) => a.join(b, Seq("probe_id", "neighbor_id"), "full_outer"))
     def rr(rank: Column): Column =
       coalesce(floor(lit(1000000.0) / (lit(kRrf) + rank)).cast("long"), lit(0L))
+    val micros = lists.indices.map(i => rr(col(s"__r$i"))).reduce(_ + _)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("rrf_micros").desc, col("neighbor_id"))
-    v.join(lexp, Seq("probe_id", "neighbor_id"), "full_outer")
-      .withColumn("rrf_micros", rr(col("__rv")) + rr(col("__rl")))
+    joined.withColumn("rrf_micros", micros)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "rrf_micros", "rank")

@@ -69,6 +69,29 @@ class HybridFusionSpec extends SparkSpec {
     assert(byProbe(1L).head.getLong(1) == 11L)
   }
 
+  test("rrfFuseAll fuses three lists; a two-list call equals rrfFuse exactly") {
+    val qual = Seq((1L, 10L, 1L), (1L, 12L, 2L), (2L, 10L, 1L), (3L, 10L, 1L))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val lexp = probes.crossJoin(
+      lex.withColumnRenamed("rank", "r")).select(
+      col("probe_id"), col("neighbor_id"), col("r").as("rank"))
+    val got = Similarity.rrfFuseAll(Seq(vec, lexp, qual), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // probe 1, doc 10: vec rank 1 + quality rank 1
+    assert(got((1L, 10L)) == rr(1) + rr(1))
+    // probe 1, doc 12: lex rank 2 + quality rank 2
+    assert(got((1L, 12L)) == rr(2) + rr(2))
+    // probe 3 (no vector candidates): lex + quality only
+    assert(got((3L, 10L)) == rr(1))
+    assert(got((3L, 11L)) == rr(1))
+    // the general form degrades to the two-list special case bit-for-bit
+    val viaAll = Similarity.rrfFuseAll(Seq(vec, lexp), k = 10)
+      .collect().map(_.toSeq).toSet
+    val viaPair = Similarity.rrfFuse(vec, lex, probes, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaAll == viaPair)
+  }
+
   test("seeded-random parity with an in-memory reference fusion") {
     // the invariant a user relies on: rrfFuse IS the textbook RRF in
     // integer micro-units, for any rank lists — checked against a plain

@@ -92,6 +92,33 @@ class LakeSyncSpec extends SparkSpec {
       == LakeSync.SyncReport(0, 0, 0, 0))
   }
 
+  test("e2e purge: both lakes physically reclaim at reconcile and the id becomes reusable") {
+    val (sync, dedup, vector) = roots("e2e")
+    seed(dedup, vector)
+    LakeSync.deleteDocs(spark, sync, dedup, vector, Seq(2L).toDF("doc_id"))
+    // logical deletion is immediate; the PHYSICAL rows wait for reconcile
+    def archivedIds(): Set[Long] =
+      graft.sources.Writers.readOrEmptyReadOnly(spark, s"$dedup/archive",
+          DedupLake.archiveSchema)
+        .collect().map(_.getLong(0)).toSet
+    assert(archivedIds().contains(2L), "archive purge is deferred")
+    DedupLake.reconcile(spark, dedup)
+    VectorLake.reconcile(spark, vector, k = 2, iters = 3)
+    assert(!archivedIds().contains(2L),
+      "the dedup reconcile must purge the archived text")
+    assert(vecIds(vector) == Set(1L, 3L))
+    // id reuse after the reclaim: the log retired the id at propagate and
+    // both lakes dropped the physical rows + tombstones, so a fresh doc
+    // under the old id ingests as NEW content in both lakes
+    assert(DedupLake.ingest(spark, dedup,
+      Seq((2L, "fresh replacement body nothing like before")).toDF("doc_id", "text"))
+      .count() == 1L)
+    assert(VectorLake.ingest(spark, vector,
+      Seq((2L, unit(130, 14f))).toDF("vec_id", "embedding")).kept == 1L)
+    assert(dedupIds(dedup) == Set(1L, 2L, 3L))
+    assert(vecIds(vector) == Set(1L, 2L, 3L))
+  }
+
   test("requestDelete is at-least-once safe: an exact replay logs nothing new") {
     val (sync, _, _) = roots("replaylog")
     val ids: DataFrame = Seq(5L, 6L).toDF("doc_id")

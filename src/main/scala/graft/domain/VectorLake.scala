@@ -451,6 +451,100 @@ object VectorLake {
       } finally { toWrite.unpersist(blocking = false); () }
     }
 
+  /** UPSERT by id — the re-embedding path (a model refresh re-encodes
+    * RESIDENT documents; their vectors must be REPLACED in place, not
+    * deleted-and-waited-on): under one lease, the batch ids' old rows are
+    * physically removed by rewriting ONLY their list leaves (the
+    * hidden-sibling [[Writers.rewriteLeaf]] swap — crash states invisible
+    * to readers, repaired under the next lease), any tombstones on those
+    * ids are dropped (an upsert is explicit new content — the one
+    * sanctioned id resurrection), and the new rows append list-partitioned
+    * (plus their SQ codes while the tier is resident, so the quantized
+    * read serves the refresh too). Write amplification is one leaf rewrite
+    * per TOUCHED list — bounded by the (serving-bounded, ENFORCED) batch,
+    * never a store rewrite.
+    *
+    * Deliberately GATE-FREE: ingest's near-dup gate protects content
+    * ADMISSION; an upsert re-encodes content that is already admitted, and
+    * gating it would fight every model refresh (the whole corpus shifts
+    * together). Use [[ingest]] for gated inserts.
+    *
+    * At-least-once: a replay removes the previously-appended new rows in
+    * its leaf-rewrite step and re-appends identical values — the operation
+    * is idempotent AS A WHOLE, and a torn run (crash between the removes
+    * and the append, `failpointAfterRemove`) leaves the ids absent until
+    * the replay lands them (the same torn-window contract as the lakes'
+    * other mutations). Batch ids must be unique — refused loudly
+    * otherwise, two rows would land under one id. Returns the batch row
+    * count. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+             maxBroadcastRows: Long = 1L << 20,
+             lockWaitMs: Long = 0L,
+             failpointAfterRemove: () => Unit = () => ()): Long =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val droot = dataRoot(spark, root)
+      Writers.recoverPartitionCompact(spark, s"$droot/vectors")
+      Writers.recoverPartitionCompact(spark, s"$droot/codes")
+      val cents = centroidsAt(spark, droot, root)
+      val newRows = Similarity.ivfAssignWithDist(
+        batch.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast(vectorsSchema("embedding").dataType)
+            .as("embedding")),
+        "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = newRows.agg(count(lit(1)), count_distinct(col("vec_id"))).head()
+        val n = counts.getLong(0)
+        require(n == counts.getLong(1),
+          s"upsert batch carries duplicate vec_id values ($n rows, " +
+            s"${counts.getLong(1)} distinct) — two rows would land under " +
+            "one id. Deduplicate the batch first.")
+        require(n <= maxBroadcastRows,
+          s"upsert batch has $n rows > maxBroadcastRows=$maxBroadcastRows " +
+            "— the batch id set broadcasts against the store " +
+            "(serving-bounded by contract). Corpus-scale re-encodes belong " +
+            "to a bulk rewrite + reconcile.")
+        val ids = newRows.select("vec_id")
+        // remove the old physical rows: rewrite only the leaves that hold
+        // them (their STORED lists — the new assignment may differ)
+        for (tier <- Seq("vectors", "codes")) {
+          val base = new org.apache.hadoop.fs.Path(s"$droot/$tier")
+          val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(base)) {
+            val schema = if (tier == "vectors") vectorsSchema else codesSchema
+            val touched = readOr(spark, s"$droot/$tier", schema)
+              .join(broadcast(ids), Seq("vec_id"), "left_semi")
+              .select("ivf_list").distinct().collect().map(_.getInt(0))
+            for (list <- touched)
+              Writers.rewriteLeaf(spark, s"$droot/$tier/ivf_list=$list")(
+                _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+          }
+        }
+        // an upsert of a tombstoned id is the sanctioned resurrection:
+        // drop its tombstone or every read would exclude the new row
+        val tombs = readOr(spark, s"$droot/tombstones", tombstonesSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (tombs.join(broadcast(ids), Seq("vec_id"), "left_semi")
+              .limit(1).count() > 0)
+            Writers.swapReplace(spark, s"$droot/tombstones",
+              tombs.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+        } finally { tombs.unpersist(blocking = false); () }
+        failpointAfterRemove()
+        newRows.select("vec_id", "embedding", "ivf_list", "d2")
+          .write.mode("append").partitionBy("ivf_list")
+          .parquet(s"$droot/vectors")
+        for ((mins, maxs) <- sqStatsAt(spark, droot))
+          newRows
+            .withColumn("codes",
+              Similarity.sqCodesTiny(col("embedding"), mins, maxs))
+            .select("vec_id", "codes", "ivf_list")
+            .write.mode("append").partitionBy("ivf_list")
+            .parquet(s"$droot/codes")
+        n
+      } finally { newRows.unpersist(blocking = false); () }
+    }
+
   /** Probing search over the RESIDENT store — the serving read this lake
     * exists for. The stored centroids rank against the query driver-side
     * (k rows); only the `nprobe` nearest lists are read. Because the

@@ -318,20 +318,33 @@ object Writers {
     * layout-only). WRITER-SIDE: call under the store's lease, AFTER
     * [[recoverPartitionCompact]] on the table dir. */
   def compactPartition(spark: SparkSession, leafDir: String,
-                       targetRecordsPerFile: Long = 1000000L): Unit = {
+                       targetRecordsPerFile: Long = 1000000L): Unit =
+    rewriteLeaf(spark, leafDir, targetRecordsPerFile)(identity)
+
+  /** Rewrite ONE leaf of a partitioned table as `transform(current rows)`
+    * through the same hidden-sibling swap as [[compactPartition]] — the
+    * row-level mutation primitive a partitioned store needs (e.g. a vector
+    * upsert removing the replaced ids from their old list): crash states
+    * stay invisible to readers and are repaired by
+    * [[recoverPartitionCompact]] under the next lease. WRITER-SIDE only.
+    * An empty transform result still swaps in an empty leaf (readers with
+    * an imposed schema see zero rows from it). */
+  def rewriteLeaf(spark: SparkSession, leafDir: String,
+                  targetRecordsPerFile: Long = 1000000L)
+                 (transform: DataFrame => DataFrame): Unit = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     val (fs, dst) = hfsOf(spark, leafDir)
     val tmp = leafTmp(dst)
     val old = leafOld(dst)
-    val df = spark.read.parquet(leafDir)
+    val df = transform(spark.read.parquet(leafDir))
     val rows = df.count()
     val files = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.coalesce(files.toInt).write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true) // stale leftover: rename onto an
     // existing dir would nest INTO it on HDFS/local instead of replacing
-    require(fs.rename(dst, old), s"leaf compact failed: $dst -> $old")
-    require(fs.rename(tmp, dst), s"leaf compact failed: $tmp -> $dst")
+    require(fs.rename(dst, old), s"leaf rewrite failed: $dst -> $old")
+    require(fs.rename(tmp, dst), s"leaf rewrite failed: $tmp -> $dst")
     fs.delete(old, true)
     ()
   }

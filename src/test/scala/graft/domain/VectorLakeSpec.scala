@@ -814,6 +814,74 @@ class VectorLakeSpec extends SparkSpec {
     assert(fused.contains(9L), s"lexical-only doc must appear: $fused")
   }
 
+  test("upsert replaces by id across lists, updates SQ codes, resurrects tombstoned ids") {
+    val root = freshRoot("upsert")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    assert(VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(40, 14f), 3L -> unit(85, 14f))
+      .toDF("vec_id", "embedding")).kept == 3)
+    // adopt the SQ tier so the upsert must maintain the codes too
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.01, sqRecallK = 2)
+    assert(VectorLake.delete(spark, root, Seq(3L).toDF("vec_id")) == 1L)
+    // the refresh: v1 re-embeds ACROSS lists (0deg -> 80deg), v3 was
+    // tombstoned and comes back as new content (the sanctioned
+    // resurrection), v9 is a plain insert through the upsert path
+    assert(VectorLake.upsert(spark, root, Seq(
+      1L -> unit(80, 14f), 3L -> unit(75, 14f), 9L -> unit(5, 14f))
+      .toDF("vec_id", "embedding")) == 3L)
+    val got = VectorLake.vectors(spark, root)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 9L))
+    // v1's stored embedding IS the refreshed one (cos(80deg) x component)
+    assert(math.abs(got(1L) - unit(80, 14f)(0)) < 1e-5,
+      s"v1 must carry the refreshed embedding, got ${got(1L)}")
+    // exactly ONE physical row per id — the replace removed the old copy
+    assert(VectorLake.vectors(spark, root).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // the quantized serve sees the refresh: v1 now answers an 80deg probe
+    val probes = Seq(101L -> unit(80, 14f)).toDF("probe_id", "embedding")
+    val q = VectorLake.searchBatch(spark, root, probes, k = 2, nprobe = 2,
+      quantized = true).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(q.head == 1L || q.head == 3L, s"refreshed ids must serve: $q")
+    assert(q.toSet.subsetOf(Set(1L, 3L)), s"quantized serve stale: $q")
+    // an exact replay is a state no-op (same values, still one row per id)
+    VectorLake.upsert(spark, root, Seq(
+      1L -> unit(80, 14f), 3L -> unit(75, 14f), 9L -> unit(5, 14f))
+      .toDF("vec_id", "embedding"))
+    assert(VectorLake.vectors(spark, root).count() == 4)
+    // duplicate ids in one batch are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.upsert(spark, root,
+        Seq(5L -> unit(1), 5L -> unit(2)).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("duplicate vec_id"))
+  }
+
+  test("a torn upsert (removed, not yet appended) is repaired by the replay") {
+    val root = freshRoot("upserttorn")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(85, 14f)).toDF("vec_id", "embedding"))
+    val boom = intercept[RuntimeException] {
+      VectorLake.upsert(spark, root,
+        Seq(1L -> unit(30, 14f)).toDF("vec_id", "embedding"),
+        failpointAfterRemove = () => throw new RuntimeException("torn"))
+    }
+    assert(boom.getMessage == "torn")
+    // the torn window: the id is absent (old removed, new not yet landed)
+    assert(VectorLake.vectors(spark, root).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // the replay lands the refresh
+    assert(VectorLake.upsert(spark, root,
+      Seq(1L -> unit(30, 14f)).toDF("vec_id", "embedding")) == 1L)
+    val one = VectorLake.vectors(spark, root)
+      .filter(col("vec_id") === 1L).select("embedding").collect()
+    assert(one.length == 1)
+    assert(math.abs(one.head.getSeq[Float](0).head - unit(30, 14f)(0)) < 1e-5)
+  }
+
   test("rollback: the pointer flips back to a resident generation; orphans above are refused") {
     val root = freshRoot("rollback")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -983,6 +983,40 @@ class VectorLakeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming serve quantized: epochs serve from the SQ tier and track an upsert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("servestreamq")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(40, 14f), 3L -> unit(85, 14f))
+      .toDF("vec_id", "embedding"))
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.01, sqRecallK = 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = graft.streaming.Streams.vectorLakeServeStream(
+        input.toDF().toDF("probe_id", "embedding"), root, k = 1,
+        nprobe = 2, quantized = true) { (epoch, df) =>
+      val ids = df.orderBy("rank").collect().map(_.getLong(1)).toSeq
+      results.synchronized { results += epoch -> ids; () }
+    }.start()
+    try {
+      input.addData(101L -> unit(84, 14f))
+      q.processAllAvailable()
+      // epoch 1: the nearest stored vector by the SQ8 asymmetric score
+      assert(results.synchronized(results.last._2) == Seq(3L), results.toString)
+      // a refresh lands between epochs: v3 re-embeds away, v1 moves close
+      // to the probe — the next epoch's quantized read serves the refresh
+      // (upsert maintained the codes tier)
+      VectorLake.upsert(spark, root, Seq(
+        1L -> unit(82, 14f), 3L -> unit(5, 14f)).toDF("vec_id", "embedding"))
+      input.addData(102L -> unit(84, 14f))
+      q.processAllAvailable()
+      assert(results.synchronized(results.last._2) == Seq(1L), results.toString)
+    } finally q.stop()
+  }
+
   test("writer lease: a second writer fails fast") {
     val root = freshRoot("lock")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -2166,6 +2166,45 @@ object SparkEntry {
       kRrf = 60, nLists = 4, dims = 64, scale = 0.02, nprobe = 2,
       nProbes = 64, terms = Seq("spark", "query", "merge")))),
 
+    Q("q161_corpus_overlay", (s, dir) => {
+      // the dedup lake's logical-corpus FOLD (DedupLake.corpusFold — the
+      // exact read path corpus()/reconcile run, the q151 register-the-real-
+      // decision pattern) as a pure oracle query: upsert EDITS supersede
+      // archive rows by id, an edit id absent from the archive is an
+      // INSERT, delete TOMBSTONES drop last. Overlays derive
+      // deterministically from `documents`: every doc_id ≡ 3 (mod 11)
+      // re-written upper-case, every ≡ 0 (mod 97) also inserted under
+      // id+10⁶, every ≡ 5 (mod 13) purged — all three fold arms (and the
+      // edit∩tombstone case) in one hash-checked row set. Both overlays
+      // broadcast (bounded-by-contract sides), so the corpus scans once.
+      val docs = T(s, dir, "documents")
+      val edits = docs.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("inserted:"), col("doc_id").cast("string")).as("text")))
+      val tombs = docs.filter(col("doc_id") % 13 === 5).select("doc_id")
+      graft.domain.DedupLake.corpusFold(
+        docs.select("doc_id", "text"), edits, tombs)
+    }, Some("""
+      WITH edits AS (
+        SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 11 = 3
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               'inserted:' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 97 = 0
+      ), tomb AS (
+        SELECT doc_id FROM documents WHERE doc_id % 13 = 5
+      ), folded AS (
+        SELECT a.doc_id, a.text FROM documents a
+        WHERE NOT EXISTS (SELECT 1 FROM edits e WHERE e.doc_id = a.doc_id)
+        UNION ALL
+        SELECT doc_id, text FROM edits
+      )
+      SELECT f.doc_id, f.text FROM folded f
+      WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = f.doc_id)
+    """)),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

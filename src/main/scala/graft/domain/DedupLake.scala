@@ -22,6 +22,15 @@ import graft.sources.Writers
   *  - `tombstones/` — (doc_id) ids [[delete]]d, root-level because they
   *    guard the root-level archive: excluded from every read immediately,
   *    physically purged from the archive by the next reconcile.
+  *  - `edits/` — (doc_id, text) EDIT OVERLAY, root-level for the same
+  *    reason: [[upsert]]ed content supersedes the archive row sharing its
+  *    id at every read ([[corpus]], the ingest probe gate, reconcile's
+  *    truth) from the moment the upsert commits, and the next reconcile
+  *    FOLDS it into the physical archive rewrite and clears it. At most
+  *    one row per id (upsert swap-replaces last-writer-wins). The overlay
+  *    is edit-request-sized by contract — rare, like tombstones — never
+  *    corpus-sized; corpus-scale re-writes belong to a bulk archive
+  *    rewrite + reconcile.
   *  - `GEN` + `gen-N/index/`, `gen-N/keeps/` — the MUTABLE state,
   *    generation-versioned through the shared [[GenStore]] lifecycle
   *    (VectorLake's contract): `index/` holds (doc_id, band, bh) LSH band
@@ -64,6 +73,45 @@ object DedupLake {
     StructType(Seq(StructField("doc_id", LongType)))
 
   final case class ReconcileReport(keeps: Long, dropped: Long, resurrected: Long)
+
+  /** The logical-corpus FOLD as a pure query over plain frames — what q161
+    * registers against the DuckDB oracle (the q151 pattern: the oracle
+    * hash-checks the lake's REAL read path, not a twin): edit rows
+    * supersede archive rows sharing their id (an edit id absent from the
+    * archive is an insert), then tombstoned ids drop. At most one edit row
+    * per id (the [[upsert]] overlay contract). Both overlays are
+    * bounded-small by contract, so their anti-join build sides BROADCAST —
+    * the corpus is scanned once and never reshuffles. */
+  def corpusFold(archive: DataFrame, edits: DataFrame,
+                 tombstones: DataFrame): DataFrame = {
+    val e = edits.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    archive.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(broadcast(e.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(e)
+      .join(broadcast(tombstones
+          .select(col("doc_id").cast("long").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+  }
+
+  /** The logical corpus — (doc_id, text), the durable truth every reader
+    * (and reconcile) agrees on: archive with the [[upsert]] edit overlay
+    * folded over it and [[delete]] tombstones excluded. READER path:
+    * root-level stores, read-only swap resolution, no lease; the existence
+    * probes keep the common no-overlay plan free of dead join nodes. */
+  def corpus(spark: SparkSession, root: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    def exists(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val archive = Writers.readOrEmptyReadOnly(spark, s"$root/archive",
+      archiveSchema)
+    if (!exists("edits") && !exists("tombstones")) archive
+    else corpusFold(archive,
+      Writers.readOrEmptyReadOnly(spark, s"$root/edits", archiveSchema),
+      Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+        tombstonesSchema))
+  }
 
   private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
     // the swap/recovery protocol is the shared Writers implementation —
@@ -111,15 +159,25 @@ object DedupLake {
       // unversioned root
       val droot = GenStore.dataRoot(spark, root)
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
-      // the PROBE index is the LOGICAL store (tombstoned docs' band rows
-      // excluded): purged content must not keep suppressing near-dups — a
-      // deletion is not a content ban (the VectorLake.delete gate rule).
-      // The appends below keep anti-joining the PHYSICAL stores, so a
-      // replay stays a no-op and a tombstoned id is not reusable until
-      // reconcile reclaims it.
+      // the PROBE index is the LOGICAL store: tombstoned docs' band rows
+      // excluded (purged content must not keep suppressing near-dups — a
+      // deletion is not a content ban, the VectorLake.delete gate rule),
+      // and [[upsert]]ed docs gate with their CURRENT content — the edit
+      // overlay's band rows replace the stored rows sharing their ids
+      // (recomputed per ingest over the bounded-by-contract overlay; the
+      // stored rows are masked until reconcile folds and rebuilds). The
+      // appends below keep anti-joining the PHYSICAL stores, so a replay
+      // stays a no-op and a tombstoned id is not reusable until reconcile
+      // reclaims it.
+      val tombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
+      val edits = readOr(spark, s"$root/edits", archiveSchema)
+        .join(tombs, Seq("doc_id"), "left_anti")
       val index = readOr(spark, s"$droot/index", indexSchema)
-        .join(readOr(spark, s"$root/tombstones", tombstonesSchema),
-          Seq("doc_id"), "left_anti")
+        .join(tombs, Seq("doc_id"), "left_anti")
+        .join(broadcast(edits.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(Dedup.lshBands(edits, "doc_id", "text",
+            numHashes, bandRows, shingleN)
+          .select("doc_id", "band", "bh"))
       val (kept0, bandPin) = Dedup.incrementalKeepPinned(
         docs, "doc_id", "text", index, numHashes, bandRows, shingleN)
       // the kept set feeds three writes — pin it so the probe join runs
@@ -143,7 +201,13 @@ object DedupLake {
         def scoped(path: String, schema: StructType): DataFrame =
           readOr(spark, path, schema)
             .join(batchIds, Seq("doc_id"), "left_semi")
-        docs.join(scoped(s"$root/archive", archiveSchema).select("doc_id"),
+        // "already durable" includes the edit overlay: an id living only in
+        // `edits/` (upsert-inserted, not yet folded) is resident content —
+        // re-ingesting it must stay the same no-op-write it is for an
+        // archived id (the overlay would supersede the appended row anyway)
+        docs.join(scoped(s"$root/archive", archiveSchema).select("doc_id")
+              .unionByName(
+                scoped(s"$root/edits", archiveSchema).select("doc_id")),
             Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(s"$root/archive")
         failpoint()
@@ -151,8 +215,14 @@ object DedupLake {
         // sibling's: deriving the index rows from not-in-keeps would
         // re-append band rows on a replay that crashed between the index
         // and keeps appends (r7 review finding)
+        // overlay ids are excluded too: a re-ingest under an [[upsert]]ed id
+        // is a state no-op, and band rows for the INGESTED text would gate
+        // nothing (the probe masks stored rows of overlay ids) while
+        // cluttering the index until reconcile rebuilds it
         val notInIndex = kept.select("doc_id")
           .join(scoped(s"$droot/index", indexSchema).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+          .join(scoped(s"$root/edits", archiveSchema).select("doc_id"),
             Seq("doc_id"), "left_anti")
         bandPin.join(notInIndex, Seq("doc_id"), "left_semi")
           .select("doc_id", "band", "bh")
@@ -193,16 +263,20 @@ object DedupLake {
       Writers.recoverPointer(spark, GenStore.pointer(root))
       val genCur = GenStore.currentGen(spark, root)
       val droot = GenStore.dataRootOf(root, genCur)
-      // tombstoned docs drop out of the durable truth HERE: the repaired
-      // keep set is computed over the PURGED archive, and the archive
-      // itself is physically rewritten below (the reclaim delete deferred)
-      val hadTombstones = {
-        val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+      // tombstoned docs drop out of the durable truth HERE and [[upsert]]
+      // edits FOLD into it (the same [[corpusFold]] q161 registers): the
+      // repaired keep set is computed over the purged+edited corpus, and
+      // the archive itself is physically rewritten below (the reclaim and
+      // the fold this lifecycle deferred)
+      def overlayExists(sub: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
         p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
       }
-      val archive = readOr(spark, s"$root/archive", archiveSchema)
-        .join(readOr(spark, s"$root/tombstones", tombstonesSchema),
-          Seq("doc_id"), "left_anti")
+      val hadOverlays = overlayExists("tombstones") || overlayExists("edits")
+      val archive = corpusFold(
+        readOr(spark, s"$root/archive", archiveSchema),
+        readOr(spark, s"$root/edits", archiveSchema),
+        readOr(spark, s"$root/tombstones", tombstonesSchema))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val archiveRows = archive.count()
@@ -232,16 +306,18 @@ object DedupLake {
         } finally { repaired.unpersist(blocking = false); () }
         // the archive accumulates one small file set per ingest batch —
         // compact it on the same cadence so reads stay one healthy scan.
-        // With tombstones resident the rewrite uses the PURGED frame (the
-        // physical reclaim), then drops the now-applied tombstones; a
-        // crash between those two steps re-runs harmlessly (the ids are
-        // gone, every anti-join no-ops, the next reconcile clears).
-        if (hadTombstones) {
+        // With overlays resident the rewrite uses the PURGED+FOLDED frame
+        // (the physical reclaim of deletes and the fold of edits), then
+        // drops the now-applied overlays; a crash between those steps
+        // re-runs harmlessly (re-excluding absent ids and re-folding
+        // already-identical text are both no-ops at the next reconcile).
+        if (hadOverlays) {
           val files = math.max(1L,
             (archiveRows + targetRecordsPerFile - 1) / targetRecordsPerFile)
           Writers.swapReplace(spark, s"$root/archive",
             archive.coalesce(files.toInt))
           GenStore.deleteDir(spark, s"$root/tombstones")
+          GenStore.deleteDir(spark, s"$root/edits")
         } else Writers.compact(spark, s"$root/archive", targetRecordsPerFile)
         report
       } finally { archive.unpersist(blocking = false); () }
@@ -272,16 +348,22 @@ object DedupLake {
     * content ban — a re-submitted near-duplicate is kept again), and the
     * next [[reconcile]] rewrites the ARCHIVE without it (the durable copy
     * is purged too — the whole point of the request) before clearing the
-    * tombstones. Ids never archived are ignored; an exact replay appends
-    * nothing. Same id-reuse caveat as the vector lake: until the reclaim
-    * runs, re-ingesting a tombstoned id is a state no-op. Returns the
-    * number of ids newly tombstoned. */
+    * tombstones. Ids resident nowhere (neither archived nor in the edit
+    * overlay) are ignored; an exact replay appends nothing. Same id-reuse
+    * caveat as the vector lake: until the reclaim runs, re-ingesting a
+    * tombstoned id is a state no-op ([[upsert]] is the sanctioned
+    * resurrection). Returns the number of ids newly tombstoned. */
   def delete(spark: SparkSession, root: String, ids: DataFrame,
              lockWaitMs: Long = 0L): Long =
     graft.sources.StateLock.withRootLock(spark, root, waitMs = lockWaitMs) {
       val del = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      // resident = archive OR the edit overlay: an upsert-inserted id lives
+      // only in `edits/` until a reconcile folds it, and a purge ordered in
+      // that window must still tombstone it
       val resident = readOr(spark, s"$root/archive", archiveSchema)
         .select("doc_id")
+        .unionByName(readOr(spark, s"$root/edits", archiveSchema)
+          .select("doc_id"))
       val existing = readOr(spark, s"$root/tombstones", tombstonesSchema)
       val toWrite = del
         .join(resident, Seq("doc_id"), "left_semi")
@@ -293,6 +375,98 @@ object DedupLake {
           toWrite.write.mode("append").parquet(s"$root/tombstones")
         n
       } finally { toWrite.unpersist(blocking = false); () }
+    }
+
+  /** UPSERT by doc id — the content-EDIT path ([[VectorLake.upsert]]'s
+    * document twin: a correction, a re-crawl, a redaction rewrite): under
+    * one lease the batch lands in the `edits/` overlay (swap-replaced,
+    * last-writer-wins per id — the overlay IS the replacement, so the
+    * append-only archive is never rewritten per edit), any tombstones on
+    * the batch ids drop (an upsert is explicit new content — the one
+    * sanctioned id resurrection), and the batch ids join [[keeps]]
+    * (anti-joined). From that commit every read serves the new text:
+    * [[corpus]] folds the overlay over the archive, and the ingest probe
+    * gates on the overlay's band rows INSTEAD of the stored ones (the old
+    * content stops suppressing near-dups the moment it stops existing).
+    * The next [[reconcile]] folds the overlay into the physical archive
+    * rewrite, repairs keeps over the edited corpus, rebuilds the index
+    * from it, and clears the overlay. An id never seen before is an
+    * INSERT (replace-by-id semantics, the vector twin's contract).
+    *
+    * Deliberately GATE-FREE, exactly like the vector twin: ingest's
+    * near-dup gate protects content ADMISSION; an upsert asserts a new
+    * version of content whose id is already the caller's to write, and a
+    * near-dup the edit creates is repaired by reconcile's full-batch pass
+    * (the same greedy-until-reconcile contract as chain-straddling
+    * ingests). Use [[ingest]] for gated inserts.
+    *
+    * At-least-once: the overlay swap is last-writer-wins (a replay
+    * re-writes identical rows), the tombstone drop and keeps append
+    * anti-join — the operation is idempotent as a whole.
+    * `failpointAfterEdits` runs after the overlay commit (before the
+    * resurrection) and `failpointAfterTombstones` before the keeps append
+    * — the two torn windows the spec drives, both repaired by replay.
+    * Batch ids must be unique (refused loudly — two texts would race for
+    * one id), and the RESULTING overlay stays inside `maxOverlayRows`
+    * (it feeds every ingest probe and broadcasts in every fold; a
+    * corpus-sized overlay means reconcile is overdue — run it, then
+    * resume editing). Returns the batch row count. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+             maxOverlayRows: Long = 1L << 20,
+             lockWaitMs: Long = 0L,
+             failpointAfterEdits: () => Unit = () => (),
+             failpointAfterTombstones: () => Unit = () => ()): Long =
+    graft.sources.StateLock.withRootLock(spark, root, waitMs = lockWaitMs) {
+      val droot = GenStore.dataRoot(spark, root)
+      val docs = batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = docs
+          .agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+        val n = counts.getLong(0)
+        require(n == counts.getLong(1),
+          s"upsert batch carries duplicate doc_id values ($n rows, " +
+            s"${counts.getLong(1)} distinct) — two texts would land under " +
+            "one id. Deduplicate the batch first.")
+        val merged = readOr(spark, s"$root/edits", archiveSchema)
+          .join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val m = merged.count()
+          require(m <= maxOverlayRows,
+            s"edit overlay would grow to $m rows > maxOverlayRows=" +
+              s"$maxOverlayRows — the overlay is edit-request-sized by " +
+              "contract (it broadcasts into every ingest probe and corpus " +
+              "fold). Run reconcile to fold it into the archive, then " +
+              "resume; corpus-scale re-writes belong to a bulk archive " +
+              "rewrite + reconcile.")
+          if (n > 0) Writers.swapReplace(spark, s"$root/edits", merged)
+        } finally { merged.unpersist(blocking = false); () }
+        failpointAfterEdits()
+        val tombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (tombs.join(broadcast(docs.select("doc_id")),
+              Seq("doc_id"), "left_semi").limit(1).count() > 0)
+            Writers.swapReplace(spark, s"$root/tombstones",
+              tombs.join(broadcast(docs.select("doc_id")),
+                Seq("doc_id"), "left_anti"))
+        } finally { tombs.unpersist(blocking = false); () }
+        failpointAfterTombstones()
+        // gate-free keep membership (scoped anti-join — O(batch), the
+        // PricePipeline idiom): a kept id stays kept, a dropped or new id
+        // joins; reconcile's full-batch repair re-decides over the edited
+        // corpus anyway
+        docs.select("doc_id")
+          .join(readOr(spark, s"$droot/keeps", keepsSchema)
+              .join(broadcast(docs.select("doc_id")),
+                Seq("doc_id"), "left_semi"),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(s"$droot/keeps")
+        n
+      } finally { docs.unpersist(blocking = false); () }
     }
 
   /** The reconcile pass as a cron [[Scheduler.Deployment]] — default weekly

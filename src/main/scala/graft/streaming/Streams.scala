@@ -544,6 +544,50 @@ object Streams {
       onReport(epoch, r)
     }
 
+  /** Streaming UPSERT into the managed dedup lake — the content-EDIT feed
+    * (corrections, re-crawls, redaction rewrites) as a stream: each
+    * micro-batch runs [[graft.domain.DedupLake.upsert]]'s full overlay
+    * commit under the writer lease with the current generation resolved
+    * per batch. Micro-batch ids must be unique (upsert refuses duplicates
+    * loudly — an edit feed keyed by doc id satisfies this by
+    * construction). Exactly-once EFFECT on at-least-once delivery: the
+    * overlay swap is last-writer-wins and the tombstone/keeps arms
+    * anti-join, so a redelivered batch re-commits identical state. NOTE
+    * the within-batch last-writer-wins caveat: two edits of the SAME id
+    * must not share a micro-batch (refused); across batches the later one
+    * wins, which is the edit feed's intent. `onUpserted` sees (epochId,
+    * rowCount) per batch — the metrics seam. */
+  def dedupLakeUpsertStream(docs: DataFrame, root: String,
+                            lockWaitMs: Long = 30 * 60 * 1000L,
+                            onUpserted: (Long, Long) => Unit = (_, _) => ())
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val n = graft.domain.DedupLake.upsert(batch.sparkSession, root, batch,
+        lockWaitMs = lockWaitMs)
+      onUpserted(epoch, n)
+    }
+
+  /** Streaming UPSERT into the lake-resident vector index — the
+    * RE-EMBEDDING feed (a model refresh re-encodes resident documents) as
+    * a stream: each micro-batch runs [[graft.domain.VectorLake.upsert]]'s
+    * replace-by-id under the writer lease (touched-leaf rewrites + append,
+    * gate-free by the upsert contract), with the current generation
+    * resolved per batch. Micro-batch ids must be unique (refused loudly)
+    * and serving-bounded (the id set broadcasts against the store).
+    * Exactly-once EFFECT on at-least-once delivery: upsert is idempotent
+    * as a whole — a redelivered batch removes its own previous append in
+    * the leaf-rewrite step and re-appends identical rows. `onUpserted`
+    * sees (epochId, rowCount) per batch. */
+  def vectorLakeUpsertStream(emb: DataFrame, root: String,
+                             lockWaitMs: Long = 30 * 60 * 1000L,
+                             onUpserted: (Long, Long) => Unit = (_, _) => ())
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val n = graft.domain.VectorLake.upsert(batch.sparkSession, root, batch,
+        lockWaitMs = lockWaitMs)
+      onUpserted(epoch, n)
+    }
+
   /** Streaming SERVE over the lake-resident vector index — the query-side
     * twin of [[vectorLakeIngestStream]]: each micro-batch of probe rows
     * (probe_id, embedding; ids unique per batch — searchBatch refuses

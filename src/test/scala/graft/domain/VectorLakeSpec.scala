@@ -882,6 +882,42 @@ class VectorLakeSpec extends SparkSpec {
     assert(math.abs(one.head.getSeq[Float](0).head - unit(30, 14f)(0)) < 1e-5)
   }
 
+  test("streaming upsert twin: re-embedding micro-batches replace by id across a reconcile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("upsertstream")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(85, 14f)).toDF("vec_id", "embedding"))
+    val input = MemoryStream[(Long, Array[Float])]
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.Streams.vectorLakeUpsertStream(
+        input.toDF().toDF("vec_id", "embedding"), root,
+        onUpserted = (e, n) => counts.synchronized { counts += e -> n; () })
+      .start()
+    try {
+      // the model refresh re-encodes v1 across lists (60deg keeps it
+      // outside the 0.95-cosine repair threshold of v2's 85deg — the
+      // mid-test reconcile must not legitimately drop either) and inserts v9
+      input.addData(1L -> unit(60, 14f), 9L -> unit(5, 14f))
+      q.processAllAvailable()
+      // mid-stream maintenance promotes a new generation; the next
+      // micro-batch must rewrite leaves under THAT generation
+      VectorLake.reconcile(spark, root, k = 2, iters = 3)
+      input.addData(9L -> unit(10, 14f))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(counts.sortBy(_._1).map(_._2).toList == List(2L, 1L), counts.toString)
+    val got = VectorLake.vectors(spark, root)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
+    assert(got.keySet == Set(1L, 2L, 9L))
+    assert(math.abs(got(1L) - unit(60, 14f)(0)) < 1e-5, s"v1 refresh lost: $got")
+    assert(math.abs(got(9L) - unit(10, 14f)(0)) < 1e-5, s"later epoch must win: $got")
+    assert(VectorLake.vectors(spark, root).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0, "one physical row per id")
+  }
+
   test("rollback: the pointer flips back to a resident generation; orphans above are refused") {
     val root = freshRoot("rollback")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

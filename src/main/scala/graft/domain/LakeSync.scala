@@ -6,47 +6,70 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.sources.Writers
 
-/** CROSS-LAKE deletion sync — the fan-out a real purge request needs when
-  * the same document lives in BOTH stores (the dedup lake holds its text,
-  * the vector lake its embedding, one id space — the testdata contract and
-  * the usual production shape): deleting from one lake and crashing before
-  * the other leaves the content half-purged, silently.
+/** CROSS-LAKE mutation sync — the fan-out a real purge or edit request
+  * needs when the same document lives in BOTH stores (the dedup lake holds
+  * its text, the vector lake its embedding, one id space — the testdata
+  * contract and the usual production shape): mutating one lake and
+  * crashing before the other leaves the content half-purged (or
+  * half-refreshed), silently.
   *
-  * The design is a tiny write-ahead INTENT LOG plus idempotent fan-out:
+  * The design is a tiny write-ahead INTENT LOG per mutation kind plus
+  * idempotent fan-out:
   *  - `requests/` under the sync root — (doc_id) rows, the durable record
   *    that a purge was ORDERED. [[requestDelete]] appends (anti-joined, so
   *    an exact replay appends nothing).
-  *  - [[propagate]] applies the WHOLE log to both lakes and then retires
-  *    it. Both lakes' `delete` are no-ops for absent or already-tombstoned
-  *    ids, so re-applying after any crash is safe: the log IS the recovery
-  *    plan, not a cursor to maintain.
-  *  - [[deleteDocs]] = request + propagate, the one-call form.
+  *  - `upserts/` — (doc_id, text, embedding) rows, the durable record of a
+  *    cross-lake EDIT (the paired-payload contract). [[requestUpsert]]
+  *    swap-replaces last-writer-wins per id.
+  *  - The logs are DISJOINT by construction: each request call cancels the
+  *    other log's rows for its ids (newer intent wins). The one torn state
+  *    that can leave an id in both (a requestUpsert crashing between its
+  *    commit and its cancellation — a FAILED call, retried by contract)
+  *    resolves DELETE-WINS at propagate: ordering the arms the other way
+  *    would silently cancel a durable purge, the one unacceptable loss.
+  *  - [[propagate]] applies the WHOLE of both logs to both lakes (purges,
+  *    then edits) and retires them. Both lakes' `delete` are no-ops for
+  *    absent or already-tombstoned ids and both `upsert`s are idempotent
+  *    as wholes, so re-applying after any crash is safe: the logs ARE the
+  *    recovery plan, not cursors to maintain.
+  *  - [[deleteDocs]]/[[upsertDocs]] = request + propagate, the one-call
+  *    forms.
   *
   * Crash matrix (all replay-repaired by the next [[propagate]], scheduled
-  * or manual): crash after the log append → both deletes replay; crash
-  * between the two lake deletes → the done side no-ops, the missed side
-  * applies; crash before the retire → full replay, all no-ops. Retirement
-  * is correct WITHOUT an applied-marker because under the sync lease the
-  * whole log was just applied to both lakes — from that moment the lakes'
-  * own tombstones carry the pending physical reclaim.
+  * or manual): crash after a log append → the fan-out replays; crash
+  * between the two lake deletes (or the two lake upserts) → the done side
+  * no-ops, the missed side applies; crash before the retire → full
+  * replay, all no-ops. Retirement is correct WITHOUT an applied-marker
+  * because under the sync lease the whole log was just applied to both
+  * lakes — from that moment the lakes' own tombstones/overlays carry the
+  * pending physical work.
   *
-  * Caveats, documented loudly: (1) ID REUSE — re-ingesting a purged id is
+  * Caveats, documented loudly: (1) ID REUSE — re-INGESTING a purged id is
   * safe only after the id's log entry is retired AND both lakes reclaimed
   * the tombstone (each lake's own caveat, plus this log's replay: a
   * crashed propagate's replay would re-delete content re-ingested under
-  * the purged id in the window). [[pending]] is the operator's check.
+  * the purged id in the window). [[pending]]/[[pendingUpserts]] are the
+  * operator's checks; [[upsertDocs]] is the sanctioned resurrection (it
+  * cancels the pending purge and the lakes' upserts drop the tombstones).
   * (2) LOCK ORDER — propagate holds the sync lease while taking each
   * lake's lease in turn (dedup, then vector); never call into LakeSync
   * while holding a lake lease, or two writers can deadlock-by-timeout.
-  * (3) The log is purge-request-sized (rare by contract), never
-  * corpus-sized — every operation here assumes that and stays bounded. */
+  * (3) The logs are mutation-request-sized (rare by contract), never
+  * corpus-sized — every operation here assumes that and stays bounded
+  * (the upsert log is ENFORCED via maxLogRows). */
 object LakeSync {
 
   val requestsSchema: StructType =
     StructType(Seq(StructField("doc_id", LongType)))
+  val upsertsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", org.apache.spark.sql.types.StringType),
+    StructField("embedding", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))))
 
   final case class SyncReport(requested: Long, dedupDeleted: Long,
-                              vectorDeleted: Long, retired: Long)
+                              vectorDeleted: Long, retired: Long,
+                              upsertsApplied: Long = 0L)
 
   private def withSyncLock[T](spark: SparkSession, syncRoot: String,
                               waitMs: Long)(f: => T): T =
@@ -60,18 +83,95 @@ object LakeSync {
                     lockWaitMs: Long = 0L): Long =
     withSyncLock(spark, syncRoot, lockWaitMs) {
       val del = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      val existing = Writers.readOrEmpty(spark, s"$syncRoot/requests",
-        requestsSchema)
-      val toWrite = del.join(existing, Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // count while pinned, BEFORE the append — afterwards the plan's
-        // requests read would see its own rows
-        val n = toWrite.count()
-        if (n > 0)
-          toWrite.write.mode("append").parquet(s"$syncRoot/requests")
-        n
-      } finally { toWrite.unpersist(blocking = false); () }
+        // a newer purge CANCELS a pending edit for the same id: applying
+        // both in either order would be wrong (edit-then-purge loses the
+        // ordering guarantee on replay; purge-then-edit resurrects purged
+        // content) — the two logs stay DISJOINT by construction instead
+        val ups = Writers.readOrEmpty(spark, s"$syncRoot/upserts",
+          upsertsSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (ups.join(broadcast(del), Seq("doc_id"), "left_semi")
+              .limit(1).count() > 0)
+            Writers.swapReplace(spark, s"$syncRoot/upserts",
+              ups.join(broadcast(del), Seq("doc_id"), "left_anti"))
+        } finally { ups.unpersist(blocking = false); () }
+        val existing = Writers.readOrEmpty(spark, s"$syncRoot/requests",
+          requestsSchema)
+        val toWrite = del.join(existing, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // count while pinned, BEFORE the append — afterwards the plan's
+          // requests read would see its own rows
+          val n = toWrite.count()
+          if (n > 0)
+            toWrite.write.mode("append").parquet(s"$syncRoot/requests")
+          n
+        } finally { toWrite.unpersist(blocking = false); () }
+      } finally { del.unpersist(blocking = false); () }
+    }
+
+  /** Durably record a cross-lake EDIT for `docs` — (doc_id, text,
+    * embedding) rows, the one-id-space contract: the dedup lake gets the
+    * text, the vector lake the embedding, BOTH through their own
+    * [[DedupLake.upsert]]/[[VectorLake.upsert]] at the next [[propagate]].
+    * Last-writer-wins per id (the overlay merge), and a pending PURGE for
+    * the same id is cancelled — this edit is newer intent, and replaying a
+    * crashed purge after it would silently undo the edit (the id-reuse
+    * window of the delete log, closed for the sanctioned path). A
+    * text-only or embedding-only refresh is a SINGLE-lake operation — call
+    * that lake's upsert directly; this log carries the paired payload by
+    * contract. The log is edit-request-sized (ENFORCED via `maxLogRows`,
+    * the lakes' own serving bounds apply at propagate). Returns the batch
+    * row count. */
+  def requestUpsert(spark: SparkSession, syncRoot: String, docs: DataFrame,
+                    maxLogRows: Long = 1L << 20,
+                    lockWaitMs: Long = 0L): Long =
+    withSyncLock(spark, syncRoot, lockWaitMs) {
+      val batch = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"),
+        col("embedding").cast(upsertsSchema("embedding").dataType)
+          .as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = batch
+          .agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+        val n = counts.getLong(0)
+        require(n == counts.getLong(1),
+          s"upsert request carries duplicate doc_id values ($n rows, " +
+            s"${counts.getLong(1)} distinct) — two payloads would race " +
+            "for one id. Deduplicate the batch first.")
+        val merged = Writers.readOrEmpty(spark, s"$syncRoot/upserts",
+            upsertsSchema)
+          .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val m = merged.count()
+          require(m <= maxLogRows,
+            s"upsert log would grow to $m rows > maxLogRows=$maxLogRows — " +
+              "the log is edit-request-sized by contract. Run propagate to " +
+              "drain it, then resume.")
+          if (n > 0) {
+            Writers.swapReplace(spark, s"$syncRoot/upserts", merged)
+            // the newer edit cancels a pending purge for the same id (see
+            // requestDelete's mirror-image cancellation)
+            val reqs = Writers.readOrEmpty(spark, s"$syncRoot/requests",
+                requestsSchema)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (reqs.join(broadcast(batch.select("doc_id")),
+                  Seq("doc_id"), "left_semi").limit(1).count() > 0)
+                Writers.swapReplace(spark, s"$syncRoot/requests",
+                  reqs.join(broadcast(batch.select("doc_id")),
+                    Seq("doc_id"), "left_anti"))
+            } finally { reqs.unpersist(blocking = false); () }
+          }
+          n
+        } finally { merged.unpersist(blocking = false); () }
+      } finally { batch.unpersist(blocking = false); () }
     }
 
   /** The logged-but-unapplied purge orders — read-only (no lease), the
@@ -89,27 +189,62 @@ object LakeSync {
   def propagate(spark: SparkSession, syncRoot: String, dedupRoot: String,
                 vectorRoot: String, lockWaitMs: Long = 0L,
                 failpointAfterDedup: () => Unit = () => (),
-                failpointBeforeRetire: () => Unit = () => ()): SyncReport =
+                failpointBeforeRetire: () => Unit = () => (),
+                failpointAfterDedupUpsert: () => Unit = () => ()): SyncReport =
     withSyncLock(spark, syncRoot, lockWaitMs) {
       val reqs = Writers.readOrEmpty(spark, s"$syncRoot/requests",
           requestsSchema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // DELETE WINS on a (torn-request-only) intersection of the two logs:
+      // the request calls cancel the other log BEFORE/AFTER their own
+      // commit such that an id in both can only mean a requestUpsert
+      // crashed between its commit and its cancellation — that caller saw
+      // the failure and retries (which re-cancels), so applying the purge
+      // here is the honest reading of the durable state
+      val ups = Writers.readOrEmpty(spark, s"$syncRoot/upserts",
+          upsertsSchema)
+        .join(reqs, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = reqs.count()
-        if (n == 0L) SyncReport(0L, 0L, 0L, 0L)
+        val nu = ups.count()
+        if (n == 0L && nu == 0L) SyncReport(0L, 0L, 0L, 0L)
         else {
-          val nd = DedupLake.delete(spark, dedupRoot, reqs, lockWaitMs)
-          failpointAfterDedup()
-          val nv = VectorLake.delete(spark, vectorRoot,
-            reqs.select(col("doc_id").as("vec_id")), lockWaitMs)
+          val (nd, nv) = if (n == 0L) (0L, 0L) else {
+            val d = DedupLake.delete(spark, dedupRoot, reqs, lockWaitMs)
+            failpointAfterDedup()
+            (d, VectorLake.delete(spark, vectorRoot,
+              reqs.select(col("doc_id").as("vec_id")), lockWaitMs))
+          }
+          // edits fan out AFTER purges (delete-wins order); both lake
+          // upserts are idempotent as wholes, so any crash in between is
+          // repaired by the next propagate replaying the still-resident log
+          if (nu > 0L) {
+            DedupLake.upsert(spark, dedupRoot,
+              ups.select("doc_id", "text"), lockWaitMs = lockWaitMs)
+            failpointAfterDedupUpsert()
+            VectorLake.upsert(spark, vectorRoot,
+              ups.select(col("doc_id").as("vec_id"), col("embedding")),
+              lockWaitMs = lockWaitMs)
+            ()
+          }
           failpointBeforeRetire()
-          // every logged id is now applied to both lakes (tombstoned or
-          // already absent) — the log has nothing left to recover
+          // every logged id is now applied to both lakes — the logs have
+          // nothing left to recover
           GenStore.deleteDir(spark, s"$syncRoot/requests")
-          SyncReport(n, nd, nv, n)
+          GenStore.deleteDir(spark, s"$syncRoot/upserts")
+          SyncReport(n, nd, nv, n, nu)
         }
-      } finally { reqs.unpersist(blocking = false); () }
+      } finally {
+        ups.unpersist(blocking = false)
+        reqs.unpersist(blocking = false); ()
+      }
     }
+
+  /** The logged-but-unapplied EDITS — read-only, the upsert mirror of
+    * [[pending]]. */
+  def pendingUpserts(spark: SparkSession, syncRoot: String): DataFrame =
+    Writers.readOrEmptyReadOnly(spark, s"$syncRoot/upserts", upsertsSchema)
 
   /** Purge `ids` from BOTH lakes, durably: log the intent, then fan out.
     * Returns the propagate report (its `requested` covers any earlier
@@ -118,6 +253,18 @@ object LakeSync {
                  vectorRoot: String, ids: DataFrame,
                  lockWaitMs: Long = 0L): SyncReport = {
     requestDelete(spark, syncRoot, ids, lockWaitMs)
+    propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs)
+  }
+
+  /** EDIT `docs` in BOTH lakes, durably: log the (doc_id, text, embedding)
+    * payload, then fan out — the cross-lake re-encode a model/content
+    * refresh issues when one document lives in both stores. Returns the
+    * propagate report (`upsertsApplied` covers any earlier crashed edits
+    * replayed alongside this one). */
+  def upsertDocs(spark: SparkSession, syncRoot: String, dedupRoot: String,
+                 vectorRoot: String, docs: DataFrame,
+                 lockWaitMs: Long = 0L): SyncReport = {
+    requestUpsert(spark, syncRoot, docs, lockWaitMs = lockWaitMs)
     propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs)
   }
 

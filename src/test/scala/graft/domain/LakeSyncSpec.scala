@@ -127,6 +127,93 @@ class LakeSyncSpec extends SparkSpec {
     assert(LakeSync.pending(spark, sync).count() == 2L)
   }
 
+  private def corpusText(root: String, id: Long): Option[String] =
+    DedupLake.corpus(spark, root).where(s"doc_id = $id")
+      .collect().headOption.map(_.getString(1))
+  private def vecHead(root: String, id: Long): Option[Float] =
+    VectorLake.vectors(spark, root)
+      .where(s"vec_id = $id").select("embedding")
+      .collect().headOption.map(_.getSeq[Float](0).head)
+
+  test("upsertDocs edits both lakes atomically-by-replay and retires the log") {
+    val (sync, dedup, vector) = roots("upsert")
+    seed(dedup, vector)
+    val rep = LakeSync.upsertDocs(spark, sync, dedup, vector,
+      Seq((1L, "rewritten alpha body after the re-crawl", unit(130, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    assert(rep == LakeSync.SyncReport(0, 0, 0, 0, 1))
+    assert(corpusText(dedup, 1L).contains("rewritten alpha body after the re-crawl"))
+    assert(math.abs(vecHead(vector, 1L).get - unit(130, 14f)(0)) < 1e-5)
+    assert(dedupIds(dedup) == Set(1L, 2L, 3L))
+    assert(vecIds(vector) == Set(1L, 2L, 3L))
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 0L)
+  }
+
+  test("a crash between the two lake upserts is repaired by the next propagate") {
+    val (sync, dedup, vector) = roots("upserttorn")
+    seed(dedup, vector)
+    LakeSync.requestUpsert(spark, sync,
+      Seq((2L, "edited second document body", unit(170, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    val boom = intercept[RuntimeException] {
+      LakeSync.propagate(spark, sync, dedup, vector,
+        failpointAfterDedupUpsert = () => throw new RuntimeException("torn"))
+    }
+    assert(boom.getMessage == "torn")
+    // half-refreshed: the text landed, the embedding did not, log pending
+    assert(corpusText(dedup, 2L).contains("edited second document body"))
+    assert(math.abs(vecHead(vector, 2L).get - unit(45, 14f)(0)) < 1e-5)
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 1L)
+    // the replay: the dedup side re-commits identical state, vector applies
+    val rep = LakeSync.propagate(spark, sync, dedup, vector)
+    assert(rep == LakeSync.SyncReport(0, 0, 0, 0, 1))
+    assert(math.abs(vecHead(vector, 2L).get - unit(170, 14f)(0)) < 1e-5)
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 0L)
+  }
+
+  test("newer intent cancels the pending opposite: edit-after-purge and purge-after-edit") {
+    val (sync, dedup, vector) = roots("cancel")
+    seed(dedup, vector)
+    // a pending purge for id 1 is superseded by its edit: the purge is
+    // cancelled and the edit applies — NOT both in some order
+    LakeSync.requestDelete(spark, sync, Seq(1L).toDF("doc_id"))
+    LakeSync.requestUpsert(spark, sync,
+      Seq((1L, "the pardoned document", unit(20, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    assert(LakeSync.pending(spark, sync).count() == 0L, "edit cancels the purge")
+    val rep = LakeSync.propagate(spark, sync, dedup, vector)
+    assert(rep == LakeSync.SyncReport(0, 0, 0, 0, 1))
+    assert(corpusText(dedup, 1L).contains("the pardoned document"))
+    assert(vecIds(vector) == Set(1L, 2L, 3L))
+    // and the mirror image: a pending edit for id 2 is superseded by its
+    // purge — the edit never applies
+    LakeSync.requestUpsert(spark, sync,
+      Seq((2L, "an edit that must not survive", unit(60, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    LakeSync.requestDelete(spark, sync, Seq(2L).toDF("doc_id"))
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 0L,
+      "purge cancels the edit")
+    val rep2 = LakeSync.propagate(spark, sync, dedup, vector)
+    assert(rep2 == LakeSync.SyncReport(1, 1, 1, 1))
+    assert(corpusText(dedup, 2L).isEmpty)
+    assert(vecIds(vector) == Set(1L, 3L))
+  }
+
+  test("upsertDocs is the sanctioned resurrection of a fully purged id") {
+    val (sync, dedup, vector) = roots("resurrect")
+    seed(dedup, vector)
+    LakeSync.deleteDocs(spark, sync, dedup, vector, Seq(3L).toDF("doc_id"))
+    assert(dedupIds(dedup) == Set(1L, 2L))
+    assert(vecIds(vector) == Set(1L, 2L))
+    val rep = LakeSync.upsertDocs(spark, sync, dedup, vector,
+      Seq((3L, "the document returns with new content", unit(100, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    assert(rep == LakeSync.SyncReport(0, 0, 0, 0, 1))
+    assert(dedupIds(dedup) == Set(1L, 2L, 3L))
+    assert(vecIds(vector) == Set(1L, 2L, 3L))
+    assert(corpusText(dedup, 3L).contains("the document returns with new content"))
+  }
+
   test("the scheduled catch-up deployment closes a crashed fan-out") {
     val (sync, dedup, vector) = roots("sched")
     seed(dedup, vector)

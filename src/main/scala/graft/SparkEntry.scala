@@ -2205,6 +2205,67 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = f.doc_id)
     """)),
 
+    Q("q162_bm25_per_query", (s, dir) => {
+      // PER-QUERY BM25 — the posting-list join a multi-query lexical
+      // endpoint runs (q67 scores ONE fixed term set; a serving batch
+      // carries many queries, each with its own terms). The corpus-sided
+      // work is query-independent (dl/tf/df partial aggs, tf pre-pruned by
+      // the broadcast term universe); the bounded (probe, term) frame then
+      // broadcasts onto the postings, and the per-(probe, doc) sum runs in
+      // EXACT integer micros (scores converted per (doc, term) before the
+      // sum — order-independent, the rr_micros idiom applied to the
+      // retriever itself). Probe 40's term misses the corpus: no rows, the
+      // posting-join absence contract. Probe 30 carries a duplicate term:
+      // dedupes, contributes once.
+      import s.implicits._
+      val queries = Seq(
+        (10L, Seq("spark", "query")),
+        (20L, Seq("merge", "vector", "hash")),
+        (30L, Seq("window", "stream", "stream")),
+        (40L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      graft.operators.TextStats.bm25PerQuery(T(s, dir, "documents"),
+        "doc_id", "text", queries, "probe_id", "terms", n = 10)
+    }, Some(TextOracle.bm25PerQuerySql(Seq(
+      10L -> Seq("spark", "query"),
+      20L -> Seq("merge", "vector", "hash"),
+      30L -> Seq("window", "stream", "stream"),
+      40L -> Seq("zzzunmatchedterm")), n = 10, k1 = 1.2, b = 0.75))),
+
+    Q("q163_hybrid_per_query", (s, dir) => {
+      // hybrid retrieval COMPLETED: q159's fusion with the global
+      // fixed-term lexical list replaced by PER-PROBE BM25 (q162's
+      // posting-list join) — each probe fuses its own query terms' top-10
+      // with its own vector top-10, the shape a real multi-query hybrid
+      // endpoint serves. Probe 3's terms miss the corpus: it fuses
+      // vector-only (the rrfFuseAll absence arm, hash-checked). Fusion
+      // stays exact integer micros over serving-bounded frames.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "embedding", cents)
+      val probes = emb.orderBy(col("vec_id")).limit(4)
+        .select("vec_id", "embedding")
+      val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
+        "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
+        cents, nprobe = 2, excludeSelf = true)
+      val queries = Seq(
+        (0L, Seq("spark", "query")),
+        (1L, Seq("merge", "vector", "hash")),
+        (2L, Seq("window", "stream")),
+        (3L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      val lex = graft.operators.TextStats.bm25PerQuery(T(s, dir, "documents"),
+          "doc_id", "text", queries, "probe_id", "terms", n = 10)
+        .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      Similarity.rrfFuseAll(Seq(vec, lex), k = 5, kRrf = 60)
+    }, Some(TextOracle.hybridPerQueryRrfSql(Seq(
+      0L -> Seq("spark", "query"),
+      1L -> Seq("merge", "vector", "hash"),
+      2L -> Seq("window", "stream"),
+      3L -> Seq("zzzunmatchedterm")),
+      k = 5, kVec = 10, nLex = 10, kRrf = 60, nLists = 4, dims = 64,
+      scale = 0.02, nprobe = 2, nProbes = 4))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

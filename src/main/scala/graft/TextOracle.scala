@@ -2052,6 +2052,85 @@ object TextOracle {
     WITH ${bm25Ctes(terms, k1, b)}
     SELECT doc_id, bm25 FROM bmscore"""
 
+  /** The per-query BM25 chain as reusable CTEs ending in
+    * `lexranked(probe_id, doc_id, bm25_micros, rank)` with rank <= n —
+    * shared by the standalone q162 statement and the per-probe hybrid
+    * fusion (q163). CTE names are disjoint from multiProbeServeSkeleton's
+    * so the two compose in one WITH. Per-(doc, term) scores convert to
+    * exact integer micros BEFORE the per-query sum (order-independent);
+    * the per-term score expression is the bm25Ctes formula verbatim; SUM
+    * over BIGINT is cast back from DuckDB's HUGEINT. */
+  private def bm25PerQueryCtes(queries: Seq[(Long, Seq[String])], n: Int,
+                               k1: Double, b: Double): String = {
+    val values = queries.map { case (id, ts) =>
+      s"($id, [${ts.map(t => s"'$t'").mkString(", ")}])"
+    }.mkString(",\n             ")
+    s"""$toksCte,
+    q AS (SELECT DISTINCT probe_id, term FROM (
+      SELECT probe_id, unnest(terms) AS term
+      FROM (VALUES $values) v(probe_id, terms))),
+    ldl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    lstats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM ldl),
+    ltf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+    ldf AS (SELECT term, COUNT(*) AS df FROM ltf GROUP BY term),
+    posted AS (
+      SELECT ltf.term, ltf.doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * CAST(${k1 + 1} AS DOUBLE)) / (tf + $k1 * (${1 - b} + $b * (dl / (CAST(total_dl AS DOUBLE) / n_docs)))))
+               * 1000000.0, 0) AS BIGINT) AS s_micros
+      FROM ltf JOIN ldf USING (term) JOIN ldl USING (doc_id) CROSS JOIN lstats),
+    lsc AS (SELECT probe_id, doc_id, CAST(SUM(s_micros) AS BIGINT) AS bm25_micros
+            FROM posted JOIN q USING (term) GROUP BY probe_id, doc_id),
+    lexranked AS (SELECT * FROM (
+      SELECT probe_id, doc_id, bm25_micros,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY bm25_micros DESC, doc_id) AS rank
+      FROM lsc) WHERE rank <= $n)"""
+  }
+
+  /** PER-QUERY BM25 (TextStats.bm25PerQuery): the posting-list join over a
+    * fixed query batch — see [[bm25PerQueryCtes]]. */
+  def bm25PerQuerySql(queries: Seq[(Long, Seq[String])], n: Int,
+                      k1: Double, b: Double): String = s"""
+    WITH ${bm25PerQueryCtes(queries, n, k1, b)}
+    SELECT probe_id, doc_id, bm25_micros, rank FROM lexranked"""
+
+  /** q163: hybrid fusion with PER-PROBE lexical lists — q159's shape with
+    * the global fixed-term BM25 replaced by the posting-list per-query
+    * retriever (each probe fuses ITS OWN term list's top-n; a probe whose
+    * terms miss the corpus fuses vector-only — the rrfFuseAll absence
+    * arm). */
+  def hybridPerQueryRrfSql(queries: Seq[(Long, Seq[String])], k: Int,
+                           kVec: Int, nLex: Int, kRrf: Int,
+                           nLists: Int, dims: Int, scale: Double,
+                           nprobe: Int, nProbes: Int,
+                           k1: Double = 1.2, b: Double = 0.75): String = {
+    val tail = s""",
+    vtop AS (SELECT probe_id, neighbor_id, rank AS rv FROM ranked
+             WHERE rank <= $kVec),
+    lext AS (SELECT probe_id, doc_id AS neighbor_id, rank AS rl
+             FROM lexranked),
+    fused AS (
+      SELECT COALESCE(v.probe_id, l.probe_id) AS probe_id,
+             COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+             COALESCE(CAST(floor(1000000.0 / ($kRrf + v.rv)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 / ($kRrf + l.rl)) AS BIGINT), 0)
+               AS rrf_micros
+      FROM vtop v FULL OUTER JOIN lext l
+        ON v.probe_id = l.probe_id AND v.neighbor_id = l.neighbor_id),
+    fr AS (
+      SELECT probe_id, neighbor_id, rrf_micros,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY rrf_micros DESC, neighbor_id) AS rank
+      FROM fused)
+    SELECT probe_id, neighbor_id, rrf_micros, rank FROM fr WHERE rank <= $k"""
+    multiProbeServeSkeleton(kVec, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = bm25PerQueryCtes(queries, nLex, k1, b) + ",",
+      candFrom = "a", scoreVec = "a.embedding", tailSql = Some(tail))
+  }
+
   def rollingHashSql(base: Long, mod: Long): String = s"""
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -227,6 +227,74 @@ object TextStats {
       .select(col("doc_id"), round(total, 6).as("bm25"))
   }
 
+  /** PER-QUERY BM25 over a query BATCH — the posting-list join a
+    * multi-query lexical endpoint actually runs (the [[bm25]] fixed-term
+    * form scores ONE query against the corpus; a serving batch carries
+    * many, each with its own terms). Queries are (queryId, terms array);
+    * output is each query's top-`n` (probe_id, doc_id, bm25_micros, rank)
+    * over the docs containing AT LEAST ONE of its terms — a non-matching
+    * doc contributes no row (the posting-join contract: at 100 TB you
+    * never enumerate non-matches per query), and a query whose terms miss
+    * the corpus entirely yields no rows.
+    *
+    * Scale shape: the corpus-sided work is query-INDEPENDENT — one
+    * explode + (doc)-keyed length agg, one (doc, term)-keyed tf agg
+    * PRE-PRUNED by a broadcast semi-join on the batch's distinct term
+    * universe (bounded by contract, ENFORCED), one (term)-keyed df agg —
+    * then the bounded (probe_id, term) frame broadcasts onto the pruned
+    * postings and the per-(probe, doc) sum + rank window run over
+    * posting-match-sized rows. Adding a query to the batch adds NO corpus
+    * scan.
+    *
+    * Determinism: per-(doc, term) partial scores convert to EXACT integer
+    * micro-units BEFORE the per-query sum (round half-up — both engines
+    * agree on positives), so the sum is order-independent integer
+    * arithmetic and the rank's total order (micros desc, doc_id asc)
+    * never compares accumulated floats — the rr_micros idiom applied to
+    * the retriever itself. Duplicate terms within a query deduplicate (a
+    * term contributes once, the standard bag-of-words query form). */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, queryIdCol: String, termsCol: String,
+                   n: Int, k1: Double = 1.2, b: Double = 0.75,
+                   maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val qterms = queries.select(col(queryIdCol).cast("long").as("probe_id"),
+      explode(col(termsCol)).as("term")).distinct()
+    // the exploded (probe, term) frame is what broadcasts — cap it loudly
+    // (the ivfMultiProbeKnnJoin cap semantics)
+    val nq = qterms.count()
+    require(nq <= maxBroadcastQueryTerms,
+      s"query batch explodes to $nq (probe, term) rows > " +
+        s"maxBroadcastQueryTerms=$maxBroadcastQueryTerms — the term frame " +
+        "BROADCASTS onto the postings (serving-bounded by contract)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TF.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = toks
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val posted = tf.join(dfT, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s_micros",
+        round(col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+          * lit(1000000.0), 0).cast("long"))
+      .select("term", "doc_id", "s_micros")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("bm25_micros").desc, col("doc_id"))
+    posted.join(broadcast(qterms), Seq("term"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("s_micros")).as("bm25_micros"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select("probe_id", "doc_id", "bm25_micros", "rank")
+  }
+
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
     * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
     * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set

@@ -43,6 +43,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("per-query BM25 plans as a broadcast posting join, never a corpus shuffle of the query side (q162)") {
+    // the posting-list contract: the (probe, term) frame and the term
+    // universe both BROADCAST onto the corpus-sided aggregates — a
+    // sort-merge join keyed on `term` would reshuffle the postings per
+    // query batch, exactly what the pre-pruned broadcast shape avoids
+    val p = plan("q162_bm25_per_query")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-term partial scores are summed map-side before the
+    // (probe, doc)-keyed exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("scan reads only the projected columns (q08 column pruning)") {
     val p = plan("q08_filter_range")
     // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag

@@ -8,7 +8,7 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every registered query carries an oracle (full coverage invariant)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"queries without oracle SQL: $rowsOnly")
-    assert(SparkEntry.queries.size >= 161, "registry shrank — a query was dropped")
+    assert(SparkEntry.queries.size >= 163, "registry shrank — a query was dropped")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -69,7 +69,8 @@ object LakeSync {
 
   final case class SyncReport(requested: Long, dedupDeleted: Long,
                               vectorDeleted: Long, retired: Long,
-                              upsertsApplied: Long = 0L)
+                              upsertsApplied: Long = 0L,
+                              lexDeleted: Long = 0L)
 
   private def withSyncLock[T](spark: SparkSession, syncRoot: String,
                               waitMs: Long)(f: => T): T =
@@ -190,7 +191,8 @@ object LakeSync {
                 vectorRoot: String, lockWaitMs: Long = 0L,
                 failpointAfterDedup: () => Unit = () => (),
                 failpointBeforeRetire: () => Unit = () => (),
-                failpointAfterDedupUpsert: () => Unit = () => ()): SyncReport =
+                failpointAfterDedupUpsert: () => Unit = () => (),
+                lexRoot: Option[String] = None): SyncReport =
     withSyncLock(spark, syncRoot, lockWaitMs) {
       val reqs = Writers.readOrEmpty(spark, s"$syncRoot/requests",
           requestsSchema)
@@ -210,14 +212,21 @@ object LakeSync {
         val nu = ups.count()
         if (n == 0L && nu == 0L) SyncReport(0L, 0L, 0L, 0L)
         else {
-          val (nd, nv) = if (n == 0L) (0L, 0L) else {
+          val (nd, nv, nl) = if (n == 0L) (0L, 0L, 0L) else {
             val d = DedupLake.delete(spark, dedupRoot, reqs, lockWaitMs)
             failpointAfterDedup()
-            (d, VectorLake.delete(spark, vectorRoot,
-              reqs.select(col("doc_id").as("vec_id")), lockWaitMs))
+            val v = VectorLake.delete(spark, vectorRoot,
+              reqs.select(col("doc_id").as("vec_id")), lockWaitMs)
+            // the lexical index is the third store a purge must reach —
+            // content absent from both content lakes but still SERVABLE
+            // from the postings would be the silent leak this log exists
+            // to prevent. Same idempotent-delete contract, same replay.
+            val l = lexRoot.fold(0L)(lr =>
+              LexLake.delete(spark, lr, reqs, lockWaitMs))
+            (d, v, l)
           }
-          // edits fan out AFTER purges (delete-wins order); both lake
-          // upserts are idempotent as wholes, so any crash in between is
+          // edits fan out AFTER purges (delete-wins order); every lake
+          // upsert is idempotent as a whole, so any crash in between is
           // repaired by the next propagate replaying the still-resident log
           if (nu > 0L) {
             DedupLake.upsert(spark, dedupRoot,
@@ -226,14 +235,17 @@ object LakeSync {
             VectorLake.upsert(spark, vectorRoot,
               ups.select(col("doc_id").as("vec_id"), col("embedding")),
               lockWaitMs = lockWaitMs)
+            for (lr <- lexRoot)
+              LexLake.upsert(spark, lr, ups.select("doc_id", "text"),
+                lockWaitMs = lockWaitMs)
             ()
           }
           failpointBeforeRetire()
-          // every logged id is now applied to both lakes — the logs have
+          // every logged id is now applied to every lake — the logs have
           // nothing left to recover
           GenStore.deleteDir(spark, s"$syncRoot/requests")
           GenStore.deleteDir(spark, s"$syncRoot/upserts")
-          SyncReport(n, nd, nv, n, nu)
+          SyncReport(n, nd, nv, n, nu, nl)
         }
       } finally {
         ups.unpersist(blocking = false)
@@ -251,9 +263,11 @@ object LakeSync {
     * crashed orders replayed alongside this one). */
   def deleteDocs(spark: SparkSession, syncRoot: String, dedupRoot: String,
                  vectorRoot: String, ids: DataFrame,
-                 lockWaitMs: Long = 0L): SyncReport = {
+                 lockWaitMs: Long = 0L,
+                 lexRoot: Option[String] = None): SyncReport = {
     requestDelete(spark, syncRoot, ids, lockWaitMs)
-    propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs)
+    propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs,
+      lexRoot = lexRoot)
   }
 
   /** EDIT `docs` in BOTH lakes, durably: log the (doc_id, text, embedding)
@@ -263,9 +277,11 @@ object LakeSync {
     * replayed alongside this one). */
   def upsertDocs(spark: SparkSession, syncRoot: String, dedupRoot: String,
                  vectorRoot: String, docs: DataFrame,
-                 lockWaitMs: Long = 0L): SyncReport = {
+                 lockWaitMs: Long = 0L,
+                 lexRoot: Option[String] = None): SyncReport = {
     requestUpsert(spark, syncRoot, docs, lockWaitMs = lockWaitMs)
-    propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs)
+    propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs,
+      lexRoot = lexRoot)
   }
 
   /** The catch-up [[propagate]] as a cron [[Scheduler.Deployment]] —
@@ -275,7 +291,9 @@ object LakeSync {
     * running lake writer instead of failing the scheduled run. */
   def deployment(spark: SparkSession, syncRoot: String, dedupRoot: String,
                  vectorRoot: String, cron: String = "0 1 * * *",
-                 lockWaitMs: Long = 10 * 60 * 1000L): Scheduler.Deployment =
+                 lockWaitMs: Long = 10 * 60 * 1000L,
+                 lexRoot: Option[String] = None): Scheduler.Deployment =
     Scheduler.Deployment("lake_delete_sync", Scheduler.parse(cron),
-      () => { propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs); () })
+      () => { propagate(spark, syncRoot, dedupRoot, vectorRoot, lockWaitMs,
+        lexRoot = lexRoot); () })
 }

@@ -1,0 +1,537 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Writers
+
+/** The lake-resident INVERTED INDEX — the lexical sibling of [[VectorLake]]
+  * (and the serving twin of [[graft.operators.TextStats.bm25PerQuery]],
+  * which recomputes tf/df/lengths from raw text per query batch: correct
+  * for the pipeline pass, wrong for an endpoint that answers thousands of
+  * query batches against the same corpus). Documents are tokenized ONCE at
+  * ingest; serving reads only the queried terms' posting partitions.
+  *
+  * Layout under one root (all parquet), GENERATION-VERSIONED via the shared
+  * [[GenStore]] lifecycle:
+  *  - `GEN` — pointer file naming the current generation N.
+  *  - `gen-N/postings/` — (term, doc_id, tf, dl), written
+  *    `partitionBy(tbucket)` with tbucket = md5-prefix(term) mod nBuckets —
+  *    a serving batch reads ONLY its terms' buckets (partition pruning is
+  *    the inverted file, exactly [[VectorLake]]'s ivf_list contract), with
+  *    the `term IN (...)` filter pushed into the pruned scan. `dl` is
+  *    DENORMALIZED onto every posting row (the classic impact-file layout)
+  *    so scoring never joins the corpus-sized doclens table at serve time.
+  *  - `gen-N/doclens/` — (doc_id, dl): the residency record (ingest replay
+  *    scope) and the source of truth reconcile recomputes stats from.
+  *    Docs with ZERO tokens are never resident (no lexical content — the
+  *    same domain bm25PerQuery's explode induces).
+  *  - `gen-N/stats/` — (batch_key, n_docs, total_dl) APPEND-ONLY batch
+  *    deltas (one tiny row per ingest, keyed by a deterministic aggregate
+  *    fingerprint of the batch so a replay's append is detected and
+  *    skipped); corpus stats = SUM over the dir. Reconcile rewrites it to
+  *    one base row. An aggregate can't anti-join its own absence — the
+  *    keyed-delta log is what makes the stats update idempotent without a
+  *    corpus rescan.
+  *  - `conf/` (root) — one row pinning nBuckets: the bucket function is
+  *    layout, not a per-call knob; a mismatched caller is refused loudly.
+  *  - `tombstones/`, `edits/` (root) — the [[delete]]/[[upsert]] overlays,
+  *    exactly [[DedupLake]]'s lifecycle: excluded/superseding at every
+  *    read immediately, FOLDED into gen-(N+1) by [[reconcile]] and
+  *    cleared. Serving corrects n_docs/total_dl/df from the bounded
+  *    overlays (old lengths re-derived from the CURRENT doclens scoped to
+  *    overlay ids — never recorded, so the correction is idempotent
+  *    across the fold), which keeps [[serve]] EXACTLY equal to
+  *    bm25PerQuery over the logical corpus even with mutations pending.
+  *
+  * Scale shape: ingest is one tokenize pass over the batch (corpus never
+  * reshuffles; appends are scoped anti-joins); serve reads |queried terms'
+  * buckets| posting partitions, broadcasts the bounded (probe, term)
+  * frame, and its only exchange is the (probe, doc)-keyed integer-micros
+  * sum + rank — adding a query to a batch adds NO corpus work. Reconcile
+  * (fold + compact + stats rebase) is the weekly batch job.
+  *
+  * Concurrency/crash: the shared contracts — exclusive `_LOCK` lease,
+  * write-whole-generation-then-flip, at-least-once-safe appends (each
+  * store's scope derived from ITSELF), read-only swap resolution for
+  * readers. */
+object LexLake {
+
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("tbucket", IntegerType)))
+  val doclensSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType)))
+  val statsSchema: StructType = StructType(Seq(
+    StructField("batch_key", StringType), StructField("n_docs", LongType),
+    StructField("total_dl", LongType)))
+  val confSchema: StructType =
+    StructType(Seq(StructField("n_buckets", IntegerType)))
+  val tombstonesSchema: StructType =
+    StructType(Seq(StructField("doc_id", LongType)))
+  val editsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  final case class IngestReport(docs: Long, postings: Long)
+
+  def withWriterLock[T](spark: SparkSession, root: String,
+                        leaseMs: Long = 30 * 60 * 1000L,
+                        waitMs: Long = 0L,
+                        heartbeatMs: Long = 0L)(f: => T): T =
+    graft.sources.StateLock.withRootLock(spark, root, leaseMs,
+      waitMs = waitMs, heartbeatMs = heartbeatMs)(f)
+
+  private def readOr(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    Writers.readOrEmpty(spark, path, schema)
+
+  /** Driver-side twin of [[TF.md5Prefix32]] `% nBuckets` — MUST stay
+    * bit-identical to the Column form: serve prunes partitions with
+    * buckets computed HERE for terms that ingest bucketed THERE. */
+  private[graft] def bucketOf(term: String, nBuckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % nBuckets).toInt
+  }
+
+  private def bucketCol(term: Column, nBuckets: Int): Column =
+    (TF.md5Prefix32(term) % nBuckets).cast("int")
+
+  /** (term, doc_id, tf, dl) postings of a (doc_id, text) frame — the ONE
+    * tokenize-and-count transcription ingest, serve's edit overlay, and
+    * reconcile's fold all share. Zero-token docs vanish (the explode
+    * domain). */
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"),
+        TF.tokenCount(col("text")).as("dl"))
+    toks.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        bucketCol(col("term"), nBuckets).as("tbucket"))
+  }
+
+  private def confuredBuckets(spark: SparkSession, root: String,
+                              nBuckets: Int): Int = {
+    val rows = readOr(spark, s"$root/conf", confSchema).collect()
+    rows.headOption match {
+      case Some(r) =>
+        require(r.getInt(0) == nBuckets,
+          s"lex lake at $root was laid out with n_buckets=${r.getInt(0)} — " +
+            s"caller passed $nBuckets. The bucket function is the PARTITION " +
+            "LAYOUT; serving with a different modulus would prune the wrong " +
+            "partitions. Pass the stored value (or rebuild the store).")
+        r.getInt(0)
+      case None =>
+        import scala.jdk.CollectionConverters._
+        Writers.swapReplace(spark, s"$root/conf", spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(nBuckets)).asJava, confSchema))
+        nBuckets
+    }
+  }
+
+  /** Deterministic, order-independent fingerprint of a batch's id set —
+    * the stats-delta replay key (an aggregate row can't anti-join its own
+    * absence, so the key is how an exact replay's delta is detected and
+    * skipped). One agg job over the batch, never a collect. */
+  private def batchKey(ids: DataFrame): String = {
+    val r = ids.agg(count(lit(1)), sum(col("doc_id")),
+      sum(TF.md5Prefix32(col("doc_id").cast("string")))).head()
+    val cnt = r.getLong(0)
+    if (cnt == 0L) "empty"
+    else s"$cnt:${r.getLong(1)}:${r.getLong(2)}"
+  }
+
+  /** Ingest one batch of (doc_id, text): tokenize once, append the posting
+    * rows bucket-partitioned (dl denormalized on), the (doc_id, dl)
+    * residency rows, and the keyed stats delta. At-least-once safe: each
+    * append derives its scope from ITS OWN store (postings from postings,
+    * doclens from doclens, the stats delta from its batch key), so an
+    * exact replay writes nothing and a torn batch is repaired by the
+    * replay. Ids already resident (archived or upsert-inserted) are
+    * no-ops — re-ingest is not the edit path, [[upsert]] is. Zero-token
+    * docs are skipped (no lexical content). `failpointAfterStats` runs
+    * between the stats delta and the postings append; `failpoint` between
+    * the postings and doclens appends — the torn windows the spec drives
+    * (each window's serve is slightly stale/over-counted until the
+    * replay, never wrong afterwards). */
+  def ingest(spark: SparkSession, root: String, batch: DataFrame,
+             nBuckets: Int = 64,
+             failpoint: () => Unit = () => (),
+             failpointAfterStats: () => Unit = () => (),
+             lockWaitMs: Long = 0L): IngestReport =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val nb = confuredBuckets(spark, root, nBuckets)
+      val droot = GenStore.dataRoot(spark, root)
+      val docs0 = batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(TF.tokenCount(col("text")) > 0)
+      // ids must be unique within the batch: two texts under one id would
+      // interleave their postings into one garbage document
+      val idCounts = docs0
+        .agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+      require(idCounts.getLong(0) == idCounts.getLong(1),
+        s"ingest batch carries duplicate doc_id values " +
+          s"(${idCounts.getLong(0)} rows, ${idCounts.getLong(1)} distinct) " +
+          "— two texts would interleave under one id. Deduplicate first.")
+      // residency check: doclens ids plus the edit overlay's (an
+      // upsert-inserted id is resident content not yet folded) — scoped
+      // semi-joins, O(batch) not O(lake)
+      val batchIds = docs0.select("doc_id").distinct()
+      val resident = readOr(spark, s"$droot/doclens", doclensSchema)
+        .select("doc_id")
+        .unionByName(readOr(spark, s"$root/edits", editsSchema)
+          .select("doc_id"))
+        .join(batchIds, Seq("doc_id"), "left_semi")
+      val docs = docs0.join(resident, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val post = postingsOf(docs, nb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // EVERYTHING derived from `docs` is computed BEFORE the appends:
+          // the doclens write recaches every plan referencing its path
+          // (docs' residency anti-join does), so a post-append evaluation
+          // would see the batch's own rows and read `docs` as empty
+          val nPost = post.count()
+          val nDocs = docs.select("doc_id").distinct().count()
+          val key = batchKey(docs.select("doc_id"))
+          val dlSum = if (nDocs == 0L) 0L
+            else docs.agg(sum(TF.tokenCount(col("text")))).head().getLong(0)
+          // the stats delta goes FIRST, keyed by the to-add set's content
+          // fingerprint: a replay that still sees the same missing set
+          // recomputes the same key and dedupes on it, and a replay after
+          // the doclens append sees an empty to-add set and skips — order
+          // it LAST instead and a crash just before it is unrepairable
+          // (the replay's to-add set is empty, so it can never know a
+          // delta went missing)
+          if (nDocs > 0) {
+            val have = readOr(spark, s"$droot/stats", statsSchema)
+              .filter(col("batch_key") === key).limit(1).count() > 0
+            if (!have) {
+              import scala.jdk.CollectionConverters._
+              spark.createDataFrame(
+                  Seq(org.apache.spark.sql.Row(key, nDocs, dlSum)).asJava,
+                  statsSchema)
+                .write.mode("append").parquet(s"$droot/stats")
+            }
+          }
+          failpointAfterStats()
+          // postings append scoped by the POSTINGS store's own ids
+          val postedIds = readOr(spark, s"$droot/postings", postingsSchema)
+            .select("doc_id")
+            .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+          post.join(postedIds, Seq("doc_id"), "left_anti")
+            .write.mode("append").partitionBy("tbucket")
+            .parquet(s"$droot/postings")
+          failpoint()
+          // doclens append scoped by ITS own store — LAST, because it is
+          // the residency record the replay scope derives from: once it
+          // lands, the batch is fully repaired by construction
+          val lensIds = readOr(spark, s"$droot/doclens", doclensSchema)
+            .select("doc_id")
+            .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+          docs.select(col("doc_id"), TF.tokenCount(col("text")).as("dl"))
+            .join(lensIds, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(s"$droot/doclens")
+          IngestReport(nDocs, nPost)
+        } finally { post.unpersist(blocking = false); () }
+      } finally { docs.unpersist(blocking = false); () }
+    }
+
+  /** DELETE by doc id — tombstone now, fold at [[reconcile]]. A tombstoned
+    * doc vanishes from serving immediately (its postings are excluded and
+    * the corpus stats correct themselves from the overlay — see [[serve]]).
+    * Ids resident nowhere are ignored; replay appends nothing. Until the
+    * fold, re-ingesting a tombstoned id is a state no-op ([[upsert]] is
+    * the sanctioned resurrection). */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+             lockWaitMs: Long = 0L): Long =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val droot = GenStore.dataRoot(spark, root)
+      val del = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      val resident = readOr(spark, s"$droot/doclens", doclensSchema)
+        .select("doc_id")
+        .unionByName(readOr(spark, s"$root/edits", editsSchema)
+          .select("doc_id"))
+      val existing = readOr(spark, s"$root/tombstones", tombstonesSchema)
+      val toWrite = del
+        .join(resident, Seq("doc_id"), "left_semi")
+        .join(existing, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = toWrite.count()
+        if (n > 0)
+          toWrite.write.mode("append").parquet(s"$root/tombstones")
+        n
+      } finally { toWrite.unpersist(blocking = false); () }
+    }
+
+  /** UPSERT by doc id — the content-edit path ([[DedupLake.upsert]]'s
+    * contract verbatim, minus the keep set): the batch lands in the
+    * `edits/` overlay (swap-replaced, last-writer-wins), tombstones on the
+    * batch ids drop (the sanctioned resurrection), and from that commit
+    * [[serve]] scores the NEW text (the overlay's postings replace the
+    * stored rows sharing their ids — recomputed per serve over the
+    * bounded-by-contract overlay). An unseen id is an insert. The next
+    * [[reconcile]] folds the overlay into the physical postings and
+    * clears it. Batch ids unique (refused loudly); the RESULTING overlay
+    * stays inside `maxOverlayRows`. Zero-token edit texts are refused —
+    * an empty replacement is a [[delete]], not an edit. */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+             maxOverlayRows: Long = 1L << 20,
+             lockWaitMs: Long = 0L): Long =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val docs = batch
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = docs.agg(count(lit(1)), count_distinct(col("doc_id")),
+          count(when(TF.tokenCount(col("text")) === 0, 1))).head()
+        val n = counts.getLong(0)
+        require(n == counts.getLong(1),
+          s"upsert batch carries duplicate doc_id values ($n rows, " +
+            s"${counts.getLong(1)} distinct). Deduplicate the batch first.")
+        require(counts.getLong(2) == 0L,
+          "upsert batch carries zero-token texts — an empty replacement " +
+            "is a delete, not an edit")
+        val merged = readOr(spark, s"$root/edits", editsSchema)
+          .join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val m = merged.count()
+          require(m <= maxOverlayRows,
+            s"edit overlay would grow to $m rows > maxOverlayRows=" +
+              s"$maxOverlayRows — run reconcile to fold it, then resume")
+          if (n > 0) Writers.swapReplace(spark, s"$root/edits", merged)
+        } finally { merged.unpersist(blocking = false); () }
+        val tombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (tombs.join(broadcast(docs.select("doc_id")),
+              Seq("doc_id"), "left_semi").limit(1).count() > 0)
+            Writers.swapReplace(spark, s"$root/tombstones",
+              tombs.join(broadcast(docs.select("doc_id")),
+                Seq("doc_id"), "left_anti"))
+        } finally { tombs.unpersist(blocking = false); () }
+        n
+      } finally { docs.unpersist(blocking = false); () }
+    }
+
+  /** BM25 a query BATCH against the resident index — the serving read this
+    * lake exists for, at EXACT parity with
+    * [[graft.operators.TextStats.bm25PerQuery]] over the logical corpus
+    * (spec-pinned, mutations pending or not). One pruned postings scan:
+    * `tbucket IN (buckets of the batch's terms)` is PARTITION PRUNING on
+    * the partitionBy(tbucket) layout, the `term IN` filter pushes into it,
+    * and `dl` rides the posting rows — no corpus-sized join anywhere.
+    * Overlay corrections (df exclusion/union, stats deltas) cost bounded
+    * jobs and only run while overlays exist. Output: (probe_id, doc_id,
+    * bm25_micros, rank <= n); a probe whose terms miss the corpus yields
+    * no rows. READER path: no lease, one generation resolution. */
+  def serve(spark: SparkSession, root: String, queries: DataFrame,
+            n: Int, queryIdCol: String = "probe_id",
+            termsCol: String = "terms",
+            k1: Double = 1.2, b: Double = 0.75,
+            maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val confRows = Writers.readOrEmptyReadOnly(spark, s"$root/conf",
+      confSchema).collect()
+    require(confRows.nonEmpty,
+      s"lex lake at $root has no layout conf — ingest something first")
+    val nb = confRows.head.getInt(0)
+    val droot = GenStore.dataRoot(spark, root)
+    GenStore.requireLive(spark, droot)
+    // pinned: the probe frame feeds the universe collect AND the final
+    // join — an unpinned non-deterministic source could prune one term set
+    // and score another (the searchBatch pinning rationale)
+    val qterms = queries
+      .select(col(queryIdCol).cast("long").as("probe_id"),
+        explode(col(termsCol)).as("term")).distinct()
+      .localCheckpoint(true)
+    val nq = qterms.count()
+    require(nq <= maxBroadcastQueryTerms,
+      s"query batch explodes to $nq (probe, term) rows > " +
+        s"maxBroadcastQueryTerms=$maxBroadcastQueryTerms (serving-bounded " +
+        "by contract)")
+    val universe = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    def overlay(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("probe_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("bm25_micros", LongType),
+        StructField("rank", LongType))))
+    if (universe.isEmpty) return emptyOut
+    val buckets = universe.map(bucketOf(_, nb)).distinct
+    val stored0 = GenStore
+      .readGenOrEmpty(spark, droot, "postings", postingsSchema)
+      .filter(col("tbucket").isInCollection(buckets))
+      .filter(col("term").isInCollection(universe))
+      .select("term", "doc_id", "tf", "dl")
+    // corpus stats: the keyed-delta sum, corrected from the overlays when
+    // present — old lengths re-derived from the CURRENT doclens (scoped,
+    // bounded), so the correction is exact AND idempotent across the fold
+    val statsRow = GenStore.readGenOrEmpty(spark, droot, "stats", statsSchema)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("total_dl")), lit(0L))).head()
+    var nDocs = statsRow.getLong(0)
+    var totalDl = statsRow.getLong(1)
+    val postL =
+      if (!overlay("tombstones") && !overlay("edits")) stored0
+      else {
+        val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+          tombstonesSchema)
+        val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+            editsSchema)
+          .join(tombs, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val overlayIds = edits.select("doc_id")
+          .unionByName(tombs.select("doc_id"))
+        // stats corrections: remove every overlay id's stored contribution
+        // (scoped semi-join against doclens — zero rows once folded, so
+        // the correction is idempotent across the fold), then add back the
+        // edits' new lengths
+        val old = GenStore.readGenOrEmpty(spark, droot, "doclens", doclensSchema)
+          .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_semi")
+          .agg(coalesce(count(lit(1)), lit(0L)),
+            coalesce(sum(col("dl")), lit(0L))).head()
+        val nw = edits.agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum(TF.tokenCount(col("text"))), lit(0L))).head()
+        nDocs = nDocs - old.getLong(0) + nw.getLong(0)
+        totalDl = totalDl - old.getLong(1) + nw.getLong(1)
+        val editPost = postingsOf(edits, nb)
+          .filter(col("term").isInCollection(universe))
+          .select("term", "doc_id", "tf", "dl")
+        stored0
+          .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_anti")
+          .unionByName(editPost)
+      }
+    if (nDocs == 0L) return emptyOut
+    val dfT = postL.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = totalDl.toDouble / nDocs
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("bm25_micros").desc, col("doc_id"))
+    postL.join(broadcast(dfT), Seq("term"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s_micros",
+        round(col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+          * lit(1000000.0), 0).cast("long"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("s_micros")).as("bm25_micros"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select("probe_id", "doc_id", "bm25_micros", "rank")
+  }
+
+  /** FOLD + COMPACT + REBASE as a new generation: postings and doclens are
+    * rewritten with tombstoned docs dropped and edited docs' rows
+    * recomputed from the overlay's text, stats rebases to one exact row
+    * recomputed from the folded doclens, and the [[GenStore]] pointer flip
+    * commits all three at once. The overlays clear after the flip (a crash
+    * between re-applies them as no-ops — serving corrections are
+    * idempotent by construction). The full rewrite doubles as the
+    * compaction of the append-accumulated postings buckets. */
+  def reconcile(spark: SparkSession, root: String,
+                leaseMs: Long = 30 * 60 * 1000L,
+                retainGenerations: Int = 2,
+                failpoint: () => Unit = () => ()): Unit =
+    withWriterLock(spark, root, leaseMs = leaseMs,
+        heartbeatMs = leaseMs / 3) {
+      Writers.recoverPointer(spark, GenStore.pointer(root))
+      val cur = GenStore.currentGen(spark, root)
+      val droot = GenStore.dataRootOf(root, cur)
+      val confRows = readOr(spark, s"$root/conf", confSchema).collect()
+      require(confRows.nonEmpty,
+        s"lex lake at $root has no layout conf — nothing to reconcile")
+      val nb = confRows.head.getInt(0)
+      val tombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
+      val edits = readOr(spark, s"$root/edits", editsSchema)
+        .join(tombs, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val overlayIds = edits.select("doc_id")
+          .unionByName(tombs.select("doc_id")).distinct()
+        val lens = readOr(spark, s"$droot/doclens", doclensSchema)
+          .join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
+          .unionByName(edits.select(col("doc_id"),
+            TF.tokenCount(col("text")).as("dl")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val post = readOr(spark, s"$droot/postings", postingsSchema)
+            .join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
+            .select("term", "doc_id", "tf", "dl", "tbucket")
+            .unionByName(postingsOf(edits, nb))
+          val st = lens.agg(coalesce(count(lit(1)), lit(0L)),
+            coalesce(sum(col("dl")), lit(0L))).head()
+          GenStore.promote(spark, root, cur,
+            legacyDirs = Seq("postings", "doclens", "stats"),
+            retainGenerations = retainGenerations) { ngRoot =>
+            post.write.mode("overwrite").partitionBy("tbucket")
+              .parquet(s"$ngRoot/postings")
+            lens.write.mode("overwrite").parquet(s"$ngRoot/doclens")
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(
+                Seq(org.apache.spark.sql.Row("base", st.getLong(0),
+                  st.getLong(1))).asJava, statsSchema)
+              .write.mode("overwrite").parquet(s"$ngRoot/stats")
+            failpoint()
+          }
+          GenStore.deleteDir(spark, s"$root/tombstones")
+          GenStore.deleteDir(spark, s"$root/edits")
+        } finally { lens.unpersist(blocking = false); () }
+      } finally { edits.unpersist(blocking = false); () }
+    }
+
+  /** The reconcile pass as a cron [[Scheduler.Deployment]] — the weekly
+    * maintenance slot next to the other lakes'. */
+  def maintenanceDeployment(spark: SparkSession, root: String,
+                            cron: String = "0 5 * * 0")
+      : Scheduler.Deployment =
+    Scheduler.Deployment("lex_reconcile", Scheduler.parse(cron),
+      () => reconcile(spark, root))
+
+  /** Collapse the small files a high-frequency ingest accumulates between
+    * reconciles — per posting BUCKET, the [[VectorLake.compactLists]]
+    * contract (hidden-sibling leaf swaps invisible to readers). */
+  def compactBuckets(spark: SparkSession, root: String,
+                     targetRecordsPerFile: Long = 1000000L,
+                     minFilesPerBucket: Int = 8,
+                     lockWaitMs: Long = 0L): Map[String, Long] =
+    withWriterLock(spark, root, waitMs = lockWaitMs) {
+      val droot = GenStore.dataRoot(spark, root)
+      val conf = spark.sessionState.newHadoopConf()
+      val out = Map.newBuilder[String, Long]
+      val base = new org.apache.hadoop.fs.Path(s"$droot/postings")
+      val fs = base.getFileSystem(conf)
+      if (fs.exists(base)) {
+        Writers.recoverPartitionCompact(spark, base.toString)
+        for (st <- fs.listStatus(base)
+             if st.isDirectory && st.getPath.getName.contains("=")
+               && !st.getPath.getName.startsWith(".")) {
+          val nFiles = fs.listStatus(st.getPath).count(f =>
+            f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+          if (nFiles >= minFilesPerBucket) {
+            Writers.compactPartition(spark, st.getPath.toString,
+              targetRecordsPerFile)
+            out += st.getPath.getName -> nFiles.toLong
+          }
+        }
+      }
+      out.result()
+    }
+}

@@ -617,6 +617,39 @@ object Streams {
         quantized = quantized, refineFactor = refineFactor))
     }
 
+  /** Streaming ingest into the lake-resident INVERTED INDEX — the lexical
+    * member of the lake-stream family: each micro-batch runs
+    * [[graft.domain.LexLake.ingest]]'s tokenize-and-append under the
+    * writer lease, generation resolved per batch. Micro-batch ids unique
+    * (refused loudly). Exactly-once EFFECT on at-least-once delivery by
+    * the lake's scoped-append + keyed-stats-delta contract. `onReport`
+    * sees (epochId, report) per batch. */
+  def lexLakeIngestStream(docs: DataFrame, root: String,
+                          nBuckets: Int = 64,
+                          lockWaitMs: Long = 30 * 60 * 1000L,
+                          onReport: (Long, graft.domain.LexLake.IngestReport) => Unit =
+                            (_, _) => ())
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      onReport(epoch, graft.domain.LexLake.ingest(batch.sparkSession, root,
+        batch, nBuckets, lockWaitMs = lockWaitMs))
+    }
+
+  /** Streaming BM25 SERVE over the lake-resident inverted index — the
+    * lexical twin of [[vectorLakeServeStream]]: each micro-batch of
+    * (probe_id, terms) queries runs ONE bucket-pruned
+    * [[graft.domain.LexLake.serve]] and hands the per-probe top-n to
+    * `sink` with the epoch. READER path; the generation is re-resolved
+    * inside every serve call, so a reconcile fold mid-stream is picked up
+    * on the next micro-batch. */
+  def lexLakeServeStream(queries: DataFrame, root: String, n: Int)
+                        (sink: (Long, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      sink(epoch, graft.domain.LexLake.serve(batch.sparkSession, root,
+        batch, n))
+    }
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

@@ -214,6 +214,36 @@ class LakeSyncSpec extends SparkSpec {
     assert(corpusText(dedup, 3L).contains("the document returns with new content"))
   }
 
+  test("the lexical index joins the fan-out: a purge and an edit reach all three stores") {
+    val (sync, dedup, vector) = roots("threeway")
+    seed(dedup, vector)
+    val lex = s"${new java.io.File(sync).getParent}/lex"
+    LexLake.ingest(spark, lex, Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different content over here"),
+      (3L, "yet another unrelated document body")).toDF("doc_id", "text"),
+      nBuckets = 4)
+    def lexTop(term: String): Set[Long] =
+      LexLake.serve(spark, lex,
+          Seq((9L, Seq(term))).toDF("probe_id", "terms"), n = 10)
+        .collect().map(_.getLong(1)).toSet
+    assert(lexTop("different") == Set(2L))
+    // purge doc 2 from all three
+    val rep = LakeSync.deleteDocs(spark, sync, dedup, vector,
+      Seq(2L).toDF("doc_id"), lexRoot = Some(lex))
+    assert(rep == LakeSync.SyncReport(1, 1, 1, 1, 0, 1))
+    assert(lexTop("different").isEmpty, "purged content must stop serving lexically")
+    assert(vecIds(vector) == Set(1L, 3L))
+    // edit doc 3 in all three
+    val rep2 = LakeSync.upsertDocs(spark, sync, dedup, vector,
+      Seq((3L, "freshly rewritten searchable body", unit(100, 14f)))
+        .toDF("doc_id", "text", "embedding"), lexRoot = Some(lex))
+    assert(rep2 == LakeSync.SyncReport(0, 0, 0, 0, 1, 0))
+    assert(lexTop("rewritten") == Set(3L))
+    assert(lexTop("unrelated").isEmpty, "the old text must stop serving")
+    assert(corpusText(dedup, 3L).contains("freshly rewritten searchable body"))
+  }
+
   test("the scheduled catch-up deployment closes a crashed fan-out") {
     val (sync, dedup, vector) = roots("sched")
     seed(dedup, vector)

@@ -1,0 +1,278 @@
+package graft.domain
+
+import graft.SparkSpec
+import graft.operators.TextStats
+import org.apache.spark.sql.DataFrame
+
+/** The lake-resident inverted index (LexLake): BM25 serving at EXACT parity
+  * with TextStats.bm25PerQuery over the logical corpus — through ingests,
+  * deletes, upserts, the reconcile fold, and compaction — plus the bucket
+  * partition-pruning contract and the shared lake crash discipline. */
+class LexLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"lexlake_$tag").toString
+
+  // a deterministic 24-doc corpus over a small vocabulary, with repeated
+  // terms (tf > 1), shared terms (df > 1), and varying lengths
+  private val vocab = Vector("spark", "query", "merge", "vector", "hash",
+    "window", "stream", "batch", "scan", "filter")
+  private def corpus(n: Int = 24): Seq[(Long, String)] =
+    (0 until n).map { i =>
+      val ws = (0 to (i % 5) + 2).map(j => vocab((i * 3 + j * 7) % vocab.size))
+      (i.toLong, (ws ++ ws.take(i % 3)).mkString(" "))
+    }
+
+  private val queries = Seq(
+    (100L, Seq("spark", "query")),
+    (200L, Seq("merge", "vector", "hash")),
+    (300L, Seq("window", "stream", "stream")),
+    (400L, Seq("zzznothere")))
+
+  private def queriesDf = queries.toDF("probe_id", "terms")
+
+  private def served(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  /** The reference: the pure posting-list query (q162's registered form)
+    * over the LOGICAL corpus frame. */
+  private def reference(docs: Seq[(Long, String)], n: Int = 5)
+      : Set[(Long, Long, Long, Long)] =
+    served(TextStats.bm25PerQuery(docs.toDF("doc_id", "text"), "doc_id", "text",
+      queriesDf, "probe_id", "terms", n = n))
+
+  test("serve matches bm25PerQuery exactly on a freshly ingested corpus") {
+    val root = freshRoot("parity")
+    val r = LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"),
+      nBuckets = 8)
+    assert(r.docs == 24L && r.postings > 0L)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(corpus()))
+  }
+
+  test("serve prunes to the queried terms' posting buckets") {
+    val root = freshRoot("prune")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    val df = LexLake.serve(spark, root,
+      Seq((1L, Seq("spark"))).toDF("probe_id", "terms"), n = 5)
+    // (inputFiles lists the relation pre-pushdown, so assert on the
+    // executed plan: the tbucket predicate must land in PartitionFilters —
+    // directory-level pruning — and the term predicate in PushedFilters)
+    val plan = df.queryExecution.executedPlan.toString
+    val partLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters:")).toSeq
+    assert(partLines.exists(l => l.contains("tbucket")), plan.take(4000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters:") && l.contains("term")), plan.take(4000))
+  }
+
+  test("ingest is at-least-once safe: replay no-ops, torn windows repair, stats stay exact") {
+    val root = freshRoot("replay")
+    val (b1, b2) = corpus().splitAt(12)
+    LexLake.ingest(spark, root, b1.toDF("doc_id", "text"), nBuckets = 8)
+    def state() = (
+      spark.read.schema(LexLake.postingsSchema).parquet(s"$root/postings").count(),
+      spark.read.parquet(s"$root/doclens").count(),
+      spark.read.parquet(s"$root/stats").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet)
+    val s1 = state()
+    LexLake.ingest(spark, root, b1.toDF("doc_id", "text"), nBuckets = 8)
+    assert(state() == s1, "exact replay must write nothing")
+    // torn after postings, before doclens: the replay repairs exactly the
+    // missing doclens + stats rows (and appends no duplicate postings)
+    intercept[RuntimeException] {
+      LexLake.ingest(spark, root, b2.toDF("doc_id", "text"), nBuckets = 8,
+        failpoint = () => throw new RuntimeException("torn"))
+    }
+    assert(spark.read.parquet(s"$root/doclens").count() == s1._2,
+      "doclens not yet written")
+    LexLake.ingest(spark, root, b2.toDF("doc_id", "text"), nBuckets = 8)
+    // torn after the stats delta, before postings: the replay recomputes
+    // the same to-add set, dedupes the delta on its key, writes the rest
+    val root2 = freshRoot("replay2")
+    LexLake.ingest(spark, root2, b1.toDF("doc_id", "text"), nBuckets = 8)
+    intercept[RuntimeException] {
+      LexLake.ingest(spark, root2, b2.toDF("doc_id", "text"), nBuckets = 8,
+        failpointAfterStats = () => throw new RuntimeException("torn2"))
+    }
+    assert(spark.read.parquet(s"$root2/stats").count() == 2L,
+      "the delta landed before the crash")
+    LexLake.ingest(spark, root2, b2.toDF("doc_id", "text"), nBuckets = 8)
+    assert(spark.read.parquet(s"$root2/stats").count() == 2L,
+      "the replay must dedupe the delta on its key")
+    // both lakes converge to full parity — stats exact despite the tears
+    for (rt <- Seq(root, root2))
+      assert(served(LexLake.serve(spark, rt, queriesDf, n = 5))
+        == reference(corpus()), s"parity lost at $rt")
+  }
+
+  test("delete excludes immediately with exact stats correction; upsert supersedes and resurrects") {
+    val root = freshRoot("mut")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    // delete two docs: serving must equal the reference over the corpus
+    // WITHOUT them (df, n_docs, avgdl all corrected, not just the rows)
+    assert(LexLake.delete(spark, root, Seq(3L, 7L).toDF("doc_id")) == 2L)
+    val afterDel = corpus().filterNot(d => d._1 == 3L || d._1 == 7L)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(afterDel))
+    // upsert: edit doc 0's content, insert doc 99, resurrect doc 3
+    val edits = Seq(
+      (0L, "spark spark spark window"),
+      (99L, "query merge query stream"),
+      (3L, "hash vector hash"))
+    assert(LexLake.upsert(spark, root, edits.toDF("doc_id", "text")) == 3L)
+    val logical = afterDel.filterNot(_._1 == 0L) ++ edits
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(logical))
+    // refusals: duplicate ids, zero-token replacement, re-ingest no-op
+    assert(intercept[IllegalArgumentException] {
+      LexLake.upsert(spark, root, Seq((5L, "a"), (5L, "b")).toDF("doc_id", "text"))
+    }.getMessage.contains("duplicate doc_id"))
+    assert(intercept[IllegalArgumentException] {
+      LexLake.upsert(spark, root, Seq((5L, "   ")).toDF("doc_id", "text"))
+    }.getMessage.contains("zero-token"))
+    val before = served(LexLake.serve(spark, root, queriesDf, n = 5))
+    LexLake.ingest(spark, root,
+      Seq((0L, "completely different"), (99L, "other words")).toDF("doc_id", "text"),
+      nBuckets = 8)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5)) == before,
+      "re-ingest under resident ids must be a state no-op")
+
+    // the reconcile FOLD: same answers, overlays cleared, stats rebased,
+    // generation advanced
+    LexLake.reconcile(spark, root)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(logical), "the fold changes where the truth lives, not what it says")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/edits")))
+    assert(GenStore.dataRoot(spark, root) == s"$root/gen-0")
+    val st = spark.read.parquet(s"$root/gen-0/stats").collect()
+    assert(st.length == 1 && st.head.getString(0) == "base")
+    assert(st.head.getLong(1) == logical.size.toLong)
+  }
+
+  test("a reconcile crash before the pointer flip leaves readers on the old state; the rerun lands it") {
+    val root = freshRoot("crash")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    LexLake.delete(spark, root, Seq(1L).toDF("doc_id"))
+    val preFold = served(LexLake.serve(spark, root, queriesDf, n = 5))
+    intercept[RuntimeException] {
+      LexLake.reconcile(spark, root,
+        failpoint = () => throw new RuntimeException("pre-flip"))
+    }
+    // the orphan gen dir is invisible: still legacy layout, same answers
+    assert(GenStore.dataRoot(spark, root) == root)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5)) == preFold)
+    LexLake.reconcile(spark, root)
+    assert(GenStore.dataRoot(spark, root) == s"$root/gen-0")
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5)) == preFold)
+  }
+
+  test("bucket compaction collapses ingest-accumulated files; answers byte-identical") {
+    val root = freshRoot("compact")
+    for (batch <- corpus().grouped(4))
+      LexLake.ingest(spark, root, batch.toDF("doc_id", "text"), nBuckets = 2)
+    val before = served(LexLake.serve(spark, root, queriesDf, n = 5))
+    val compacted = LexLake.compactBuckets(spark, root,
+      targetRecordsPerFile = 1000000L, minFilesPerBucket = 2)
+    assert(compacted.nonEmpty, "six appends per bucket must trip the threshold")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for ((leaf, n0) <- compacted) {
+      val now = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/postings/$leaf")).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      assert(now < n0, s"$leaf: $n0 -> $now")
+    }
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5)) == before)
+  }
+
+  test("hybridServe fuses the two lake-resident indexes at parity with the pure composition") {
+    val vroot = freshRoot("hyb_vec")
+    val lroot = freshRoot("hyb_lex")
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * 14).toFloat, (math.sin(r) * 14).toFloat)
+    }
+    // one id space: every doc has text in the lex lake and an embedding in
+    // the vector lake (angles spread so no near-dup gate fires)
+    val n = 12
+    val embs = (0 until n).map(i => (i.toLong, unit(i * 7.0)))
+    VectorLake.init(spark, vroot, Seq(Seq(14.0, 0.0), Seq(0.0, 14.0)))
+    assert(VectorLake.ingest(spark, vroot,
+      embs.toDF("vec_id", "embedding"), dupThreshold = 0.999).kept == n)
+    LexLake.ingest(spark, lroot, corpus(n).toDF("doc_id", "text"), nBuckets = 4)
+    val probes = Seq(
+      (500L, unit(10.0), Seq("spark", "query")),
+      (600L, unit(60.0), Seq("merge", "hash"))).toDF("probe_id", "embedding", "terms")
+    val got = served(Retrieval.hybridServe(spark, vroot, lroot, probes,
+      k = 4, kVec = 5, nLex = 5))
+    // the pure composition: searchBatch + bm25PerQuery + rrfFuseAll over
+    // the same stores/corpus
+    val vec = VectorLake.searchBatch(spark, vroot,
+        probes.select("probe_id", "embedding"), k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id", "rank")
+    val lex = TextStats.bm25PerQuery(corpus(n).toDF("doc_id", "text"),
+        "doc_id", "text", probes.select("probe_id", "terms"),
+        "probe_id", "terms", n = 5)
+      .select($"probe_id", $"doc_id".as("neighbor_id"), $"rank")
+    val want = served(graft.operators.Similarity.rrfFuseAll(
+      Seq(vec, lex), k = 4, kRrf = 60))
+    assert(got == want)
+    assert(got.map(_._1) == Set(500L, 600L))
+  }
+
+  test("streaming twins: micro-batch ingest and serve pick up a mid-stream reconcile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("stream")
+    val (b1, b2) = corpus(16).splitAt(8)
+    val input = MemoryStream[(Long, String)]
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.Streams.lexLakeIngestStream(
+        input.toDF().toDF("doc_id", "text"), root, nBuckets = 4,
+        onReport = (e, r) => reports.synchronized { reports += e -> r.docs; () })
+      .start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // mid-stream maintenance versions the store; the next batch must
+      // append into the NEW generation
+      LexLake.reconcile(spark, root)
+      assert(GenStore.dataRoot(spark, root) == s"$root/gen-0")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.sortBy(_._1).map(_._2).toList == List(8L, 8L))
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(corpus(16)))
+    // the serve twin: one pruned scan per probe micro-batch
+    val qin = MemoryStream[(Long, Seq[String])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sq = graft.streaming.Streams.lexLakeServeStream(
+        qin.toDF().toDF("probe_id", "terms"), root, n = 3) { (epoch, df) =>
+      val rs = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.synchronized { got ++= rs; () }
+    }.start()
+    try {
+      qin.addData((700L, Seq("spark")))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(got.nonEmpty && got.forall(_._1 == 700L))
+  }
+
+  test("layout conf is pinned: a mismatched nBuckets is refused loudly") {
+    val root = freshRoot("conf")
+    LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 8)
+    val ex = intercept[IllegalArgumentException] {
+      LexLake.ingest(spark, root, Seq((50L, "spark")).toDF("doc_id", "text"),
+        nBuckets = 16)
+    }
+    assert(ex.getMessage.contains("n_buckets=8"))
+  }
+}

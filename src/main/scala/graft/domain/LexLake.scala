@@ -3,7 +3,7 @@ package graft.domain
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.functions.{TextFunctions => TF}
 import graft.sources.Writers
@@ -330,8 +330,11 @@ object LexLake {
     * `tbucket IN (buckets of the batch's terms)` is PARTITION PRUNING on
     * the partitionBy(tbucket) layout, the `term IN` filter pushes into it,
     * and `dl` rides the posting rows — no corpus-sized join anywhere.
-    * Overlay corrections (df exclusion/union, stats deltas) cost bounded
-    * jobs and only run while overlays exist. Output: (probe_id, doc_id,
+    * Overlay corrections (df exclusion/union, stats deltas) run only
+    * while overlays exist and cost bounded jobs plus ONE slim projection
+    * scan of doclens (two columns, semi-joined on the bounded overlay
+    * ids) — the price of exactness between a mutation and its fold.
+    * Output: (probe_id, doc_id,
     * bm25_micros, rank <= n); a probe whose terms miss the corpus yields
     * no rows. READER path: no lease, one generation resolution. */
   def serve(spark: SparkSession, root: String, queries: DataFrame,
@@ -374,11 +377,22 @@ object LexLake {
         StructField("rank", LongType))))
     if (universe.isEmpty) return emptyOut
     val buckets = universe.map(bucketOf(_, nb)).distinct
-    val stored0 = GenStore
-      .readGenOrEmpty(spark, droot, "postings", postingsSchema)
-      .filter(col("tbucket").isInCollection(buckets))
-      .filter(col("term").isInCollection(universe))
-      .select("term", "doc_id", "tf", "dl")
+    // the bucket IN-list is <= nBuckets values (always tiny — it's the
+    // partition pruning); the TERM filter is an IN-list only while the
+    // universe is literal-sized (pushes into the pruned scan), switching
+    // to a broadcast semi-join for large batches — a 10^5-term IN literal
+    // would bloat codegen without pruning anything the buckets didn't
+    val stored0 = {
+      val pruned = GenStore
+        .readGenOrEmpty(spark, droot, "postings", postingsSchema)
+        .filter(col("tbucket").isInCollection(buckets))
+      val termed =
+        if (universe.size <= 4096)
+          pruned.filter(col("term").isInCollection(universe))
+        else pruned.join(broadcast(qterms.select("term").distinct()),
+          Seq("term"), "left_semi")
+      termed.select("term", "doc_id", "tf", "dl")
+    }
     // corpus stats: the keyed-delta sum, corrected from the overlays when
     // present — old lengths re-derived from the CURRENT doclens (scoped,
     // bounded), so the correction is exact AND idempotent across the fold
@@ -410,8 +424,11 @@ object LexLake {
           coalesce(sum(TF.tokenCount(col("text"))), lit(0L))).head()
         nDocs = nDocs - old.getLong(0) + nw.getLong(0)
         totalDl = totalDl - old.getLong(1) + nw.getLong(1)
-        val editPost = postingsOf(edits, nb)
-          .filter(col("term").isInCollection(universe))
+        val editPost0 = postingsOf(edits, nb)
+        val editPost = (if (universe.size <= 4096)
+            editPost0.filter(col("term").isInCollection(universe))
+          else editPost0.join(broadcast(qterms.select("term").distinct()),
+            Seq("term"), "left_semi"))
           .select("term", "doc_id", "tf", "dl")
         stored0
           .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_anti")
@@ -503,6 +520,18 @@ object LexLake {
       : Scheduler.Deployment =
     Scheduler.Deployment("lex_reconcile", Scheduler.parse(cron),
       () => reconcile(spark, root))
+
+  /** [[compactBuckets]] as a cron [[Scheduler.Deployment]] — the in-between
+    * maintenance slot, waiting behind a running reconcile's lease. */
+  def compactionDeployment(spark: SparkSession, root: String,
+                           cron: String = "0 2 * * *",
+                           targetRecordsPerFile: Long = 1000000L,
+                           minFilesPerBucket: Int = 8,
+                           lockWaitMs: Long = 10 * 60 * 1000L)
+      : Scheduler.Deployment =
+    Scheduler.Deployment("lex_compact", Scheduler.parse(cron),
+      () => { compactBuckets(spark, root, targetRecordsPerFile,
+        minFilesPerBucket, lockWaitMs); () })
 
   /** Collapse the small files a high-frequency ingest accumulates between
     * reconciles — per posting BUCKET, the [[VectorLake.compactLists]]

@@ -269,4 +269,40 @@ object Engine {
                   nprobe: Int, mins: Seq[Double], maxs: Seq[Double]): DataFrame =
     Similarity.ivfSqTopK(corpus, idCol, vecCol, queryVec, k, centroids,
       nprobe, mins, maxs)
+
+  // ---- lake-resident inverted index + the full retrieval endpoint ----
+
+  /** Per-query BM25 over a query batch as a pure posting-list join (the
+    * corpus-sided tf/df/length aggregates are query-independent; scores
+    * become exact integer micros before the per-query sum). The compute
+    * path; [[lexLakeServe]] is its lake-resident serving twin. */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, queryIdCol: String, termsCol: String,
+                   n: Int): DataFrame =
+    graft.operators.TextStats.bm25PerQuery(docs, idCol, textCol,
+      queries, queryIdCol, termsCol, n)
+
+  /** Tokenize-at-ingest into the lake-resident inverted index at
+    * `lakeRoot` (term-bucket-partitioned postings; at-least-once safe,
+    * writer-leased). */
+  def lexLakeIngest(spark: SparkSession, lakeRoot: String,
+                    batch: DataFrame): graft.domain.LexLake.IngestReport =
+    graft.domain.LexLake.ingest(spark, lakeRoot, batch)
+
+  /** BM25 a query batch against the resident inverted index — one
+    * bucket-pruned postings scan, exactly equal to [[bm25PerQuery]] over
+    * the logical corpus. */
+  def lexLakeServe(spark: SparkSession, lakeRoot: String,
+                   queries: DataFrame, n: Int): DataFrame =
+    graft.domain.LexLake.serve(spark, lakeRoot, queries, n)
+
+  /** HYBRID retrieval across BOTH lake-resident indexes: one probe batch
+    * (embedding + terms) served from the vector lake's pruned IVF scan and
+    * the lex lake's pruned postings scan, fused per probe by
+    * reciprocal-rank in exact integer micros. */
+  def hybridServe(spark: SparkSession, vectorRoot: String, lexRoot: String,
+                  probes: DataFrame, k: Int,
+                  kVec: Int = 10, nLex: Int = 10): DataFrame =
+    graft.domain.Retrieval.hybridServe(spark, vectorRoot, lexRoot,
+      probes, k, kVec, nLex)
 }

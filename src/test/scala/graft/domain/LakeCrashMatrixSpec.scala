@@ -137,6 +137,33 @@ class LakeCrashMatrixSpec extends SparkSpec with LakeCrashMatrix {
   })
 
   runCrashMatrix(new LakeAdapter {
+    val name = "LexLake"
+    def freshRoot(): String =
+      java.nio.file.Files.createTempDirectory("matrix_lex").toString + "/lake"
+    // doc 3 is zero-token (never resident — no lexical content), so the
+    // replay check exercises the batch-domain filter next to the appends;
+    // the canonical resident set is {1, 2}
+    private def batch = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "omega psi chi phi"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val failpoints = Seq("after-stats", "after-postings")
+    def ingestBatch(root: String, failAt: Option[String]): Unit = {
+      def boom(name: String): () => Unit = () =>
+        if (failAt.contains(name)) throw new RuntimeException(s"torn at $name")
+      LexLake.ingest(spark, root, batch, nBuckets = 4,
+        failpointAfterStats = boom("after-stats"),
+        failpoint = boom("after-postings"))
+      ()
+    }
+    def residentCount(root: String): Long =
+      graft.sources.Writers.readOrEmptyReadOnly(spark,
+        s"${GenStore.dataRoot(spark, root)}/doclens",
+        LexLake.doclensSchema).count()
+    val expectedAfterBatch = 2L
+    def reconcile(root: String): Unit = LexLake.reconcile(spark, root)
+  })
+
+  runCrashMatrix(new LakeAdapter {
     val name = "VectorLake"
     def freshRoot(): String = {
       val root =

@@ -350,6 +350,15 @@ object LexLake {
     val nb = confRows.head.getInt(0)
     val droot = GenStore.dataRoot(spark, root)
     GenStore.requireLive(spark, droot)
+    // probe ids must be UNIQUE — two query rows sharing an id would
+    // silently merge their term sets (the duplicate-probe rule shared with
+    // searchBatch and bm25PerQuery); refused loudly, one bounded agg
+    val idCounts = queries.agg(count(lit(1)),
+      count_distinct(col(queryIdCol))).head()
+    require(idCounts.getLong(0) == idCounts.getLong(1),
+      s"query batch carries duplicate $queryIdCol values " +
+        s"(${idCounts.getLong(0)} rows, ${idCounts.getLong(1)} distinct) — " +
+        "their term sets would silently merge. Deduplicate or re-key first.")
     // pinned: the probe frame feeds the universe collect AND the final
     // join — an unpinned non-deterministic source could prune one term set
     // and score another (the searchBatch pinning rationale)

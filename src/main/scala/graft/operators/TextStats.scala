@@ -258,6 +258,17 @@ object TextStats {
                    n: Int, k1: Double = 1.2, b: Double = 0.75,
                    maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // probe ids must be UNIQUE: two query rows sharing an id would silently
+    // merge their term sets into one combined result (the
+    // ivfMultiProbeKnnJoin duplicate-probe rule, applied to the lexical
+    // retriever). One bounded agg over the query side.
+    val idCounts = queries.agg(count(lit(1)),
+      count_distinct(col(queryIdCol))).head()
+    require(idCounts.getLong(0) == idCounts.getLong(1),
+      s"query batch carries duplicate $queryIdCol values " +
+        s"(${idCounts.getLong(0)} rows, ${idCounts.getLong(1)} distinct) — " +
+        "their term sets would silently merge into one combined top-n. " +
+        "Deduplicate or re-key the batch first.")
     val qterms = queries.select(col(queryIdCol).cast("long").as("probe_id"),
       explode(col(termsCol)).as("term")).distinct()
     // the exploded (probe, term) frame is what broadcasts — cap it loudly

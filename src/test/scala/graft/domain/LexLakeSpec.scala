@@ -266,6 +266,17 @@ class LexLakeSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._1 == 700L))
   }
 
+  test("serve refuses duplicate probe ids instead of silently merging term sets") {
+    val root = freshRoot("dupprobe")
+    LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      LexLake.serve(spark, root,
+        Seq((7L, Seq("spark")), (7L, Seq("window"))).toDF("probe_id", "terms"),
+        n = 5)
+    }
+    assert(e.getMessage.contains("duplicate probe_id"), e.getMessage)
+  }
+
   test("layout conf is pinned: a mismatched nBuckets is refused loudly") {
     val root = freshRoot("conf")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 8)

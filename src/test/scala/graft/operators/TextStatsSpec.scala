@@ -300,4 +300,16 @@ class TextStatsSpec extends SparkSpec {
     assert(enc(1L) == 6L)
     assert(enc(2L) == 0L && enc(3L) == 0L)
   }
+
+  test("bm25PerQuery refuses duplicate probe ids instead of silently merging their term sets") {
+    val docs = Seq((1L, "spark query merge"), (2L, "spark spark window"))
+      .toDF("doc_id", "text")
+    val dup = Seq((7L, Seq("spark")), (7L, Seq("window")))
+      .toDF("probe_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      TextStats.bm25PerQuery(docs, "doc_id", "text", dup,
+        "probe_id", "terms", n = 5)
+    }
+    assert(e.getMessage.contains("duplicate probe_id"), e.getMessage)
+  }
 }

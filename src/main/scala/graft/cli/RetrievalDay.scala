@@ -1,0 +1,155 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.domain.{DedupLake, LakeSync, LexLake, Retrieval, VectorLake}
+import graft.operators.Clustering
+
+/** One composed RETRIEVAL day, end to end — [[ReferenceDay]]'s twin for the
+  * serving stack this engine grew beyond the reference: build all three
+  * lake-resident indexes from the driver testdata, serve a hybrid probe
+  * batch across two of them, order a cross-store purge and a cross-store
+  * edit through the sync log, run every lake's weekly reconcile, and prove
+  * the answers survive the maintenance (and the purge survives the fold).
+  *
+  *  1. vector lake: k-means quantizer trained on the corpus, near-dup-gated
+  *     bulk ingest of the embeddings table
+  *  2. lex lake: tokenize-at-ingest of the documents table into the
+  *     bucket-partitioned inverted index
+  *  3. dedup lake: LSH-gated ingest of the same documents (the content
+  *     admission record)
+  *  4. hybrid serve: a 4-probe batch (embedding + terms each) fused across
+  *     the vector and lexical lakes in exact integer micros
+  *  5. purge: two served ids deleted from ALL THREE stores through
+  *     LakeSync's intent log; the re-serve must not surface them
+  *  6. edit: one id re-written (new text + new embedding) through the sync
+  *     upsert log; a term unique to the new text must serve it
+  *  7. maintenance: all three reconciles (retrain/fold/compact); the
+  *     re-serve still answers, the purge is still folded away, the edit
+  *     still serves
+  *
+  * Every stage reports a count; `main` asserts each is positive and prints
+  * one STAGE line per step. Run: `sbt "runMain graft.cli.RetrievalDay"`. */
+object RetrievalDay {
+
+  final case class DayReport(stages: Seq[(String, Long)]) {
+    def apply(name: String): Long = stages.collectFirst { case (`name`, n) => n }
+      .getOrElse(sys.error(s"no stage '$name' in ${stages.map(_._1)}"))
+  }
+
+  private val probeTerms: Seq[Seq[String]] = Seq(
+    Seq("spark", "query"), Seq("merge", "vector", "hash"),
+    Seq("window", "stream"), Seq("scan", "filter"))
+
+  def run(spark: SparkSession, workDir: String, sfDir: String): DayReport = {
+    import spark.implicits._
+    val stages = Seq.newBuilder[(String, Long)]
+    val vectorRoot = s"$workDir/vector"
+    val lexRoot = s"$workDir/lex"
+    val dedupRoot = s"$workDir/dedup"
+    val syncRoot = s"$workDir/sync"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    // 1. the vector lake: quantizer trained on the day's corpus, then the
+    //    gated bulk ingest (one serving-bounded batch at this scale; a
+    //    100 TB load is bulk-write + reconcile by the lake's contract)
+    val cents = Clustering.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 3)
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toIndexedSeq).toSeq
+    VectorLake.init(spark, vectorRoot, cents)
+    val vr = VectorLake.ingest(spark, vectorRoot, emb)
+    stages += "vector_ingested" -> vr.kept
+
+    // 2. the lexical lake: tokenize once, postings bucket-partitioned
+    val lr = LexLake.ingest(spark, lexRoot, docs, nBuckets = 8)
+    stages += "lex_docs" -> lr.docs
+    stages += "lex_postings" -> lr.postings
+
+    // 3. the dedup lake: the admission record over the same id space
+    stages += "dedup_keeps" ->
+      DedupLake.ingest(spark, dedupRoot, docs).count()
+
+    // 4. hybrid serve: the first four ids as probes, each with its own
+    //    embedding AND term list (bounded collect — four rows)
+    def probes(): DataFrame = {
+      val firstVecs = emb.orderBy("vec_id").limit(4)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      firstVecs.zip(probeTerms)
+        .map { case ((id, v), ts) => (id, v, ts) }.toSeq
+        .toDF("probe_id", "embedding", "terms")
+    }
+    def hybrid(): DataFrame = Retrieval.hybridServe(spark, vectorRoot,
+      lexRoot, probes(), k = 5, kVec = 5, nLex = 5)
+    val served = hybrid().persist()
+    stages += "hybrid_results" -> served.count()
+    // purge the two best-ranked DISTINCT neighbors (bounded collect)
+    val purgeIds = served.orderBy(col("rank"), col("probe_id"))
+      .select("neighbor_id").distinct().limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    served.unpersist(blocking = false)
+
+    // 5. cross-store purge through the intent log — all three lakes
+    val del = LakeSync.deleteDocs(spark, syncRoot, dedupRoot, vectorRoot,
+      purgeIds.toDF("doc_id"), lexRoot = Some(lexRoot))
+    stages += "purged" -> del.vectorDeleted
+    stages += "purged_lex" -> del.lexDeleted
+    val afterPurge = hybrid().persist()
+    val leaked = afterPurge
+      .filter(col("neighbor_id").isInCollection(purgeIds)).count()
+    stages += "post_purge_hybrid" -> afterPurge.count()
+    stages += "purge_leaks" -> leaked // asserted ZERO by the caller
+    afterPurge.unpersist(blocking = false)
+
+    // 6. cross-store edit: a resident id re-written with new text AND a
+    //    new embedding; the unique term must serve it lexically
+    val editId = emb.orderBy(col("vec_id").desc).limit(1)
+      .collect().head.getLong(0)
+    val newVec = Array.tabulate(64)(i => if (i % 7 == 0) 0.9f else 0.05f)
+    val up = LakeSync.upsertDocs(spark, syncRoot, dedupRoot, vectorRoot,
+      Seq((editId, "the zebraterm retrieval document rewrite", newVec))
+        .toDF("doc_id", "text", "embedding"), lexRoot = Some(lexRoot))
+    stages += "edits_applied" -> up.upsertsApplied
+    def zebraHits(): Long = LexLake.serve(spark, lexRoot,
+        Seq((999L, Seq("zebraterm"))).toDF("probe_id", "terms"), n = 5)
+      .filter(col("doc_id") === editId).count()
+    stages += "zebra_hits" -> zebraHits()
+
+    // 7. every lake's weekly maintenance, then prove the day survives it:
+    //    answers still serve, the purge stays folded away, the edit stays
+    VectorLake.reconcile(spark, vectorRoot, k = 4, iters = 3)
+    DedupLake.reconcile(spark, dedupRoot)
+    LexLake.reconcile(spark, lexRoot)
+    val afterRec = hybrid().persist()
+    stages += "post_reconcile_hybrid" -> afterRec.count()
+    stages += "post_reconcile_purge_leaks" -> afterRec
+      .filter(col("neighbor_id").isInCollection(purgeIds)).count()
+    afterRec.unpersist(blocking = false)
+    stages += "post_reconcile_zebra_hits" -> zebraHits()
+
+    DayReport(stages.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    try {
+      val workDir = Files.createTempDirectory("retrieval-day").toString
+      val report = run(spark, workDir, sfDir)
+      report.stages.foreach { case (name, n) => println(s"STAGE $name=$n") }
+      val zeroOk = Set("purge_leaks", "post_reconcile_purge_leaks")
+      val empty = report.stages.filter(_._2 <= 0L).filterNot(s => zeroOk(s._1))
+      assert(empty.isEmpty, s"stages with no rows: ${empty.map(_._1)}")
+      assert(report("purge_leaks") == 0L, "purged ids surfaced in the re-serve")
+      assert(report("post_reconcile_purge_leaks") == 0L,
+        "the reconcile fold resurrected a purged id")
+      println("RETRIEVAL_DAY=OK")
+    } finally spark.stop()
+  }
+}

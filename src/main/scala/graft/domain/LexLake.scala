@@ -2,7 +2,6 @@ package graft.domain
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.functions.{TextFunctions => TF}
@@ -113,6 +112,37 @@ object LexLake {
     toks.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         bucketCol(col("term"), nBuckets).as("tbucket"))
+  }
+
+  /** Driver-side conf cache for the READER path: one parquet read per
+    * (root, conf-dir file signature) per JVM. The layout conf is written
+    * once and never mutated in place, but a store REBUILT at the same path
+    * gets fresh file names/mtimes — the signature (one FS metadata listing,
+    * no Spark job) invalidates the cache then, so a cached value can never
+    * serve a different layout. Closes the r10 three-driver-actions-per-
+    * serve nit without trusting path identity. */
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  private def servedBuckets(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/conf")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val sig = fs.listStatus(p).filter(_.isFile)
+        .sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString(",")
+      Option(confCache.get(root)) match {
+        case Some((s, nb)) if s == sig => Some(nb)
+        case _ =>
+          Writers.readOrEmptyReadOnly(spark, s"$root/conf", confSchema)
+            .collect().headOption.map { r =>
+              confCache.put(root, (sig, r.getInt(0)))
+              r.getInt(0)
+            }
+      }
+    }
   }
 
   private def confuredBuckets(spark: SparkSession, root: String,
@@ -343,34 +373,18 @@ object LexLake {
             k1: Double = 1.2, b: Double = 0.75,
             maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val confRows = Writers.readOrEmptyReadOnly(spark, s"$root/conf",
-      confSchema).collect()
-    require(confRows.nonEmpty,
-      s"lex lake at $root has no layout conf — ingest something first")
-    val nb = confRows.head.getInt(0)
+    val nb = servedBuckets(spark, root).getOrElse(throw
+      new IllegalArgumentException(
+        s"lex lake at $root has no layout conf — ingest something first"))
     val droot = GenStore.dataRoot(spark, root)
     GenStore.requireLive(spark, droot)
-    // probe ids must be UNIQUE — two query rows sharing an id would
-    // silently merge their term sets (the duplicate-probe rule shared with
-    // searchBatch and bm25PerQuery); refused loudly, one bounded agg
-    val idCounts = queries.agg(count(lit(1)),
-      count_distinct(col(queryIdCol))).head()
-    require(idCounts.getLong(0) == idCounts.getLong(1),
-      s"query batch carries duplicate $queryIdCol values " +
-        s"(${idCounts.getLong(0)} rows, ${idCounts.getLong(1)} distinct) — " +
-        "their term sets would silently merge. Deduplicate or re-key first.")
-    // pinned: the probe frame feeds the universe collect AND the final
-    // join — an unpinned non-deterministic source could prune one term set
-    // and score another (the searchBatch pinning rationale)
-    val qterms = queries
-      .select(col(queryIdCol).cast("long").as("probe_id"),
-        explode(col(termsCol)).as("term")).distinct()
-      .localCheckpoint(true)
-    val nq = qterms.count()
-    require(nq <= maxBroadcastQueryTerms,
-      s"query batch explodes to $nq (probe, term) rows > " +
-        s"maxBroadcastQueryTerms=$maxBroadcastQueryTerms (serving-bounded " +
-        "by contract)")
+    // the shared serving-batch gate (Serving): duplicate-probe refusal +
+    // exploded broadcast cap, ONE agg; the returned frame is PINNED — it
+    // feeds the universe collect AND the final join, and an unpinned
+    // non-deterministic source could prune one term set and score another
+    // (the searchBatch pinning rationale)
+    val qterms = graft.operators.Serving.queryTermsBatch(queries, queryIdCol,
+      termsCol, maxBroadcastQueryTerms, pin = true)
     val universe = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     val conf = spark.sessionState.newHadoopConf()
@@ -446,21 +460,24 @@ object LexLake {
     if (nDocs == 0L) return emptyOut
     val dfT = postL.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = totalDl.toDouble / nDocs
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("bm25_micros").desc, col("doc_id"))
-    postL.join(broadcast(dfT), Seq("term"))
-      .withColumn("idf",
-        log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("s_micros",
-        round(col("idf") * ((col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))))
-          * lit(1000000.0), 0).cast("long"))
-      .join(broadcast(qterms), Seq("term"))
-      .groupBy("probe_id", "doc_id")
-      .agg(sum(col("s_micros")).as("bm25_micros"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= n)
-      .select("probe_id", "doc_id", "bm25_micros", "rank")
+    // per-probe rank via the bounded heap (Serving.rankTopNMicros, the
+    // knnJoin partial-agg idiom): a frequent term's candidate set is
+    // O(corpus) rows, and a probe_id-keyed row_number would haul ALL of
+    // them to one reducer — the heap caps the keyed exchange at
+    // probes x partitions x n. Exact integer micros + the (micros desc,
+    // doc_id asc) total order keep the output hash-identical.
+    graft.operators.Serving.rankTopNMicros(
+      postL.join(broadcast(dfT), Seq("term"))
+        .withColumn("idf",
+          log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("s_micros",
+          round(col("idf") * ((col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+            * lit(1000000.0), 0).cast("long"))
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy("probe_id", "doc_id")
+        .agg(sum(col("s_micros")).as("bm25_micros")),
+      n, "doc_id", "bm25_micros")
   }
 
   /** FOLD + COMPACT + REBASE as a new generation: postings and doclens are

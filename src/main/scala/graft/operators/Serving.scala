@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** The shared SERVING-BATCH contract, factored once (r10 verdict asks #1 and
+  * #4): every per-probe endpoint — vector ([[Similarity.knnJoin]] family),
+  * lexical ([[TextStats.bm25PerQuery]], [[graft.domain.LexLake.serve]]),
+  * hybrid — needs the same three pieces, and they were drifting apart as
+  * near-copies:
+  *
+  *  1. [[requireUniqueIds]] — the duplicate-probe refusal. A per-probe
+  *     groupBy tail silently FOLDS two rows sharing an id into one combined
+  *     result; the refusal is one bounded agg over the serving-sized batch.
+  *  2. [[queryTermsBatch]] — the lexical batch gate: the duplicate-id check
+  *     and the exploded (probe, term) broadcast cap in ONE agg (the two
+  *     checks each cost a scheduler round-trip when separate — the r10
+  *     three-actions-per-serve nit), returning the exploded, deduplicated,
+  *     optionally pinned (probe_id, term) frame every lexical retriever
+  *     scores against.
+  *  3. [[rankTopNMicros]] — the bounded-heap per-probe rank over EXACT
+  *     integer micro scores. The `row_number` window form partitions by
+  *     probe_id only: every candidate matching a frequent term is hauled to
+  *     ONE reducer and fully sorted, per probe — a skewed-key full shuffle
+  *     at 100 TB (the r10 top finding). The heap form is the
+  *     [[Similarity.knnJoin]] partial-agg idiom: an Aggregator whose buffer
+  *     caps at n, so map-side combine (ObjectHashAggregate partial) reduces
+  *     each partition to <= n rows per probe BEFORE the exchange — shuffle
+  *     volume is probes x partitions x n, never candidates. Scores are
+  *     integer micros with the deterministic (micros desc, id asc) total
+  *     order, so the heap output is HASH-IDENTICAL to the window form.
+  */
+object Serving {
+
+  /** Bounded per-key top-n aggregator over (micros, id) candidates — the
+    * integer-score twin of [[Similarity]]'s float TopKAgg (kept separate
+    * because the lexical/fusion scores are exact longs end to end: comparing
+    * them as doubles would lose exactness above 2^53). Buffer is a
+    * best-first list capped at n; order (micros desc, id asc) — the house
+    * tie rule, identical to the SQL oracle's row_number. */
+  private final class TopNMicrosAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Long, Long)] = Vector.empty
+    def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      if (buf.size >= n && !better(x, buf.last)) buf
+      else {
+        val (hd, tl) = buf.span(better(_, x))
+        (hd ++ (x +: tl)).take(n)
+      }
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      b.foldLeft(a)(reduce)
+    def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** The heap as a udaf: `topNMicros(n)(microsCol, idCol)` aggregates to the
+    * per-group top-n (micros, id) pairs, best first. */
+  def topNMicros(n: Int): UserDefinedFunction =
+    udaf(new TopNMicrosAgg(n), ExpressionEncoder[(Long, Long)]())
+
+  /** Per-probe top-n rank of a `(probe_id, idCol, microsCol)` scored frame
+    * via the bounded heap — the drop-in replacement for
+    * `row_number().over(Window.partitionBy("probe_id").orderBy(micros desc,
+    * id))` + `filter(rank <= n)`, with the exchange capped at
+    * probes x partitions x n rows. Output columns keep the input names:
+    * (probe_id, idCol, microsCol, rank), rank 1..n by (micros desc, id
+    * asc). */
+  def rankTopNMicros(scored: DataFrame, n: Int,
+                     idCol: String, microsCol: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val topn = topNMicros(n)
+    scored
+      .groupBy(col("probe_id"))
+      .agg(topn(col(microsCol), col(idCol)).as("__topn"))
+      .select(col("probe_id"), posexplode(col("__topn")).as(Seq("__pos", "__nb")))
+      .select(col("probe_id"),
+        col("__nb._2").as(idCol),
+        col("__nb._1").as(microsCol),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Duplicate-id refusal for a serving batch: a per-key groupBy tail would
+    * silently MERGE two rows sharing an id into one combined result — refuse
+    * loudly instead (the house contract style). One bounded agg over the
+    * serving-sized side, never a corpus pass. `subject` names the frame in
+    * the message ("probe side", "query batch"); `consequence` completes it. */
+  def requireUniqueIds(df: DataFrame, idCol: String,
+                       subject: String, consequence: String): Unit = {
+    val c = df.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    require(c.getLong(0) == c.getLong(1),
+      s"$subject carries duplicate $idCol values (${c.getLong(0)} rows, " +
+        s"${c.getLong(1)} distinct) — $consequence")
+  }
+
+  /** The lexical query-batch gate, ONE agg (duplicate-id refusal + exploded
+    * broadcast cap — separately they cost a scheduler round-trip each):
+    * returns the exploded, per-probe-deduplicated `(probe_id, term)` frame
+    * the retriever broadcasts onto the postings. With unique probe ids,
+    * sum(size(array_distinct(terms))) IS the exploded frame's row count —
+    * no second job. `pin = true` localCheckpoints the result (the serving
+    * rationale: the frame feeds a term-universe collect AND the final join;
+    * an unpinned non-deterministic source could prune one term set and
+    * score another). */
+  def queryTermsBatch(queries: DataFrame, queryIdCol: String, termsCol: String,
+                      maxBroadcastQueryTerms: Long,
+                      pin: Boolean = false): DataFrame = {
+    val c = queries.agg(count(lit(1)), count_distinct(col(queryIdCol)),
+      coalesce(sum(size(array_distinct(col(termsCol)))), lit(0L))).head()
+    require(c.getLong(0) == c.getLong(1),
+      s"query batch carries duplicate $queryIdCol values (${c.getLong(0)} " +
+        s"rows, ${c.getLong(1)} distinct) — their term sets would silently " +
+        "merge into one combined top-n. Deduplicate or re-key the batch " +
+        "first.")
+    val nq = c.getLong(2)
+    require(nq <= maxBroadcastQueryTerms,
+      s"query batch explodes to $nq (probe, term) rows > " +
+        s"maxBroadcastQueryTerms=$maxBroadcastQueryTerms — the term frame " +
+        "BROADCASTS onto the postings (serving-bounded by contract)")
+    val qterms = queries
+      .select(col(queryIdCol).cast("long").as("probe_id"),
+        explode(col(termsCol)).as("term")).distinct()
+    if (pin) qterms.localCheckpoint(true) else qterms
+  }
+}

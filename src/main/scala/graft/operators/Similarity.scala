@@ -845,16 +845,11 @@ object Similarity {
     // probe ids must be UNIQUE: the groupBy(probe_id) tail would silently
     // fold two different probe vectors sharing an id into one combined
     // top-k — breaking the documented per-probe parity with
-    // VectorLake.search without any error. Refuse loudly (the house
-    // contract style); one agg over the serving-bounded probe side, so the
-    // check costs a bounded job, never a corpus pass (r9 advice).
-    val idCounts = p0.agg(count(lit(1)).as("n"),
-      count_distinct(col("probe_id")).as("d")).head()
-    require(idCounts.getLong(0) == idCounts.getLong(1),
-      s"probe side carries duplicate probe_id values (${idCounts.getLong(0)}" +
-        s" rows, ${idCounts.getLong(1)} distinct ids) — per-probe top-k " +
-        "would silently merge them into one combined result. Deduplicate " +
-        "or re-key the probe batch first.")
+    // VectorLake.search without any error. Shared gate (Serving): one agg
+    // over the serving-bounded probe side, never a corpus pass.
+    Serving.requireUniqueIds(p0, "probe_id", "probe side",
+      "per-probe top-k would silently merge them into one combined " +
+        "result. Deduplicate or re-key the probe batch first.")
     val p = ivfGateLists(p0, "__pv", centroids, nprobe)
       .select(col("probe_id"), col("__pv"),
         explode(col("gate_lists")).as(listCol))

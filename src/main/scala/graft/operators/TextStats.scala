@@ -242,9 +242,12 @@ object TextStats {
     * PRE-PRUNED by a broadcast semi-join on the batch's distinct term
     * universe (bounded by contract, ENFORCED), one (term)-keyed df agg —
     * then the bounded (probe_id, term) frame broadcasts onto the pruned
-    * postings and the per-(probe, doc) sum + rank window run over
-    * posting-match-sized rows. Adding a query to the batch adds NO corpus
-    * scan.
+    * postings, the per-(probe, doc) sum runs map-side-combining over
+    * posting-match-sized rows, and the per-probe rank is the BOUNDED-HEAP
+    * aggregation ([[Serving.rankTopNMicros]] — partial agg caps the keyed
+    * exchange at probes x partitions x n rows; a probe_id-keyed window
+    * would haul a frequent term's whole candidate set to one reducer).
+    * Adding a query to the batch adds NO corpus scan.
     *
     * Determinism: per-(doc, term) partial scores convert to EXACT integer
     * micro-units BEFORE the per-query sum (round half-up — both engines
@@ -258,26 +261,11 @@ object TextStats {
                    n: Int, k1: Double = 1.2, b: Double = 0.75,
                    maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // probe ids must be UNIQUE: two query rows sharing an id would silently
-    // merge their term sets into one combined result (the
-    // ivfMultiProbeKnnJoin duplicate-probe rule, applied to the lexical
-    // retriever). One bounded agg over the query side.
-    val idCounts = queries.agg(count(lit(1)),
-      count_distinct(col(queryIdCol))).head()
-    require(idCounts.getLong(0) == idCounts.getLong(1),
-      s"query batch carries duplicate $queryIdCol values " +
-        s"(${idCounts.getLong(0)} rows, ${idCounts.getLong(1)} distinct) — " +
-        "their term sets would silently merge into one combined top-n. " +
-        "Deduplicate or re-key the batch first.")
-    val qterms = queries.select(col(queryIdCol).cast("long").as("probe_id"),
-      explode(col(termsCol)).as("term")).distinct()
-    // the exploded (probe, term) frame is what broadcasts — cap it loudly
-    // (the ivfMultiProbeKnnJoin cap semantics)
-    val nq = qterms.count()
-    require(nq <= maxBroadcastQueryTerms,
-      s"query batch explodes to $nq (probe, term) rows > " +
-        s"maxBroadcastQueryTerms=$maxBroadcastQueryTerms — the term frame " +
-        "BROADCASTS onto the postings (serving-bounded by contract)")
+    // the shared serving-batch gate (Serving): duplicate-probe refusal +
+    // exploded broadcast cap in ONE agg, returning the deduplicated
+    // (probe_id, term) frame that broadcasts onto the postings
+    val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
+      maxBroadcastQueryTerms)
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TF.tokens(col(textCol))).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -296,14 +284,18 @@ object TextStats {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
           * lit(1000000.0), 0).cast("long"))
       .select("term", "doc_id", "s_micros")
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("bm25_micros").desc, col("doc_id"))
-    posted.join(broadcast(qterms), Seq("term"))
-      .groupBy("probe_id", "doc_id")
-      .agg(sum(col("s_micros")).as("bm25_micros"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= n)
-      .select("probe_id", "doc_id", "bm25_micros", "rank")
+    // per-probe rank via the bounded heap (Serving.rankTopNMicros), never a
+    // probe_id-keyed window: a frequent term's candidate set is O(corpus)
+    // rows, and a single-key row_number hauls ALL of them to one reducer —
+    // the heap's partial agg caps the exchange at probes x partitions x n
+    // (the r10 verdict's top finding). Scores are exact integer micros with
+    // the (micros desc, doc_id asc) total order, so output is
+    // hash-identical to the window form.
+    Serving.rankTopNMicros(
+      posted.join(broadcast(qterms), Seq("term"))
+        .groupBy("probe_id", "doc_id")
+        .agg(sum(col("s_micros")).as("bm25_micros")),
+      n, "doc_id", "bm25_micros")
   }
 
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin

@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("per-probe lexical rank is the bounded heap, never a probe-keyed window (q162)") {
+    // the r10 top finding, closed: the per-probe rank runs through the
+    // TopN Aggregator (ObjectHashAggregate, partial map-side combine →
+    // exchange carries <= probes x partitions x n rows); a row_number
+    // window keyed only by probe_id would haul a frequent term's whole
+    // candidate set to one reducer
+    val p = plan("q162_bm25_per_query")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("scan reads only the projected columns (q08 column pruning)") {
     val p = plan("q08_filter_range")
     // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag

@@ -68,6 +68,21 @@ class LexLakeSpec extends SparkSpec {
       l.contains("PushedFilters:") && l.contains("term")), plan.take(4000))
   }
 
+  test("serve ranks through the bounded heap — no probe-keyed window above the posting join") {
+    // the r10 top finding, closed: a row_number window keyed only by
+    // probe_id hauls every document matching a frequent term to ONE
+    // reducer; the heap form (Serving.rankTopNMicros) partial-aggregates
+    // map-side, capping the keyed exchange at probes x partitions x n.
+    // Pin the plan: the Aggregator-backed udaf shows as ObjectHashAggregate
+    // (partial then final) and NO WindowExec appears anywhere in the serve.
+    val root = freshRoot("heapplan")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    val plan = LexLake.serve(spark, root, queriesDf, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("ingest is at-least-once safe: replay no-ops, torn windows repair, stats stay exact") {
     val root = freshRoot("replay")
     val (b1, b2) = corpus().splitAt(12)

@@ -2062,6 +2062,11 @@ object TextOracle {
     * over BIGINT is cast back from DuckDB's HUGEINT. */
   private def bm25PerQueryCtes(queries: Seq[(Long, Seq[String])], n: Int,
                                k1: Double, b: Double): String = {
+    // the terms interpolate into SQL string literals — the same character
+    // guard TextStats.bm25 applies to its generated column names, so a
+    // quote can neither break nor inject into the oracle statement
+    require(queries.forall(_._2.forall(_.matches("[A-Za-z0-9_-]+"))),
+      s"query terms must be [A-Za-z0-9_-]+: ${queries.flatMap(_._2)}")
     val values = queries.map { case (id, ts) =>
       s"($id, [${ts.map(t => s"'$t'").mkString(", ")}])"
     }.mkString(",\n             ")

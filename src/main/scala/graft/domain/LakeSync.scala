@@ -21,12 +21,17 @@ import graft.sources.Writers
   *  - `upserts/` — (doc_id, text, embedding) rows, the durable record of a
   *    cross-lake EDIT (the paired-payload contract). [[requestUpsert]]
   *    swap-replaces last-writer-wins per id.
-  *  - The logs are DISJOINT by construction: each request call cancels the
-  *    other log's rows for its ids (newer intent wins). The one torn state
-  *    that can leave an id in both (a requestUpsert crashing between its
-  *    commit and its cancellation — a FAILED call, retried by contract)
-  *    resolves DELETE-WINS at propagate: ordering the arms the other way
-  *    would silently cancel a durable purge, the one unacceptable loss.
+  *  - The logs are DISJOINT by construction: each request call commits its
+  *    OWN log first, THEN cancels the other log's rows for its ids (newer
+  *    intent wins). Own-intent-first is load-bearing: cancelling first
+  *    opened a crash window where the old intent was destroyed before the
+  *    new one was durable — NEITHER survived (the r10 advice). A crash
+  *    between the two steps now leaves an id in BOTH logs, and propagate
+  *    resolves the intersection DELETE-WINS: for requestDelete's window
+  *    the delete genuinely is the newer intent; for requestUpsert's the
+  *    caller saw a FAILED call and retries (which re-cancels). Resolving
+  *    the other way would silently cancel a durable purge, the one
+  *    unacceptable loss.
   *  - [[propagate]] applies the WHOLE of both logs to both lakes (purges,
   *    then edits) and retires them. Both lakes' `delete` are no-ops for
   *    absent or already-tombstoned ids and both `upsert`s are idempotent
@@ -81,11 +86,32 @@ object LakeSync {
     * Returns the number of ids newly logged. Does NOT touch the lakes:
     * pair with [[propagate]] (or call [[deleteDocs]]). */
   def requestDelete(spark: SparkSession, syncRoot: String, ids: DataFrame,
-                    lockWaitMs: Long = 0L): Long =
+                    lockWaitMs: Long = 0L,
+                    failpointAfterCommit: () => Unit = () => ()): Long =
     withSyncLock(spark, syncRoot, lockWaitMs) {
       val del = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // COMMIT OUR OWN INTENT FIRST, cancel the opposite log second (the
+        // r10 advice): the reverse order had a crash window — upserts
+        // cancelled, requests not yet appended — that silently destroyed a
+        // durably-committed edit while recording no purge (NEITHER intent
+        // survived). With this order the torn state is an id in BOTH logs,
+        // which propagate's delete-wins intersection resolves correctly:
+        // here the delete genuinely IS the newer intent.
+        val existing = Writers.readOrEmpty(spark, s"$syncRoot/requests",
+          requestsSchema)
+        val toWrite = del.join(existing, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = try {
+          // count while pinned, BEFORE the append — afterwards the plan's
+          // requests read would see its own rows
+          val n0 = toWrite.count()
+          if (n0 > 0)
+            toWrite.write.mode("append").parquet(s"$syncRoot/requests")
+          n0
+        } finally { toWrite.unpersist(blocking = false); () }
+        failpointAfterCommit()
         // a newer purge CANCELS a pending edit for the same id: applying
         // both in either order would be wrong (edit-then-purge loses the
         // ordering guarantee on replay; purge-then-edit resurrects purged
@@ -99,18 +125,7 @@ object LakeSync {
             Writers.swapReplace(spark, s"$syncRoot/upserts",
               ups.join(broadcast(del), Seq("doc_id"), "left_anti"))
         } finally { ups.unpersist(blocking = false); () }
-        val existing = Writers.readOrEmpty(spark, s"$syncRoot/requests",
-          requestsSchema)
-        val toWrite = del.join(existing, Seq("doc_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // count while pinned, BEFORE the append — afterwards the plan's
-          // requests read would see its own rows
-          val n = toWrite.count()
-          if (n > 0)
-            toWrite.write.mode("append").parquet(s"$syncRoot/requests")
-          n
-        } finally { toWrite.unpersist(blocking = false); () }
+        n
       } finally { del.unpersist(blocking = false); () }
     }
 
@@ -235,9 +250,23 @@ object LakeSync {
             VectorLake.upsert(spark, vectorRoot,
               ups.select(col("doc_id").as("vec_id"), col("embedding")),
               lockWaitMs = lockWaitMs)
-            for (lr <- lexRoot)
-              LexLake.upsert(spark, lr, ups.select("doc_id", "text"),
+            // a ZERO-TOKEN text is a legal dedup-lake redaction but has no
+            // lexical content — LexLake.upsert refuses it ("an empty
+            // replacement is a delete"), and feeding it through would turn
+            // one redaction into a poison pill that wedges every propagate
+            // after the dedup+vector arms (the r10 advice). Route those
+            // ids to LexLake.delete (idempotent, absent-id-safe); the
+            // token-bearing rest takes the upsert path.
+            for (lr <- lexRoot) {
+              val toked = ups.withColumn("__tok",
+                graft.functions.TextFunctions.tokenCount(col("text")))
+              LexLake.delete(spark, lr,
+                toked.filter(col("__tok") === 0).select("doc_id"),
                 lockWaitMs = lockWaitMs)
+              LexLake.upsert(spark, lr,
+                toked.filter(col("__tok") > 0).select("doc_id", "text"),
+                lockWaitMs = lockWaitMs)
+            }
             ()
           }
           failpointBeforeRetire()

@@ -188,7 +188,19 @@ object LexLake {
     * between the stats delta and the postings append; `failpoint` between
     * the postings and doclens appends — the torn windows the spec drives
     * (each window's serve is slightly stale/over-counted until the
-    * replay, never wrong afterwards). */
+    * replay, never wrong afterwards).
+    *
+    * TORN-BATCH REPAIR IS EXACT-REPLAY-ONLY (r10 advice, stated loudly):
+    * the stats delta dedupes on a content fingerprint of the batch's
+    * TO-ADD id set, so only re-submitting the SAME batch repairs a crash
+    * for free. Submitting a PARTIALLY-OVERLAPPING batch after a crash at
+    * the stats/postings boundary computes a different batch_key over the
+    * shrunken to-add set and appends its own delta; the original batch's
+    * later replay then keys yet another delta — n_docs/total_dl end up
+    * over-counted (inflating every serve's idf/avgdl) until [[reconcile]]
+    * rebases stats from the folded doclens. Retry policy: replay the
+    * failed batch VERBATIM before submitting new work; if overlapping
+    * retries may have landed, run reconcile — it is the universal repair. */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              nBuckets: Int = 64,
              failpoint: () => Unit = () => (),

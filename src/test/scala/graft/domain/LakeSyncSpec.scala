@@ -244,6 +244,69 @@ class LakeSyncSpec extends SparkSpec {
     assert(corpusText(dedup, 3L).contains("freshly rewritten searchable body"))
   }
 
+  test("a requestDelete crash between its commit and the edit-log cancel resolves delete-wins") {
+    // the r10 advice window, closed by ordering: requestDelete commits its
+    // OWN log first, so a crash before the opposite-log cancel leaves the
+    // id in BOTH logs — never in neither (the old order silently destroyed
+    // a durable edit while recording no purge). propagate's delete-wins
+    // intersection then applies the purge: here the delete genuinely IS
+    // the newer intent.
+    val (sync, dedup, vector) = roots("delwins")
+    seed(dedup, vector)
+    LakeSync.requestUpsert(spark, sync,
+      Seq((1L, "an edit the later purge must beat", unit(20, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    intercept[RuntimeException] {
+      LakeSync.requestDelete(spark, sync, Seq(1L).toDF("doc_id"),
+        failpointAfterCommit = () => throw new RuntimeException("torn"))
+    }
+    // the torn state: BOTH intents durable, neither lost
+    assert(LakeSync.pending(spark, sync).count() == 1L)
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 1L)
+    val rep = LakeSync.propagate(spark, sync, dedup, vector)
+    assert(rep == LakeSync.SyncReport(1, 1, 1, 1, 0))
+    assert(corpusText(dedup, 1L).isEmpty, "delete wins: the edit never applies")
+    assert(vecIds(vector) == Set(2L, 3L))
+    assert(LakeSync.pending(spark, sync).count() == 0L)
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 0L)
+  }
+
+  test("a zero-token edit redacts the dedup lake and DELETES lexically — no poison pill") {
+    // the r10 advice: an empty/whitespace text is a legal dedup-lake
+    // redaction, but LexLake.upsert refuses zero-token texts ("an empty
+    // replacement is a delete") — fed through verbatim, one redaction
+    // wedged every propagate after the dedup+vector arms, permanently.
+    // propagate now routes zero-token edits to LexLake.delete.
+    val (sync, dedup, vector) = roots("redact")
+    seed(dedup, vector)
+    val lex = s"${new java.io.File(sync).getParent}/lex"
+    LexLake.ingest(spark, lex, Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different content over here"),
+      (3L, "yet another unrelated document body")).toDF("doc_id", "text"),
+      nBuckets = 4)
+    def lexTop(term: String): Set[Long] =
+      LexLake.serve(spark, lex,
+          Seq((9L, Seq(term))).toDF("probe_id", "terms"), n = 10)
+        .collect().map(_.getLong(1)).toSet
+    val rep = LakeSync.upsertDocs(spark, sync, dedup, vector,
+      Seq((2L, "   ", unit(60, 14f))).toDF("doc_id", "text", "embedding"),
+      lexRoot = Some(lex))
+    assert(rep == LakeSync.SyncReport(0, 0, 0, 0, 1))
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 0L,
+      "the log must retire — the wedge was the bug")
+    // dedup keeps the redacted (empty) text; the lexical index drops it
+    assert(corpusText(dedup, 2L).exists(_.trim.isEmpty))
+    assert(lexTop("different").isEmpty,
+      "redacted content must stop serving lexically")
+    assert(lexTop("unrelated") == Set(3L), "other docs unaffected")
+    // the embedding side still applied
+    assert(math.abs(vecHead(vector, 2L).get - unit(60, 14f)(0)) < 1e-5)
+    // and a propagate after the retire is a free no-op (nothing wedged)
+    assert(LakeSync.propagate(spark, sync, dedup, vector,
+      lexRoot = Some(lex)) == LakeSync.SyncReport(0, 0, 0, 0))
+  }
+
   test("the scheduled catch-up deployment closes a crashed fan-out") {
     val (sync, dedup, vector) = roots("sched")
     seed(dedup, vector)

@@ -305,4 +305,22 @@ object Engine {
                   kVec: Int = 10, nLex: Int = 10): DataFrame =
     graft.domain.Retrieval.hybridServe(spark, vectorRoot, lexRoot,
       probes, k, kVec, nLex)
+
+  /** One coherent (vectorGen, lexGen) pair, both pointers read together —
+    * hold it across probe batches and serve via [[hybridServeAt]]; refresh
+    * on your own schedule (e.g. after both stores' reconciles verify). */
+  def retrievalSnapshot(spark: SparkSession, vectorRoot: String,
+                        lexRoot: String): graft.domain.Retrieval.Snapshot =
+    graft.domain.Retrieval.currentSnapshot(spark, vectorRoot, lexRoot)
+
+  /** [[hybridServe]] PINNED to a [[retrievalSnapshot]] pair: both arms read
+    * committed generation state (the lex side skips pending edit/tombstone
+    * overlays), so a cross-lake mutation that has reached only one store
+    * cannot fuse mismatched corpus views mid-serve. */
+  def hybridServeAt(spark: SparkSession, vectorRoot: String, lexRoot: String,
+                    snapshot: graft.domain.Retrieval.Snapshot,
+                    probes: DataFrame, k: Int,
+                    kVec: Int = 10, nLex: Int = 10): DataFrame =
+    graft.domain.Retrieval.hybridServeAt(spark, vectorRoot, lexRoot,
+      snapshot, probes, k, kVec, nLex)
 }

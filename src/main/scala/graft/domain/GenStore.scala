@@ -114,6 +114,26 @@ private[domain] object GenStore {
     Writers.writePointer(spark, pointer(root), toGen.toString)
   }
 
+  /** The resident generation numbers under `root`, oldest first — one root
+    * listing. Under the default retention this is (displaced, current); the
+    * displaced generation survives exactly one promotion FOR shadow reads.
+    * Empty for a pointer-less legacy store. */
+  def generations(spark: SparkSession, root: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val genName = """gen-(\d+)""".r
+      fs.listStatus(base).toSeq.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case genName(g) => Some(g.toLong)
+            case _ => None
+          }
+      }.flatten.sorted
+    }
+  }
+
   def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -383,12 +383,48 @@ object LexLake {
             n: Int, queryIdCol: String = "probe_id",
             termsCol: String = "terms",
             k1: Double = 1.2, b: Double = 0.75,
-            maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+            maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+    serveIn(spark, GenStore.dataRoot(spark, root), root, queries, n,
+      queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
+      applyOverlays = true)
+
+  /** The resident generation numbers, oldest first — what [[serveAt]]
+    * accepts (the [[VectorLake.generations]] twin). Empty for a store that
+    * has never reconciled (still on the legacy root layout — pin that with
+    * `None`). */
+  def generations(spark: SparkSession, root: String): Seq[Long] =
+    GenStore.generations(spark, root)
+
+  /** [[serve]] PINNED to an explicit generation (`None` = the legacy root
+    * layout of a never-reconciled store) — the shadow-read / snapshot arm
+    * of the searchBatchAt idiom, and [[Retrieval.hybridServeAt]]'s lexical
+    * side. A pinned read serves the generation's COMMITTED state only: the
+    * root-level tombstone/edit overlays are SKIPPED (they are uncommitted
+    * mutation state shared across generations — applying them would let a
+    * half-fanned-out cross-lake edit leak into a snapshot that exists
+    * precisely to exclude it; the fold commits them into the next
+    * generation, where a re-taken snapshot picks them up). Consequently
+    * `serveAt(currentGen)` differs from [[serve]] exactly while overlays
+    * are pending. A generation retention has dropped refuses loudly at
+    * resolve time (the stranded-reader message). */
+  def serveAt(spark: SparkSession, root: String, generation: Option[Long],
+              queries: DataFrame, n: Int, queryIdCol: String = "probe_id",
+              termsCol: String = "terms",
+              k1: Double = 1.2, b: Double = 0.75,
+              maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+    serveIn(spark, GenStore.dataRootOf(root, generation), root, queries, n,
+      queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
+      applyOverlays = false)
+
+  private def serveIn(spark: SparkSession, droot: String, root: String,
+                      queries: DataFrame, n: Int, queryIdCol: String,
+                      termsCol: String, k1: Double, b: Double,
+                      maxBroadcastQueryTerms: Long,
+                      applyOverlays: Boolean): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val nb = servedBuckets(spark, root).getOrElse(throw
       new IllegalArgumentException(
         s"lex lake at $root has no layout conf — ingest something first"))
-    val droot = GenStore.dataRoot(spark, root)
     GenStore.requireLive(spark, droot)
     // the shared serving-batch gate (Serving): duplicate-probe refusal +
     // exploded broadcast cap, ONE agg; the returned frame is PINNED — it
@@ -437,7 +473,8 @@ object LexLake {
     var nDocs = statsRow.getLong(0)
     var totalDl = statsRow.getLong(1)
     val postL =
-      if (!overlay("tombstones") && !overlay("edits")) stored0
+      if (!applyOverlays || (!overlay("tombstones") && !overlay("edits")))
+        stored0
       else {
         val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
           tombstonesSchema)

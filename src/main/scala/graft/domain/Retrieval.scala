@@ -18,8 +18,39 @@ import graft.operators.Similarity
   *
   * READER path on both lakes: no leases, each lake's generation resolved
   * once inside its own serve — the two stores version independently (they
-  * are separate indexes over one id space, the [[LakeSync]] contract). */
+  * are separate indexes over one id space, the [[LakeSync]] contract).
+  *
+  * SNAPSHOT PINNING ([[currentSnapshot]] + [[hybridServeAt]], the r10
+  * verdict ask): [[hybridServe]]'s independent resolutions leave a window —
+  * a reconcile promoting on ONE lake between the two arms' reads fuses
+  * mismatched corpus views (an upserted doc's new text in [[LexLake]]
+  * ranked against its old embedding in [[VectorLake]], or one side of a
+  * rollback). A serving deployment instead reads BOTH pointers once
+  * ([[currentSnapshot]]) and serves every batch against the pinned pair
+  * until it chooses to refresh — the [[VectorLake.searchBatchAt]]
+  * shadow-read idiom, paired. Pinned serves read COMMITTED generation
+  * state only: the lex side skips the root-level edit/tombstone overlays
+  * (uncommitted mutation state — exactly what a half-fanned-out cross-lake
+  * edit is until [[LakeSync.propagate]] completes and the folds commit
+  * it), so an edit that reached only one store cannot leak into the pair.
+  * The remaining caveat, stated loudly: [[VectorLake.upsert]] rewrites
+  * touched leaves of the CURRENT generation in place, so a pin of the
+  * current vector generation sees those rewrites — pin the displaced
+  * generation ([[VectorLake.generations]]) when the eval demands a fully
+  * frozen pair. */
 object Retrieval {
+
+  /** One coherent (vectorGen, lexGen) pair, read together. `None` = that
+    * store still serves the legacy root layout (never reconciled). */
+  final case class Snapshot(vectorGen: Option[Long], lexGen: Option[Long])
+
+  /** Read BOTH lake pointers once and pin the pair — the snapshot a serving
+    * deployment holds across probe batches and refreshes on its own
+    * schedule (e.g. after a verified reconcile of both stores). */
+  def currentSnapshot(spark: SparkSession, vectorRoot: String,
+                      lexRoot: String): Snapshot =
+    Snapshot(GenStore.currentGen(spark, vectorRoot),
+      GenStore.currentGen(spark, lexRoot))
 
   def hybridServe(spark: SparkSession, vectorRoot: String, lexRoot: String,
                   probes: DataFrame, k: Int,
@@ -44,5 +75,38 @@ object Retrieval {
         queryIdCol = "probe_id", termsCol = termsCol)
       .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
     Similarity.rrfFuseAll(Seq(vec, lex), k, kRrf)
+  }
+
+  /** [[hybridServe]] PINNED to a [[Snapshot]] — both arms serve the pair's
+    * committed generations (see the object doc's coherence contract). A
+    * pinned generation that retention dropped refuses loudly at resolve
+    * time on its own arm. `snapshot.vectorGen = None` (a never-reconciled
+    * vector store) serves that arm's legacy layout unpinned — there is no
+    * committed generation to pin yet. */
+  def hybridServeAt(spark: SparkSession, vectorRoot: String, lexRoot: String,
+                    snapshot: Snapshot,
+                    probes: DataFrame, k: Int,
+                    kVec: Int = 10, nLex: Int = 10,
+                    nprobe: Int = 2, kRrf: Int = 60,
+                    probeId: String = "probe_id",
+                    vecCol: String = "embedding", termsCol: String = "terms",
+                    quantized: Boolean = false,
+                    refineFactor: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = probes.select(col(probeId).cast("long").as("probe_id"),
+      col(vecCol), col(termsCol)).localCheckpoint(true)
+    val vec = snapshot.vectorGen match {
+      case Some(g) => VectorLake.searchBatchAt(spark, vectorRoot, g, p, kVec,
+        nprobe, probeId = "probe_id", probeVec = vecCol,
+        quantized = quantized, refineFactor = refineFactor)
+      case None => VectorLake.searchBatch(spark, vectorRoot, p, kVec, nprobe,
+        probeId = "probe_id", probeVec = vecCol,
+        quantized = quantized, refineFactor = refineFactor)
+    }
+    val lex = LexLake.serveAt(spark, lexRoot, snapshot.lexGen, p, nLex,
+        queryIdCol = "probe_id", termsCol = termsCol)
+      .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    Similarity.rrfFuseAll(Seq(vec.select("probe_id", "neighbor_id", "rank"),
+      lex), k, kRrf)
   }
 }

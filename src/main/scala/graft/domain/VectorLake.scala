@@ -621,21 +621,8 @@ object VectorLake {
     * accepts. Under the default retention this is (displaced, current): the
     * displaced generation survives exactly one promotion FOR THIS — shadow
     * reads. Read-only; empty for a pointer-less legacy store. */
-  def generations(spark: SparkSession, root: String): Seq[Long] = {
-    val base = new org.apache.hadoop.fs.Path(root)
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(base)) Seq.empty
-    else {
-      val genName = """gen-(\d+)""".r
-      fs.listStatus(base).toSeq.collect {
-        case st if st.isDirectory =>
-          st.getPath.getName match {
-            case genName(g) => Some(g.toLong)
-            case _ => None
-          }
-      }.flatten.sorted
-    }
-  }
+  def generations(spark: SparkSession, root: String): Seq[Long] =
+    GenStore.generations(spark, root)
 
   /** [[searchBatch]] PINNED to an explicit resident generation — the shadow
     * read an index deployment runs BEFORE trusting a promotion: serve the

@@ -650,6 +650,36 @@ object Streams {
         batch, n))
     }
 
+  /** Streaming serve of the FUSED hybrid endpoint — the full retrieval
+    * stack as a stream job (the r10 ask: the per-lake serve twins existed,
+    * nothing served the fusion per epoch): each micro-batch of probe rows
+    * (probe_id, embedding, terms; ids unique — refused loudly by both
+    * arms) pins ONE coherent (vectorGen, lexGen) snapshot
+    * ([[graft.domain.Retrieval.currentSnapshot]] — both pointers read
+    * together) and serves [[graft.domain.Retrieval.hybridServeAt]] against
+    * it: vector IVF scan + lexical BM25 postings scan, fused per probe by
+    * reciprocal rank in exact integer micros. Epoch-level re-resolution: a
+    * reconcile promoting on either lake mid-stream is picked up at the
+    * NEXT micro-batch, and no epoch can fuse mismatched generations — the
+    * pinned pair reads committed state on both arms, so a half-fanned-out
+    * cross-lake edit (a torn LakeSync propagate) is invisible until its
+    * folds commit. Equals batch [[graft.domain.Retrieval.hybridServe]] on
+    * an identical probe batch whenever no overlays are pending (pinned
+    * reads skip uncommitted overlays by contract). READER path: no leases.
+    * Delivery is foreachBatch at-least-once; the standard sink is an
+    * idempotent keyed upsert on (probe_id, rank). */
+  def retrievalServeStream(probes: DataFrame, vectorRoot: String,
+                           lexRoot: String, k: Int,
+                           kVec: Int = 10, nLex: Int = 10)
+                          (sink: (Long, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val s = batch.sparkSession
+      val snap = graft.domain.Retrieval.currentSnapshot(s, vectorRoot, lexRoot)
+      sink(epoch, graft.domain.Retrieval.hybridServeAt(s, vectorRoot, lexRoot,
+        snap, batch, k, kVec, nLex))
+    }
+
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP
     * POST implementation is injected at the edge. */
   trait Notifier extends Serializable {

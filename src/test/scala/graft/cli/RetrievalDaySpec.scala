@@ -1,6 +1,8 @@
 package graft.cli
 
 import graft.SparkSpec
+import graft.domain.{LexLake, Retrieval, VectorLake}
+import org.apache.spark.sql.functions.col
 
 /** The composed retrieval-day smoke: all three lakes build from the driver
   * testdata, the hybrid serve answers, a cross-store purge never resurfaces
@@ -24,5 +26,128 @@ class RetrievalDaySpec extends SparkSpec {
     assert(r("edits_applied") == 1L)
     assert(r("zebra_hits") == 1L && r("post_reconcile_zebra_hits") == 1L,
       "the edit serves by its new content, before and after the fold")
+  }
+
+  test("snapshot pinning: a half-fanned-out edit cannot fuse mismatched corpus views") {
+    // the r10 verdict ask: hybridServe resolves each lake independently, so
+    // an edit that reached only ONE store fuses its new text against the
+    // other store's old state. currentSnapshot reads both pointers once;
+    // hybridServeAt serves the pinned pair's COMMITTED generations (the
+    // lex arm skips the uncommitted root overlays), so the torn window is
+    // invisible to a pinned serve and explicit in an unpinned one.
+    import spark.implicits._
+    def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+    }
+    val base = java.nio.file.Files.createTempDirectory("retsnap").toString
+    val (vroot, lroot) = (s"$base/vector", s"$base/lex")
+    VectorLake.init(spark, vroot, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, vroot, Seq(
+      (1L, unit(0)), (2L, unit(45, 14f)), (3L, unit(90)))
+      .toDF("vec_id", "embedding"))
+    LexLake.ingest(spark, lroot, Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "old second body here"),
+      (3L, "third unrelated entry")).toDF("doc_id", "text"), nBuckets = 4)
+    // commit the lexical state: the snapshot pins generations, and a
+    // never-reconciled lex store has none yet
+    LexLake.reconcile(spark, lroot)
+    val probe = Seq((7L, unit(10), Seq("marker")))
+      .toDF("probe_id", "embedding", "terms")
+    val snap = graft.Engine.retrievalSnapshot(spark, vroot, lroot)
+    assert(snap == Retrieval.Snapshot(Some(0L), Some(0L)))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pinnedBefore = rows(graft.Engine.hybridServeAt(
+      spark, vroot, lroot, snap, probe, k = 5))
+    // the torn fan-out: the edit lands in the LEX lake only (a LakeSync
+    // propagate crashed before the other arm) — new text says "marker"
+    LexLake.upsert(spark, lroot,
+      Seq((2L, "zzz special marker words")).toDF("doc_id", "text"))
+    val pinned = graft.Engine.hybridServeAt(
+      spark, vroot, lroot, snap, probe, k = 5)
+    val unpinned = graft.Engine.hybridServe(
+      spark, vroot, lroot, probe, k = 5)
+    // pinned pair: byte-identical to the pre-edit serve — the half-landed
+    // edit is invisible, both arms agree on the committed corpus
+    assert(rows(pinned) == pinnedBefore,
+      "the pinned pair must serve the committed state on both arms")
+    // unpinned serve: the window, explicit — doc 2 gains exactly the
+    // lexical rank-1 reciprocal (floor(1e6/(60+1)) = 16393 micros) from
+    // text the vector arm has never seen
+    def rrfOf(s: Set[(Long, Long, Long, Long)], nid: Long): Long =
+      s.collectFirst { case (_, n, m, _) if n == nid => m }.get
+    assert(rrfOf(rows(unpinned), 2L) == rrfOf(pinnedBefore, 2L) + 16393L)
+  }
+
+  test("streaming hybrid serve: one pinned snapshot per epoch, re-resolved across a reconcile") {
+    // the r10 ask: the per-lake serve twins existed, nothing served the
+    // FUSED endpoint per micro-batch. Each epoch pins one (vectorGen,
+    // lexGen) pair; a half-landed edit (overlay) is invisible until its
+    // fold commits, and the fold is picked up at the NEXT epoch — the
+    // epoch-level pointer re-resolution, proven mid-stream.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+    }
+    val base = java.nio.file.Files.createTempDirectory("retstream").toString
+    val (vroot, lroot) = (s"$base/vector", s"$base/lex")
+    VectorLake.init(spark, vroot, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, vroot, Seq(
+      (1L, unit(0)), (2L, unit(45, 14f)), (3L, unit(90)))
+      .toDF("vec_id", "embedding"))
+    LexLake.ingest(spark, lroot, Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "old second body here"),
+      (3L, "third unrelated entry")).toDF("doc_id", "text"), nBuckets = 4)
+    LexLake.reconcile(spark, lroot)
+    // (neighbor, rrf_micros, rank) modulo the probe id — the probe vector
+    // and terms are identical across epochs, only the id differs
+    def shape(rs: Iterable[(Long, Long, Long, Long)]): Set[(Long, Long, Long)] =
+      rs.map { case (_, n, m, r) => (n, m, r) }.toSet
+    val input = MemoryStream[(Long, Array[Float], Seq[String])]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long, Long)]]
+    val q = graft.streaming.Streams.retrievalServeStream(
+        input.toDF().toDF("probe_id", "embedding", "terms"),
+        vroot, lroot, k = 5) { (_, df) =>
+      val rs = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.synchronized {
+        for ((pid, grp) <- rs.groupBy(_._1)) got(pid) = grp.toSet
+        ()
+      }
+    }.start()
+    try {
+      input.addData((7L, unit(10), Seq("marker")))
+      q.processAllAvailable()
+      // parity with the batch serve on the identical probe batch
+      val batch = Retrieval.hybridServe(spark, vroot, lroot,
+          Seq((7L, unit(10), Seq("marker")))
+            .toDF("probe_id", "embedding", "terms"), k = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got(7L) == batch, "epoch serve == batch hybridServe, no overlays pending")
+      // a half-landed cross-lake edit: pinned epochs must not see it
+      LexLake.upsert(spark, lroot,
+        Seq((2L, "zzz special marker words")).toDF("doc_id", "text"))
+      input.addData((8L, unit(10), Seq("marker")))
+      q.processAllAvailable()
+      assert(shape(got(8L)) == shape(got(7L)),
+        "an uncommitted overlay is invisible to the pinned epoch")
+      // the fold commits the edit; the NEXT epoch re-resolves the pointers
+      LexLake.reconcile(spark, lroot)
+      input.addData((9L, unit(10), Seq("marker")))
+      q.processAllAvailable()
+      def rrfOf(s: Set[(Long, Long, Long)], nid: Long): Long =
+        s.collectFirst { case (n, m, _) if n == nid => m }.get
+      assert(rrfOf(shape(got(9L)), 2L)
+        == rrfOf(shape(got(7L)), 2L) + 16393L,
+        "the folded edit serves at the next epoch: lexical rank-1 joins the fusion")
+    } finally q.stop()
   }
 }

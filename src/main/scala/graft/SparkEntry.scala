@@ -2266,6 +2266,61 @@ object SparkEntry {
       k = 5, kVec = 10, nLex = 10, kRrf = 60, nLists = 4, dims = 64,
       scale = 0.02, nprobe = 2, nProbes = 4))),
 
+    Q("q164_lex_health", (s, dir) => {
+      // the per-bucket lexical HEALTH report (LexLake.healthOfPostings,
+      // r10 ask #7) — the q150/q134 analog for the inverted index: per
+      // term-hash bucket, posting mass, distinct terms, the top-df term
+      // with its exact share in integer micros (the skew signal that
+      // decides the impact tier's df threshold), and the overlay mass the
+      // q161-style deterministic tombstone/edit rules leave pending fold.
+      // Plan: ONE partial-agg pass over the postings (the (bucket, term)
+      // df agg map-side-combines; everything after is vocab-sized), with
+      // the <= nBuckets per-bucket stats broadcast for the tie-broken
+      // top-term resolution. Overlay masses are bounded scoped aggs.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val post = graft.domain.LexLake.tokenizePostings(docs, 16)
+      val nDocs = docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select("doc_id").distinct().count()
+      val tombs = docs.filter(col("doc_id") % 13 === 5).select("doc_id")
+      val edits = docs.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+      graft.domain.LexLake.healthOfPostings(post, nDocs, tombs,
+        graft.domain.LexLake.tokenizePostings(edits, 16))
+    }, Some(TextOracle.lexHealthSql(16))),
+
+    Q("q165_impact_recall", (s, dir) => {
+      // the impact-tier agreement report (r10 ask #2's gate quantity as a
+      // registered query): serve the q162 batch from per-term TRUNCATED
+      // posting lists (df > 50 keeps only its top-30 postings by exact
+      // integer impact; scoring otherwise unchanged) and measure recall
+      // against the exact posting-join serve as truth — retrievalEval's
+      // per-probe (n_truth, n_hits, recall, first_hit_rank, rr_micros).
+      // Both the per-term cut and both serves rank through the bounded
+      // heap, so no step sorts a frequent term's full list on one reducer.
+      import s.implicits._
+      val queries = Seq(
+        (10L, Seq("spark", "query")),
+        (20L, Seq("merge", "vector", "hash")),
+        (30L, Seq("window", "stream", "stream")),
+        (40L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      val docs = T(s, dir, "documents")
+      val full = graft.operators.TextStats.bm25PerQuery(docs,
+        "doc_id", "text", queries, "probe_id", "terms", n = 10)
+      val imp = graft.operators.TextStats.bm25PerQueryImpact(docs,
+        "doc_id", "text", queries, "probe_id", "terms", n = 10,
+        impactPostings = 30, dfThreshold = 50)
+      Similarity.retrievalEval(
+        full.select(col("probe_id"), col("doc_id").as("neighbor_id")),
+        imp.select(col("probe_id"), col("doc_id").as("neighbor_id"),
+          col("rank")))
+    }, Some(TextOracle.bm25ImpactRecallSql(Seq(
+      10L -> Seq("spark", "query"),
+      20L -> Seq("merge", "vector", "hash"),
+      30L -> Seq("window", "stream", "stream"),
+      40L -> Seq("zzzunmatchedterm")), n = 10, m = 30, t = 50L,
+      k1 = 1.2, b = 0.75))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

@@ -2102,6 +2102,84 @@ object TextOracle {
     WITH ${bm25PerQueryCtes(queries, n, k1, b)}
     SELECT probe_id, doc_id, bm25_micros, rank FROM lexranked"""
 
+  /** q165: the IMPACT-TIER recall report — TextStats.bm25PerQueryImpact
+    * (per-term truncated posting lists for df > `t`, top-`m` by s_micros
+    * desc, doc_id asc; scoring otherwise unchanged) evaluated against the
+    * exact bm25PerQuery as truth via the retrievalEval shape (n_truth,
+    * n_hits, recall, first_hit_rank, rr_micros per probe). The measured
+    * agreement IS the serving tier's adoption gate quantity. */
+  def bm25ImpactRecallSql(queries: Seq[(Long, Seq[String])], n: Int,
+                          m: Int, t: Long,
+                          k1: Double, b: Double): String = s"""
+    WITH ${bm25PerQueryCtes(queries, n, k1, b)},
+    postedf AS (SELECT p.term, p.doc_id, p.s_micros, d.df
+                FROM posted p JOIN ldf d USING (term)),
+    imp AS (SELECT term, doc_id, s_micros FROM (
+              SELECT term, doc_id, s_micros, df,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY s_micros DESC, doc_id) AS trn
+              FROM postedf)
+            WHERE df <= $t OR trn <= $m),
+    isc AS (SELECT probe_id, doc_id,
+                   CAST(SUM(s_micros) AS BIGINT) AS bm25_micros
+            FROM imp JOIN q USING (term) GROUP BY probe_id, doc_id),
+    impranked AS (SELECT * FROM (
+      SELECT probe_id, doc_id, bm25_micros,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY bm25_micros DESC, doc_id) AS rank
+      FROM isc) WHERE rank <= $n)
+    SELECT f.probe_id,
+           COUNT(*) AS n_truth,
+           COUNT(i.doc_id) AS n_hits,
+           round(COUNT(i.doc_id) * 1.0 / COUNT(*), 6) AS recall,
+           COALESCE(MIN(i.rank), 0) AS first_hit_rank,
+           COALESCE(CAST(floor(1000000.0 / MIN(i.rank)) AS BIGINT), 0)
+             AS rr_micros
+    FROM lexranked f LEFT JOIN impranked i
+      ON f.probe_id = i.probe_id AND f.doc_id = i.doc_id
+    GROUP BY 1"""
+
+  /** q164: the per-bucket lexical HEALTH report (LexLake.healthOfPostings'
+    * pure form) — per term-hash bucket: posting-row count, distinct terms,
+    * the top-df term (tie: term asc) with its exact corpus share in integer
+    * micros (integer division), and the overlay mass the q161-style
+    * deterministic tombstone/edit rules would leave pending. Buckets =
+    * md5-prefix32(term) % nBuckets, the layout function verbatim. */
+  def lexHealthSql(nBuckets: Int): String = s"""
+    WITH $toksCte,
+    post AS (SELECT term, doc_id,
+               CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                 % $nBuckets AS INTEGER) AS tbucket
+             FROM toks GROUP BY term, doc_id),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    bt AS (SELECT tbucket, term, COUNT(*) AS df FROM post GROUP BY 1, 2),
+    per AS (SELECT tbucket, CAST(SUM(df) AS BIGINT) AS n_postings,
+                   COUNT(*) AS n_terms, MAX(df) AS top_df
+            FROM bt GROUP BY 1),
+    topt AS (SELECT bt.tbucket, MIN(bt.term) AS top_term
+             FROM bt JOIN per ON bt.tbucket = per.tbucket
+                             AND bt.df = per.top_df
+             GROUP BY 1),
+    tomb AS (SELECT tbucket, COUNT(*) AS tomb_postings FROM post
+             WHERE doc_id % 13 = 5 GROUP BY 1),
+    etoks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(upper(text)), '\\s+')) AS term
+              FROM documents
+              WHERE doc_id % 11 = 3 AND text IS NOT NULL
+                AND length(trim(text)) > 0),
+    epost AS (SELECT term, doc_id,
+                CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                  % $nBuckets AS INTEGER) AS tbucket
+              FROM etoks GROUP BY term, doc_id),
+    emass AS (SELECT tbucket, COUNT(*) AS edit_postings FROM epost GROUP BY 1)
+    SELECT per.tbucket, n_postings, n_terms, top_term, top_df,
+           CAST((top_df * 1000000) // n AS BIGINT) AS top_share_micros,
+           COALESCE(tomb_postings, 0) AS tomb_postings,
+           COALESCE(edit_postings, 0) AS edit_postings
+    FROM per JOIN topt ON per.tbucket = topt.tbucket CROSS JOIN nd
+    LEFT JOIN tomb ON per.tbucket = tomb.tbucket
+    LEFT JOIN emass ON per.tbucket = emass.tbucket"""
+
   /** q163: hybrid fusion with PER-PROBE lexical lists — q159's shape with
     * the global fixed-term BM25 replaced by the posting-list per-query
     * retriever (each probe fuses ITS OWN term list's top-n; a probe whose

@@ -74,6 +74,18 @@ object LexLake {
     StructType(Seq(StructField("doc_id", LongType)))
   val editsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
+  /** The impact tier: posting rows restricted to each capped term's
+    * top-`postings_per_term` by per-posting score, with the term's TRUE df
+    * denormalized (the truncated list can no longer be counted for idf). */
+  val impactSchema: StructType = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("df", LongType), StructField("tbucket", IntegerType)))
+  val impactConfSchema: StructType = StructType(Seq(
+    StructField("df_threshold", LongType),
+    StructField("postings_per_term", IntegerType),
+    StructField("k1", org.apache.spark.sql.types.DoubleType),
+    StructField("b", org.apache.spark.sql.types.DoubleType)))
 
   final case class IngestReport(docs: Long, postings: Long)
 
@@ -378,15 +390,27 @@ object LexLake {
     * ids) — the price of exactness between a mutation and its fold.
     * Output: (probe_id, doc_id,
     * bm25_micros, rank <= n); a probe whose terms miss the corpus yields
-    * no rows. READER path: no lease, one generation resolution. */
+    * no rows. READER path: no lease, one generation resolution.
+    *
+    * `impact = true` serves capped terms from the generation's
+    * impact-ordered truncated tier (adopted at [[reconcile]] behind a
+    * measured recall gate — absent tier refuses loudly, mismatched k1/b
+    * refuses loudly): a stop-word-frequency term costs O(postings_per_term)
+    * instead of its full posting list, at the gate-certified approximation
+    * (q165's measurement). Falls back to the exact full path while
+    * overlays pend (a truncated list's df cannot be corrected), and the
+    * tier reflects the last fold — postings INGESTED after it for capped
+    * terms enter the tier at the next reconcile, the standard static
+    * impact-file trade (exactness-critical reads serve impact = false). */
   def serve(spark: SparkSession, root: String, queries: DataFrame,
             n: Int, queryIdCol: String = "probe_id",
             termsCol: String = "terms",
             k1: Double = 1.2, b: Double = 0.75,
-            maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+            maxBroadcastQueryTerms: Long = 1L << 20,
+            impact: Boolean = false): DataFrame =
     serveIn(spark, GenStore.dataRoot(spark, root), root, queries, n,
       queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
-      applyOverlays = true)
+      applyOverlays = true, impact = impact)
 
   /** The resident generation numbers, oldest first — what [[serveAt]]
     * accepts (the [[VectorLake.generations]] twin). Empty for a store that
@@ -420,12 +444,36 @@ object LexLake {
                       queries: DataFrame, n: Int, queryIdCol: String,
                       termsCol: String, k1: Double, b: Double,
                       maxBroadcastQueryTerms: Long,
-                      applyOverlays: Boolean): DataFrame = {
+                      applyOverlays: Boolean,
+                      impact: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val nb = servedBuckets(spark, root).getOrElse(throw
       new IllegalArgumentException(
         s"lex lake at $root has no layout conf — ingest something first"))
     GenStore.requireLive(spark, droot)
+    // impact-tier resolution comes FIRST when requested: an absent tier
+    // fails loudly (the sqQuantized contract — never silently serve a
+    // different read path than the caller asked for), and the tier's
+    // pinned (k1, b) must match the call's (the per-term impact ORDER was
+    // fixed under them at reconcile).
+    val impactConf =
+      if (!impact) None
+      else {
+        val rows = Writers.readOrEmptyReadOnly(spark, s"$droot/impactconf",
+          impactConfSchema).collect()
+        if (rows.isEmpty) throw new IllegalArgumentException(
+          s"no impact tier resident for the generation at $droot — " +
+            "reconcile with impactPostings > 0 and impactMinRecall > 0 " +
+            "(and pass its recall gate) before serving impact, or serve " +
+            "with impact = false")
+        val r = rows.head
+        require(r.getDouble(2) == k1 && r.getDouble(3) == b,
+          s"impact tier at $droot was built under k1=${r.getDouble(2)}, " +
+            s"b=${r.getDouble(3)} — caller passed k1=$k1, b=$b. The " +
+            "per-term impact order was fixed under the tier's parameters; " +
+            "serve with those, serve impact = false, or rebuild the tier.")
+        Some(r)
+      }
     // the shared serving-batch gate (Serving): duplicate-probe refusal +
     // exploded broadcast cap, ONE agg; the returned frame is PINNED — it
     // feeds the universe collect AND the final join, and an unpinned
@@ -440,6 +488,14 @@ object LexLake {
       val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
       p.getFileSystem(conf).exists(p)
     }
+    val hasOverlays = overlay("tombstones") || overlay("edits")
+    // while overlays pend, impact serving FALLS BACK to the exact full
+    // path: the tier's denormalized df cannot be corrected from a
+    // truncated list (the removed postings are unknowable), and overlays
+    // are bounded interim state — the fold refreshes the tier. Documented
+    // behavior, never silent wrongness: the tier's presence was already
+    // checked loudly above.
+    val useImpact = impactConf.isDefined && !(applyOverlays && hasOverlays)
     val emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("probe_id", LongType),
@@ -473,8 +529,7 @@ object LexLake {
     var nDocs = statsRow.getLong(0)
     var totalDl = statsRow.getLong(1)
     val postL =
-      if (!applyOverlays || (!overlay("tombstones") && !overlay("edits")))
-        stored0
+      if (!applyOverlays || !hasOverlays) stored0
       else {
         val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
           tombstonesSchema)
@@ -507,14 +562,56 @@ object LexLake {
           .unionByName(editPost)
       }
     if (nDocs == 0L) return emptyOut
+    if (useImpact) {
+      // IMPACT serving (r10 ask #2, the Block-Max-WAND static analog): a
+      // term resident in the tier reads its tiny truncated partition
+      // instead of its full posting set — the read-amplification fix for
+      // stop-word-frequency terms. Which terms are capped is the TIER's
+      // knowledge (membership), resolved with one bounded collect over the
+      // pruned tier scan; the remaining terms scan full postings with the
+      // capped terms EXCLUDED from the pushed term filter, so the frequent
+      // term's rows are never read twice. df comes denormalized off the
+      // tier for capped terms (a truncated list cannot be counted) and
+      // from row counts for the rest; scoring and stats are unchanged, so
+      // the approximation is exactly the gate-certified truncation.
+      val impAll = Writers.readOrEmptyReadOnly(spark, s"$droot/impact",
+          impactSchema)
+        .filter(col("tbucket").isInCollection(buckets))
+      val impRows = (if (universe.size <= 4096)
+          impAll.filter(col("term").isInCollection(universe))
+        else impAll.join(broadcast(qterms.select("term").distinct()),
+          Seq("term"), "left_semi"))
+        .localCheckpoint(true)
+      val impTerms = impRows.select("term").distinct()
+        .collect().map(_.getString(0)).toSet
+      val rest = universe.filterNot(impTerms)
+      val restRows =
+        if (rest.isEmpty) postL.filter(lit(false))
+        else postL.filter(col("term").isInCollection(rest))
+      val dfT = impRows.select(col("term"), col("df")).distinct()
+        .unionByName(restRows.groupBy("term").agg(count(lit(1)).as("df")))
+      return scoreBatch(
+        impRows.select("term", "doc_id", "tf", "dl").unionByName(restRows),
+        dfT, nDocs, totalDl, qterms, n, k1, b)
+    }
     val dfT = postL.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreBatch(postL, dfT, nDocs, totalDl, qterms, n, k1, b)
+  }
+
+  /** Score a pruned posting set for a (probe_id, term) batch and heap-rank
+    * each probe's top-n — [[serve]]'s tail, shared with [[reconcile]]'s
+    * impact adoption gate so the gate measures EXACTLY the serving
+    * computation. `dfT` must carry each queried term's TRUE df. Per-probe
+    * rank via the bounded heap (Serving.rankTopNMicros, the knnJoin
+    * partial-agg idiom): a frequent term's candidate set is O(corpus)
+    * rows, and a probe_id-keyed row_number would haul ALL of them to one
+    * reducer — the heap caps the keyed exchange at probes x partitions x
+    * n. Exact integer micros + the (micros desc, doc_id asc) total order
+    * keep the output hash-identical to the window form. */
+  private def scoreBatch(postL: DataFrame, dfT: DataFrame, nDocs: Long,
+                         totalDl: Long, qterms: DataFrame, n: Int,
+                         k1: Double, b: Double): DataFrame = {
     val avgdl = totalDl.toDouble / nDocs
-    // per-probe rank via the bounded heap (Serving.rankTopNMicros, the
-    // knnJoin partial-agg idiom): a frequent term's candidate set is
-    // O(corpus) rows, and a probe_id-keyed row_number would haul ALL of
-    // them to one reducer — the heap caps the keyed exchange at
-    // probes x partitions x n. Exact integer micros + the (micros desc,
-    // doc_id asc) total order keep the output hash-identical.
     graft.operators.Serving.rankTopNMicros(
       postL.join(broadcast(dfT), Seq("term"))
         .withColumn("idf",
@@ -540,7 +637,14 @@ object LexLake {
   def reconcile(spark: SparkSession, root: String,
                 leaseMs: Long = 30 * 60 * 1000L,
                 retainGenerations: Int = 2,
-                failpoint: () => Unit = () => ()): Unit =
+                failpoint: () => Unit = () => (),
+                impactPostings: Int = 0,
+                impactDfThreshold: Long = 1000L,
+                impactMinRecall: Double = 0.0,
+                impactGateProbes: Int = 32,
+                impactGateN: Int = 10,
+                impactK1: Double = 1.2, impactB: Double = 0.75,
+                onImpactGate: (Double, Boolean) => Unit = (_, _) => ()): Unit =
     withWriterLock(spark, root, leaseMs = leaseMs,
         heartbeatMs = leaseMs / 3) {
       Writers.recoverPointer(spark, GenStore.pointer(root))
@@ -567,6 +671,8 @@ object LexLake {
             .join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
             .select("term", "doc_id", "tf", "dl", "tbucket")
             .unionByName(postingsOf(edits, nb))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
           val st = lens.agg(coalesce(count(lit(1)), lit(0L)),
             coalesce(sum(col("dl")), lit(0L))).head()
           GenStore.promote(spark, root, cur,
@@ -580,8 +686,92 @@ object LexLake {
                 Seq(org.apache.spark.sql.Row("base", st.getLong(0),
                   st.getLong(1))).asJava, statsSchema)
               .write.mode("overwrite").parquet(s"$ngRoot/stats")
+            // IMPACT-TIER build + adoption (r10 ask #2, the
+            // VectorLake SQ-adoption idiom at :817): for every term whose
+            // df exceeds the threshold, materialize its top-M postings by
+            // per-posting score (s_micros desc, doc_id asc under the
+            // folded corpus stats — the Block-Max-WAND static analog),
+            // df denormalized on (a truncated list cannot be counted for
+            // idf). Adoption is gated on MEASURED recall@n: synthesized
+            // worst-case queries (pairs of the highest-df capped terms —
+            // both lists truncated) are served from the tier vs the full
+            // postings through the SAME scoreBatch tail, and the tier is
+            // written into this generation only if avg recall clears the
+            // gate — before the pointer flip, so adoption is as atomic as
+            // the generation. A refused gate leaves the generation
+            // full-postings-only; an impact read then fails loudly.
+            if (impactPostings > 0 && impactMinRecall > 0.0
+                && st.getLong(0) > 0) {
+              val nd = st.getLong(0)
+              val tdl = st.getLong(1)
+              val avgdl = tdl.toDouble / nd
+              val dfAll = post.groupBy("term").agg(count(lit(1)).as("df"))
+              val capped = dfAll.filter(col("df") > lit(impactDfThreshold))
+              val scored = post.join(capped, Seq("term"))
+                .withColumn("idf",
+                  log((lit(nd.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+                .withColumn("s_micros",
+                  round(col("idf") * ((col("tf") * lit(impactK1 + 1)) /
+                    (col("tf") + lit(impactK1) * (lit(1 - impactB) + lit(impactB) * (col("dl") / lit(avgdl)))))
+                    * lit(1000000.0), 0).cast("long"))
+              // per-TERM truncation through the bounded heap — building
+              // the tier must not haul a frequent term's full list to one
+              // reducer either
+              val tier = graft.operators.Serving.rankTopNMicros(
+                  scored.select("term", "doc_id", "s_micros"),
+                  impactPostings, "doc_id", "s_micros", keyCol = "term")
+                .select("term", "doc_id")
+                .join(post, Seq("term", "doc_id"))
+                .join(capped, Seq("term"))
+                .select("term", "doc_id", "tf", "dl", "df", "tbucket")
+              val gateTerms = capped
+                .orderBy(col("df").desc, col("term"))
+                .limit(2 * impactGateProbes)
+                .collect().map(_.getString(0)).toSeq
+              val (recall, adopt) =
+                if (gateTerms.isEmpty) (1.0, true)
+                else {
+                  val sq = spark; import sq.implicits._
+                  val pairs = gateTerms.grouped(2).zipWithIndex
+                    .map { case (ts, i) => (i.toLong, ts) }.toSeq
+                  val qterms = pairs.toDF("probe_id", "terms")
+                    .select(col("probe_id"), explode(col("terms")).as("term"))
+                    .distinct().localCheckpoint(true)
+                  val fullRows = post
+                    .filter(col("term").isInCollection(gateTerms))
+                    .select("term", "doc_id", "tf", "dl")
+                  val gateDf = capped
+                    .filter(col("term").isInCollection(gateTerms))
+                    .select("term", "df")
+                  val truth = scoreBatch(fullRows, gateDf, nd, tdl, qterms,
+                    impactGateN, impactK1, impactB)
+                  val approx = scoreBatch(
+                    tier.filter(col("term").isInCollection(gateTerms))
+                      .select("term", "doc_id", "tf", "dl"),
+                    gateDf, nd, tdl, qterms, impactGateN, impactK1, impactB)
+                  val r = graft.operators.Similarity.retrievalEval(
+                      truth.select(col("probe_id"),
+                        col("doc_id").as("neighbor_id")),
+                      approx.select(col("probe_id"),
+                        col("doc_id").as("neighbor_id"), col("rank")))
+                    .agg(coalesce(avg(col("recall")), lit(0.0)))
+                    .head().getDouble(0)
+                  (r, r >= impactMinRecall)
+                }
+              onImpactGate(recall, adopt)
+              if (adopt) {
+                tier.write.mode("overwrite").partitionBy("tbucket")
+                  .parquet(s"$ngRoot/impact")
+                spark.createDataFrame(
+                    Seq(org.apache.spark.sql.Row(impactDfThreshold,
+                      impactPostings, impactK1, impactB)).asJava,
+                    impactConfSchema)
+                  .write.mode("overwrite").parquet(s"$ngRoot/impactconf")
+              }
+            }
             failpoint()
           }
+          } finally { post.unpersist(blocking = false); () }
           GenStore.deleteDir(spark, s"$root/tombstones")
           GenStore.deleteDir(spark, s"$root/edits")
         } finally { lens.unpersist(blocking = false); () }
@@ -607,6 +797,89 @@ object LexLake {
     Scheduler.Deployment("lex_compact", Scheduler.parse(cron),
       () => { compactBuckets(spark, root, targetRecordsPerFile,
         minFilesPerBucket, lockWaitMs); () })
+
+  /** The ONE tokenize-and-count transcription as a public operator — the
+    * (term, doc_id, tf, dl, tbucket) posting rows of a (doc_id, text)
+    * frame, exactly what [[ingest]] appends and [[serve]]'s edit overlay
+    * recomputes. Public so the health/impact analyses have an
+    * oracle-expressible pure form over a plain document frame. */
+  def tokenizePostings(docs: DataFrame, nBuckets: Int): DataFrame =
+    postingsOf(docs, nBuckets)
+
+  /** PER-BUCKET HEALTH of a posting set — the q150/q134 analog for the
+    * lexical store (r10 verdict ask #7): the measurement that decides the
+    * impact tier's df threshold and when to compact or reconcile. Per
+    * bucket: posting-row count, distinct-term count, the top-df term with
+    * its EXACT corpus share in integer micros (df·10⁶ ÷ corpus docs,
+    * integer division — the skew signal: a share in the 10⁵–10⁶ range is a
+    * stop-word-frequency term whose full posting read dominates serving),
+    * plus the overlay mass pending fold (tombstoned posting rows, edit
+    * posting rows).
+    *
+    * Plan shape: ONE partial-agg pass over the postings — the
+    * (tbucket, term) df agg map-side-combines, the per-bucket rollup and
+    * the top-term resolution then run over the vocabulary-sized (never
+    * corpus-sized) frame, with the ≤nBuckets per-bucket stats broadcast
+    * back for the max-df tie-break (df desc, term asc via min(term) at the
+    * max). Overlay masses are scoped semi-joins/bounded aggs. */
+  def healthOfPostings(postings: DataFrame, nDocsCorpus: Long,
+                       tombstones: DataFrame,
+                       editPostings: DataFrame): DataFrame = {
+    require(nDocsCorpus > 0, s"nDocsCorpus must be > 0, got $nDocsCorpus")
+    val bt = postings.groupBy("tbucket", "term")
+      .agg(count(lit(1)).as("df"))
+    val per = bt.groupBy("tbucket").agg(
+      sum(col("df")).as("n_postings"),
+      count(lit(1)).as("n_terms"),
+      max(col("df")).as("top_df"))
+    val top = bt
+      .join(broadcast(per.select(col("tbucket"), col("top_df"))),
+        Seq("tbucket"))
+      .filter(col("df") === col("top_df"))
+      .groupBy("tbucket").agg(min(col("term")).as("top_term"))
+    val tmass = postings
+      .join(broadcast(tombstones.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi")
+      .groupBy("tbucket").agg(count(lit(1)).as("tomb_postings"))
+    val emass = editPostings
+      .groupBy("tbucket").agg(count(lit(1)).as("edit_postings"))
+    per.join(broadcast(top), Seq("tbucket"))
+      .join(broadcast(tmass), Seq("tbucket"), "left")
+      .join(broadcast(emass), Seq("tbucket"), "left")
+      .select(col("tbucket"),
+        col("n_postings"), col("n_terms"),
+        col("top_term"), col("top_df"),
+        (col("top_df") * lit(1000000L) / lit(nDocsCorpus)).cast("long")
+          .as("top_share_micros"),
+        coalesce(col("tomb_postings"), lit(0L)).as("tomb_postings"),
+        coalesce(col("edit_postings"), lit(0L)).as("edit_postings"))
+  }
+
+  /** [[healthOfPostings]] over the RESIDENT store — the operator's weekly
+    * report: reads the current generation's postings once, corpus docs
+    * from the stats ledger, overlay mass from the root overlays. Reader
+    * path (no lease, one generation resolution). Stats are the ledger sum
+    * UNCORRECTED for pending overlays — the report measures the stored
+    * state and names the overlay mass separately, which is the operator's
+    * actual question ("how much is pending the fold?"). */
+  def health(spark: SparkSession, root: String): DataFrame = {
+    val nb = servedBuckets(spark, root).getOrElse(throw
+      new IllegalArgumentException(
+        s"lex lake at $root has no layout conf — ingest something first"))
+    val droot = GenStore.dataRoot(spark, root)
+    GenStore.requireLive(spark, droot)
+    val post = GenStore.readGenOrEmpty(spark, droot, "postings",
+      postingsSchema)
+    val nDocs = GenStore.readGenOrEmpty(spark, droot, "stats", statsSchema)
+      .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
+    require(nDocs > 0, s"lex lake at $root holds no documents")
+    val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+      tombstonesSchema)
+    val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+      editsSchema)
+    healthOfPostings(post, nDocs, tombs, postingsOf(edits, nb))
+      .orderBy("tbucket")
+  }
 
   /** Collapse the small files a high-frequency ingest accumulates between
     * reconciles — per posting BUCKET, the [[VectorLake.compactLists]]

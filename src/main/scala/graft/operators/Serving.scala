@@ -74,14 +74,15 @@ object Serving {
     * (probe_id, idCol, microsCol, rank), rank 1..n by (micros desc, id
     * asc). */
   def rankTopNMicros(scored: DataFrame, n: Int,
-                     idCol: String, microsCol: String): DataFrame = {
+                     idCol: String, microsCol: String,
+                     keyCol: String = "probe_id"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val topn = topNMicros(n)
     scored
-      .groupBy(col("probe_id"))
+      .groupBy(col(keyCol))
       .agg(topn(col(microsCol), col(idCol)).as("__topn"))
-      .select(col("probe_id"), posexplode(col("__topn")).as(Seq("__pos", "__nb")))
-      .select(col("probe_id"),
+      .select(col(keyCol), posexplode(col("__topn")).as(Seq("__pos", "__nb")))
+      .select(col(keyCol),
         col("__nb._2").as(idCol),
         col("__nb._1").as(microsCol),
         (col("__pos") + 1).cast("long").as("rank"))

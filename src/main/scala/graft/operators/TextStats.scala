@@ -298,6 +298,68 @@ object TextStats {
       n, "doc_id", "bm25_micros")
   }
 
+  /** [[bm25PerQuery]] served from IMPACT-ORDERED TRUNCATED posting lists —
+    * the pure form of [[graft.domain.LexLake]]'s impact serving tier (r10
+    * verdict ask #2), the static analog of Block-Max-WAND's impact files
+    * (Ding & Suel 2011): for every term whose df exceeds `dfThreshold`,
+    * only its top-`impactPostings` postings by per-posting score
+    * (s_micros desc, doc_id asc — BM25's per-term contribution under the
+    * corpus-wide avgdl, EXACT integer micros) remain readable; low-df
+    * terms keep full lists. A stop-word-frequency term then costs
+    * O(impactPostings) instead of O(corpus) at serve time. Scoring is
+    * UNCHANGED (true df, global stats — truncation drops rows, never
+    * rescales), so a result differs from [[bm25PerQuery]] only where a
+    * doc's capped-term contribution fell below the term's impact cut —
+    * the approximation a recall gate certifies (q165 measures it).
+    * Truncation itself runs through the bounded per-TERM heap
+    * ([[Serving.rankTopNMicros]] keyed by term) — building the tier never
+    * hauls a frequent term's full list to one reducer either. */
+  def bm25PerQueryImpact(docs: DataFrame, idCol: String, textCol: String,
+                         queries: DataFrame, queryIdCol: String,
+                         termsCol: String, n: Int,
+                         impactPostings: Int, dfThreshold: Long,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(impactPostings >= 1,
+      s"impactPostings must be >= 1, got $impactPostings")
+    require(dfThreshold >= 0, s"dfThreshold must be >= 0, got $dfThreshold")
+    val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
+      maxBroadcastQueryTerms)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TF.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = toks
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val posted = tf.join(dfT, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s_micros",
+        round(col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+          * lit(1000000.0), 0).cast("long"))
+      .select("term", "doc_id", "s_micros", "df")
+    // the impact cut: capped terms keep their per-term top-M rows only
+    // (bounded heap keyed by TERM — partial agg, no per-term full sort);
+    // uncapped terms pass through whole
+    val capped = posted.filter(col("df") > dfThreshold)
+    val kept = Serving.rankTopNMicros(capped, impactPostings,
+        "doc_id", "s_micros", keyCol = "term")
+      .select("term", "doc_id", "s_micros")
+      .unionByName(posted.filter(col("df") <= dfThreshold)
+        .select("term", "doc_id", "s_micros"))
+    Serving.rankTopNMicros(
+      kept.join(broadcast(qterms), Seq("term"))
+        .groupBy("probe_id", "doc_id")
+        .agg(sum(col("s_micros")).as("bm25_micros")),
+      n, "doc_id", "bm25_micros")
+  }
+
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
     * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
     * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set

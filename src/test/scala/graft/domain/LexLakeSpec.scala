@@ -281,6 +281,81 @@ class LexLakeSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._1 == 700L))
   }
 
+  test("impact tier: gate-adopted truncated serving equals the pure impact form") {
+    val root = freshRoot("impact")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    var gate: Option[(Double, Boolean)] = None
+    LexLake.reconcile(spark, root, impactPostings = 3, impactDfThreshold = 2,
+      impactMinRecall = 0.05, impactGateProbes = 4, impactGateN = 5,
+      onImpactGate = (r, a) => gate = Some((r, a)))
+    assert(gate.exists(_._2), s"the gate must measure and adopt: $gate")
+    assert(gate.exists(g => g._1 > 0.0 && g._1 <= 1.0))
+    // serve(impact = true) == the pure truncated form (the q165 operator)
+    // over the identical corpus — the tier IS that truncation, stored
+    val want = served(TextStats.bm25PerQueryImpact(
+      corpus().toDF("doc_id", "text"), "doc_id", "text",
+      queriesDf, "probe_id", "terms", n = 5,
+      impactPostings = 3, dfThreshold = 2))
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5, impact = true))
+      == want)
+    // a cap wide enough to keep every posting serves EXACTLY the full
+    // answer — truncation is the only approximation
+    LexLake.reconcile(spark, root, impactPostings = 1000,
+      impactDfThreshold = 2, impactMinRecall = 0.05)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5, impact = true))
+      == reference(corpus()))
+  }
+
+  test("impact serve refuses loudly: absent tier, refused gate, mismatched parameters") {
+    val root = freshRoot("impactabsent")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    LexLake.reconcile(spark, root) // full-postings-only generation
+    val e = intercept[IllegalArgumentException] {
+      LexLake.serve(spark, root, queriesDf, n = 5, impact = true)
+    }
+    assert(e.getMessage.contains("no impact tier resident"), e.getMessage)
+    // a refused gate leaves the new generation full-only too
+    var gate: Option[(Double, Boolean)] = None
+    LexLake.reconcile(spark, root, impactPostings = 1, impactDfThreshold = 0,
+      impactMinRecall = 1.01, onImpactGate = (r, a) => gate = Some((r, a)))
+    assert(gate.exists(!_._2), s"an unattainable gate must refuse: $gate")
+    val e2 = intercept[IllegalArgumentException] {
+      LexLake.serve(spark, root, queriesDf, n = 5, impact = true)
+    }
+    assert(e2.getMessage.contains("no impact tier resident"), e2.getMessage)
+    // adopted tier + mismatched scoring parameters: refused (the per-term
+    // impact order was fixed under the tier's k1/b)
+    LexLake.reconcile(spark, root, impactPostings = 3, impactDfThreshold = 2,
+      impactMinRecall = 0.05)
+    val e3 = intercept[IllegalArgumentException] {
+      LexLake.serve(spark, root, queriesDf, n = 5, k1 = 1.5, impact = true)
+    }
+    assert(e3.getMessage.contains("was built under k1="), e3.getMessage)
+  }
+
+  test("impact serve falls back to the exact path while overlays pend") {
+    val root = freshRoot("impactoverlay")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    LexLake.reconcile(spark, root, impactPostings = 3, impactDfThreshold = 2,
+      impactMinRecall = 0.05)
+    LexLake.delete(spark, root, Seq(0L, 7L).toDF("doc_id"))
+    // a truncated list's df cannot be overlay-corrected, so the impact
+    // read serves the EXACT full path until the fold — equal to the
+    // unpinned serve and to the reference over the logical corpus
+    val logical = corpus().filterNot(d => d._1 == 0L || d._1 == 7L)
+    val exact = served(TextStats.bm25PerQuery(
+      logical.toDF("doc_id", "text"), "doc_id", "text",
+      queriesDf, "probe_id", "terms", n = 5))
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5, impact = true))
+      == exact)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5)) == exact)
+    // the fold refreshes the tier; the impact read resumes from it
+    LexLake.reconcile(spark, root, impactPostings = 1000,
+      impactDfThreshold = 2, impactMinRecall = 0.05)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5, impact = true))
+      == exact)
+  }
+
   test("serve refuses duplicate probe ids instead of silently merging term sets") {
     val root = freshRoot("dupprobe")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 8)

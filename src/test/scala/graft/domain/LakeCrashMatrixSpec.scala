@@ -191,4 +191,74 @@ class LakeCrashMatrixSpec extends SparkSpec with LakeCrashMatrix {
     def reconcile(root: String): Unit =
       VectorLake.reconcile(spark, root, k = 2, iters = 3)
   })
+
+  test("[matrix:LakeSync] a propagate timing out mid-fanout is completed by the catch-up; no edit applies twice") {
+    // the r10 ask #8 arm: LakeSync.propagate applies an edit while a
+    // STREAMING INGEST holds the lex lake's writer lease — the bounded
+    // wait expires mid-fanout (dedup and vector arms already applied, lex
+    // not), the propagate fails loudly, and the scheduled catch-up
+    // completes it once the holder finishes. The pin: across the timeout
+    // boundary the intent log never applies an edit TWICE — the replay
+    // re-runs the already-applied arms and each lake's upsert is
+    // idempotent as a whole, leaving exactly one row per store.
+    val base = java.nio.file.Files.createTempDirectory("synctimeout").toString
+    val (sync, dedup, vector, lex) =
+      (s"$base/sync", s"$base/dedup", s"$base/vector", s"$base/lex")
+    DedupLake.ingest(spark, dedup, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different content over here")).toDF("doc_id", "text"))
+    VectorLake.init(spark, vector, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, vector, Seq(
+      (1L, unit(0)), (2L, unit(45, 14f))).toDF("vec_id", "embedding"))
+    LexLake.ingest(spark, lex, Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different content over here")).toDF("doc_id", "text"),
+      nBuckets = 4)
+    def lexTop(term: String): Set[Long] =
+      LexLake.serve(spark, lex,
+          Seq((9L, Seq(term))).toDF("probe_id", "terms"), n = 10)
+        .collect().map(_.getLong(1)).toSet
+    LakeSync.requestUpsert(spark, sync,
+      Seq((2L, "freshly edited marker body", unit(60, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    // the streaming ingest's live lease on the lex store
+    val lock = new org.apache.hadoop.fs.Path(s"$lex/_LOCK")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lock, false)
+    out.write(s"${System.currentTimeMillis()}:streaming-ingest".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      LakeSync.propagate(spark, sync, dedup, vector, lockWaitMs = 300L,
+        lexRoot = Some(lex))
+    }
+    assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+    // torn mid-fanout: dedup and vector carry the edit, lex does not, and
+    // the intent log is STILL pending (nothing retired on a failed pass)
+    assert(DedupLake.corpus(spark, dedup).where("doc_id = 2")
+      .collect().head.getString(1) == "freshly edited marker body")
+    assert(lexTop("marker").isEmpty, "the lex arm must not have applied")
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 1L)
+    // the holder finishes; the scheduled catch-up closes the fan-out
+    fs.delete(lock, false)
+    var clock = java.time.LocalDateTime.of(2026, 8, 14, 12, 0)
+    val log = Scheduler.drive(
+      Seq(LakeSync.deployment(spark, sync, dedup, vector,
+        lexRoot = Some(lex))),
+      start = clock, until = java.time.LocalDateTime.of(2026, 8, 15, 12, 0),
+      now = () => clock, sleep = d => clock = clock.plus(d))
+    assert(log.map(r => (r.name, r.error)) ===
+      Seq(("lake_delete_sync", None)))
+    assert(lexTop("marker") == Set(2L))
+    assert(LakeSync.pendingUpserts(spark, sync).count() == 0L)
+    // applied ONCE everywhere despite the replayed arms: one edit-overlay
+    // row per content lake, one resident vector row, one lex edit row
+    assert(graft.sources.Writers.readOrEmptyReadOnly(spark, s"$dedup/edits",
+      DedupLake.archiveSchema).where("doc_id = 2").count() == 1L)
+    assert(VectorLake.vectors(spark, vector).where("vec_id = 2").count() == 1L)
+    assert(graft.sources.Writers.readOrEmptyReadOnly(spark, s"$lex/edits",
+      LexLake.editsSchema).where("doc_id = 2").count() == 1L)
+    // and a further propagate is a free no-op — the boundary left nothing
+    assert(LakeSync.propagate(spark, sync, dedup, vector,
+      lexRoot = Some(lex)) == LakeSync.SyncReport(0, 0, 0, 0))
+  }
 }

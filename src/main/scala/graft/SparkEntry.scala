@@ -2321,6 +2321,33 @@ object SparkEntry {
       40L -> Seq("zzzunmatchedterm")), n = 10, m = 30, t = 50L,
       k1 = 1.2, b = 0.75))),
 
+    Q("q166_prf_expansion", (s, dir) => {
+      // pseudo-relevance-feedback query expansion (RM3-style, simplified
+      // to deterministic expand-and-requery): each probe's first-pass
+      // BM25 top-5 docs nominate expansion terms by exact integer-micros
+      // length-normalized tf (original terms excluded, top-3 by weight
+      // desc / term asc through the bounded STRING heap), and the
+      // expanded batch rescores top-10. The feedback tf agg is semi-join
+      // pruned to the bounded feedback id set — never a corpus (doc,
+      // term) agg; both passes are the scale-audited posting join. Probe
+      // 40's unmatched term finds no feedback: it requeries unexpanded
+      // and still yields no rows.
+      import s.implicits._
+      val queries = Seq(
+        (10L, Seq("spark", "query")),
+        (20L, Seq("merge", "vector", "hash")),
+        (30L, Seq("window", "stream", "stream")),
+        (40L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      graft.operators.TextStats.bm25PrfExpand(T(s, dir, "documents"),
+        "doc_id", "text", queries, "probe_id", "terms",
+        n = 10, fbDocs = 5, fbTerms = 3)
+    }, Some(TextOracle.bm25PrfSql(Seq(
+      10L -> Seq("spark", "query"),
+      20L -> Seq("merge", "vector", "hash"),
+      30L -> Seq("window", "stream", "stream"),
+      40L -> Seq("zzzunmatchedterm")), n = 10, fbDocs = 5, fbTerms = 3,
+      k1 = 1.2, b = 0.75))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

@@ -2102,6 +2102,56 @@ object TextOracle {
     WITH ${bm25PerQueryCtes(queries, n, k1, b)}
     SELECT probe_id, doc_id, bm25_micros, rank FROM lexranked"""
 
+  /** q166: pseudo-relevance-feedback query EXPANSION
+    * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
+    * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with
+    * n = fbDocs), expansion weights = Σ_d floor(tf·10⁶/dl) over the
+    * feedback docs with the probe's own terms excluded, top-fbTerms by
+    * (weight desc, term asc) union the original terms, stage 2 rescores
+    * the expanded term sets with the identical scoring chain. */
+  def bm25PrfSql(queries: Seq[(Long, Seq[String])], n: Int,
+                 fbDocs: Int, fbTerms: Int,
+                 k1: Double, b: Double): String = s"""
+    WITH ${bm25PerQueryCtes(queries, fbDocs, k1, b)},
+    fb AS (SELECT probe_id, doc_id FROM lexranked),
+    fbtf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf FROM toks t
+             WHERE t.doc_id IN (SELECT doc_id FROM fb) GROUP BY 1, 2),
+    fw AS (SELECT fb.probe_id, fbtf.term,
+                  CAST(SUM(CAST(floor(fbtf.tf * 1000000.0 / ldl.dl)
+                    AS BIGINT)) AS BIGINT) AS w_micros
+           FROM fb JOIN fbtf ON fb.doc_id = fbtf.doc_id
+                JOIN ldl ON fbtf.doc_id = ldl.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM q
+                             WHERE q.probe_id = fb.probe_id
+                               AND q.term = fbtf.term)
+           GROUP BY 1, 2),
+    expn AS (SELECT probe_id, term FROM (
+               SELECT probe_id, term,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY w_micros DESC, term) AS rn
+               FROM fw) WHERE rn <= $fbTerms),
+    q2 AS (SELECT probe_id, term FROM q
+           UNION SELECT probe_id, term FROM expn),
+    ltf2 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             WHERE term IN (SELECT DISTINCT term FROM q2) GROUP BY 1, 2),
+    ldf2 AS (SELECT term, COUNT(*) AS df FROM ltf2 GROUP BY 1),
+    posted2 AS (
+      SELECT ltf2.term, ltf2.doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * CAST(${k1 + 1} AS DOUBLE)) / (tf + $k1 * (${1 - b} + $b * (dl / (CAST(total_dl AS DOUBLE) / n_docs)))))
+               * 1000000.0, 0) AS BIGINT) AS s_micros
+      FROM ltf2 JOIN ldf2 USING (term) JOIN ldl USING (doc_id)
+           CROSS JOIN lstats),
+    lsc2 AS (SELECT probe_id, doc_id,
+                    CAST(SUM(s_micros) AS BIGINT) AS bm25_micros
+             FROM posted2 JOIN q2 USING (term) GROUP BY probe_id, doc_id)
+    SELECT * FROM (
+      SELECT probe_id, doc_id, bm25_micros,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY bm25_micros DESC, doc_id) AS rank
+      FROM lsc2) WHERE rank <= $n"""
+
   /** q165: the IMPACT-TIER recall report — TextStats.bm25PerQueryImpact
     * (per-term truncated posting lists for df > `t`, top-`m` by s_micros
     * desc, doc_id asc; scoring otherwise unchanged) evaluated against the

@@ -66,6 +66,49 @@ object Serving {
   def topNMicros(n: Int): UserDefinedFunction =
     udaf(new TopNMicrosAgg(n), ExpressionEncoder[(Long, Long)]())
 
+  /** [[TopNMicrosAgg]] with STRING ids — for per-group term selection
+    * (query expansion picks top-weighted TERMS, not doc ids). Order
+    * (micros desc, id asc) with binary string comparison — identical to
+    * SQL's ORDER BY term on the ASCII token vocabulary (the q164 min(term)
+    * parity contract). */
+  private final class TopNMicrosStrAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
+    private def better(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Long, String)] = Vector.empty
+    def reduce(buf: Seq[(Long, String)], x: (Long, String)): Seq[(Long, String)] =
+      if (buf.size >= n && !better(x, buf.last)) buf
+      else {
+        val (hd, tl) = buf.span(better(_, x))
+        (hd ++ (x +: tl)).take(n)
+      }
+    def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+      b.foldLeft(a)(reduce)
+    def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      ExpressionEncoder[Seq[(Long, String)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      ExpressionEncoder[Seq[(Long, String)]]()
+  }
+
+  /** [[rankTopNMicros]] for STRING-id candidates (term selection): output
+    * (keyCol, idCol, microsCol, rank), rank 1..n by (micros desc, id asc). */
+  def rankTopNMicrosStr(scored: DataFrame, n: Int,
+                        idCol: String, microsCol: String,
+                        keyCol: String = "probe_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val topn = udaf(new TopNMicrosStrAgg(n), ExpressionEncoder[(Long, String)]())
+    scored
+      .groupBy(col(keyCol))
+      .agg(topn(col(microsCol), col(idCol)).as("__topn"))
+      .select(col(keyCol), posexplode(col("__topn")).as(Seq("__pos", "__nb")))
+      .select(col(keyCol),
+        col("__nb._2").as(idCol),
+        col("__nb._1").as(microsCol),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-probe top-n rank of a `(probe_id, idCol, microsCol)` scored frame
     * via the bounded heap — the drop-in replacement for
     * `row_number().over(Window.partitionBy("probe_id").orderBy(micros desc,

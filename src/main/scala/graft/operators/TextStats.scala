@@ -360,6 +360,67 @@ object TextStats {
       n, "doc_id", "bm25_micros")
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK query expansion over the posting-join
+    * retriever (RM3-style: Lavrenko & Croft 2001 relevance models; the
+    * interpolation simplified to a deterministic expand-and-requery): each
+    * probe's first-pass BM25 top-`fbDocs` documents nominate expansion
+    * terms, weighted by Σ_d floor(tf(t,d)·10⁶ / dl(d)) — the per-doc term
+    * frequency normalized by doc length, floored to exact integer micros
+    * BEFORE the sum so the weight is order-independent — the probe's
+    * original terms excluded; the top-`fbTerms` by (weight desc, term asc)
+    * join the query and the EXPANDED batch rescores top-`n`. A probe whose
+    * first pass finds nothing requeries unexpanded (and an unmatched term
+    * still yields no rows).
+    *
+    * Scale shape: stage 1 is [[bm25PerQuery]] (scale-audited); the
+    * feedback tf agg is PRUNED to the feedback docs by a broadcast
+    * semi-join on the bounded probes×fbDocs id set — never a corpus
+    * (doc, term) agg; term selection runs the bounded STRING heap per
+    * probe; the expanded batch (probes × (orig + fbTerms) terms,
+    * pinned/materialized so stage 1 never re-runs) feeds stage 2's
+    * bm25PerQuery. Adding a probe adds no corpus scan beyond the two
+    * passes every PRF endpoint pays. */
+  def bm25PrfExpand(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String, termsCol: String,
+                    n: Int, fbDocs: Int, fbTerms: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
+      maxBroadcastQueryTerms)
+    val fb = bm25PerQuery(docs, idCol, textCol, queries, queryIdCol,
+        termsCol, n = fbDocs, k1 = k1, b = b,
+        maxBroadcastQueryTerms = maxBroadcastQueryTerms)
+      .select("probe_id", "doc_id")
+      .localCheckpoint(true)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TF.tokens(col(textCol))).as("term"))
+    // feedback-doc tf/dl only: the (doc, term) agg is semi-join-pruned to
+    // the bounded feedback id set before it aggregates anything
+    val fbIds = fb.select("doc_id").distinct()
+    val ftf = toks.join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val fdl = toks.join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val weights = fb.join(ftf, Seq("doc_id")).join(fdl, Seq("doc_id"))
+      .join(qterms, Seq("probe_id", "term"), "left_anti")
+      .withColumn("__w",
+        floor(col("tf") * lit(1000000.0) / col("dl")).cast("long"))
+      .groupBy("probe_id", "term")
+      .agg(sum(col("__w")).as("w_micros"))
+    val expansion = Serving.rankTopNMicrosStr(weights, fbTerms,
+      "term", "w_micros")
+    val expanded = qterms
+      .unionByName(expansion.select("probe_id", "term"))
+      .groupBy("probe_id").agg(collect_set(col("term")).as("terms"))
+      .localCheckpoint(true)
+    bm25PerQuery(docs, idCol, textCol, expanded, "probe_id", "terms",
+      n = n, k1 = k1, b = b,
+      maxBroadcastQueryTerms = maxBroadcastQueryTerms)
+  }
+
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
     * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
     * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set

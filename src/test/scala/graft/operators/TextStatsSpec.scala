@@ -301,6 +301,28 @@ class TextStatsSpec extends SparkSpec {
     assert(enc(2L) == 0L && enc(3L) == 0L)
   }
 
+  test("PRF expansion reaches docs the original terms never matched; an empty first pass requeries unexpanded") {
+    // doc 1 matches "spark" and teaches the expansion "lakehouse"; docs 3/4
+    // contain ONLY "lakehouse" — reachable strictly through the feedback
+    // loop. The probe's own term is never its own expansion, and a probe
+    // whose first pass finds nothing yields nothing.
+    val docs = Seq(
+      (1L, "spark lakehouse lakehouse"),
+      (2L, "unrelated filler body here"),
+      (3L, "lakehouse engine"),
+      (4L, "lakehouse lakehouse lakehouse")).toDF("doc_id", "text")
+    val queries = Seq(
+      (7L, Seq("spark")),
+      (8L, Seq("zzznothere"))).toDF("probe_id", "terms")
+    val out = TextStats.bm25PrfExpand(docs, "doc_id", "text", queries,
+        "probe_id", "terms", n = 10, fbDocs = 2, fbTerms = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit7 = out.collect { case (7L, d) => d }
+    assert(hit7.contains(3L) && hit7.contains(4L),
+      s"expansion must reach lakehouse-only docs: $out")
+    assert(!out.exists(_._1 == 8L), "no feedback -> unexpanded -> no rows")
+  }
+
   test("bm25PerQuery refuses duplicate probe ids instead of silently merging their term sets") {
     val docs = Seq((1L, "spark query merge"), (2L, "spark spark window"))
       .toDF("doc_id", "text")

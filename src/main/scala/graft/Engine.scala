@@ -296,6 +296,28 @@ object Engine {
                    queries: DataFrame, n: Int): DataFrame =
     graft.domain.LexLake.serve(spark, lakeRoot, queries, n)
 
+  /** [[lexLakeServe]] from the generation's IMPACT tier: capped terms read
+    * their top-impact truncated postings (adopted at reconcile behind a
+    * measured recall gate; refused loudly when absent), the rest read full
+    * postings — the stop-word read-amplification fix. */
+  def lexLakeServeImpact(spark: SparkSession, lakeRoot: String,
+                         queries: DataFrame, n: Int): DataFrame =
+    graft.domain.LexLake.serve(spark, lakeRoot, queries, n, impact = true)
+
+  /** Per-bucket health of the lexical store: posting mass, distinct terms,
+    * the top-df term with its exact integer-micros corpus share (the skew
+    * signal that sets the impact df threshold), pending overlay mass. */
+  def lexLakeHealth(spark: SparkSession, lakeRoot: String): DataFrame =
+    graft.domain.LexLake.health(spark, lakeRoot)
+
+  /** Pseudo-relevance-feedback expansion over the posting-join retriever
+    * (RM3-style expand-and-requery, exact integer-micros term weights). */
+  def bm25PrfExpand(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, n: Int,
+                    fbDocs: Int = 5, fbTerms: Int = 3): DataFrame =
+    graft.operators.TextStats.bm25PrfExpand(docs, idCol, textCol,
+      queries, "probe_id", "terms", n, fbDocs, fbTerms)
+
   /** HYBRID retrieval across BOTH lake-resident indexes: one probe batch
     * (embedding + terms) served from the vector lake's pruned IVF scan and
     * the lex lake's pruned postings scan, fused per probe by

@@ -29,7 +29,13 @@ import graft.operators.Clustering
   *     upsert log; a term unique to the new text must serve it
   *  7. maintenance: all three reconciles (retrain/fold/compact); the
   *     re-serve still answers, the purge is still folded away, the edit
-  *     still serves
+  *     still serves. The lexical HEALTH report (6.5) sets the impact-tier
+  *     df threshold, the lex fold adopts the tier behind its measured
+  *     recall gate, and the impact read serves (exactly, for uncapped
+  *     terms)
+  *  8. the deployment read: one PINNED (vectorGen, lexGen) snapshot
+  *     serving the batch — equal to the unpinned serve once every
+  *     overlay is folded
   *
   * Every stage reports a count; `main` asserts each is positive and prints
   * one STAGE line per step. Run: `sbt "runMain graft.cli.RetrievalDay"`. */
@@ -120,17 +126,52 @@ object RetrievalDay {
       .filter(col("doc_id") === editId).count()
     stages += "zebra_hits" -> zebraHits()
 
+    // 6.5 the lexical HEALTH report decides the impact-tier threshold —
+    //     the operator's loop made concrete: measure per-bucket skew, set
+    //     the df cut from the observed top-df mass
+    val health = LexLake.health(spark, lexRoot)
+      .agg(count(lit(1)), max(col("top_df"))).head()
+    stages += "health_buckets" -> health.getLong(0)
+    val maxTopDf = health.getLong(1)
+    stages += "health_max_top_df" -> maxTopDf
+
     // 7. every lake's weekly maintenance, then prove the day survives it:
-    //    answers still serve, the purge stays folded away, the edit stays
+    //    answers still serve, the purge stays folded away, the edit stays.
+    //    The lex fold also builds the impact tier, gated on measured
+    //    recall (the adoption decision and its measurement both reported).
     VectorLake.reconcile(spark, vectorRoot, k = 4, iters = 3)
     DedupLake.reconcile(spark, dedupRoot)
-    LexLake.reconcile(spark, lexRoot)
+    var impactGate: Option[(Double, Boolean)] = None
+    LexLake.reconcile(spark, lexRoot,
+      impactPostings = 8, impactDfThreshold = math.max(1L, maxTopDf / 2),
+      impactMinRecall = 0.05,
+      onImpactGate = (r, a) => impactGate = Some((r, a)))
+    stages += "impact_adopted" ->
+      (if (impactGate.exists(_._2)) 1L else 0L)
+    stages += "impact_recall_micros" ->
+      impactGate.map(g => (g._1 * 1e6).toLong).getOrElse(-1L)
     val afterRec = hybrid().persist()
     stages += "post_reconcile_hybrid" -> afterRec.count()
     stages += "post_reconcile_purge_leaks" -> afterRec
       .filter(col("neighbor_id").isInCollection(purgeIds)).count()
     afterRec.unpersist(blocking = false)
     stages += "post_reconcile_zebra_hits" -> zebraHits()
+    // the impact read on the same probe terms (the edit's unique term has
+    // df 1 — uncapped, so it serves exactly through the tier path too)
+    stages += "impact_results" -> LexLake.serve(spark, lexRoot,
+      probeTerms.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("probe_id", "terms"), n = 5, impact = true).count()
+    stages += "impact_zebra_hits" -> LexLake.serve(spark, lexRoot,
+        Seq((999L, Seq("zebraterm"))).toDF("probe_id", "terms"), n = 5,
+        impact = true)
+      .filter(col("doc_id") === editId).count()
+
+    // 8. the serving deployment's actual read: ONE pinned (vectorGen,
+    //    lexGen) snapshot across the batch — with all overlays folded,
+    //    byte-equal to the unpinned serve (the spec asserts the count)
+    val snap = Retrieval.currentSnapshot(spark, vectorRoot, lexRoot)
+    stages += "pinned_hybrid" -> Retrieval.hybridServeAt(spark, vectorRoot,
+      lexRoot, snap, probes(), k = 5, kVec = 5, nLex = 5).count()
 
     DayReport(stages.result())
   }

@@ -26,6 +26,19 @@ class RetrievalDaySpec extends SparkSpec {
     assert(r("edits_applied") == 1L)
     assert(r("zebra_hits") == 1L && r("post_reconcile_zebra_hits") == 1L,
       "the edit serves by its new content, before and after the fold")
+    // round-11 surface: the health report feeds the impact threshold, the
+    // fold adopts the tier behind the measured gate, the impact read
+    // serves (the df-1 edit term exactly), and the snapshot-pinned serve
+    // equals the unpinned one once every overlay is folded
+    assert(r("health_buckets") > 0L && r("health_max_top_df") > 0L)
+    assert(r("impact_adopted") == 1L,
+      s"the gate must adopt (measured ${r("impact_recall_micros")} micros)")
+    assert(r("impact_recall_micros") >= 50000L)
+    assert(r("impact_results") > 0L)
+    assert(r("impact_zebra_hits") == 1L,
+      "an uncapped term serves exactly through the impact path")
+    assert(r("pinned_hybrid") == r("post_reconcile_hybrid"),
+      "with overlays folded, the pinned pair serves the same answers")
   }
 
   test("snapshot pinning: a half-fanned-out edit cannot fuse mismatched corpus views") {

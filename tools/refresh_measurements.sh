@@ -1,0 +1,71 @@
+#!/bin/bash
+# Full measurement refresh: serialized bench sweeps at sf0.001/0.01/0.1/sf1,
+# DuckDB proxy sweeps, SCALING.json rebuild, and the clean-pass commit policy
+# for the sf0.1 headline (retry until n_suspect = n_one_time_suspect =
+# n_requeued = 0 and loadavg_pre_warmup < 1).
+#
+# Preconditions: code frozen (NEVER run concurrently with sbt compile/test —
+# shared target/), /tmp/graft_sf1 replicas present (tools/gen_scaled.py),
+# /tmp/verify_out/oracle_sql.json fresh (runMain graft.Verify).
+# Run detached: (setsid nohup tools/refresh_measurements.sh > /tmp/refresh.log 2>&1 &)
+set -x
+cd /root/repo
+
+wait_idle() {
+  # gate DEEP idle (< 0.3), not < 1.0: sbt/JVM startup alone adds ~0.5 to
+  # the 1-min average before Bench samples loadavg_pre_warmup, so starting
+  # at 0.9 reads ~1.3 at the sample and fails the clean-pass policy
+  for i in $(seq 1 60); do
+    l=$(cut -d' ' -f1 /proc/loadavg)
+    ok=$(python3 -c "print(1 if $l < 0.3 else 0)")
+    [ "$ok" = "1" ] && return 0
+    sleep 30
+  done
+  return 0
+}
+
+bench() { # $1 = sf dir, $2 = tag
+  SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+    > /tmp/benchrun_$2.log 2>&1
+  cp BENCH_LOCAL.json /tmp/bench_$2.json
+}
+
+clean_pass() { # $1 = json file -> exit 0 if clean
+  python3 - "$1" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+ok = (d.get("n_suspect", 9) == 0 and d.get("n_one_time_suspect", 9) == 0
+      and d.get("n_requeued", 9) == 0 and d.get("loadavg_pre_warmup", 99) < 1.0)
+sys.exit(0 if ok else 1)
+EOF
+}
+
+wait_idle
+bench /root/testdata/sf0.001 sf0.001
+wait_idle
+bench /root/testdata/sf0.01 sf0.01
+wait_idle
+bench /root/testdata/sf0.1 sf0.1
+# clean-pass policy for the committed sf0.1 number
+for attempt in 1 2; do
+  if clean_pass /tmp/bench_sf0.1.json; then break; fi
+  sleep 120; wait_idle
+  bench /root/testdata/sf0.1 sf0.1
+done
+wait_idle
+bench /tmp/graft_sf1 sf1
+
+for sf in 0.001 0.01 0.1; do
+  python3 tools/duck_bench.py /root/testdata/sf$sf /tmp/verify_out/oracle_sql.json 2 \
+    > /tmp/duck_sf$sf.json 2>/tmp/duckrun_$sf.log
+done
+
+python3 tools/scaling.py SCALING.json \
+  sf0.001=/tmp/bench_sf0.001.json,/tmp/duck_sf0.001.json \
+  sf0.01=/tmp/bench_sf0.01.json,/tmp/duck_sf0.01.json \
+  sf0.1=/tmp/bench_sf0.1.json,/tmp/duck_sf0.1.json > /tmp/scaling.log 2>&1
+python3 tools/scaling_sf1.py SCALING.json /tmp/bench_sf0.1.json /tmp/bench_sf1.json >> /tmp/scaling.log 2>&1
+
+cp /tmp/bench_sf0.1.json BENCH_LOCAL.json
+cp /tmp/duck_sf0.1.json DUCK_LOCAL.json
+echo REFRESH_DONE

@@ -304,6 +304,14 @@ object Engine {
                          queries: DataFrame, n: Int): DataFrame =
     graft.domain.LexLake.serve(spark, lakeRoot, queries, n, impact = true)
 
+  /** Exact phrase search from the lexical store's positional postings —
+    * bucket-pruned read, rarest-word conjunctive gate, (doc, position)-
+    * keyed adjacency joins; equals TextStats.phraseMatch over the logical
+    * corpus. */
+  def lexLakePhraseServe(spark: SparkSession, lakeRoot: String,
+                         phrase: Seq[String]): DataFrame =
+    graft.domain.LexLake.phraseServe(spark, lakeRoot, phrase)
+
   /** Per-bucket health of the lexical store: posting mass, distinct terms,
     * the top-df term with its exact integer-micros corpus share (the skew
     * signal that sets the impact df threshold), pending overlay mass. */

@@ -2348,6 +2348,16 @@ object SparkEntry {
       40L -> Seq("zzzunmatchedterm")), n = 10, fbDocs = 5, fbTerms = 3,
       k1 = 1.2, b = 0.75))),
 
+    Q("q167_phrase_match", (s, dir) => {
+      // exact phrase search — the positional posting join (candidate docs
+      // gated by the phrase's rarest word via one partial agg, adjacency
+      // verified by k-1 (doc, position)-keyed semi-joins; no window, no
+      // sort, no all-pairs). The oracle states the same predicate in its
+      // window-equality form.
+      graft.operators.TextStats.phraseMatch(T(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join"))
+    }, Some(TextOracle.phraseMatchSql(Seq("hash", "join")))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

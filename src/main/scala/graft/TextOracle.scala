@@ -2102,6 +2102,26 @@ object TextOracle {
     WITH ${bm25PerQueryCtes(queries, n, k1, b)}
     SELECT probe_id, doc_id, bm25_micros, rank FROM lexranked"""
 
+  /** q167: exact phrase match (TextStats.phraseMatch). The oracle takes the
+    * window-equality form (a k-token window's joined text equals the
+    * phrase literal — the windowCtes idiom), which is definitionally the
+    * same predicate as the engine's positional adjacency join. */
+  def phraseMatchSql(phrase: Seq[String]): String = {
+    require(phrase.nonEmpty && phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    val k = phrase.size
+    s"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    w AS (SELECT doc_id, s, t FROM (
+            SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS s
+            FROM b WHERE len(t) >= $k))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM w WHERE array_to_string(t[s:s + ${k - 1}], ' ') = '${phrase.mkString(" ")}'
+    GROUP BY doc_id"""
+  }
+
   /** q166: pseudo-relevance-feedback query EXPANSION
     * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
     * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with

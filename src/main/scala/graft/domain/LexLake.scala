@@ -62,6 +62,12 @@ object LexLake {
   val postingsSchema: StructType = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("tf", LongType), StructField("dl", LongType),
+    // POSITIONAL postings (round 11): the term's 0-based token positions,
+    // sorted — what [[phraseServe]] reads. The standard positional-index
+    // size trade; BM25 serving never touches the column (columnar read
+    // skips it).
+    StructField("positions",
+      org.apache.spark.sql.types.ArrayType(LongType)),
     StructField("tbucket", IntegerType)))
   val doclensSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("dl", LongType)))
@@ -119,11 +125,14 @@ object LexLake {
     * domain). */
   private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"),
+      .select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")),
         TF.tokenCount(col("text")).as("dl"))
-    toks.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    toks.groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        bucketCol(col("term"), nBuckets).as("tbucket"))
+        col("positions"), bucketCol(col("term"), nBuckets).as("tbucket"))
   }
 
   /** Driver-side conf cache for the READER path: one parquet read per
@@ -626,6 +635,72 @@ object LexLake {
       n, "doc_id", "bm25_micros")
   }
 
+  /** EXACT PHRASE serve from the STORED positional postings — the
+    * lake-resident twin of [[graft.operators.TextStats.phraseMatch]]
+    * (spec-pinned parity over the logical corpus, mutations pending or
+    * not): one bucket-pruned postings read restricted to the phrase's
+    * terms (columnar read of term/doc_id/positions only), the conjunctive
+    * rarest-word gate, then k−1 (doc, start)-keyed adjacency semi-joins
+    * over the exploded stored positions. Overlays apply exactly as in
+    * [[serve]]: tombstoned/edited docs' stored rows drop, edit texts'
+    * positional postings recompute from the bounded overlay. Output:
+    * (doc_id, occurrences), matching docs only. READER path. */
+  def phraseServe(spark: SparkSession, root: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must carry at least one token")
+    require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    val nb = servedBuckets(spark, root).getOrElse(throw
+      new IllegalArgumentException(
+        s"lex lake at $root has no layout conf — ingest something first"))
+    val droot = GenStore.dataRoot(spark, root)
+    GenStore.requireLive(spark, droot)
+    val k = phrase.size
+    val terms = phrase.distinct
+    val buckets = terms.map(bucketOf(_, nb)).distinct
+    val stored = GenStore.readGenOrEmpty(spark, droot, "postings",
+        postingsSchema)
+      .filter(col("tbucket").isInCollection(buckets))
+      .filter(col("term").isInCollection(terms))
+      .select("term", "doc_id", "positions")
+    val conf = spark.sessionState.newHadoopConf()
+    def overlay(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val postL =
+      if (!overlay("tombstones") && !overlay("edits")) stored
+      else {
+        val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+          tombstonesSchema)
+        val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+            editsSchema)
+          .join(tombs, Seq("doc_id"), "left_anti")
+        val overlayIds = edits.select("doc_id")
+          .unionByName(tombs.select("doc_id")).distinct()
+        stored.join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
+          .unionByName(postingsOf(edits, nb)
+            .filter(col("term").isInCollection(terms))
+            .select("term", "doc_id", "positions"))
+      }
+    val pos0 = postL.select(col("doc_id"), col("term"),
+      explode(col("positions")).as("pos"))
+    // the rarest-word conjunctive gate, then the adjacency fold — the
+    // phraseMatch plan verbatim over stored positions
+    val cand = pos0.groupBy("doc_id")
+      .agg(count_distinct(col("term")).as("__nt"))
+      .filter(col("__nt") === terms.size).select("doc_id")
+    val pp = pos0.join(cand, Seq("doc_id"), "left_semi")
+    val s0 = pp.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val starts = (1 until k).foldLeft(s0) { (acc, i) =>
+      acc.join(pp.filter(col("term") === phrase(i))
+          .select(col("doc_id"), (col("pos") - i).as("start")),
+        Seq("doc_id", "start"), "left_semi")
+    }
+    starts.groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
+  }
+
   /** FOLD + COMPACT + REBASE as a new generation: postings and doclens are
     * rewritten with tombstoned docs dropped and edited docs' rows
     * recomputed from the overlay's text, stats rebases to one exact row
@@ -669,7 +744,7 @@ object LexLake {
         try {
           val post = readOr(spark, s"$droot/postings", postingsSchema)
             .join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
-            .select("term", "doc_id", "tf", "dl", "tbucket")
+            .select("term", "doc_id", "tf", "dl", "positions", "tbucket")
             .unionByName(postingsOf(edits, nb))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {

@@ -421,6 +421,49 @@ object TextStats {
       maxBroadcastQueryTerms = maxBroadcastQueryTerms)
   }
 
+  /** EXACT PHRASE match — the positional posting join (the classic
+    * inverted-index phrase query; [[graft.domain.LexLake.phraseServe]] is
+    * its lake-resident twin over stored positional postings): a document
+    * matches the k-token phrase where token positions p, p+1, …, p+k−1
+    * hold exactly phrase(0..k−1). Output: (doc_id, occurrences) for
+    * matching docs only.
+    *
+    * Scale shape: the corpus tokenizes once with positions and is
+    * immediately FILTERED to the phrase's terms (at a lake this is the
+    * pruned positional-postings read); a conjunctive gate (one partial
+    * agg: docs containing every distinct phrase term) cuts the position
+    * frames before the adjacency fold — a phrase led by a frequent word
+    * is gated by its RAREST word, the standard phrase-query optimization
+    * — then k−1 (doc_id, start)-keyed semi-joins verify adjacency. Every
+    * exchange is keyed on (doc, position): no window, no sort, no
+    * all-pairs. Duplicate words in the phrase ("the the") fall out of the
+    * fold naturally. */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must carry at least one token")
+    // the phrase interpolates into the oracle SQL as a literal — same
+    // character guard as the other lexical entry points
+    require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    val k = phrase.size
+    val terms = phrase.distinct
+    val pos0 = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(terms))
+    val cand = pos0.groupBy("doc_id")
+      .agg(count_distinct(col("term")).as("__nt"))
+      .filter(col("__nt") === terms.size).select("doc_id")
+    val pp = pos0.join(cand, Seq("doc_id"), "left_semi")
+    val s0 = pp.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").cast("long").as("start"))
+    val starts = (1 until k).foldLeft(s0) { (acc, i) =>
+      acc.join(pp.filter(col("term") === phrase(i))
+          .select(col("doc_id"), (col("pos") - i).cast("long").as("start")),
+        Seq("doc_id", "start"), "left_semi")
+    }
+    starts.groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
+  }
+
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
     * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
     * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set

@@ -356,6 +356,37 @@ class LexLakeSpec extends SparkSpec {
       == exact)
   }
 
+  test("phrase serve over stored positional postings equals phraseMatch through every mutation") {
+    val root = freshRoot("phrase")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    def want(c: Seq[(Long, String)], ph: Seq[String]): Set[(Long, Long)] =
+      TextStats.phraseMatch(c.toDF("doc_id", "text"), "doc_id", "text", ph)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got(ph: Seq[String]): Set[(Long, Long)] =
+      LexLake.phraseServe(spark, root, ph)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ph = Seq("spark", "batch")
+    assert(want(corpus(), ph).nonEmpty, "fixture must contain the phrase")
+    assert(got(ph) == want(corpus(), ph))
+    // a 3-token phrase exercises the fold depth (and occurs in the fixture)
+    val ph3 = Seq("spark", "batch", "hash")
+    assert(want(corpus(), ph3).nonEmpty)
+    assert(got(ph3) == want(corpus(), ph3))
+    // overlays apply before the fold: a delete drops stored positions, an
+    // upsert's new text serves from recomputed positional postings
+    LexLake.delete(spark, root, Seq(0L).toDF("doc_id"))
+    LexLake.upsert(spark, root,
+      Seq((100L, "spark batch spark batch")).toDF("doc_id", "text"))
+    val logical = corpus().filterNot(_._1 == 0L) :+
+      ((100L, "spark batch spark batch"))
+    assert(got(ph) == want(logical, ph))
+    assert(got(ph).exists { case (d, n) => d == 100L && n == 2L },
+      "the upserted doc matches twice")
+    // the reconcile fold carries positions into the new generation
+    LexLake.reconcile(spark, root)
+    assert(got(ph) == want(logical, ph))
+  }
+
   test("serve refuses duplicate probe ids instead of silently merging term sets") {
     val root = freshRoot("dupprobe")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 8)

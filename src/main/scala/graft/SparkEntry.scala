@@ -2358,6 +2358,17 @@ object SparkEntry {
         "doc_id", "text", Seq("hash", "join"))
     }, Some(TextOracle.phraseMatchSql(Seq("hash", "join")))),
 
+    Q("q168_proximity_pairs", (s, dir) => {
+      // windowed proximity co-occurrence — the collocation/PMI-input
+      // statistic over token positions. The |pa - pb| <= w band predicate
+      // would plan as a nested loop; positions block into width-w buckets
+      // (one side replicated to its two neighbor buckets) so the join is
+      // a plain (doc, bucket) equi-join with the exact band filter after
+      // — the dedup suite's banding idiom applied to positions.
+      graft.operators.TextStats.proximityPairs(T(s, dir, "documents"),
+        "doc_id", "text", "hash", "join", w = 5)
+    }, Some(TextOracle.proximityPairsSql("hash", "join", w = 5))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

@@ -2122,6 +2122,28 @@ object TextOracle {
     GROUP BY doc_id"""
   }
 
+  /** q168: windowed proximity co-occurrence (TextStats.proximityPairs) —
+    * per doc, position pairs of the two terms within w tokens. The oracle
+    * is the naive positional self-join with the ABS band predicate; the
+    * engine's bucket-blocked equi-join computes the identical pair set. */
+  def proximityPairsSql(termA: String, termB: String, w: Int): String = {
+    require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
+    val selfEx = if (termA == termB) "AND pa.pos <> pb.pos" else ""
+    s"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    p AS (SELECT doc_id, u.term, u.pos
+          FROM b, LATERAL (SELECT unnest(t) AS term,
+                                  generate_subscripts(t, 1) AS pos) u)
+    SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (SELECT doc_id, pos FROM p WHERE term = '$termA') pa
+    JOIN (SELECT doc_id, pos FROM p WHERE term = '$termB') pb
+      ON pa.doc_id = pb.doc_id AND abs(pa.pos - pb.pos) <= $w $selfEx
+    GROUP BY 1"""
+  }
+
   /** q166: pseudo-relevance-feedback query EXPANSION
     * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
     * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with

@@ -464,6 +464,43 @@ object TextStats {
     starts.groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
   }
 
+  /** WINDOWED PROXIMITY co-occurrence of two terms — per document, the
+    * number of position pairs (pa, pb) with |pa − pb| <= w (and pa != pb
+    * when the terms are equal): the collocation/PMI-input statistic and
+    * the proximity-scoring primitive positional indexes exist for.
+    *
+    * Scale shape: a naive |pa − pb| <= w predicate is a BAND join (a
+    * non-equi range condition Spark would plan as a broadcast nested
+    * loop over corpus-sized position sets). Instead positions BLOCK into
+    * width-w buckets (bucket = floor(p / w)) and term B replicates into
+    * its own bucket and both neighbors — any pair within w shares one of
+    * the three (doc, bucket) keys, so the join is a plain EQUI-join on
+    * (doc_id, bucket) with the exact |pa − pb| <= w filter applied after
+    * (the salting/banding idiom the dedup suite uses, applied to token
+    * positions). 3× replication of one side buys a keyed hash join with
+    * no nested loop and no skew beyond the terms' own frequency. */
+  def proximityPairs(docs: DataFrame, idCol: String, textCol: String,
+                     termA: String, termB: String, w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(Seq(termA, termB).distinct))
+    val pa = pos.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").cast("long").as("pa"),
+        floor(col("pos") / w).cast("long").as("__bk"))
+    val pb = pos.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").cast("long").as("pb"),
+        explode(array((floor(col("pos") / w) - 1).cast("long"),
+          floor(col("pos") / w).cast("long"),
+          (floor(col("pos") / w) + 1).cast("long"))).as("__bk"))
+    pa.join(pb, Seq("doc_id", "__bk"))
+      .filter(abs(col("pa") - col("pb")) <= w &&
+        (lit(termA != termB) || col("pa") =!= col("pb")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
     * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
     * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set

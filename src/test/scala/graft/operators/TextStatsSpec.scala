@@ -323,6 +323,24 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 8L), "no feedback -> unexpanded -> no rows")
   }
 
+  test("proximity pairs: each in-band pair counted exactly once; equal terms drop self-pairs; distance == w included") {
+    // doc 1: 'a' at 0,3,5 — a-a pairs within 3 are (0,3) and (3,5), ordered
+    // both ways = 4, self-pairs excluded; a-y: y at 4 pairs with 3 and 5.
+    // doc 2: 'b' at 1 and 4 — distance EXACTLY w, crossing a bucket
+    // boundary (floor(1/3)=0 vs floor(4/3)=1): the neighbor replication
+    // must catch it, and catch it exactly once.
+    val docs = Seq(
+      (1L, "a x x a y a"),
+      (2L, "c b c c b")).toDF("doc_id", "text")
+    def got(a: String, b: String): Map[Long, Long] =
+      TextStats.proximityPairs(docs, "doc_id", "text", a, b, w = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got("a", "a") == Map(1L -> 4L))
+    assert(got("a", "y") == Map(1L -> 2L))
+    assert(got("b", "b") == Map(2L -> 2L))
+    assert(got("a", "zzz").isEmpty)
+  }
+
   test("bm25PerQuery refuses duplicate probe ids instead of silently merging their term sets") {
     val docs = Seq((1L, "spark query merge"), (2L, "spark spark window"))
       .toDF("doc_id", "text")

@@ -646,7 +646,8 @@ object LexLake {
     * positional postings recompute from the bounded overlay. Output:
     * (doc_id, occurrences), matching docs only. READER path. */
   def phraseServe(spark: SparkSession, root: String,
-                  phrase: Seq[String]): DataFrame = {
+                  phrase: Seq[String],
+                  maxOverlayRows: Long = 1L << 20): DataFrame = {
     require(phrase.nonEmpty, "phrase must carry at least one token")
     require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
       s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
@@ -663,6 +664,19 @@ object LexLake {
       .filter(col("tbucket").isInCollection(buckets))
       .filter(col("term").isInCollection(terms))
       .select("term", "doc_id", "positions")
+    // PRE-POSITIONAL rows refuse loudly (r11 advice, the medium finding):
+    // postings written before the positional layout read back with
+    // positions = null, and the explode below would silently DROP those
+    // rows — a missing phrase match instead of an error, made permanent by
+    // the next reconcile's fold (the lake stores no text, so positions can
+    // never be rebuilt here). The probe is a LIMIT over the already-pruned
+    // scan — bounded, and only on the phrase's own terms.
+    require(stored.filter(col("positions").isNull).limit(1).count() == 0,
+      s"lex lake at $root holds PRE-POSITIONAL posting rows for " +
+        s"${terms.mkString("/")} (positions = null) — phrase serving needs " +
+        "the positional layout. Re-ingest the affected documents (delete + " +
+        "upsert with their text, then reconcile) or rebuild the store; a " +
+        "silent serve would drop those rows from every phrase result.")
     val conf = spark.sessionState.newHadoopConf()
     def overlay(sub: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
@@ -678,6 +692,13 @@ object LexLake {
           .join(tombs, Seq("doc_id"), "left_anti")
         val overlayIds = edits.select("doc_id")
           .unionByName(tombs.select("doc_id")).distinct()
+        // ENFORCED broadcast bound (r11 verdict nit): overlay mass is
+        // bounded between reconciles by contract, but a mass-deletion day
+        // must refuse loudly here, not OOM the driver
+        graft.operators.Serving.requireBroadcastable(overlayIds, maxOverlayRows,
+          "the tombstone/edit overlay id set",
+          "Overlays are bounded interim state by contract — run reconcile " +
+            "to fold them, then re-run the phrase serve.")
         stored.join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
           .unionByName(postingsOf(edits, nb)
             .filter(col("term").isInCollection(terms))
@@ -899,8 +920,18 @@ object LexLake {
     * max). Overlay masses are scoped semi-joins/bounded aggs. */
   def healthOfPostings(postings: DataFrame, nDocsCorpus: Long,
                        tombstones: DataFrame,
-                       editPostings: DataFrame): DataFrame = {
+                       editPostings: DataFrame,
+                       maxOverlayRows: Long = 1L << 20): DataFrame = {
     require(nDocsCorpus > 0, s"nDocsCorpus must be > 0, got $nDocsCorpus")
+    // the tombstone id set BROADCASTS below — bounded by the
+    // overlays-are-interim-state contract, but ENFORCED (r11 verdict nit):
+    // a mass-deletion day must refuse loudly, not OOM the driver silently
+    graft.operators.Serving.requireBroadcastable(
+      tombstones.select("doc_id").distinct(), maxOverlayRows,
+      "the tombstone overlay id set",
+      "Overlays are bounded interim state by contract — run reconcile to " +
+        "fold them, then re-run the health report (or raise maxOverlayRows " +
+        "if executors are sized for it).")
     val bt = postings.groupBy("tbucket", "term")
       .agg(count(lit(1)).as("df"))
     val per = bt.groupBy("tbucket").agg(
@@ -924,7 +955,11 @@ object LexLake {
       .select(col("tbucket"),
         col("n_postings"), col("n_terms"),
         col("top_term"), col("top_df"),
-        (col("top_df") * lit(1000000L) / lit(nDocsCorpus)).cast("long")
+        // EXACT integer division (r11 advice): Spark's `/` is double
+        // division, which loses bits once top_df·10⁶ crosses 2^53 — `div`
+        // stays on longs, matching the DuckDB oracle's `//` exactly
+        expr(s"top_df * CAST(1000000 AS BIGINT) div " +
+            s"CAST($nDocsCorpus AS BIGINT)")
           .as("top_share_micros"),
         coalesce(col("tomb_postings"), lit(0L)).as("tomb_postings"),
         coalesce(col("edit_postings"), lit(0L)).as("edit_postings"))

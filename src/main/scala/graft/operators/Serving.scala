@@ -144,6 +144,18 @@ object Serving {
         s"${c.getLong(1)} distinct) — $consequence")
   }
 
+  /** Broadcast-contract guard for a BOUNDED-BY-CONTRACT frame (the knnJoin
+    * idiom, shared): probe the row count with a LIMIT — never a full count
+    * of a possibly-expensive plan — and refuse loudly past the cap instead
+    * of letting the broadcast OOM the driver. `subject` names the frame;
+    * `remedy` names the way out (e.g. "run reconcile to fold the overlay"). */
+  def requireBroadcastable(df: DataFrame, maxRows: Long,
+                           subject: String, remedy: String): Unit = {
+    val cap = math.min(maxRows + 1, Int.MaxValue.toLong - 1).toInt
+    require(df.limit(cap).count() < cap,
+      s"$subject exceeds $maxRows rows — it cannot broadcast. $remedy")
+  }
+
   /** The lexical query-batch gate, ONE agg (duplicate-id refusal + exploded
     * broadcast cap — separately they cost a scheduler round-trip each):
     * returns the exploded, per-probe-deduplicated `(probe_id, term)` frame

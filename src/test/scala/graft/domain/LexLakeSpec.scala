@@ -387,6 +387,51 @@ class LexLakeSpec extends SparkSpec {
     assert(got(ph) == want(logical, ph))
   }
 
+  test("phrase serve refuses pre-positional posting rows loudly") {
+    val root = freshRoot("prepos")
+    LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 4)
+    // simulate a store written before the positional layout: positions read
+    // back null — a silent serve would drop those rows from every phrase
+    // result, and the next fold would make it permanent (the lake stores no
+    // text to rebuild from)
+    val doctored = spark.read.schema(LexLake.postingsSchema)
+      .parquet(s"$root/postings")
+      .withColumn("positions",
+        org.apache.spark.sql.functions.lit(null).cast("array<bigint>"))
+      .localCheckpoint(true)
+    doctored.write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$root/postings")
+    val e = intercept[IllegalArgumentException] {
+      LexLake.phraseServe(spark, root, Seq("spark", "batch"))
+    }
+    assert(e.getMessage.contains("PRE-POSITIONAL"), e.getMessage)
+    assert(e.getMessage.contains("Re-ingest"), e.getMessage)
+  }
+
+  test("overlay broadcasts are guarded: a mass-deletion day refuses loudly") {
+    // phraseServe's overlay id union broadcasts — bounded by contract,
+    // ENFORCED here (r11 verdict nit #2): past the cap it must name the
+    // reconcile remedy, never OOM the driver silently
+    val root = freshRoot("overlayguard")
+    LexLake.ingest(spark, root, corpus(8).toDF("doc_id", "text"), nBuckets = 4)
+    LexLake.delete(spark, root, Seq(0L, 1L, 2L).toDF("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      LexLake.phraseServe(spark, root, Seq("spark", "batch"),
+        maxOverlayRows = 2)
+    }
+    assert(e.getMessage.contains("cannot broadcast"), e.getMessage)
+    assert(e.getMessage.contains("reconcile"), e.getMessage)
+    // healthOfPostings' tombstone-mass broadcast carries the same guard
+    val docs = corpus(6).toDF("doc_id", "text")
+    val post = LexLake.tokenizePostings(docs, 4)
+    val e2 = intercept[IllegalArgumentException] {
+      LexLake.healthOfPostings(post, 6L, docs.select("doc_id"),
+        LexLake.tokenizePostings(docs.limit(0), 4), maxOverlayRows = 2)
+    }
+    assert(e2.getMessage.contains("cannot broadcast"), e2.getMessage)
+    assert(e2.getMessage.contains("reconcile"), e2.getMessage)
+  }
+
   test("serve refuses duplicate probe ids instead of silently merging term sets") {
     val root = freshRoot("dupprobe")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 8)

@@ -52,6 +52,12 @@ for attempt in 1 2; do
   sleep 120; wait_idle
   bench /root/testdata/sf0.1 sf0.1
 done
+# ENFORCED (r11 advice): a still-dirty sf0.1 pass must never be committed
+# silently — skip the cp/scaling steps and exit nonzero so the caller sees it
+if ! clean_pass /tmp/bench_sf0.1.json; then
+  echo "REFRESH_DIRTY: sf0.1 pass still suspect after retries — NOT committing" >&2
+  exit 1
+fi
 wait_idle
 bench /tmp/graft_sf1 sf1
 

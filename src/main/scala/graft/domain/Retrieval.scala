@@ -29,15 +29,14 @@ import graft.operators.Similarity
   * ([[currentSnapshot]]) and serves every batch against the pinned pair
   * until it chooses to refresh — the [[VectorLake.searchBatchAt]]
   * shadow-read idiom, paired. Pinned serves read COMMITTED generation
-  * state only: the lex side skips the root-level edit/tombstone overlays
-  * (uncommitted mutation state — exactly what a half-fanned-out cross-lake
-  * edit is until [[LakeSync.propagate]] completes and the folds commit
-  * it), so an edit that reached only one store cannot leak into the pair.
-  * The remaining caveat, stated loudly: [[VectorLake.upsert]] rewrites
-  * touched leaves of the CURRENT generation in place, so a pin of the
-  * current vector generation sees those rewrites — pin the displaced
-  * generation ([[VectorLake.generations]]) when the eval demands a fully
-  * frozen pair. */
+  * state only, on BOTH arms: each lake routes deletes and upserts through
+  * root-level tombstone/edit overlays that pinned reads skip (uncommitted
+  * mutation state — exactly what a half-fanned-out cross-lake edit is
+  * until [[LakeSync.propagate]] completes and the folds commit it), so a
+  * concurrent propagate — deletes AND re-embeds — cannot change a pinned
+  * pair's answers: the snapshot is byte-frozen until each lake's next
+  * reconcile commits a new generation and the deployment re-pins
+  * (spec-pinned in RetrievalDaySpec's mid-batch-propagate arm). */
 object Retrieval {
 
   /** One coherent (vectorGen, lexGen) pair, read together. `None` = that

@@ -23,9 +23,18 @@ import graft.sources.Writers
   *    (partition pruning is the IVF inverted file).
   *  - `gen-N/centroids/` — (ivf_list, c array<double>), the coarse
   *    quantizer THAT ASSIGNED gen-N's vectors.
-  *  - `gen-N/tombstones/` — (vec_id) ids [[delete]]d from this generation,
-  *    excluded from every read immediately and physically reclaimed by the
-  *    next reconcile (which starts gen-(N+1) tombstone-free).
+  *  - `tombstones/`, `edits/` (ROOT level, round 12) — the
+  *    [[delete]]/[[upsert]] overlays, exactly [[LexLake]]'s lifecycle:
+  *    UNCOMMITTED mutation state shared across generations, applied by
+  *    every unpinned read immediately (tombstoned ids vanish, edited ids
+  *    serve the overlay's embedding assigned under the generation's
+  *    quantizer), SKIPPED by pinned reads ([[searchBatchAt]] serves the
+  *    generation's committed state only — what makes a
+  *    [[Retrieval.hybridServeAt]] snapshot byte-frozen across a concurrent
+  *    [[LakeSync.propagate]], the r11 verdict's top ask), and FOLDED into
+  *    gen-(N+1) by [[reconcile]], which clears them. Generations written
+  *    before round 12 may still carry a legacy `gen-N/tombstones/` dir —
+  *    every read keeps excluding it.
   *  - `gen-N/codes/`, `gen-N/sqstats/` — OPTIONAL int8 scalar-quantized
   *    serving tier (tinyint codes, 4× smaller list reads, + the per-dim
   *    min/max LUT), adopted at reconcile only when the measured recall@k
@@ -83,6 +92,9 @@ object VectorLake {
     StructField("maxs", ArrayType(DoubleType))))
   val tombstonesSchema: StructType =
     StructType(Seq(StructField("vec_id", LongType)))
+  val editsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
 
   final case class IngestReport(kept: Long, dupsVsIndex: Long, dupsInBatch: Long)
 
@@ -155,13 +167,11 @@ object VectorLake {
     rows.map(_.getSeq[Double](1).toIndexedSeq)
   }
 
-  /** TOMBSTONE filter — the delete lifecycle's read half: a tombstoned
-    * vec_id vanishes from every read the moment [[delete]] commits, while
-    * the physical rows wait for [[reconcile]] to drop them (deletes are
-    * rare; rewriting a list per delete would be write amplification for
-    * nothing). The existence probe keeps the COMMON no-deletes plan free
-    * of a dead join node; with tombstones resident the anti-join's build
-    * side is the (small) tombstone set, never the corpus. */
+  /** LEGACY generation-level tombstone filter: generations written before
+    * round 12 carried their tombstones under the gen dir — keep excluding
+    * them on every read of such a store. New deletes land in the ROOT
+    * overlay (see [[rootOverlays]]). The existence probe keeps the COMMON
+    * plan free of a dead join node. */
   private def minusTombstones(spark: SparkSession, droot: String,
                               df: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$droot/tombstones")
@@ -173,6 +183,8 @@ object VectorLake {
       Seq("vec_id"), "left_anti")
   }
 
+  /** The COMMITTED generation rows — what a PINNED read serves (root
+    * overlays skipped; legacy gen-level tombstones still excluded). */
   private def vectorsAt(spark: SparkSession, droot: String): DataFrame =
     minusTombstones(spark, droot,
       GenStore.readGenOrEmpty(spark, droot, "vectors", vectorsSchema))
@@ -180,6 +192,62 @@ object VectorLake {
   private def codesAt(spark: SparkSession, droot: String): DataFrame =
     minusTombstones(spark, droot,
       GenStore.readGenOrEmpty(spark, droot, "codes", codesSchema))
+
+  /** The ROOT-LEVEL delete/edit overlays, read once (READ-ONLY resolution —
+    * reader paths hold no lease): `None` when neither dir exists (the
+    * common fast path keeps plans free of dead join nodes), else
+    * (edits-minus-tombstones, overlay id union). A tombstone on an edited
+    * id wins until the edit's tombstone drop lands — [[LexLake]]'s
+    * precedence verbatim. The id union BROADCASTS at every appliance —
+    * bounded by the overlays-are-interim-state contract and ENFORCED. */
+  private def rootOverlays(spark: SparkSession, root: String,
+                           maxOverlayRows: Long = 1L << 20)
+      : Option[(DataFrame, DataFrame)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    def has(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    // a pointer-less LEGACY root keeps its tombstones dir at the root by
+    // layout accident (droot == root) — those are gen-level tombstones,
+    // already excluded by minusTombstones; reading them here too is a
+    // harmless double exclusion
+    if (!has("tombstones") && !has("edits")) None
+    else {
+      val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+        tombstonesSchema)
+      val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+          editsSchema)
+        .join(tombs, Seq("vec_id"), "left_anti")
+      val overlayIds = edits.select("vec_id")
+        .unionByName(tombs.select("vec_id")).distinct()
+      graft.operators.Serving.requireBroadcastable(overlayIds, maxOverlayRows,
+        "the vector tombstone/edit overlay id set",
+        "Overlays are bounded interim state by contract — run reconcile " +
+          "to fold them, then retry.")
+      Some((edits, overlayIds))
+    }
+  }
+
+  /** The LOGICAL corpus view — what every UNPINNED read serves: committed
+    * generation rows minus the root overlays' ids, plus the edit overlay's
+    * rows assigned under the generation's quantizer (`cents` is by-name:
+    * the no-overlay fast path never reads centroids). */
+  private def logicalVectors(spark: SparkSession, droot: String,
+                             root: String,
+                             cents: => Seq[Seq[Double]]): DataFrame = {
+    val stored = vectorsAt(spark, droot)
+    rootOverlays(spark, root) match {
+      case None => stored
+      case Some((edits, overlayIds)) =>
+        stored.join(broadcast(overlayIds), Seq("vec_id"), "left_anti")
+          .unionByName(Similarity.ivfAssignWithDist(
+            edits.select(col("vec_id"),
+              col("embedding").cast(vectorsSchema("embedding").dataType)
+                .as("embedding")),
+            "embedding", cents))
+    }
+  }
 
   /** The generation's SQ quantization LUT, or None when the recall gate
     * never adopted an SQ tier for it — 2·dims cells, the bounded-LUT
@@ -312,13 +380,20 @@ object VectorLake {
       Writers.recoverPartitionCompact(spark, s"$droot/vectors")
       Writers.recoverPartitionCompact(spark, s"$droot/codes")
       val cents = centroidsAt(spark, droot, root)
+      // upsert-resident ids (the edit overlay) are ALREADY content — the
+      // LexLake residency contract: re-ingest is not the edit path, so
+      // they are state no-ops, excluded up front (the overlay is bounded
+      // by the upsert contract, so the anti-join build side broadcasts)
+      val editIds = readOr(spark, s"$root/edits", editsSchema)
+        .select("vec_id")
       // the embedding cast is load-bearing: an uncast array<double> batch
       // would append double-typed files into the float-typed store and
       // brick every subsequent schema-imposed read
       val assigned = Similarity.ivfAssignWithDist(
         batch.select(col("vec_id").cast("long"),
           col("embedding").cast(vectorsSchema("embedding").dataType)
-            .as("embedding")),
+            .as("embedding"))
+          .join(broadcast(editIds), Seq("vec_id"), "left_anti"),
         "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -339,15 +414,28 @@ object VectorLake {
             "broadcast); raise maxBroadcastRows only if executors are " +
             "sized for it.")
         val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
-        // the GATE probes the LOGICAL store (tombstoned rows excluded):
-        // deleted content must not suppress a new near-duplicate — that
-        // would make a purge also a permanent content ban. The REPLAY
-        // anti-join below stays on the PHYSICAL ids: appending a second
-        // row under a tombstoned id would leave two rows sharing a vec_id
-        // (see [[delete]]'s id-reuse caveat).
-        val storedLogical = stored.join(
-          readOr(spark, s"$droot/tombstones", tombstonesSchema),
-          Seq("vec_id"), "left_anti")
+        // the GATE probes the LOGICAL store (tombstoned rows excluded,
+        // edit-overlay rows INCLUDED under the current quantizer): deleted
+        // content must not suppress a new near-duplicate — that would make
+        // a purge also a permanent content ban — and freshly upserted
+        // content MUST suppress one. The REPLAY anti-join below stays on
+        // the PHYSICAL ids: appending a second row under a tombstoned id
+        // would leave two rows sharing a vec_id (see [[delete]]'s id-reuse
+        // caveat).
+        val rootTombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
+        val edits = readOr(spark, s"$root/edits", editsSchema)
+          .join(rootTombs, Seq("vec_id"), "left_anti")
+        val storedLogical = stored
+          .join(readOr(spark, s"$droot/tombstones", tombstonesSchema),
+            Seq("vec_id"), "left_anti")
+          .join(rootTombs, Seq("vec_id"), "left_anti")
+          .join(broadcast(editIds), Seq("vec_id"), "left_anti")
+          .unionByName(Similarity.ivfAssignWithDist(
+            edits.select(col("vec_id"),
+              col("embedding").cast(vectorsSchema("embedding").dataType)
+                .as("embedding")),
+            "embedding", cents)
+            .select("vec_id", "embedding", "ivf_list", "d2"))
         val (vsIndex0, inBatch0) =
           gateFrames(storedLogical, assigned, cents, dupThreshold, gateProbes)
         val vsIndex = vsIndex0
@@ -404,26 +492,34 @@ object VectorLake {
     }
 
   /** The resident vectors — READER path (read-only swap resolution; safe
-    * concurrent with a locked writer's swap). Tombstoned ids excluded. */
-  def vectors(spark: SparkSession, root: String): DataFrame =
-    vectorsAt(spark, dataRoot(spark, root))
+    * concurrent with a locked writer's swap). The LOGICAL corpus view:
+    * tombstoned ids excluded, edit-overlay rows included (assigned under
+    * the current quantizer). */
+  def vectors(spark: SparkSession, root: String): DataFrame = {
+    val droot = dataRoot(spark, root)
+    logicalVectors(spark, droot, root, centroidsAt(spark, droot, root))
+  }
 
   /** DELETE by id — the retraction/right-to-be-forgotten path a serving
     * index needs (the training-data-pipeline twin of a GDPR purge):
-    * tombstone the ids now, reclaim the bytes later. Commits a tombstone
-    * row per RESIDENT id (ids never stored are ignored; an exact replay
-    * appends nothing — the lake's at-least-once contract); every read —
-    * [[vectors]], [[search]], [[searchBatch]] float and quantized,
-    * [[driftReport]], the ingest near-dup gate — excludes tombstoned rows
-    * from that moment, so deleted content can neither be served nor
-    * suppress new ingests. The PHYSICAL rows (and their SQ codes) wait for
-    * the next [[reconcile]], whose generation rewrite drops them and
-    * starts the new generation tombstone-free — deletes are rare, and
+    * tombstone the ids now (in the ROOT overlay — uncommitted mutation
+    * state, the [[LexLake.delete]] contract verbatim), reclaim the bytes
+    * later. Commits a tombstone row per RESIDENT id — physically stored or
+    * upsert-inserted in the edit overlay (ids resident nowhere are
+    * ignored; an exact replay appends nothing — the lake's at-least-once
+    * contract); every UNPINNED read — [[vectors]], [[search]],
+    * [[searchBatch]] float and quantized, [[driftReport]], the ingest
+    * near-dup gate — excludes tombstoned rows from that moment, so
+    * deleted content can neither be served nor suppress new ingests.
+    * PINNED reads ([[searchBatchAt]]) serve the generation's committed
+    * state until the fold — the snapshot contract. The PHYSICAL rows (and
+    * their SQ codes) wait for the next [[reconcile]], whose generation
+    * rewrite drops them and clears the overlay — deletes are rare, and
     * rewriting a list partition per delete would be pure write
     * amplification. Caveat: re-ingesting a TOMBSTONED id is a no-op write
     * until that reconcile (the replay anti-join sees the physical row);
-    * id reuse after deletion needs the reclaim to run first. Returns the
-    * number of ids newly tombstoned. */
+    * [[upsert]] is the sanctioned resurrection. Returns the number of ids
+    * newly tombstoned. */
   def delete(spark: SparkSession, root: String, ids: DataFrame,
              lockWaitMs: Long = 0L): Long =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
@@ -436,7 +532,9 @@ object VectorLake {
       val del = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
       val resident = readOr(spark, s"$droot/vectors", vectorsSchema)
         .select("vec_id")
-      val existing = readOr(spark, s"$droot/tombstones", tombstonesSchema)
+        .unionByName(readOr(spark, s"$root/edits", editsSchema)
+          .select("vec_id"))
+      val existing = readOr(spark, s"$root/tombstones", tombstonesSchema)
       val toWrite = del
         .join(resident, Seq("vec_id"), "left_semi")
         .join(existing, Seq("vec_id"), "left_anti")
@@ -446,101 +544,85 @@ object VectorLake {
         // tombstone read would see its own rows
         val n = toWrite.count()
         if (n > 0)
-          toWrite.write.mode("append").parquet(s"$droot/tombstones")
+          toWrite.write.mode("append").parquet(s"$root/tombstones")
         n
       } finally { toWrite.unpersist(blocking = false); () }
     }
 
   /** UPSERT by id — the re-embedding path (a model refresh re-encodes
-    * RESIDENT documents; their vectors must be REPLACED in place, not
-    * deleted-and-waited-on): under one lease, the batch ids' old rows are
-    * physically removed by rewriting ONLY their list leaves (the
-    * hidden-sibling [[Writers.rewriteLeaf]] swap — crash states invisible
-    * to readers, repaired under the next lease), any tombstones on those
-    * ids are dropped (an upsert is explicit new content — the one
-    * sanctioned id resurrection), and the new rows append list-partitioned
-    * (plus their SQ codes while the tier is resident, so the quantized
-    * read serves the refresh too). Write amplification is one leaf rewrite
-    * per TOUCHED list — bounded by the (serving-bounded, ENFORCED) batch,
-    * never a store rewrite.
+    * RESIDENT documents; their vectors must serve REPLACED immediately,
+    * not deleted-and-waited-on): the batch lands in the root `edits/`
+    * OVERLAY (swap-replaced, last-writer-wins per id — the
+    * [[LexLake.upsert]] contract verbatim), and any tombstones on the
+    * batch ids drop (an upsert is explicit new content — the one
+    * sanctioned id resurrection). From that commit every UNPINNED read
+    * serves the NEW embedding (assigned under the current quantizer,
+    * full-float on the quantized paths); the COMMITTED generations are
+    * untouched, so a PINNED read ([[searchBatchAt]], a
+    * [[Retrieval.hybridServeAt]] snapshot) stays byte-frozen across the
+    * upsert — the r11 verdict's top ask (the old leaf-rewrite form
+    * mutated the current generation in place, which broke exactly that).
+    * The next [[reconcile]] folds the overlay into the physical
+    * list-partitioned layout (and its SQ codes) and clears it.
     *
     * Deliberately GATE-FREE: ingest's near-dup gate protects content
     * ADMISSION; an upsert re-encodes content that is already admitted, and
     * gating it would fight every model refresh (the whole corpus shifts
     * together). Use [[ingest]] for gated inserts.
     *
-    * At-least-once: a replay removes the previously-appended new rows in
-    * its leaf-rewrite step and re-appends identical values — the operation
-    * is idempotent AS A WHOLE, and a torn run (crash between the removes
-    * and the append, `failpointAfterRemove`) leaves the ids absent until
-    * the replay lands them (the same torn-window contract as the lakes'
-    * other mutations). Batch ids must be unique — refused loudly
-    * otherwise, two rows would land under one id. Returns the batch row
-    * count. */
+    * At-least-once: the overlay swap is last-writer-wins, so a replay
+    * rewrites identical state; a crash between the swap and the tombstone
+    * drop (`failpointAfterEdits`, the torn window) leaves a tombstoned
+    * id's edit masked — hidden until the replay drops the tombstone (the
+    * LexLake torn-window contract). Batch ids must be unique — refused
+    * loudly otherwise; the RESULTING overlay stays inside
+    * `maxOverlayRows` (it broadcasts at every read — corpus-scale
+    * re-encodes belong to a bulk rewrite + reconcile). Returns the batch
+    * row count. */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
-             maxBroadcastRows: Long = 1L << 20,
+             maxOverlayRows: Long = 1L << 20,
              lockWaitMs: Long = 0L,
-             failpointAfterRemove: () => Unit = () => ()): Long =
+             failpointAfterEdits: () => Unit = () => ()): Long =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
-      val droot = dataRoot(spark, root)
-      Writers.recoverPartitionCompact(spark, s"$droot/vectors")
-      Writers.recoverPartitionCompact(spark, s"$droot/codes")
-      val cents = centroidsAt(spark, droot, root)
-      val newRows = Similarity.ivfAssignWithDist(
-        batch.select(col("vec_id").cast("long").as("vec_id"),
+      val newRows = batch
+        .select(col("vec_id").cast("long").as("vec_id"),
           col("embedding").cast(vectorsSchema("embedding").dataType)
-            .as("embedding")),
-        "embedding", cents)
+            .as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val counts = newRows.agg(count(lit(1)), count_distinct(col("vec_id"))).head()
+        val counts = newRows
+          .agg(count(lit(1)), count_distinct(col("vec_id"))).head()
         val n = counts.getLong(0)
         require(n == counts.getLong(1),
           s"upsert batch carries duplicate vec_id values ($n rows, " +
             s"${counts.getLong(1)} distinct) — two rows would land under " +
             "one id. Deduplicate the batch first.")
-        require(n <= maxBroadcastRows,
-          s"upsert batch has $n rows > maxBroadcastRows=$maxBroadcastRows " +
-            "— the batch id set broadcasts against the store " +
-            "(serving-bounded by contract). Corpus-scale re-encodes belong " +
-            "to a bulk rewrite + reconcile.")
         val ids = newRows.select("vec_id")
-        // remove the old physical rows: rewrite only the leaves that hold
-        // them (their STORED lists — the new assignment may differ)
-        for (tier <- Seq("vectors", "codes")) {
-          val base = new org.apache.hadoop.fs.Path(s"$droot/$tier")
-          val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(base)) {
-            val schema = if (tier == "vectors") vectorsSchema else codesSchema
-            val touched = readOr(spark, s"$droot/$tier", schema)
-              .join(broadcast(ids), Seq("vec_id"), "left_semi")
-              .select("ivf_list").distinct().collect().map(_.getInt(0))
-            for (list <- touched)
-              Writers.rewriteLeaf(spark, s"$droot/$tier/ivf_list=$list")(
-                _.join(broadcast(ids), Seq("vec_id"), "left_anti"))
-          }
-        }
+        val merged = readOr(spark, s"$root/edits", editsSchema)
+          .join(broadcast(ids), Seq("vec_id"), "left_anti")
+          .unionByName(newRows)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val m = merged.count()
+          require(m <= maxOverlayRows,
+            s"edit overlay would grow to $m rows > maxOverlayRows=" +
+              s"$maxOverlayRows — it broadcasts at every read " +
+              "(serving-bounded by contract). Run reconcile to fold it; " +
+              "corpus-scale re-encodes belong to a bulk rewrite + " +
+              "reconcile.")
+          if (n > 0) Writers.swapReplace(spark, s"$root/edits", merged)
+        } finally { merged.unpersist(blocking = false); () }
+        failpointAfterEdits()
         // an upsert of a tombstoned id is the sanctioned resurrection:
         // drop its tombstone or every read would exclude the new row
-        val tombs = readOr(spark, s"$droot/tombstones", tombstonesSchema)
+        val tombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (tombs.join(broadcast(ids), Seq("vec_id"), "left_semi")
               .limit(1).count() > 0)
-            Writers.swapReplace(spark, s"$droot/tombstones",
+            Writers.swapReplace(spark, s"$root/tombstones",
               tombs.join(broadcast(ids), Seq("vec_id"), "left_anti"))
         } finally { tombs.unpersist(blocking = false); () }
-        failpointAfterRemove()
-        newRows.select("vec_id", "embedding", "ivf_list", "d2")
-          .write.mode("append").partitionBy("ivf_list")
-          .parquet(s"$droot/vectors")
-        for ((mins, maxs) <- sqStatsAt(spark, droot))
-          newRows
-            .withColumn("codes",
-              Similarity.sqCodesTiny(col("embedding"), mins, maxs))
-            .select("vec_id", "codes", "ivf_list")
-            .write.mode("append").partitionBy("ivf_list")
-            .parquet(s"$droot/codes")
         n
       } finally { newRows.unpersist(blocking = false); () }
     }
@@ -575,7 +657,7 @@ object VectorLake {
     val cents = centroidsAt(spark, droot, root)
     val probes = Similarity.probeLists(
       queryVec, cents, math.min(nprobe, cents.size))
-    vectorsAt(spark, droot)
+    logicalVectors(spark, droot, root, cents)
       .filter(col("ivf_list").isInCollection(probes))
       .withColumn("cos",
         round(VF.cosine(col("embedding"), typedLit(queryVec)), 6))
@@ -615,7 +697,8 @@ object VectorLake {
                   refineFactor: Int = 0,
                   maxBroadcastProbes: Long = 1L << 20): DataFrame =
     searchBatchIn(spark, dataRoot(spark, root), root, probes, k, nprobe,
-      probeId, probeVec, quantized, refineFactor, maxBroadcastProbes)
+      probeId, probeVec, quantized, refineFactor, maxBroadcastProbes,
+      applyOverlays = true)
 
   /** The resident generation numbers, oldest first — what [[searchBatchAt]]
     * accepts. Under the default retention this is (displaced, current): the
@@ -640,13 +723,15 @@ object VectorLake {
                     refineFactor: Int = 0,
                     maxBroadcastProbes: Long = 1L << 20): DataFrame =
     searchBatchIn(spark, s"$root/gen-$generation", root, probes, k, nprobe,
-      probeId, probeVec, quantized, refineFactor, maxBroadcastProbes)
+      probeId, probeVec, quantized, refineFactor, maxBroadcastProbes,
+      applyOverlays = false)
 
   private def searchBatchIn(spark: SparkSession, droot: String, root: String,
                             probes: DataFrame, k: Int, nprobe: Int,
                             probeId: String, probeVec: String,
                             quantized: Boolean, refineFactor: Int,
-                            maxBroadcastProbes: Long): DataFrame = {
+                            maxBroadcastProbes: Long,
+                            applyOverlays: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(refineFactor == 0 || quantized,
@@ -680,7 +765,28 @@ object VectorLake {
     def pruneLists(df: DataFrame): DataFrame =
       if (unionLists.isEmpty) df.filter(lit(false))
       else df.filter(col("ivf_list").isInCollection(unionLists))
-    val store =
+    // the root delete/edit overlays apply to UNPINNED serves only: a
+    // pinned read ([[searchBatchAt]]) serves the generation's COMMITTED
+    // state, byte-frozen across concurrent deletes/upserts (the r11
+    // verdict's top ask — overlay rows are uncommitted until the fold).
+    // Overlay edit rows serve at FULL FLOAT precision on the quantized
+    // paths (they have no committed codes yet — exactness is strictly
+    // better than the tier they will join at the fold).
+    val overlays = if (applyOverlays) rootOverlays(spark, root) else None
+    def withOverlays(base: DataFrame, svCol: String): DataFrame =
+      overlays match {
+        case None => base
+        case Some((edits, overlayIds)) =>
+          base.join(broadcast(overlayIds), Seq("vec_id"), "left_anti")
+            .unionByName(pruneLists(Similarity.ivfAssign(
+                edits.select(col("vec_id"),
+                  col("embedding").cast(vectorsSchema("embedding").dataType)
+                    .as("embedding")),
+                "embedding", cents))
+              .select(col("vec_id"), col("ivf_list"),
+                col("embedding").as(svCol)))
+      }
+    val store = withOverlays(
       if (!quantized)
         pruneLists(vectorsAt(spark, droot))
           .select(col("vec_id"), col("ivf_list"), col("embedding").as("__sv"))
@@ -693,7 +799,7 @@ object VectorLake {
         pruneLists(codesAt(spark, droot))
           .select(col("vec_id"), col("ivf_list"),
             Similarity.sqDequantTiny(col("codes"), mins, maxs).as("__sv"))
-      }
+      }, "__sv")
     // refineFactor > 0 (quantized only): the standard IVF-SQ serving read
     // COMPLETED (r9 verdict ask #1) — the SQ8 tier is scanned for each
     // probe's top-(k·r) candidates at 4×-smaller list I/O, then ONLY those
@@ -704,7 +810,9 @@ object VectorLake {
     // generation, so codes/LUT/float rows can never mix quantizers.
     if (refineFactor > 0)
       Similarity.ivfSqRefineKnnJoin(store,
-        pruneLists(vectorsAt(spark, droot))
+        withOverlays(pruneLists(vectorsAt(spark, droot))
+            .select(col("vec_id"), col("ivf_list"), col("embedding")),
+          "embedding")
           .select(col("vec_id"), col("embedding")),
         "vec_id", "__sv", "ivf_list", "embedding",
         pframe, "probe_id", "__pv", k, refineFactor, cents, np,
@@ -729,10 +837,12 @@ object VectorLake {
   def rollback(spark: SparkSession, root: String, toGeneration: Long,
                lockWaitMs: Long = 0L): Unit =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
-      // CARRY THE TOMBSTONES FIRST: they live under the generation dir, so
-      // a bare pointer flip would resurrect every id deleted while the
-      // regressed generation served — a purge silently undone by an index
-      // rollback, the worst possible interaction of the two lifecycles.
+      // CARRY LEGACY GENERATION-LEVEL TOMBSTONES FIRST (pre-round-12
+      // generations stored them under the gen dir; new deletes live in the
+      // ROOT overlay, which a pointer flip never touches): a bare flip
+      // would resurrect every id deleted while the regressed generation
+      // served — a purge silently undone by an index rollback, the worst
+      // possible interaction of the two lifecycles.
       // Tombstones for ids the older generation never stored are harmless
       // (the exclusion anti-join just misses); the carry runs BEFORE the
       // flip so a crash between the two leaves only extra tombstones in a
@@ -766,10 +876,10 @@ object VectorLake {
   def driftReport(spark: SparkSession, root: String,
                   batch: DataFrame): DataFrame = {
     val droot = dataRoot(spark, root) // one resolution: no generation mixing
+    val cents = centroidsAt(spark, droot, root)
     Similarity.ivfDriftReport(
-      vectorsAt(spark, droot).select("embedding"),
-      batch.select("embedding"), "embedding",
-      centroidsAt(spark, droot, root))
+      logicalVectors(spark, droot, root, cents).select("embedding"),
+      batch.select("embedding"), "embedding", cents)
   }
 
   /** Re-train the quantizer on the resident vectors (deterministic Lloyd,
@@ -822,13 +932,25 @@ object VectorLake {
       val droot = GenStore.dataRootOf(root, cur)
       // a compaction crash must not silently shrink the retrain corpus
       Writers.recoverPartitionCompact(spark, s"$droot/vectors")
-      // tombstoned rows are dropped HERE, physically: the generation
-      // rewrite is the reclaim [[delete]] deferred to, and the new
-      // generation starts tombstone-free (the dir is simply not carried —
-      // retention deletes it with its generation)
+      // the FOLD: tombstoned rows are dropped HERE, physically (the
+      // generation rewrite is the reclaim [[delete]] deferred to), and the
+      // edit overlay's rows join the retrain corpus as first-class content
+      // — the new generation commits both, and the overlays clear after
+      // the pointer flip (a crash between re-applies them as no-ops: the
+      // tombstoned ids are gone, the edit values identical)
+      val rootTombs = readOr(spark, s"$root/tombstones", tombstonesSchema)
+      val edits = readOr(spark, s"$root/edits", editsSchema)
+        .join(rootTombs, Seq("vec_id"), "left_anti")
+      val overlayIds = edits.select("vec_id")
+        .unionByName(rootTombs.select("vec_id")).distinct()
       val stored = readOr(spark, s"$droot/vectors", vectorsSchema)
         .join(readOr(spark, s"$droot/tombstones", tombstonesSchema),
           Seq("vec_id"), "left_anti")
+        .join(broadcast(overlayIds), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding")
+        .unionByName(edits.select(col("vec_id"),
+          col("embedding").cast(vectorsSchema("embedding").dataType)
+            .as("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = stored.count()
@@ -921,6 +1043,10 @@ object VectorLake {
         }
         failpoint() // the crash window: data written, pointer not yet flipped
         } // GenStore.promote flips the pointer and applies retention
+        // the overlays are folded into the promoted generation — clear them
+        // (a crash before these re-applies them as no-ops, see above)
+        GenStore.deleteDir(spark, s"$root/tombstones")
+        GenStore.deleteDir(spark, s"$root/edits")
         } finally { repaired.unpersist(blocking = false); () }
         } finally { reassigned.unpersist(blocking = false); () }
       } finally { stored.unpersist(blocking = false); () }

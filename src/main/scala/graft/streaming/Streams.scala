@@ -570,14 +570,14 @@ object Streams {
   /** Streaming UPSERT into the lake-resident vector index — the
     * RE-EMBEDDING feed (a model refresh re-encodes resident documents) as
     * a stream: each micro-batch runs [[graft.domain.VectorLake.upsert]]'s
-    * replace-by-id under the writer lease (touched-leaf rewrites + append,
-    * gate-free by the upsert contract), with the current generation
-    * resolved per batch. Micro-batch ids must be unique (refused loudly)
-    * and serving-bounded (the id set broadcasts against the store).
+    * replace-by-id under the writer lease (the root edit OVERLAY,
+    * last-writer-wins — committed generations stay untouched, so pinned
+    * snapshot reads are byte-frozen across the stream; gate-free by the
+    * upsert contract). Micro-batch ids must be unique (refused loudly)
+    * and the resulting overlay bounded (it broadcasts at every read).
     * Exactly-once EFFECT on at-least-once delivery: upsert is idempotent
-    * as a whole — a redelivered batch removes its own previous append in
-    * the leaf-rewrite step and re-appends identical rows. `onUpserted`
-    * sees (epochId, rowCount) per batch. */
+    * as a whole — a redelivered batch swap-replaces identical overlay
+    * state. `onUpserted` sees (epochId, rowCount) per batch. */
   def vectorLakeUpsertStream(emb: DataFrame, root: String,
                              lockWaitMs: Long = 30 * 60 * 1000L,
                              onUpserted: (Long, Long) => Unit = (_, _) => ())
@@ -661,9 +661,12 @@ object Streams {
     * reciprocal rank in exact integer micros. Epoch-level re-resolution: a
     * reconcile promoting on either lake mid-stream is picked up at the
     * NEXT micro-batch, and no epoch can fuse mismatched generations — the
-    * pinned pair reads committed state on both arms, so a half-fanned-out
-    * cross-lake edit (a torn LakeSync propagate) is invisible until its
-    * folds commit. Equals batch [[graft.domain.Retrieval.hybridServe]] on
+    * pinned pair reads committed state on both arms (BOTH lakes route
+    * deletes/upserts through root overlays that pinned reads skip, since
+    * round 12 including [[graft.domain.VectorLake.upsert]]), so a
+    * half-fanned-out cross-lake edit (a torn LakeSync propagate) is
+    * invisible until its folds commit.
+    * Equals batch [[graft.domain.Retrieval.hybridServe]] on
     * an identical probe batch whenever no overlays are pending (pinned
     * reads skip uncommitted overlays by contract). READER path: no leases.
     * Delivery is foreachBatch at-least-once; the standard sink is an

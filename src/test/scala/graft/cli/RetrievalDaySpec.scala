@@ -95,6 +95,82 @@ class RetrievalDaySpec extends SparkSpec {
     assert(rrfOf(rows(unpinned), 2L) == rrfOf(pinnedBefore, 2L) + 16393L)
   }
 
+  test("a propagate landing mid-pinned-batch leaves the pinned serve byte-identical on BOTH arms") {
+    // the r11 verdict's top ask, closed: VectorLake.upsert used to rewrite
+    // the CURRENT generation's leaves in place, so a pinned snapshot froze
+    // the lexical arm but served the doc's NEW embedding against the
+    // pinned OLD text — the exact mismatched view the pin exists to
+    // prevent, inverted. Both lakes now route deletes AND upserts through
+    // root overlays that pinned reads skip: a full LakeSync.propagate
+    // (purge + paired re-embed/re-text) lands mid-batch and the pinned
+    // pair's answers do not move by a byte; the unpinned serve sees both
+    // mutations immediately; a post-fold re-pin serves the folded state.
+    import spark.implicits._
+    import graft.domain.LakeSync
+    def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+    }
+    val base = java.nio.file.Files.createTempDirectory("retprop").toString
+    val (vroot, lroot) = (s"$base/vector", s"$base/lex")
+    val (sroot, droot) = (s"$base/sync", s"$base/dedup")
+    graft.domain.DedupLake.ingest(spark, droot, Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "old second body here"),
+      (3L, "third unrelated entry")).toDF("doc_id", "text"))
+    VectorLake.init(spark, vroot, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, vroot, Seq(
+      (1L, unit(0)), (2L, unit(45, 14f)), (3L, unit(90)))
+      .toDF("vec_id", "embedding"))
+    LexLake.ingest(spark, lroot, Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "old second body here"),
+      (3L, "third unrelated entry")).toDF("doc_id", "text"), nBuckets = 4)
+    // commit BOTH stores so the snapshot pins real generations
+    VectorLake.reconcile(spark, vroot, k = 2, iters = 3)
+    LexLake.reconcile(spark, lroot)
+    val probe = Seq((7L, unit(10), Seq("marker")))
+      .toDF("probe_id", "embedding", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val snap = Retrieval.currentSnapshot(spark, vroot, lroot)
+    val pinnedBefore = rows(Retrieval.hybridServeAt(
+      spark, vroot, lroot, snap, probe, k = 5))
+    // the propagate, mid-pinned-batch: purge doc 3 AND re-embed+re-text
+    // doc 2 (its new embedding is the probe's own direction; its new text
+    // carries the probe's term)
+    LakeSync.requestDelete(spark, sroot, Seq(3L).toDF("doc_id"))
+    LakeSync.requestUpsert(spark, sroot,
+      Seq((2L, "zzz special marker words", unit(10, 14f)))
+        .toDF("doc_id", "text", "embedding"))
+    val rep = LakeSync.propagate(spark, sroot, droot, vroot,
+      lexRoot = Some(lroot))
+    assert(rep.requested == 1L && rep.upsertsApplied == 1L
+      && rep.vectorDeleted == 1L && rep.lexDeleted == 1L)
+    // the pinned pair: byte-identical on BOTH arms — the vector arm did
+    // not see the re-embed (the old leaf-rewrite design failed exactly
+    // here), the lex arm did not see the purge or the new text
+    assert(rows(Retrieval.hybridServeAt(
+        spark, vroot, lroot, snap, probe, k = 5)) == pinnedBefore,
+      "a propagate mid-pinned-batch must not move the pinned pair by a byte")
+    // the UNPINNED serve carries both mutations immediately: doc 3 gone,
+    // doc 2 at vector rank 1 (cos 1 with the probe) AND lexical rank 1
+    val unpinned = rows(Retrieval.hybridServe(spark, vroot, lroot,
+      probe, k = 5))
+    assert(!unpinned.exists(_._2 == 3L), "the purge serves immediately")
+    assert(unpinned.exists { case (_, n, _, r) => n == 2L && r == 1L },
+      s"the re-embedded+re-texted doc must fuse first: $unpinned")
+    // both folds commit; a re-taken snapshot serves the folded mutations
+    VectorLake.reconcile(spark, vroot, k = 2, iters = 3)
+    LexLake.reconcile(spark, lroot)
+    val snap2 = Retrieval.currentSnapshot(spark, vroot, lroot)
+    assert(rows(Retrieval.hybridServeAt(
+        spark, vroot, lroot, snap2, probe, k = 5))
+      == rows(Retrieval.hybridServe(spark, vroot, lroot, probe, k = 5)),
+      "with overlays folded, the re-pinned pair equals the unpinned serve")
+  }
+
   test("streaming hybrid serve: one pinned snapshot per epoch, re-resolved across a reconcile") {
     // the r10 ask: the per-lake serve twins existed, nothing served the
     // FUSED endpoint per micro-batch. Each epoch pins one (vectorGen,

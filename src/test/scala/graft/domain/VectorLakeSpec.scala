@@ -859,21 +859,26 @@ class VectorLakeSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate vec_id"))
   }
 
-  test("a torn upsert (removed, not yet appended) is repaired by the replay") {
+  test("a torn upsert (edit landed, tombstone not yet dropped) is repaired by the replay") {
+    // the overlay torn window (the LexLake contract verbatim): the edit
+    // swap commits, the crash hits before the tombstone drop — a
+    // TOMBSTONED id's resurrection stays masked until the replay; a fresh
+    // id's refresh is already fully visible (the swap is the commit)
     val root = freshRoot("upserttorn")
     VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
     VectorLake.ingest(spark, root, Seq(
       1L -> unit(0, 14f), 2L -> unit(85, 14f)).toDF("vec_id", "embedding"))
+    assert(VectorLake.delete(spark, root, Seq(1L).toDF("vec_id")) == 1L)
     val boom = intercept[RuntimeException] {
       VectorLake.upsert(spark, root,
         Seq(1L -> unit(30, 14f)).toDF("vec_id", "embedding"),
-        failpointAfterRemove = () => throw new RuntimeException("torn"))
+        failpointAfterEdits = () => throw new RuntimeException("torn"))
     }
     assert(boom.getMessage == "torn")
-    // the torn window: the id is absent (old removed, new not yet landed)
+    // the torn window: the tombstone still masks the committed edit
     assert(VectorLake.vectors(spark, root).select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(2L))
-    // the replay lands the refresh
+    // the replay drops the tombstone and the refresh serves
     assert(VectorLake.upsert(spark, root,
       Seq(1L -> unit(30, 14f)).toDF("vec_id", "embedding")) == 1L)
     val one = VectorLake.vectors(spark, root)
@@ -961,12 +966,13 @@ class VectorLakeSpec extends SparkSpec {
       .toDF("vec_id", "embedding"))
     VectorLake.reconcile(spark, root, k = 2, iters = 3) // gen-1
     VectorLake.reconcile(spark, root, k = 2, iters = 3) // gen-2
-    // the purge lands while gen-2 serves: its tombstones live under gen-2
+    // the purge lands while gen-2 serves (the ROOT overlay since round 12;
+    // pre-round-12 generations carried them under the gen dir, which
+    // rollback still carries for legacy stores)
     assert(VectorLake.delete(spark, root, Seq(2L).toDF("vec_id")) == 1L)
     assert(VectorLake.vectors(spark, root).select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
-    // a bare pointer flip would resurrect id 2 (gen-1 has no tombstones);
-    // rollback must carry them so the purge survives the index undo
+    // the pointer flip must not resurrect id 2 — root overlays survive it
     VectorLake.rollback(spark, root, 1L)
     assert(VectorLake.vectors(spark, root).select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L),

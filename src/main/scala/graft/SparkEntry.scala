@@ -2285,9 +2285,19 @@ object SparkEntry {
       val tombs = docs.filter(col("doc_id") % 13 === 5).select("doc_id")
       val edits = docs.filter(col("doc_id") % 11 === 3)
         .select(col("doc_id"), upper(col("text")).as("text"))
+      // the impact-STALENESS column (r11 ask #3): simulate a tier built at
+      // a past fold — the fold saw only doc_id % 7 != 0, capped terms are
+      // those with at-fold df > 50; staleness = postings those terms
+      // gained from the docs ingested since (doc_id % 7 == 0)
+      val foldPost = graft.domain.LexLake.tokenizePostings(
+        docs.filter(col("doc_id") % 7 =!= 0), 16)
+      val tier = foldPost.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50)
       graft.domain.LexLake.healthOfPostings(post, nDocs, tombs,
-        graft.domain.LexLake.tokenizePostings(edits, 16))
-    }, Some(TextOracle.lexHealthSql(16))),
+        graft.domain.LexLake.tokenizePostings(edits, 16),
+        impactTier = Some(tier))
+    }, Some(TextOracle.lexHealthSql(16, staleFoldMod = 7,
+      staleDfThreshold = 50))),
 
     Q("q165_impact_recall", (s, dir) => {
       // the impact-tier agreement report (r10 ask #2's gate quantity as a

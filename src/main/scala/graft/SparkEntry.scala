@@ -2379,6 +2379,36 @@ object SparkEntry {
         "doc_id", "text", "hash", "join", w = 5)
     }, Some(TextOracle.proximityPairsSql("hash", "join", w = 5))),
 
+    Q("q169_proximity_overlay", (s, dir) => {
+      // LexLake.proximityServe's SEMANTICS as a pure oracle query (r11
+      // ask #2): the q161 deterministic edit/insert/tombstone rules fold
+      // the corpus, then q168's bucket-blocked proximity join runs over
+      // the logical rows — exactly what the lake serve computes from its
+      // stored positions + overlays (parity spec-pinned in LexLakeSpec).
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edits = docs.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("inserted:"), col("doc_id").cast("string")).as("text")))
+      val tombs = docs.filter(col("doc_id") % 13 === 5).select("doc_id")
+      graft.operators.TextStats.proximityPairs(
+        graft.domain.DedupLake.corpusFold(docs, edits, tombs),
+        "doc_id", "text", "hash", "join", w = 5)
+    }, Some(TextOracle.proximityOverlaySql("hash", "join", w = 5))),
+
+    Q("q170_proximity_matrix", (s, dir) => {
+      // the multi-term PMI-input matrix (r11 ask #8): every unordered
+      // pair of distinct query terms, corpus-total within-w position
+      // pairs. One tokenize pass filtered to the bounded term set; the
+      // |terms|^2 pairing rides the same width-w bucket blocking as q168
+      // (one side 3x-replicated -> plain (doc, bucket) equi-join), so no
+      // nested loop at any term frequency.
+      graft.operators.TextStats.proximityMatrix(T(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "merge", "query"), w = 5)
+    }, Some(TextOracle.proximityMatrixSql(
+      Seq("hash", "join", "merge", "query"), w = 5))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

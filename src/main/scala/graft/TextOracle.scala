@@ -2144,6 +2144,71 @@ object TextOracle {
     GROUP BY 1"""
   }
 
+  /** q169: windowed proximity over the LOGICAL (overlay-folded) corpus —
+    * the pure oracle form of [[graft.domain.LexLake.proximityServe]]'s
+    * semantics: the q161 deterministic edit/insert/tombstone rules fold
+    * the corpus first, then [[proximityPairsSql]]'s naive band join runs
+    * over the folded rows (the engine's bucket-blocked equi-join computes
+    * the identical pair set over the same fold). */
+  def proximityOverlaySql(termA: String, termB: String, w: Int): String = {
+    require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
+    val selfEx = if (termA == termB) "AND pa.pos <> pb.pos" else ""
+    s"""
+    WITH edits AS (
+      SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 11 = 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'inserted:' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ), tomb AS (
+      SELECT doc_id FROM documents WHERE doc_id % 13 = 5
+    ), folded0 AS (
+      SELECT a.doc_id, a.text FROM documents a
+      WHERE NOT EXISTS (SELECT 1 FROM edits e WHERE e.doc_id = a.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM edits
+    ), folded AS (
+      SELECT f.doc_id, f.text FROM folded0 f
+      WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = f.doc_id)
+    ), b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM folded WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    p AS (SELECT doc_id, u.term, u.pos
+          FROM b, LATERAL (SELECT unnest(t) AS term,
+                                  generate_subscripts(t, 1) AS pos) u)
+    SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (SELECT doc_id, pos FROM p WHERE term = '$termA') pa
+    JOIN (SELECT doc_id, pos FROM p WHERE term = '$termB') pb
+      ON pa.doc_id = pb.doc_id AND abs(pa.pos - pb.pos) <= $w $selfEx
+    GROUP BY 1"""
+  }
+
+  /** q170: the multi-term proximity MATRIX (TextStats.proximityMatrix) —
+    * corpus totals of within-w position pairs for every unordered pair of
+    * distinct query terms. The oracle is the naive positional join with
+    * the band + term-order predicates; the engine's 3×-replicated
+    * bucket-blocked equi-join computes the identical matrix. */
+  def proximityMatrixSql(terms: Seq[String], w: Int): String = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $terms")
+    val termList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    p AS (SELECT doc_id, u.term, u.pos
+          FROM b, LATERAL (SELECT unnest(t) AS term,
+                                  generate_subscripts(t, 1) AS pos) u
+          WHERE u.term IN ($termList))
+    SELECT pa.term AS term_a, pb.term AS term_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p pa JOIN p pb
+      ON pa.doc_id = pb.doc_id AND pa.term < pb.term
+     AND abs(pa.pos - pb.pos) <= $w
+    GROUP BY 1, 2"""
+  }
+
   /** q166: pseudo-relevance-feedback query EXPANSION
     * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
     * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with

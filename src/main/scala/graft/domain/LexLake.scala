@@ -698,65 +698,98 @@ object LexLake {
     * [[serve]]: tombstoned/edited docs' stored rows drop, edit texts'
     * positional postings recompute from the bounded overlay. Output:
     * (doc_id, occurrences), matching docs only. READER path. */
-  def phraseServe(spark: SparkSession, root: String,
-                  phrase: Seq[String],
-                  maxOverlayRows: Long = 1L << 20): DataFrame = {
-    require(phrase.nonEmpty, "phrase must carry at least one token")
-    require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
-      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+  /** Pruned POSITIONAL postings for `terms` over the LOGICAL corpus — the
+    * read [[phraseServe]] and [[proximityServe]] share: one bucket-pruned
+    * scan of term/doc_id/positions restricted to the terms (columnar —
+    * tf/dl are never read), the pre-positional loud refusal (r11 advice:
+    * null positions would silently drop rows from every result, made
+    * permanent by the fold since the lake stores no text to rebuild
+    * from), and the overlay arms (tombstoned/edited docs' stored rows
+    * drop; edit texts' positional postings recompute from the bounded,
+    * guard-enforced overlay). */
+  private def positionalPostings(spark: SparkSession, root: String,
+                                 terms: Seq[String],
+                                 maxOverlayRows: Long): DataFrame = {
     val nb = servedBuckets(spark, root).getOrElse(throw
       new IllegalArgumentException(
         s"lex lake at $root has no layout conf — ingest something first"))
     val droot = GenStore.dataRoot(spark, root)
     GenStore.requireLive(spark, droot)
-    val k = phrase.size
-    val terms = phrase.distinct
     val buckets = terms.map(bucketOf(_, nb)).distinct
     val stored = GenStore.readGenOrEmpty(spark, droot, "postings",
         postingsSchema)
       .filter(col("tbucket").isInCollection(buckets))
       .filter(col("term").isInCollection(terms))
       .select("term", "doc_id", "positions")
-    // PRE-POSITIONAL rows refuse loudly (r11 advice, the medium finding):
-    // postings written before the positional layout read back with
-    // positions = null, and the explode below would silently DROP those
-    // rows — a missing phrase match instead of an error, made permanent by
-    // the next reconcile's fold (the lake stores no text, so positions can
-    // never be rebuilt here). The probe is a LIMIT over the already-pruned
-    // scan — bounded, and only on the phrase's own terms.
+    // the probe is a LIMIT over the already-pruned scan — bounded, and
+    // only on the queried terms
     require(stored.filter(col("positions").isNull).limit(1).count() == 0,
       s"lex lake at $root holds PRE-POSITIONAL posting rows for " +
-        s"${terms.mkString("/")} (positions = null) — phrase serving needs " +
-        "the positional layout. Re-ingest the affected documents (delete + " +
-        "upsert with their text, then reconcile) or rebuild the store; a " +
-        "silent serve would drop those rows from every phrase result.")
+        s"${terms.mkString("/")} (positions = null) — positional serving " +
+        "needs the positional layout. Re-ingest the affected documents " +
+        "(delete + upsert with their text, then reconcile) or rebuild the " +
+        "store; a silent serve would drop those rows from every result.")
     val conf = spark.sessionState.newHadoopConf()
     def overlay(sub: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
       p.getFileSystem(conf).exists(p)
     }
-    val postL =
-      if (!overlay("tombstones") && !overlay("edits")) stored
-      else {
-        val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
-          tombstonesSchema)
-        val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
-            editsSchema)
-          .join(tombs, Seq("doc_id"), "left_anti")
-        val overlayIds = edits.select("doc_id")
-          .unionByName(tombs.select("doc_id")).distinct()
-        // ENFORCED broadcast bound (r11 verdict nit): overlay mass is
-        // bounded between reconciles by contract, but a mass-deletion day
-        // must refuse loudly here, not OOM the driver
-        graft.operators.Serving.requireBroadcastable(overlayIds, maxOverlayRows,
-          "the tombstone/edit overlay id set",
-          "Overlays are bounded interim state by contract — run reconcile " +
-            "to fold them, then re-run the phrase serve.")
-        stored.join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
-          .unionByName(postingsOf(edits, nb)
-            .filter(col("term").isInCollection(terms))
-            .select("term", "doc_id", "positions"))
-      }
+    if (!overlay("tombstones") && !overlay("edits")) stored
+    else {
+      val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+        tombstonesSchema)
+      val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+          editsSchema)
+        .join(tombs, Seq("doc_id"), "left_anti")
+      val overlayIds = edits.select("doc_id")
+        .unionByName(tombs.select("doc_id")).distinct()
+      // ENFORCED broadcast bound (r11 verdict nit): overlay mass is
+      // bounded between reconciles by contract, but a mass-deletion day
+      // must refuse loudly here, not OOM the driver
+      graft.operators.Serving.requireBroadcastable(overlayIds, maxOverlayRows,
+        "the tombstone/edit overlay id set",
+        "Overlays are bounded interim state by contract — run reconcile " +
+          "to fold them, then re-run the positional serve.")
+      stored.join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
+        .unionByName(postingsOf(edits, nb)
+          .filter(col("term").isInCollection(terms))
+          .select("term", "doc_id", "positions"))
+    }
+  }
+
+  /** WINDOWED PROXIMITY serve from the STORED positional postings — the
+    * lake-resident twin of [[graft.operators.TextStats.proximityPairs]]
+    * (r11 verdict ask #2; spec-pinned parity over the logical corpus,
+    * mutations pending or not): per doc, the position pairs of the two
+    * terms within `w` tokens. Reads ONLY the two terms' buckets (the
+    * [[phraseServe]] read shape), then the bucket-blocked equi-join — the
+    * SAME [[graft.operators.TextStats.proximityPairsFromPositions]]
+    * transcription the pure operator runs, so parity holds by
+    * construction. Output: (doc_id, n_pairs), co-occurring docs only.
+    * READER path. */
+  def proximityServe(spark: SparkSession, root: String,
+                     termA: String, termB: String, w: Int,
+                     maxOverlayRows: Long = 1L << 20): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
+    val postL = positionalPostings(spark, root,
+      Seq(termA, termB).distinct, maxOverlayRows)
+    graft.operators.TextStats.proximityPairsFromPositions(
+      postL.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos")),
+      termA, termB, w)
+  }
+
+  def phraseServe(spark: SparkSession, root: String,
+                  phrase: Seq[String],
+                  maxOverlayRows: Long = 1L << 20): DataFrame = {
+    require(phrase.nonEmpty, "phrase must carry at least one token")
+    require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    val k = phrase.size
+    val terms = phrase.distinct
+    val postL = positionalPostings(spark, root, terms, maxOverlayRows)
     val pos0 = postL.select(col("doc_id"), col("term"),
       explode(col("positions")).as("pos"))
     // the rarest-word conjunctive gate, then the adjacency fold — the

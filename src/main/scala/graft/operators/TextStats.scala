@@ -481,12 +481,22 @@ object TextStats {
     * no nested loop and no skew beyond the terms' own frequency. */
   def proximityPairs(docs: DataFrame, idCol: String, textCol: String,
                      termA: String, termB: String, w: Int): DataFrame = {
-    require(w >= 1, s"w must be >= 1, got $w")
     require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
       s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
     val pos = docs.select(col(idCol).as("doc_id"),
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term").isInCollection(Seq(termA, termB).distinct))
+    proximityPairsFromPositions(pos, termA, termB, w)
+  }
+
+  /** [[proximityPairs]]' bucket-blocked join over a PRE-EXPLODED
+    * (doc_id, term, pos) position frame — the ONE transcription the pure
+    * operator and [[graft.domain.LexLake.proximityServe]] (which reads
+    * positions from the stored postings instead of re-tokenizing) share,
+    * so their parity holds by construction. */
+  def proximityPairsFromPositions(pos: DataFrame, termA: String,
+                                  termB: String, w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
     val pa = pos.filter(col("term") === termA)
       .select(col("doc_id"), col("pos").cast("long").as("pa"),
         floor(col("pos") / w).cast("long").as("__bk"))
@@ -499,6 +509,44 @@ object TextStats {
       .filter(abs(col("pa") - col("pb")) <= w &&
         (lit(termA != termB) || col("pa") =!= col("pb")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** MULTI-TERM windowed proximity — the full PMI-INPUT MATRIX over a term
+    * set (r11 verdict ask #8, [[proximityPairs]] generalized): for every
+    * UNORDERED pair of distinct query terms (term_a < term_b), the corpus
+    * total of position pairs within `w` tokens — the co-occurrence matrix
+    * collocation/PMI scoring consumes. Output: (term_a, term_b, n_pairs),
+    * pairs that never co-occur absent.
+    *
+    * Scale shape: ONE tokenize pass filtered to the (bounded, literal)
+    * term set; positions block into width-w buckets with one side
+    * 3×-replicated (the [[proximityPairs]] banding idiom — any pair within
+    * w shares a (doc, bucket) key), so the |terms|² pairing is a plain
+    * (doc_id, bucket) EQUI-join with the exact band + term-order filters
+    * after — never a nested loop, and the matrix agg's key space is
+    * ≤ |terms|² rows. */
+  def proximityMatrix(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $terms")
+    val ts = terms.distinct
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(ts))
+    val pa = pos.select(col("doc_id"), col("term").as("term_a"),
+      col("pos").cast("long").as("pa"),
+      floor(col("pos") / w).cast("long").as("__bk"))
+    val pb = pos.select(col("doc_id"), col("term").as("term_b"),
+      col("pos").cast("long").as("pb"),
+      explode(array((floor(col("pos") / w) - 1).cast("long"),
+        floor(col("pos") / w).cast("long"),
+        (floor(col("pos") / w) + 1).cast("long"))).as("__bk"))
+    pa.join(pb, Seq("doc_id", "__bk"))
+      .filter(col("term_a") < col("term_b") &&
+        abs(col("pa") - col("pb")) <= w)
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin

@@ -460,6 +460,38 @@ class LexLakeSpec extends SparkSpec {
     assert(got(ph) == want(logical, ph))
   }
 
+  test("proximity serve over stored positional postings equals proximityPairs through every mutation") {
+    // r11 verdict ask #2: the q168 pure operator, served from the lake's
+    // stored positions — two terms' buckets read, the bucket-blocked
+    // equi-join (shared transcription, parity by construction), overlay
+    // arms and the fold exactly like phraseServe
+    val root = freshRoot("prox")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    def want(c: Seq[(Long, String)], a: String, b: String, w: Int)
+        : Set[(Long, Long)] =
+      TextStats.proximityPairs(c.toDF("doc_id", "text"), "doc_id", "text",
+          a, b, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got(a: String, b: String, w: Int): Set[(Long, Long)] =
+      LexLake.proximityServe(spark, root, a, b, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want(corpus(), "spark", "hash", 5).nonEmpty,
+      "fixture must co-occur")
+    assert(got("spark", "hash", 5) == want(corpus(), "spark", "hash", 5))
+    // the same-term arm (pa != pb) and a tight window
+    assert(got("spark", "spark", 2) == want(corpus(), "spark", "spark", 2))
+    // overlays apply before the fold; the fold carries positions
+    LexLake.delete(spark, root, Seq(0L).toDF("doc_id"))
+    LexLake.upsert(spark, root,
+      Seq((100L, "spark near hash and spark again hash")).toDF("doc_id", "text"))
+    val logical = corpus().filterNot(_._1 == 0L) :+
+      ((100L, "spark near hash and spark again hash"))
+    assert(got("spark", "hash", 5) == want(logical, "spark", "hash", 5))
+    assert(got("spark", "hash", 5).exists(_._1 == 100L))
+    LexLake.reconcile(spark, root)
+    assert(got("spark", "hash", 5) == want(logical, "spark", "hash", 5))
+  }
+
   test("phrase serve refuses pre-positional posting rows loudly") {
     val root = freshRoot("prepos")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 4)

@@ -2397,6 +2397,38 @@ object SparkEntry {
         "doc_id", "text", "hash", "join", w = 5)
     }, Some(TextOracle.proximityOverlaySql("hash", "join", w = 5))),
 
+    Q("q171_prf_overlay", (s, dir) => {
+      // LexLake.prfServe's SEMANTICS as a pure oracle query (r11 ask #5):
+      // PRF expand-and-requery (q166's two passes, CTEs shared verbatim)
+      // over the q161-folded LOGICAL corpus — exactly what the lake's
+      // two-pass serve computes from its stored postings + overlays
+      // under one generation resolution (parity spec-pinned in
+      // LexLakeSpec).
+      import s.implicits._
+      val queries = Seq(
+        (10L, Seq("spark", "query")),
+        (20L, Seq("merge", "vector", "hash")),
+        (30L, Seq("window", "stream", "stream")),
+        (40L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edits = docs.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), upper(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("inserted:"), col("doc_id").cast("string")).as("text")))
+      val tombs = docs.filter(col("doc_id") % 13 === 5).select("doc_id")
+      graft.operators.TextStats.bm25PrfExpand(
+        graft.domain.DedupLake.corpusFold(docs, edits, tombs),
+        "doc_id", "text", queries, "probe_id", "terms",
+        n = 10, fbDocs = 5, fbTerms = 3)
+    }, Some(TextOracle.bm25PrfSql(Seq(
+      10L -> Seq("spark", "query"),
+      20L -> Seq("merge", "vector", "hash"),
+      30L -> Seq("window", "stream", "stream"),
+      40L -> Seq("zzzunmatchedterm")), n = 10, fbDocs = 5, fbTerms = 3,
+      k1 = 1.2, b = 0.75, source = "folded",
+      prefixCtes = TextOracle.overlayFoldPrefix))),
+
     Q("q170_proximity_matrix", (s, dir) => {
       // the multi-term PMI-input matrix (r11 ask #8): every unordered
       // pair of distinct query terms, corpus-total within-w position

@@ -1980,10 +1980,35 @@ object TextOracle {
 
   /** Non-empty whitespace tokens of documents.text — matches TF.tokens over
     * non-null, non-blank docs (the domain every TextStats op filters to). */
-  private val toksCte: String = """
+  private def toksCteFrom(source: String): String = s"""
     toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)"""
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM $source WHERE text IS NOT NULL AND length(trim(text)) > 0)"""
+  private val toksCte: String = toksCteFrom("documents")
+
+  /** The q161 deterministic overlay-fold rules as reusable CTEs ending in
+    * `folded(doc_id, text)` — the LOGICAL corpus the lake serves between
+    * mutations and their fold: doc_id ≡ 3 (mod 11) re-written upper-case,
+    * ≡ 0 (mod 97) also inserted under id+10⁶, ≡ 5 (mod 13) purged. Shared
+    * by every oracle that states a lake serve's overlay semantics in pure
+    * form (q169 proximity, q171 PRF). */
+  private val overlayFoldCtes: String = """
+    edits AS (
+      SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 11 = 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'inserted:' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ), tomb AS (
+      SELECT doc_id FROM documents WHERE doc_id % 13 = 5
+    ), folded0 AS (
+      SELECT a.doc_id, a.text FROM documents a
+      WHERE NOT EXISTS (SELECT 1 FROM edits e WHERE e.doc_id = a.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM edits
+    ), folded AS (
+      SELECT f.doc_id, f.text FROM folded0 f
+      WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = f.doc_id))"""
 
   /** Word-bigram MULTISET (duplicates kept) — the DuckDB transcription of
     * TF.shinglesAll(_, 2). ONE copy of the gram generation, shared by every
@@ -2061,7 +2086,8 @@ object TextOracle {
     * the per-term score expression is the bm25Ctes formula verbatim; SUM
     * over BIGINT is cast back from DuckDB's HUGEINT. */
   private def bm25PerQueryCtes(queries: Seq[(Long, Seq[String])], n: Int,
-                               k1: Double, b: Double): String = {
+                               k1: Double, b: Double,
+                               source: String = "documents"): String = {
     // the terms interpolate into SQL string literals — the same character
     // guard TextStats.bm25 applies to its generated column names, so a
     // quote can neither break nor inject into the oracle statement
@@ -2070,7 +2096,7 @@ object TextOracle {
     val values = queries.map { case (id, ts) =>
       s"($id, [${ts.map(t => s"'$t'").mkString(", ")}])"
     }.mkString(",\n             ")
-    s"""$toksCte,
+    s"""${toksCteFrom(source)},
     q AS (SELECT DISTINCT probe_id, term FROM (
       SELECT probe_id, unnest(terms) AS term
       FROM (VALUES $values) v(probe_id, terms))),
@@ -2155,23 +2181,7 @@ object TextOracle {
       s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
     val selfEx = if (termA == termB) "AND pa.pos <> pb.pos" else ""
     s"""
-    WITH edits AS (
-      SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 11 = 3
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
-             'inserted:' || CAST(doc_id AS VARCHAR) AS text
-      FROM documents WHERE doc_id % 97 = 0
-    ), tomb AS (
-      SELECT doc_id FROM documents WHERE doc_id % 13 = 5
-    ), folded0 AS (
-      SELECT a.doc_id, a.text FROM documents a
-      WHERE NOT EXISTS (SELECT 1 FROM edits e WHERE e.doc_id = a.doc_id)
-      UNION ALL
-      SELECT doc_id, text FROM edits
-    ), folded AS (
-      SELECT f.doc_id, f.text FROM folded0 f
-      WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.doc_id = f.doc_id)
-    ), b AS (
+    WITH $overlayFoldCtes, b AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM folded WHERE text IS NOT NULL AND length(trim(text)) > 0),
     p AS (SELECT doc_id, u.term, u.pos
@@ -2209,6 +2219,11 @@ object TextOracle {
     GROUP BY 1, 2"""
   }
 
+  /** [[overlayFoldCtes]] as a WITH-prefix — q171 composes it with
+    * [[bm25PrfSql]] (source = "folded") to state
+    * [[graft.domain.LexLake.prfServe]]'s overlay semantics in pure form. */
+  def overlayFoldPrefix: String = overlayFoldCtes + ","
+
   /** q166: pseudo-relevance-feedback query EXPANSION
     * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
     * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with
@@ -2218,8 +2233,10 @@ object TextOracle {
     * the expanded term sets with the identical scoring chain. */
   def bm25PrfSql(queries: Seq[(Long, Seq[String])], n: Int,
                  fbDocs: Int, fbTerms: Int,
-                 k1: Double, b: Double): String = s"""
-    WITH ${bm25PerQueryCtes(queries, fbDocs, k1, b)},
+                 k1: Double, b: Double,
+                 source: String = "documents",
+                 prefixCtes: String = ""): String = s"""
+    WITH $prefixCtes${bm25PerQueryCtes(queries, fbDocs, k1, b, source)},
     fb AS (SELECT probe_id, doc_id FROM lexranked),
     fbtf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf FROM toks t
              WHERE t.doc_id IN (SELECT doc_id FROM fb) GROUP BY 1, 2),

@@ -480,6 +480,111 @@ object LexLake {
       queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
       applyOverlays = false)
 
+  /** PSEUDO-RELEVANCE-FEEDBACK serve over the RESIDENT index — the
+    * lake-resident twin of
+    * [[graft.operators.TextStats.bm25PrfExpand]] (r11 verdict ask #5;
+    * spec-pinned parity over the logical corpus, mutations pending or
+    * not): pass 1 ranks each probe's top-`fbDocs` from the stored
+    * postings ([[serve]]'s read), the feedback docs' OWN posting rows
+    * nominate expansion terms by exact integer-micros length-normalized
+    * tf (the probe's original terms excluded, top-`fbTerms` via the
+    * bounded STRING heap), and pass 2 rescores the expanded batch top-`n`.
+    * BOTH passes and the feedback read run under ONE generation
+    * resolution — a reconcile promoting between them can never mix
+    * corpus views.
+    *
+    * Scale shape: the lake does the pure form one better on feedback
+    * extraction — postings rows ARE (term, doc_id, tf, dl), so no
+    * (doc, term) re-aggregation happens at all; the cost is one
+    * 4-column postings scan filtered by a broadcast semi-join on the
+    * bounded probes×fbDocs id set (a doc's terms span every bucket, so
+    * this read is not bucket-pruned — the price of PRF without a forward
+    * index, paid once per batch, never per probe). Overlay corrections
+    * apply to both passes and the feedback rows. READER path. */
+  def prfServe(spark: SparkSession, root: String, queries: DataFrame,
+               n: Int, fbDocs: Int, fbTerms: Int,
+               queryIdCol: String = "probe_id", termsCol: String = "terms",
+               k1: Double = 1.2, b: Double = 0.75,
+               maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+    prfServeIn(spark, GenStore.dataRoot(spark, root), root, queries, n,
+      fbDocs, fbTerms, queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
+      applyOverlays = true)
+
+  /** [[prfServe]] PINNED to an explicit generation — the snapshot arm
+    * ([[serveAt]]'s contract: committed state only, root overlays
+    * skipped; both passes under the pinned generation). */
+  def prfServeAt(spark: SparkSession, root: String, generation: Option[Long],
+                 queries: DataFrame, n: Int, fbDocs: Int, fbTerms: Int,
+                 queryIdCol: String = "probe_id", termsCol: String = "terms",
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+    prfServeIn(spark, GenStore.dataRootOf(root, generation), root, queries,
+      n, fbDocs, fbTerms, queryIdCol, termsCol, k1, b,
+      maxBroadcastQueryTerms, applyOverlays = false)
+
+  private def prfServeIn(spark: SparkSession, droot: String, root: String,
+                         queries: DataFrame, n: Int, fbDocs: Int,
+                         fbTerms: Int, queryIdCol: String, termsCol: String,
+                         k1: Double, b: Double,
+                         maxBroadcastQueryTerms: Long,
+                         applyOverlays: Boolean): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val nb = servedBuckets(spark, root).getOrElse(throw
+      new IllegalArgumentException(
+        s"lex lake at $root has no layout conf — ingest something first"))
+    // pass 1: the standard serve, cut at fbDocs — pinned, it feeds the
+    // feedback scope AND the weights join
+    val fb = serveIn(spark, droot, root, queries, fbDocs, queryIdCol,
+        termsCol, k1, b, maxBroadcastQueryTerms, applyOverlays)
+      .select("probe_id", "doc_id")
+      .localCheckpoint(true)
+    val qterms = graft.operators.Serving.queryTermsBatch(queries, queryIdCol,
+      termsCol, maxBroadcastQueryTerms)
+    val fbIds = fb.select("doc_id").distinct()
+    // the feedback docs' posting rows — (term, doc_id, tf, dl) directly,
+    // no re-aggregation; overlay-corrected exactly like serve's rows
+    val stored = GenStore.readGenOrEmpty(spark, droot, "postings",
+        postingsSchema)
+      .select("term", "doc_id", "tf", "dl")
+    val conf = spark.sessionState.newHadoopConf()
+    def overlay(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val logicalRows =
+      if (!applyOverlays || (!overlay("tombstones") && !overlay("edits")))
+        stored
+      else {
+        val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+          tombstonesSchema)
+        val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+            editsSchema)
+          .join(tombs, Seq("doc_id"), "left_anti")
+        val overlayIds = edits.select("doc_id")
+          .unionByName(tombs.select("doc_id")).distinct()
+        stored.join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
+          .unionByName(postingsOf(edits, nb)
+            .select("term", "doc_id", "tf", "dl"))
+      }
+    val fbRows = logicalRows
+      .join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+    val weights = fb.join(fbRows, Seq("doc_id"))
+      .join(qterms, Seq("probe_id", "term"), "left_anti")
+      .withColumn("__w",
+        floor(col("tf") * lit(1000000.0) / col("dl")).cast("long"))
+      .groupBy("probe_id", "term")
+      .agg(sum(col("__w")).as("w_micros"))
+    val expansion = graft.operators.Serving.rankTopNMicrosStr(weights,
+      fbTerms, "term", "w_micros")
+    val expanded = qterms
+      .unionByName(expansion.select("probe_id", "term"))
+      .groupBy("probe_id").agg(collect_set(col("term")).as("terms"))
+      .localCheckpoint(true)
+    serveIn(spark, droot, root, expanded, n, "probe_id", "terms", k1, b,
+      maxBroadcastQueryTerms, applyOverlays)
+  }
+
   private def serveIn(spark: SparkSession, droot: String, root: String,
                       queries: DataFrame, n: Int, queryIdCol: String,
                       termsCol: String, k1: Double, b: Double,

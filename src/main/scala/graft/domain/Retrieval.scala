@@ -58,8 +58,12 @@ object Retrieval {
                   probeId: String = "probe_id",
                   vecCol: String = "embedding", termsCol: String = "terms",
                   quantized: Boolean = false,
-                  refineFactor: Int = 0): DataFrame = {
+                  refineFactor: Int = 0,
+                  prfFbDocs: Int = 0, prfFbTerms: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require((prfFbDocs > 0) == (prfFbTerms > 0),
+      s"prfFbDocs=$prfFbDocs, prfFbTerms=$prfFbTerms — the PRF arm needs " +
+        "both (feedback depth AND expansion width) or neither")
     // pinned: both arms evaluate the probe frame independently — an
     // unpinned non-deterministic source could serve one probe set to the
     // vector arm and another to the lexical arm (the searchBatch pinning
@@ -70,8 +74,14 @@ object Retrieval {
         probeId = "probe_id", probeVec = vecCol,
         quantized = quantized, refineFactor = refineFactor)
       .select("probe_id", "neighbor_id", "rank")
-    val lex = LexLake.serve(spark, lexRoot, p, nLex,
-        queryIdCol = "probe_id", termsCol = termsCol)
+    // the EXPANDED-TERMS arm (r11 verdict ask #5): prfFbDocs/prfFbTerms > 0
+    // swaps the lexical retriever for the two-pass PRF serve — first-pass
+    // feedback expands each probe's terms before the list that fuses
+    val lex = (if (prfFbDocs > 0)
+        LexLake.prfServe(spark, lexRoot, p, nLex, prfFbDocs, prfFbTerms,
+          queryIdCol = "probe_id", termsCol = termsCol)
+      else LexLake.serve(spark, lexRoot, p, nLex,
+        queryIdCol = "probe_id", termsCol = termsCol))
       .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
     Similarity.rrfFuseAll(Seq(vec, lex), k, kRrf)
   }
@@ -90,8 +100,12 @@ object Retrieval {
                     probeId: String = "probe_id",
                     vecCol: String = "embedding", termsCol: String = "terms",
                     quantized: Boolean = false,
-                    refineFactor: Int = 0): DataFrame = {
+                    refineFactor: Int = 0,
+                    prfFbDocs: Int = 0, prfFbTerms: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require((prfFbDocs > 0) == (prfFbTerms > 0),
+      s"prfFbDocs=$prfFbDocs, prfFbTerms=$prfFbTerms — the PRF arm needs " +
+        "both (feedback depth AND expansion width) or neither")
     val p = probes.select(col(probeId).cast("long").as("probe_id"),
       col(vecCol), col(termsCol)).localCheckpoint(true)
     val vec = snapshot.vectorGen match {
@@ -102,8 +116,12 @@ object Retrieval {
         probeId = "probe_id", probeVec = vecCol,
         quantized = quantized, refineFactor = refineFactor)
     }
-    val lex = LexLake.serveAt(spark, lexRoot, snapshot.lexGen, p, nLex,
-        queryIdCol = "probe_id", termsCol = termsCol)
+    val lex = (if (prfFbDocs > 0)
+        LexLake.prfServeAt(spark, lexRoot, snapshot.lexGen, p, nLex,
+          prfFbDocs, prfFbTerms, queryIdCol = "probe_id",
+          termsCol = termsCol)
+      else LexLake.serveAt(spark, lexRoot, snapshot.lexGen, p, nLex,
+        queryIdCol = "probe_id", termsCol = termsCol))
       .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
     Similarity.rrfFuseAll(Seq(vec.select("probe_id", "neighbor_id", "rank"),
       lex), k, kRrf)

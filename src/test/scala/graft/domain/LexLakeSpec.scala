@@ -460,6 +460,63 @@ class LexLakeSpec extends SparkSpec {
     assert(got(ph) == want(logical, ph))
   }
 
+  test("PRF serve over the resident postings equals bm25PrfExpand through every mutation; pinned arm serves committed state") {
+    // r11 verdict ask #5: the two-pass PRF endpoint over the lake — both
+    // passes and the feedback read under ONE generation resolution, exact
+    // parity with the pure q166/q171 operator over the logical corpus
+    val root = freshRoot("prf")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    def want(c: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] =
+      served(TextStats.bm25PrfExpand(c.toDF("doc_id", "text"), "doc_id",
+        "text", queriesDf, "probe_id", "terms", n = 5, fbDocs = 3,
+        fbTerms = 2))
+    def got(): Set[(Long, Long, Long, Long)] =
+      served(LexLake.prfServe(spark, root, queriesDf, n = 5, fbDocs = 3,
+        fbTerms = 2))
+    assert(got() == want(corpus()))
+    // mutations pending: the unpinned serve tracks the logical corpus
+    LexLake.delete(spark, root, Seq(2L, 9L).toDF("doc_id"))
+    LexLake.upsert(spark, root,
+      Seq((300L, "spark window spark stream query")).toDF("doc_id", "text"))
+    val logical = corpus().filterNot(d => d._1 == 2L || d._1 == 9L) :+
+      ((300L, "spark window spark stream query"))
+    assert(got() == want(logical))
+    // the PINNED arm serves committed state only (serveAt's contract,
+    // both passes): the legacy root has no generations yet -> fold first
+    LexLake.reconcile(spark, root)
+    val gen = LexLake.generations(spark, root).lastOption
+    assert(served(LexLake.prfServeAt(spark, root, gen, queriesDf, n = 5,
+      fbDocs = 3, fbTerms = 2)) == want(logical))
+    // new overlays pend: pinned stays on the fold, unpinned tracks
+    LexLake.delete(spark, root, Seq(4L).toDF("doc_id"))
+    assert(served(LexLake.prfServeAt(spark, root, gen, queriesDf, n = 5,
+      fbDocs = 3, fbTerms = 2)) == want(logical),
+      "the pinned PRF serve must not see the pending overlay")
+    assert(got() == want(logical.filterNot(_._1 == 4L)))
+    // the hybrid expanded-terms arm wires prfServe as the lexical list
+    val vroot = freshRoot("prfvec")
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * 14).toFloat, (math.sin(r) * 14).toFloat)
+    }
+    VectorLake.init(spark, vroot, Seq(Seq(14.0, 0.0), Seq(0.0, 14.0)))
+    VectorLake.ingest(spark, vroot,
+      (0 until 8).map(i => (i.toLong, unit(i * 11.0)))
+        .toDF("vec_id", "embedding"), dupThreshold = 0.999)
+    val probes = Seq((100L, unit(10.0), Seq("spark", "query")))
+      .toDF("probe_id", "embedding", "terms")
+    val gotHybrid = served(Retrieval.hybridServe(spark, vroot, root, probes,
+      k = 4, kVec = 5, nLex = 5, prfFbDocs = 3, prfFbTerms = 2))
+    val vec = VectorLake.searchBatch(spark, vroot,
+        probes.select("probe_id", "embedding"), k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id", "rank")
+    val lex = LexLake.prfServe(spark, root,
+        probes.select("probe_id", "terms"), n = 5, fbDocs = 3, fbTerms = 2)
+      .select($"probe_id", $"doc_id".as("neighbor_id"), $"rank")
+    assert(gotHybrid == served(graft.operators.Similarity.rrfFuseAll(
+      Seq(vec, lex), k = 4, kRrf = 60)))
+  }
+
   test("proximity serve over stored positional postings equals proximityPairs through every mutation") {
     // r11 verdict ask #2: the q168 pure operator, served from the lake's
     // stored positions — two terms' buckets read, the bucket-blocked

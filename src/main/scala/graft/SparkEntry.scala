@@ -2397,6 +2397,48 @@ object SparkEntry {
         "doc_id", "text", "hash", "join", w = 5)
     }, Some(TextOracle.proximityOverlaySql("hash", "join", w = 5))),
 
+    Q("q172_hybrid_phrase", (s, dir) => {
+      // PHRASE-CONSTRAINED hybrid retrieval (r11 ask #7) — the "exact
+      // quote + semantic" query: q163's per-probe vector+lexical RRF with
+      // the exact-phrase doc set (q167's positional join) gating the
+      // fused candidates BEFORE the final rank. A candidate that scored
+      // well on either arm but lacks the quote cannot displace one that
+      // carries it; a probe none of whose gated candidates match yields
+      // fewer (or no) rows — the gate's absence arm. The gate broadcasts
+      // (ENFORCED) against the serving-bounded fused frame.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), "embedding", cents)
+      val probes = emb.orderBy(col("vec_id")).limit(4)
+        .select("vec_id", "embedding")
+      val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
+        "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
+        cents, nprobe = 2, excludeSelf = true)
+      val queries = Seq(
+        (0L, Seq("merge", "group")),
+        (1L, Seq("table", "hash")),
+        (2L, Seq("spark", "query")),
+        (3L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      val docs = T(s, dir, "documents")
+      val lex = graft.operators.TextStats.bm25PerQuery(docs,
+          "doc_id", "text", queries, "probe_id", "terms", n = 10)
+        .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      val gate = graft.operators.TextStats.phraseMatch(docs,
+          "doc_id", "text", Seq("merge", "group"))
+        .select(col("doc_id").as("neighbor_id"))
+      Similarity.rrfFuseAll(Seq(vec, lex), k = 5, kRrf = 60,
+        candidates = Some(gate))
+    }, Some(TextOracle.hybridPhraseRrfSql(Seq(
+      0L -> Seq("merge", "group"),
+      1L -> Seq("table", "hash"),
+      2L -> Seq("spark", "query"),
+      3L -> Seq("zzzunmatchedterm")),
+      phrase = Seq("merge", "group"),
+      k = 5, kVec = 10, nLex = 10, kRrf = 60, nLists = 4, dims = 64,
+      scale = 0.02, nprobe = 2, nProbes = 4))),
+
     Q("q171_prf_overlay", (s, dir) => {
       // LexLake.prfServe's SEMANTICS as a pure oracle query (r11 ask #5):
       // PRF expand-and-requery (q166's two passes, CTEs shared verbatim)

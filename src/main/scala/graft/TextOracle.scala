@@ -2398,6 +2398,57 @@ object TextOracle {
       candFrom = "a", scoreVec = "a.embedding", tailSql = Some(tail))
   }
 
+  /** q172: PHRASE-CONSTRAINED hybrid fusion — q163's per-probe
+    * vector+lexical RRF with the exact-phrase doc set (q167's
+    * window-equality predicate) gating the fused candidates BEFORE the
+    * final rank: each probe's top-k is taken over quote-bearing docs only,
+    * the "exact quote + semantic" serving query. */
+  def hybridPhraseRrfSql(queries: Seq[(Long, Seq[String])],
+                         phrase: Seq[String], k: Int,
+                         kVec: Int, nLex: Int, kRrf: Int,
+                         nLists: Int, dims: Int, scale: Double,
+                         nprobe: Int, nProbes: Int,
+                         k1: Double = 1.2, b: Double = 0.75): String = {
+    require(phrase.nonEmpty && phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    val kk = phrase.size
+    val phraseCtes = s"""
+    phb AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    phw AS (SELECT doc_id, s, t FROM (
+              SELECT doc_id, t, unnest(range(1, len(t) - ${kk - 1} + 1)) AS s
+              FROM phb WHERE len(t) >= $kk)),
+    phd AS (SELECT DISTINCT doc_id FROM phw
+            WHERE array_to_string(t[s:s + ${kk - 1}], ' ')
+                    = '${phrase.mkString(" ")}'),"""
+    val tail = s""",
+    vtop AS (SELECT probe_id, neighbor_id, rank AS rv FROM ranked
+             WHERE rank <= $kVec),
+    lext AS (SELECT probe_id, doc_id AS neighbor_id, rank AS rl
+             FROM lexranked),
+    fused AS (
+      SELECT COALESCE(v.probe_id, l.probe_id) AS probe_id,
+             COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+             COALESCE(CAST(floor(1000000.0 / ($kRrf + v.rv)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 / ($kRrf + l.rl)) AS BIGINT), 0)
+               AS rrf_micros
+      FROM vtop v FULL OUTER JOIN lext l
+        ON v.probe_id = l.probe_id AND v.neighbor_id = l.neighbor_id),
+    fgate AS (
+      SELECT f.* FROM fused f
+      WHERE EXISTS (SELECT 1 FROM phd p WHERE p.doc_id = f.neighbor_id)),
+    fr AS (
+      SELECT probe_id, neighbor_id, rrf_micros,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY rrf_micros DESC, neighbor_id) AS rank
+      FROM fgate)
+    SELECT probe_id, neighbor_id, rrf_micros, rank FROM fr WHERE rank <= $k"""
+    multiProbeServeSkeleton(kVec, nLists, dims, scale, nprobe, nProbes,
+      prefixCtes = bm25PerQueryCtes(queries, nLex, k1, b) + "," + phraseCtes,
+      candFrom = "a", scoreVec = "a.embedding", tailSql = Some(tail))
+  }
+
   def rollingHashSql(base: Long, mod: Long): String = s"""
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -59,7 +59,8 @@ object Retrieval {
                   vecCol: String = "embedding", termsCol: String = "terms",
                   quantized: Boolean = false,
                   refineFactor: Int = 0,
-                  prfFbDocs: Int = 0, prfFbTerms: Int = 0): DataFrame = {
+                  prfFbDocs: Int = 0, prfFbTerms: Int = 0,
+                  phrase: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require((prfFbDocs > 0) == (prfFbTerms > 0),
       s"prfFbDocs=$prfFbDocs, prfFbTerms=$prfFbTerms — the PRF arm needs " +
@@ -83,7 +84,18 @@ object Retrieval {
       else LexLake.serve(spark, lexRoot, p, nLex,
         queryIdCol = "probe_id", termsCol = termsCol))
       .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
-    Similarity.rrfFuseAll(Seq(vec, lex), k, kRrf)
+    // the PHRASE-CONSTRAINED arm (r11 verdict ask #7) — the "exact quote +
+    // semantic" query every retrieval product ships: the phrase's doc set
+    // (one bucket-pruned positional read, [[LexLake.phraseServe]]) gates
+    // the fused candidates BEFORE the final rank, so each probe's top-k is
+    // taken over quote-bearing docs only — a fused candidate that merely
+    // scored well lexically/semantically cannot displace one that carries
+    // the quote.
+    val gate =
+      if (phrase.isEmpty) None
+      else Some(LexLake.phraseServe(spark, lexRoot, phrase)
+        .select(col("doc_id").as("neighbor_id")))
+    Similarity.rrfFuseAll(Seq(vec, lex), k, kRrf, candidates = gate)
   }
 
   /** [[hybridServe]] PINNED to a [[Snapshot]] — both arms serve the pair's

@@ -988,8 +988,19 @@ object Similarity {
     * integer summands, so the order of addition cannot drift the total.
     * A probe absent from every list yields no rows. Scale shape: the fold
     * of full-outer joins runs over serving-bounded frames only (each list
-    * is probes × its own cut by contract); one rank window tails it. */
-  def rrfFuseAll(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    * is probes × its own cut by contract); one rank window tails it.
+    *
+    * `candidates` (round 12, the phrase-constrained hybrid): an optional
+    * (neighbor_id) gate — fused candidates OUTSIDE it drop BEFORE the
+    * final rank, so each probe's top-k is taken over gated candidates
+    * only (the "exact quote + semantic" query: the gate is the phrase
+    * match's doc set). The gate BROADCASTS against the bounded fused
+    * frame — ENFORCED via `maxBroadcastCandidates` (an exact quote is
+    * rare by nature; a gate past the cap refuses loudly with the
+    * narrow-the-phrase remedy, never OOMs the driver). */
+  def rrfFuseAll(lists: Seq[DataFrame], k: Int, kRrf: Int = 60,
+                 candidates: Option[DataFrame] = None,
+                 maxBroadcastCandidates: Long = 1L << 20): DataFrame = {
     require(lists.nonEmpty, "need at least one ranked list to fuse")
     require(k >= 1, s"k must be >= 1, got $k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf (60 is the standard)")
@@ -998,8 +1009,17 @@ object Similarity {
         col("neighbor_id").cast("long").as("neighbor_id"),
         col("rank").cast("long").as(s"__r$i"))
     }
-    val joined = named.reduce(
+    val joined0 = named.reduce(
       (a, b) => a.join(b, Seq("probe_id", "neighbor_id"), "full_outer"))
+    val joined = candidates.fold(joined0) { cand =>
+      val c = cand.select(col("neighbor_id").cast("long").as("neighbor_id"))
+        .distinct()
+      Serving.requireBroadcastable(c, maxBroadcastCandidates,
+        "the fusion candidate gate",
+        "Narrow the gate (e.g. a longer, rarer phrase) or raise " +
+          "maxBroadcastCandidates if executors are sized for it.")
+      joined0.join(broadcast(c), Seq("neighbor_id"), "left_semi")
+    }
     def rr(rank: Column): Column =
       coalesce(floor(lit(1000000.0) / (lit(kRrf) + rank)).cast("long"), lit(0L))
     val micros = lists.indices.map(i => rr(col(s"__r$i"))).reduce(_ + _)

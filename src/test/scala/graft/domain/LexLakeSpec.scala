@@ -315,6 +315,56 @@ class LexLakeSpec extends SparkSpec {
     assert(got.map(_._1) == Set(500L, 600L))
   }
 
+  test("phrase-constrained hybridServe gates the fusion by the stored phrase index, bucket-pruned") {
+    // r11 verdict ask #7: the "exact quote + semantic" endpoint — the
+    // phrase's doc set (served from stored positions) gates the fused
+    // candidates before the final rank
+    val vroot = freshRoot("phyb_vec")
+    val lroot = freshRoot("phyb_lex")
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * 14).toFloat, (math.sin(r) * 14).toFloat)
+    }
+    val n = 12
+    VectorLake.init(spark, vroot, Seq(Seq(14.0, 0.0), Seq(0.0, 14.0)))
+    VectorLake.ingest(spark, vroot,
+      (0 until n).map(i => (i.toLong, unit(i * 7.0)))
+        .toDF("vec_id", "embedding"), dupThreshold = 0.999)
+    LexLake.ingest(spark, lroot, corpus(n).toDF("doc_id", "text"), nBuckets = 4)
+    val probes = Seq(
+      (500L, unit(10.0), Seq("spark", "query")),
+      (600L, unit(60.0), Seq("merge", "hash"))).toDF("probe_id", "embedding", "terms")
+    val ph = Seq("spark", "batch")
+    val phraseDocs = LexLake.phraseServe(spark, lroot, ph)
+      .collect().map(_.getLong(0)).toSet
+    assert(phraseDocs.nonEmpty, "fixture must contain the phrase")
+    val got = served(Retrieval.hybridServe(spark, vroot, lroot, probes,
+      k = 4, kVec = 5, nLex = 5, phrase = ph))
+    // every served candidate carries the quote, and the result equals the
+    // unconstrained fusion re-ranked over the gated candidate set
+    assert(got.nonEmpty && got.forall(r => phraseDocs.contains(r._2)), got)
+    val vec = VectorLake.searchBatch(spark, vroot,
+        probes.select("probe_id", "embedding"), k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id", "rank")
+    val lex = LexLake.serve(spark, lroot, probes.select("probe_id", "terms"),
+        n = 5, queryIdCol = "probe_id")
+      .select($"probe_id", $"doc_id".as("neighbor_id"), $"rank")
+    val want = served(graft.operators.Similarity.rrfFuseAll(Seq(vec, lex),
+      k = 4, kRrf = 60,
+      candidates = Some(LexLake.phraseServe(spark, lroot, ph)
+        .select($"doc_id".as("neighbor_id")))))
+    assert(got == want)
+    // plan pin: the phrase arm's positional read prunes to the phrase's
+    // buckets (PartitionFilters on tbucket) with the term filter pushed
+    val plan = LexLake.phraseServe(spark, lroot, ph)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters:") && l.contains("tbucket")),
+      plan.take(4000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters:") && l.contains("term")), plan.take(4000))
+  }
+
   test("streaming twins: micro-batch ingest and serve pick up a mid-stream reconcile") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

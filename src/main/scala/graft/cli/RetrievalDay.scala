@@ -173,6 +173,34 @@ object RetrievalDay {
     stages += "pinned_hybrid" -> Retrieval.hybridServeAt(spark, vectorRoot,
       lexRoot, snap, probes(), k = 5, kVec = 5, nLex = 5).count()
 
+    // 9. (round 12) the PRF endpoint over the resident index — two passes
+    //    under one generation resolution; the tier was just folded, so the
+    //    strictest staleness bound passes on the plain impact read
+    stages += "prf_results" -> LexLake.prfServe(spark, lexRoot,
+      probeTerms.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("probe_id", "terms"), n = 5, fbDocs = 3, fbTerms = 2).count()
+    stages += "impact_fresh_results" -> LexLake.serve(spark, lexRoot,
+      probeTerms.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("probe_id", "terms"), n = 5, impact = true,
+      maxStaleFraction = 0.0).count()
+
+    // 10. (round 12) the "exact quote + semantic" read: the edit's unique
+    //     bigram gates the fusion — only the quote-bearing (edited) doc
+    //     can serve, through the stored positional index
+    stages += "phrase_hybrid_hits" -> Retrieval.hybridServe(spark,
+        vectorRoot, lexRoot,
+        Seq((editId, newVec.toSeq.toArray, Seq("zebraterm")))
+          .toDF("probe_id", "embedding", "terms"),
+        k = 5, kVec = 5, nLex = 5,
+        phrase = Seq("zebraterm", "retrieval"))
+      .filter(col("neighbor_id") === editId).count()
+
+    // 11. (round 12) proximity from the stored positions: the edit's two
+    //     adjacent tokens co-occur within any window
+    stages += "proximity_hits" -> LexLake.proximityServe(spark, lexRoot,
+        "zebraterm", "retrieval", w = 3)
+      .filter(col("doc_id") === editId).count()
+
     DayReport(stages.result())
   }
 

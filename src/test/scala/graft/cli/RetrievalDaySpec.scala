@@ -39,6 +39,16 @@ class RetrievalDaySpec extends SparkSpec {
       "an uncapped term serves exactly through the impact path")
     assert(r("pinned_hybrid") == r("post_reconcile_hybrid"),
       "with overlays folded, the pinned pair serves the same answers")
+    // round-12 surface: the PRF two-pass serve answers, the freshly
+    // folded tier passes the strictest staleness bound, the phrase-gated
+    // hybrid serves exactly the quote-bearing edit, and the stored
+    // positions answer the proximity read
+    assert(r("prf_results") > 0L)
+    assert(r("impact_fresh_results") > 0L)
+    assert(r("phrase_hybrid_hits") == 1L,
+      "the quote-bearing edited doc must serve through the phrase gate")
+    assert(r("proximity_hits") == 1L,
+      "the edit's adjacent tokens must co-occur via the stored positions")
   }
 
   test("snapshot pinning: a half-fanned-out edit cannot fuse mismatched corpus views") {

@@ -2288,10 +2288,15 @@ object SparkEntry {
       // the impact-STALENESS column (r11 ask #3): simulate a tier built at
       // a past fold — the fold saw only doc_id % 7 != 0, capped terms are
       // those with at-fold df > 50; staleness = postings those terms
-      // gained from the docs ingested since (doc_id % 7 == 0)
-      val foldPost = graft.domain.LexLake.tokenizePostings(
-        docs.filter(col("doc_id") % 7 =!= 0), 16)
-      val tier = foldPost.groupBy("term").agg(count(lit(1)).as("df"))
+      // gained from the docs ingested since (doc_id % 7 == 0). The tier's
+      // df needs only the distinct (term, doc) pairs of the fold subset —
+      // a plain explode + two-level agg, NOT a second positional
+      // tokenizePostings pass (whose collect_list dominated the query's
+      // cost at sf1 for a column this never reads)
+      val tier = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
         .filter(col("df") > 50)
       graft.domain.LexLake.healthOfPostings(post, nDocs, tombs,
         graft.domain.LexLake.tokenizePostings(edits, 16),

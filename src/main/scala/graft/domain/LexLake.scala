@@ -814,11 +814,13 @@ object LexLake {
     * guard-enforced overlay). */
   private def positionalPostings(spark: SparkSession, root: String,
                                  terms: Seq[String],
-                                 maxOverlayRows: Long): DataFrame = {
+                                 maxOverlayRows: Long,
+                                 droot0: Option[String] = None,
+                                 applyOverlays: Boolean = true): DataFrame = {
     val nb = servedBuckets(spark, root).getOrElse(throw
       new IllegalArgumentException(
         s"lex lake at $root has no layout conf — ingest something first"))
-    val droot = GenStore.dataRoot(spark, root)
+    val droot = droot0.getOrElse(GenStore.dataRoot(spark, root))
     GenStore.requireLive(spark, droot)
     val buckets = terms.map(bucketOf(_, nb)).distinct
     val stored = GenStore.readGenOrEmpty(spark, droot, "postings",
@@ -839,7 +841,8 @@ object LexLake {
       val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
       p.getFileSystem(conf).exists(p)
     }
-    if (!overlay("tombstones") && !overlay("edits")) stored
+    if (!applyOverlays || (!overlay("tombstones") && !overlay("edits")))
+      stored
     else {
       val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
         tombstonesSchema)
@@ -886,15 +889,56 @@ object LexLake {
       termA, termB, w)
   }
 
+  /** [[proximityServe]] PINNED to an explicit generation — committed state
+    * only, root overlays skipped (the [[serveAt]] contract). */
+  def proximityServeAt(spark: SparkSession, root: String,
+                       generation: Option[Long],
+                       termA: String, termB: String, w: Int,
+                       maxOverlayRows: Long = 1L << 20): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
+    val postL = positionalPostings(spark, root,
+      Seq(termA, termB).distinct, maxOverlayRows,
+      droot0 = Some(GenStore.dataRootOf(root, generation)),
+      applyOverlays = false)
+    graft.operators.TextStats.proximityPairsFromPositions(
+      postL.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos")),
+      termA, termB, w)
+  }
+
   def phraseServe(spark: SparkSession, root: String,
                   phrase: Seq[String],
                   maxOverlayRows: Long = 1L << 20): DataFrame = {
     require(phrase.nonEmpty, "phrase must carry at least one token")
     require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
       s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    phraseFold(positionalPostings(spark, root, phrase.distinct,
+      maxOverlayRows), phrase)
+  }
+
+  /** [[phraseServe]] PINNED to an explicit generation — committed state
+    * only, root overlays skipped (the [[serveAt]] contract); what
+    * [[Retrieval.hybridServeAt]]'s phrase arm gates with, so the gate and
+    * the arms it filters read ONE corpus view. */
+  def phraseServeAt(spark: SparkSession, root: String,
+                    generation: Option[Long], phrase: Seq[String],
+                    maxOverlayRows: Long = 1L << 20): DataFrame = {
+    require(phrase.nonEmpty, "phrase must carry at least one token")
+    require(phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+    phraseFold(positionalPostings(spark, root, phrase.distinct,
+      maxOverlayRows, droot0 = Some(GenStore.dataRootOf(root, generation)),
+      applyOverlays = false), phrase)
+  }
+
+  /** The conjunctive gate + adjacency fold over a positional posting
+    * frame — the phraseMatch plan verbatim, shared by the pinned and
+    * unpinned phrase serves. */
+  private def phraseFold(postL: DataFrame, phrase: Seq[String]): DataFrame = {
     val k = phrase.size
     val terms = phrase.distinct
-    val postL = positionalPostings(spark, root, terms, maxOverlayRows)
     val pos0 = postL.select(col("doc_id"), col("term"),
       explode(col("positions")).as("pos"))
     // the rarest-word conjunctive gate, then the adjacency fold — the

@@ -113,7 +113,8 @@ object Retrieval {
                     vecCol: String = "embedding", termsCol: String = "terms",
                     quantized: Boolean = false,
                     refineFactor: Int = 0,
-                    prfFbDocs: Int = 0, prfFbTerms: Int = 0): DataFrame = {
+                    prfFbDocs: Int = 0, prfFbTerms: Int = 0,
+                    phrase: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require((prfFbDocs > 0) == (prfFbTerms > 0),
       s"prfFbDocs=$prfFbDocs, prfFbTerms=$prfFbTerms — the PRF arm needs " +
@@ -135,7 +136,13 @@ object Retrieval {
       else LexLake.serveAt(spark, lexRoot, snapshot.lexGen, p, nLex,
         queryIdCol = "probe_id", termsCol = termsCol))
       .select(col("probe_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    // the phrase gate reads the SAME pinned lexical generation as the arm
+    // it filters — one corpus view end to end
+    val gate =
+      if (phrase.isEmpty) None
+      else Some(LexLake.phraseServeAt(spark, lexRoot, snapshot.lexGen,
+        phrase).select(col("doc_id").as("neighbor_id")))
     Similarity.rrfFuseAll(Seq(vec.select("probe_id", "neighbor_id", "rank"),
-      lex), k, kRrf)
+      lex), k, kRrf, candidates = gate)
   }
 }

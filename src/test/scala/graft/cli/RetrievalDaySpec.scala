@@ -147,6 +147,12 @@ class RetrievalDaySpec extends SparkSpec {
     val snap = Retrieval.currentSnapshot(spark, vroot, lroot)
     val pinnedBefore = rows(Retrieval.hybridServeAt(
       spark, vroot, lroot, snap, probe, k = 5))
+    // the phrase-gated pinned serve reads the SAME pinned view (gate
+    // included): frozen across the propagate too
+    val pinnedPhraseBefore = rows(Retrieval.hybridServeAt(
+      spark, vroot, lroot, snap, probe, k = 5,
+      phrase = Seq("second", "body")))
+    assert(pinnedPhraseBefore.nonEmpty, "the committed corpus carries the quote")
     // the propagate, mid-pinned-batch: purge doc 3 AND re-embed+re-text
     // doc 2 (its new embedding is the probe's own direction; its new text
     // carries the probe's term)
@@ -164,6 +170,11 @@ class RetrievalDaySpec extends SparkSpec {
     assert(rows(Retrieval.hybridServeAt(
         spark, vroot, lroot, snap, probe, k = 5)) == pinnedBefore,
       "a propagate mid-pinned-batch must not move the pinned pair by a byte")
+    assert(rows(Retrieval.hybridServeAt(
+        spark, vroot, lroot, snap, probe, k = 5,
+        phrase = Seq("second", "body"))) == pinnedPhraseBefore,
+      "the pinned phrase gate must read the pinned view too — the re-text " +
+        "(which removed the quote) is invisible until the fold")
     // the UNPINNED serve carries both mutations immediately: doc 3 gone,
     // doc 2 at vector rank 1 (cos 1 with the probe) AND lexical rank 1
     val unpinned = rows(Retrieval.hybridServe(spark, vroot, lroot,

@@ -508,6 +508,15 @@ class LexLakeSpec extends SparkSpec {
     // the reconcile fold carries positions into the new generation
     LexLake.reconcile(spark, root)
     assert(got(ph) == want(logical, ph))
+    // the PINNED arm (hybridServeAt's phrase gate) serves committed state:
+    // a post-fold delete of a matching doc is invisible to it
+    val gen = LexLake.generations(spark, root).lastOption
+    val victim = want(logical, ph).head._1
+    LexLake.delete(spark, root, Seq(victim).toDF("doc_id"))
+    assert(LexLake.phraseServeAt(spark, root, gen, ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == want(logical, ph))
+    assert(got(ph) == want(logical.filterNot(_._1 == victim), ph))
   }
 
   test("PRF serve over the resident postings equals bm25PrfExpand through every mutation; pinned arm serves committed state") {
@@ -597,6 +606,15 @@ class LexLakeSpec extends SparkSpec {
     assert(got("spark", "hash", 5).exists(_._1 == 100L))
     LexLake.reconcile(spark, root)
     assert(got("spark", "hash", 5) == want(logical, "spark", "hash", 5))
+    // the PINNED arm serves committed state only: a post-fold delete is
+    // invisible to the pinned read, visible to the unpinned one
+    val gen = LexLake.generations(spark, root).lastOption
+    LexLake.delete(spark, root, Seq(1L).toDF("doc_id"))
+    assert(LexLake.proximityServeAt(spark, root, gen, "spark", "hash", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == want(logical, "spark", "hash", 5))
+    assert(got("spark", "hash", 5)
+      == want(logical.filterNot(_._1 == 1L), "spark", "hash", 5))
   }
 
   test("phrase serve refuses pre-positional posting rows loudly") {

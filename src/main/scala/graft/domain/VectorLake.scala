@@ -870,6 +870,23 @@ object VectorLake {
       GenStore.rollback(spark, root, toGeneration)
     }
 
+  /** Pending-overlay masses — (tombstones, edits) rows awaiting the next
+    * [[reconcile]]'s fold: exactly the mutation state a PINNED read
+    * ([[searchBatchAt]], a [[Retrieval.hybridServeAt]] snapshot) is NOT
+    * seeing, so this is the operator's "fold before re-pinning?" check
+    * (the vector twin of the lex health report's overlay columns, and of
+    * [[LakeSync.pending]] one level down). Two bounded counts over the
+    * overlay dirs — READER path, no lease, never a corpus scan. */
+  def overlayReport(spark: SparkSession, root: String): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    def countOf(sub: String, schema: StructType): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      if (!p.getFileSystem(conf).exists(p)) 0L
+      else Writers.readOrEmptyReadOnly(spark, s"$root/$sub", schema).count()
+    }
+    (countOf("tombstones", tombstonesSchema), countOf("edits", editsSchema))
+  }
+
   /** Index-health check: q150's per-list drift report of an incoming batch
     * against the resident vectors under the CURRENT centroids. Reader path
     * — holds no lease, mutates nothing. */

@@ -923,6 +923,22 @@ class VectorLakeSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0, "one physical row per id")
   }
 
+  test("overlayReport counts the mutation state a pinned read is not seeing; the fold clears it") {
+    val root = freshRoot("ovreport")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(40, 14f), 3L -> unit(85, 14f))
+      .toDF("vec_id", "embedding"))
+    assert(VectorLake.overlayReport(spark, root) == (0L, 0L))
+    VectorLake.delete(spark, root, Seq(1L).toDF("vec_id"))
+    VectorLake.upsert(spark, root,
+      Seq(2L -> unit(60, 14f), 9L -> unit(20, 14f)).toDF("vec_id", "embedding"))
+    assert(VectorLake.overlayReport(spark, root) == (1L, 2L))
+    VectorLake.reconcile(spark, root, k = 2, iters = 3)
+    assert(VectorLake.overlayReport(spark, root) == (0L, 0L),
+      "the fold commits the overlays and clears the report")
+  }
+
   test("rollback: the pointer flips back to a resident generation; orphans above are refused") {
     val root = freshRoot("rollback")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

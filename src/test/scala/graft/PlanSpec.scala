@@ -67,6 +67,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("proximity family plans are bucket-blocked equi-joins — no nested loop at any term frequency (q168/q169/q170)") {
+    // the |pa − pb| <= w band predicate would plan as a broadcast nested
+    // loop; the width-w bucket blocking (one side 3×-replicated) makes
+    // every pairing a plain (doc, bucket) hash equi-join — pinned here for
+    // the pair, overlay-fold, and full-matrix forms
+    for (q <- Seq("q168_proximity_pairs", "q169_proximity_overlay",
+        "q170_proximity_matrix")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("scan reads only the projected columns (q08 column pruning)") {
     val p = plan("q08_filter_range")
     // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag

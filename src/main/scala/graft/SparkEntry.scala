@@ -2444,6 +2444,19 @@ object SparkEntry {
       k = 5, kVec = 10, nLex = 10, kRrf = 60, nLists = 4, dims = 64,
       scale = 0.02, nprobe = 2, nProbes = 4))),
 
+    Q("q173_best_passage", (s, dir) => {
+      // BEST PASSAGE WINDOW (r11 ask #8's second form) — per doc, the max
+      // distinct query terms any width-w token window covers (windows
+      // anchored at query-term positions; an optimal window can always
+      // start on one): the passage-retrieval primitive. One-sided width-w
+      // bucket blocking (each position 2x-replicated into its own and the
+      // previous bucket) turns the start x position band pairing into a
+      // plain (doc, bucket) equi-join — q168's idiom, one-sided.
+      graft.operators.TextStats.bestPassageWindow(T(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "merge", "query"), w = 8)
+    }, Some(TextOracle.bestPassageWindowSql(
+      Seq("hash", "join", "merge", "query"), w = 8))),
+
     Q("q171_prf_overlay", (s, dir) => {
       // LexLake.prfServe's SEMANTICS as a pure oracle query (r11 ask #5):
       // PRF expand-and-requery (q166's two passes, CTEs shared verbatim)

@@ -2224,6 +2224,33 @@ object TextOracle {
     * [[graft.domain.LexLake.prfServe]]'s overlay semantics in pure form. */
   def overlayFoldPrefix: String = overlayFoldCtes + ","
 
+  /** q173: BEST PASSAGE WINDOW (TextStats.bestPassageWindow) — per doc,
+    * the max distinct query terms covered by any width-w window anchored
+    * at a query-term position. The oracle is the naive one-sided band
+    * join; the engine's 2×-replicated bucket-blocked equi-join computes
+    * the identical maxima. */
+  def bestPassageWindowSql(terms: Seq[String], w: Int): String = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $terms")
+    val termList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    p AS (SELECT doc_id, u.term, u.pos
+          FROM b, LATERAL (SELECT unnest(t) AS term,
+                                  generate_subscripts(t, 1) AS pos) u
+          WHERE u.term IN ($termList)),
+    win AS (SELECT st.doc_id, st.pos AS s,
+                   COUNT(DISTINCT q.term) AS nt
+            FROM p st JOIN p q
+              ON q.doc_id = st.doc_id
+             AND q.pos >= st.pos AND q.pos < st.pos + $w
+            GROUP BY 1, 2)
+    SELECT doc_id, CAST(MAX(nt) AS BIGINT) AS best_window_terms
+    FROM win GROUP BY 1"""
+  }
+
   /** q166: pseudo-relevance-feedback query EXPANSION
     * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
     * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with

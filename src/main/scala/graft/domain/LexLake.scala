@@ -908,6 +908,40 @@ object LexLake {
       termA, termB, w)
   }
 
+  /** BEST-PASSAGE-WINDOW serve from the STORED positional postings — the
+    * lake-resident twin of
+    * [[graft.operators.TextStats.bestPassageWindow]] (parity by shared
+    * transcription): per doc, the max distinct query terms any width-`w`
+    * window covers, read from only the query terms' buckets with overlay
+    * arms exactly like the other positional serves. READER path. */
+  def passageServe(spark: SparkSession, root: String, terms: Seq[String],
+                   w: Int, maxOverlayRows: Long = 1L << 20): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $terms")
+    val postL = positionalPostings(spark, root, terms.distinct,
+      maxOverlayRows)
+    graft.operators.TextStats.bestPassageWindowFromPositions(
+      postL.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos")), w)
+  }
+
+  /** [[passageServe]] PINNED to an explicit generation — committed state
+    * only (the [[serveAt]] contract). */
+  def passageServeAt(spark: SparkSession, root: String,
+                     generation: Option[Long], terms: Seq[String], w: Int,
+                     maxOverlayRows: Long = 1L << 20): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $terms")
+    val postL = positionalPostings(spark, root, terms.distinct,
+      maxOverlayRows, droot0 = Some(GenStore.dataRootOf(root, generation)),
+      applyOverlays = false)
+    graft.operators.TextStats.bestPassageWindowFromPositions(
+      postL.select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos")), w)
+  }
+
   def phraseServe(spark: SparkSession, root: String,
                   phrase: Seq[String],
                   maxOverlayRows: Long = 1L << 20): DataFrame = {

@@ -549,6 +549,55 @@ object TextStats {
       .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** BEST PASSAGE WINDOW — per document, the maximum number of DISTINCT
+    * query terms covered by any width-`w` token window (windows anchored
+    * at query-term positions; an optimal window can always start on one):
+    * the passage-retrieval primitive positional indexes serve ("which doc
+    * has a tight span covering most of the query"), the multi-term
+    * generalization of [[proximityPairs]] the r11 verdict named. Output:
+    * (doc_id, best_window_terms) for docs containing >= 1 query term.
+    *
+    * Scale shape: one tokenize pass filtered to the bounded term set; a
+    * window start s only needs positions q with s <= q < s+w, and
+    * floor(s/w) ∈ {floor(q/w)−1, floor(q/w)} — so each position
+    * 2×-replicates into its own and the PREVIOUS width-w bucket and the
+    * start×position pairing is a plain (doc, bucket) EQUI-join with the
+    * exact one-sided band filter after (the [[proximityPairs]] banding
+    * idiom, one-sided). Never a nested loop; the per-(doc, start)
+    * distinct-count agg is keyed on positions the terms actually occupy. */
+  def bestPassageWindow(docs: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String], w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"terms must be [A-Za-z0-9_-]+: $terms")
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(terms.distinct))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    bestPassageWindowFromPositions(pos, w)
+  }
+
+  /** [[bestPassageWindow]]'s blocked join over a pre-filtered
+    * (doc_id, term, pos) frame — shared with
+    * [[graft.domain.LexLake.passageServe]] so parity holds by
+    * construction. */
+  def bestPassageWindowFromPositions(pos: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val starts = pos.select(col("doc_id"), col("pos").as("s"),
+      floor(col("pos") / w).cast("long").as("__bk"))
+    val members = pos.select(col("doc_id"), col("term"),
+      col("pos").as("q"),
+      explode(array(floor(col("pos") / w).cast("long"),
+        (floor(col("pos") / w) - 1).cast("long"))).as("__bk"))
+    starts.join(members, Seq("doc_id", "__bk"))
+      .filter(col("q") >= col("s") && col("q") < col("s") + w)
+      .groupBy("doc_id", "s")
+      .agg(count_distinct(col("term")).as("__nt"))
+      .groupBy("doc_id")
+      .agg(max(col("__nt")).as("best_window_terms"))
+  }
+
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin
     * 1987): fold (acc·base + h(token)) mod M left-to-right over the token
     * stream, h = first 8 md5 hex digits. ORDER-SENSITIVE, unlike the set

@@ -617,6 +617,43 @@ class LexLakeSpec extends SparkSpec {
       == want(logical.filterNot(_._1 == 1L), "spark", "hash", 5))
   }
 
+  test("passage serve over stored positions equals bestPassageWindow through every mutation") {
+    // the multi-term passage primitive (r11 ask #8's second form) from
+    // the lake's stored positions — shared transcription, parity by
+    // construction, overlay arms and the fold like the other positional
+    // serves
+    val root = freshRoot("passage")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    val ts = Seq("spark", "hash", "batch")
+    def want(c: Seq[(Long, String)], w: Int): Set[(Long, Long)] =
+      TextStats.bestPassageWindow(c.toDF("doc_id", "text"), "doc_id",
+          "text", ts, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got(w: Int): Set[(Long, Long)] =
+      LexLake.passageServe(spark, root, ts, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want(corpus(), 4).exists(_._2 >= 2L),
+      "fixture must have a multi-term window")
+    assert(got(4) == want(corpus(), 4))
+    assert(got(1) == want(corpus(), 1), "w=1: every window is one term")
+    LexLake.delete(spark, root, Seq(0L).toDF("doc_id"))
+    LexLake.upsert(spark, root,
+      Seq((100L, "spark hash batch tight span")).toDF("doc_id", "text"))
+    val logical = corpus().filterNot(_._1 == 0L) :+
+      ((100L, "spark hash batch tight span"))
+    assert(got(4) == want(logical, 4))
+    assert(got(4).contains((100L, 3L)), "the upserted doc covers all three")
+    LexLake.reconcile(spark, root)
+    assert(got(4) == want(logical, 4))
+    // pinned arm: a post-fold delete is invisible to the pinned read
+    val gen = LexLake.generations(spark, root).lastOption
+    LexLake.delete(spark, root, Seq(100L).toDF("doc_id"))
+    assert(LexLake.passageServeAt(spark, root, gen, ts, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == want(logical, 4))
+    assert(got(4) == want(logical.filterNot(_._1 == 100L), 4))
+  }
+
   test("phrase serve refuses pre-positional posting rows loudly") {
     val root = freshRoot("prepos")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 4)

@@ -299,7 +299,27 @@ object LexLake {
                 // corpus-scale bulk ingest must not build one giant row
                 val parts = (nc + 65535L) / 65536L
                 val key = batchKey(toCount.select("doc_id"))
-                toCount
+                // LEGACY FAST-PATH (r12 advice): a delta written BEFORE
+                // round 12 reads back doc_ids = null — no per-id coverage —
+                // so it contributes nothing to the coverage anti-join above
+                // and a VERBATIM replay of its torn batch would append a
+                // second delta (inflating n_docs/total_dl, hence every
+                // serve's idf/avgdl, until reconcile rebases). The old
+                // dedupe keyed those deltas by this very batchKey over the
+                // full to-add set, and for such a replay toCount IS that
+                // set — so an existing null-coverage delta carrying the key
+                // (exact, or as a ":part"-suffixed prefix) means the batch
+                // was already counted: skip, exactly as the old dedupe did.
+                // PARTIALLY-overlapping retries of pre-round-12 torn
+                // batches remain reconcile's job — a null-coverage ledger
+                // cannot say which ids it counted.
+                val legacyCovered = readOr(spark, s"$droot/stats",
+                    statsSchema)
+                  .filter(col("doc_ids").isNull &&
+                    (col("batch_key") === key ||
+                      col("batch_key").startsWith(key + ":")))
+                  .limit(1).count() > 0
+                if (!legacyCovered) toCount
                   .groupBy(pmod(col("doc_id"), lit(parts)).as("__part"))
                   .agg(count(lit(1)).as("n_docs"),
                     sum(col("dl")).as("total_dl"),
@@ -500,15 +520,30 @@ object LexLake {
     * bounded probes×fbDocs id set (a doc's terms span every bucket, so
     * this read is not bucket-pruned — the price of PRF without a forward
     * index, paid once per batch, never per probe). Overlay corrections
-    * apply to both passes and the feedback rows. READER path. */
+    * apply to both passes and the feedback rows. READER path.
+    *
+    * `impact = true` (r12 verdict ask #2) serves BOTH ranking passes from
+    * the impact tier — capped terms read their truncated lists in pass 1
+    * AND in the expanded requery (an expansion term that happens to be
+    * capped serves truncated too), under [[serve]]'s exact contracts:
+    * loud absent-tier/mismatched-(k1,b) refusal, the `maxStaleFraction`
+    * bound, and the exact-fallback while overlays pend. The FEEDBACK
+    * extraction between the passes always reads the exact full postings
+    * (semi-joined to the bounded probes×fbDocs id set): a truncated list
+    * would silently drop feedback terms whose posting fell outside a
+    * capped term's top-M — expansion-term SELECTION is exact even when
+    * both scoring passes are tier-approximated. */
   def prfServe(spark: SparkSession, root: String, queries: DataFrame,
                n: Int, fbDocs: Int, fbTerms: Int,
                queryIdCol: String = "probe_id", termsCol: String = "terms",
                k1: Double = 1.2, b: Double = 0.75,
-               maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+               maxBroadcastQueryTerms: Long = 1L << 20,
+               impact: Boolean = false,
+               maxStaleFraction: Double = 1.0): DataFrame =
     prfServeIn(spark, GenStore.dataRoot(spark, root), root, queries, n,
       fbDocs, fbTerms, queryIdCol, termsCol, k1, b, maxBroadcastQueryTerms,
-      applyOverlays = true)
+      applyOverlays = true, impact = impact,
+      maxStaleFraction = maxStaleFraction)
 
   /** [[prfServe]] PINNED to an explicit generation — the snapshot arm
     * ([[serveAt]]'s contract: committed state only, root overlays
@@ -527,7 +562,9 @@ object LexLake {
                          fbTerms: Int, queryIdCol: String, termsCol: String,
                          k1: Double, b: Double,
                          maxBroadcastQueryTerms: Long,
-                         applyOverlays: Boolean): DataFrame = {
+                         applyOverlays: Boolean,
+                         impact: Boolean = false,
+                         maxStaleFraction: Double = 1.0): DataFrame = {
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
     val nb = servedBuckets(spark, root).getOrElse(throw
@@ -536,22 +573,26 @@ object LexLake {
     // pass 1: the standard serve, cut at fbDocs — pinned, it feeds the
     // feedback scope AND the weights join
     val fb = serveIn(spark, droot, root, queries, fbDocs, queryIdCol,
-        termsCol, k1, b, maxBroadcastQueryTerms, applyOverlays)
+        termsCol, k1, b, maxBroadcastQueryTerms, applyOverlays,
+        impact = impact, maxStaleFraction = maxStaleFraction)
       .select("probe_id", "doc_id")
       .localCheckpoint(true)
+    // pin = true (r12 advice): this frame feeds BOTH the expansion
+    // anti-join and the expanded union — an unpinned non-deterministic
+    // queries source could exclude one term set and expand another, the
+    // exact mixed-view hazard serveIn pins against
     val qterms = graft.operators.Serving.queryTermsBatch(queries, queryIdCol,
-      termsCol, maxBroadcastQueryTerms)
+      termsCol, maxBroadcastQueryTerms, pin = true)
     val fbIds = fb.select("doc_id").distinct()
     // the feedback docs' posting rows — (term, doc_id, tf, dl) directly,
     // no re-aggregation; overlay-corrected exactly like serve's rows
     val stored = GenStore.readGenOrEmpty(spark, droot, "postings",
         postingsSchema)
       .select("term", "doc_id", "tf", "dl")
-    val conf = spark.sessionState.newHadoopConf()
-    def overlay(sub: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      p.getFileSystem(conf).exists(p)
-    }
+    // mid-swap-aware (r12 advice): a destination-only probe would let a
+    // reader racing upsert's swapReplace transiently skip committed edits
+    def overlay(sub: String): Boolean =
+      Writers.stateExistsReadOnly(spark, s"$root/$sub")
     val logicalRows =
       if (!applyOverlays || (!overlay("tombstones") && !overlay("edits")))
         stored
@@ -582,7 +623,8 @@ object LexLake {
       .groupBy("probe_id").agg(collect_set(col("term")).as("terms"))
       .localCheckpoint(true)
     serveIn(spark, droot, root, expanded, n, "probe_id", "terms", k1, b,
-      maxBroadcastQueryTerms, applyOverlays)
+      maxBroadcastQueryTerms, applyOverlays,
+      impact = impact, maxStaleFraction = maxStaleFraction)
   }
 
   private def serveIn(spark: SparkSession, droot: String, root: String,
@@ -629,11 +671,10 @@ object LexLake {
       termsCol, maxBroadcastQueryTerms, pin = true)
     val universe = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    val conf = spark.sessionState.newHadoopConf()
-    def overlay(sub: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      p.getFileSystem(conf).exists(p)
-    }
+    // mid-swap-aware (r12 advice): a destination-only probe would let a
+    // reader racing upsert's swapReplace transiently skip committed edits
+    def overlay(sub: String): Boolean =
+      Writers.stateExistsReadOnly(spark, s"$root/$sub")
     val hasOverlays = overlay("tombstones") || overlay("edits")
     // while overlays pend, impact serving FALLS BACK to the exact full
     // path: the tier's denormalized df cannot be corrected from a
@@ -836,11 +877,10 @@ object LexLake {
         "needs the positional layout. Re-ingest the affected documents " +
         "(delete + upsert with their text, then reconcile) or rebuild the " +
         "store; a silent serve would drop those rows from every result.")
-    val conf = spark.sessionState.newHadoopConf()
-    def overlay(sub: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      p.getFileSystem(conf).exists(p)
-    }
+    // mid-swap-aware (r12 advice): a destination-only probe would let a
+    // reader racing upsert's swapReplace transiently skip committed edits
+    def overlay(sub: String): Boolean =
+      Writers.stateExistsReadOnly(spark, s"$root/$sub")
     if (!applyOverlays || (!overlay("tombstones") && !overlay("edits")))
       stored
     else {

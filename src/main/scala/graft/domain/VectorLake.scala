@@ -96,7 +96,14 @@ object VectorLake {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  final case class IngestReport(kept: Long, dupsVsIndex: Long, dupsInBatch: Long)
+  /** `kept + dupsVsIndex/dupsInBatch` account for the gated batch;
+    * `editResident` (r12 advice) counts the batch rows dropped BEFORE the
+    * gate because their ids are already content in the edit overlay
+    * (re-ingest is not the edit path — [[upsert]] is), so the caller can
+    * tell an ignored id from a near-dup. The two dup counts may overlap;
+    * editResident never overlaps them. */
+  final case class IngestReport(kept: Long, dupsVsIndex: Long,
+                                dupsInBatch: Long, editResident: Long = 0L)
 
   def withWriterLock[T](spark: SparkSession, root: String,
                         leaseMs: Long = 30 * 60 * 1000L,
@@ -203,11 +210,13 @@ object VectorLake {
   private def rootOverlays(spark: SparkSession, root: String,
                            maxOverlayRows: Long = 1L << 20)
       : Option[(DataFrame, DataFrame)] = {
-    val conf = spark.sessionState.newHadoopConf()
-    def has(sub: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      p.getFileSystem(conf).exists(p)
-    }
+    // MID-SWAP-AWARE probe (r12 advice): during upsert's swapReplace of
+    // edits/ the destination is briefly absent (displaced to __old before
+    // __tmp promotes) — a destination-only probe would let a concurrent
+    // unpinned reader transiently serve WITHOUT committed edits, bypassing
+    // readOrEmptyReadOnly's source resolution below
+    def has(sub: String): Boolean =
+      Writers.stateExistsReadOnly(spark, s"$root/$sub")
     // a pointer-less LEGACY root keeps its tombstones dir at the root by
     // layout accident (droot == root) — those are gen-level tombstones,
     // already excluded by minusTombstones; reading them here too is a
@@ -389,15 +398,21 @@ object VectorLake {
       // the embedding cast is load-bearing: an uncast array<double> batch
       // would append double-typed files into the float-typed store and
       // brick every subsequent schema-imposed read
-      val assigned = Similarity.ivfAssignWithDist(
-        batch.select(col("vec_id").cast("long"),
+      val batchCast = batch.select(col("vec_id").cast("long").as("vec_id"),
           col("embedding").cast(vectorsSchema("embedding").dataType)
             .as("embedding"))
-          .join(broadcast(editIds), Seq("vec_id"), "left_anti"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = Similarity.ivfAssignWithDist(
+        batchCast.join(broadcast(editIds), Seq("vec_id"), "left_anti"),
         "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val batchRows = assigned.count()
+        // the edit-resident drops are REPORTED (r12 advice): without the
+        // count, kept + dups no longer accounted for the full batch and
+        // the caller could not tell an ignored id from a near-dup
+        val editResident = batchCast
+          .join(broadcast(editIds), Seq("vec_id"), "left_semi").count()
         // the cap guards what actually BROADCASTS: the gate-list-EXPLODED
         // frame — gateProbes rows per batch vector, each still carrying its
         // embedding ([[gateFrames]]). Capping the pre-explosion count would
@@ -453,7 +468,8 @@ object VectorLake {
           // and re-evaluating them afterwards would see the batch's own
           // freshly-appended rows — every vector self-matches at cos 1 and
           // the report claims the whole batch was a dup
-          val report = IngestReport(kept.count(), vsIndex.count(), inBatch.count())
+          val report = IngestReport(kept.count(), vsIndex.count(),
+            inBatch.count(), editResident)
           failpoint()
           // replay-safe append, scoped to the batch's ids (PricePipeline
           // idiom — never rescans the whole store)
@@ -488,7 +504,10 @@ object VectorLake {
           vsIndex.unpersist(blocking = false)
           inBatch.unpersist(blocking = false); ()
         }
-      } finally { assigned.unpersist(blocking = false); () }
+      } finally {
+        assigned.unpersist(blocking = false)
+        batchCast.unpersist(blocking = false); ()
+      }
     }
 
   /** The resident vectors — READER path (read-only swap resolution; safe

@@ -1012,8 +1012,12 @@ object Similarity {
     val joined0 = named.reduce(
       (a, b) => a.join(b, Seq("probe_id", "neighbor_id"), "full_outer"))
     val joined = candidates.fold(joined0) { cand =>
+      // PINNED before the guard (r12 advice): the broadcast-cap probe and
+      // the semi-join below would otherwise each evaluate the gate plan —
+      // in hybridServe that plan is a full positional phrase scan, so an
+      // unpinned gate doubles the most expensive stage of the call
       val c = cand.select(col("neighbor_id").cast("long").as("neighbor_id"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       Serving.requireBroadcastable(c, maxBroadcastCandidates,
         "the fusion candidate gate",
         "Narrow the gate (e.g. a longer, rarer phrase) or raise " +

@@ -166,6 +166,24 @@ object Writers {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
+  /** Mid-swap-aware EXISTENCE probe for a swap-replaced state dir — the
+    * reader twin of [[readOrEmptyReadOnly]]'s source resolution, for the
+    * fast-path probes that skip overlay joins when no overlay exists (r12
+    * advice): during a concurrent [[swapReplace]] the destination is
+    * briefly absent (displaced to `__old` before `__tmp` promotes), so
+    * probing the destination alone would transiently report COMMITTED
+    * state as absent — an unpinned reader would serve without committed
+    * edits for that instant. Priority matches [[readOrEmptyReadOnly]]:
+    * destination, else a fully-written `__tmp`, else `__old`. */
+  def stateExistsReadOnly(spark: SparkSession, path: String): Boolean = {
+    val (fs, dst) = hfsOf(spark, path)
+    fs.exists(dst) || {
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    } || fs.exists(new org.apache.hadoop.fs.Path(path + "__old"))
+  }
+
   /** Full-replace a state dir via write-new-then-swap: write `next` to
     * __tmp, displace the current dir to __old, promote __tmp, drop __old.
     * Every rename is checked; a crash between renames is recoverable by

@@ -155,6 +155,44 @@ class LexLakeSpec extends SparkSpec {
       "serve scores must equal the clean-ingest lake's pre-reconcile")
   }
 
+  test("a pre-round-12 torn batch replayed VERBATIM dedupes on its legacy null-coverage delta") {
+    // r12 advice (medium): deltas written before round 12 carry no per-id
+    // coverage (doc_ids reads back null), so the coverage anti-join cannot
+    // see them — without the legacy fast-path, replaying a crashed batch
+    // verbatim (the documented pre-round-12 repair) would append a SECOND
+    // delta and inflate n_docs/total_dl (every serve's idf/avgdl) until
+    // reconcile rebased.
+    val root = freshRoot("legacy")
+    val (b1, b2) = corpus().splitAt(12)
+    LexLake.ingest(spark, root, b1.toDF("doc_id", "text"), nBuckets = 8)
+    // b2 crashes right after its stats delta lands
+    intercept[RuntimeException] {
+      LexLake.ingest(spark, root, b2.toDF("doc_id", "text"), nBuckets = 8,
+        failpointAfterStats = () => throw new RuntimeException("torn"))
+    }
+    // rewrite the ledger into the PRE-round-12 format — null coverage, no
+    // ':part' suffix: exactly a store upgraded with an in-flight torn batch
+    val legacy = spark.read.schema(LexLake.statsSchema)
+      .parquet(s"$root/stats").collect().toSeq
+      .map(r => org.apache.spark.sql.Row(
+        r.getString(0).substring(0, r.getString(0).lastIndexOf(':')),
+        r.getLong(1), r.getLong(2), null))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(legacy.asJava, LexLake.statsSchema)
+      .write.mode("overwrite").parquet(s"$root/stats")
+    // the verbatim replay repairs postings/doclens and SKIPS the delta
+    LexLake.ingest(spark, root, b2.toDF("doc_id", "text"), nBuckets = 8)
+    val st = spark.read.schema(LexLake.statsSchema).parquet(s"$root/stats")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_docs")).head()
+    assert(st.getLong(0) == 2L,
+      s"the replay appended a duplicate delta: ${st.getLong(0)} rows")
+    assert(st.getLong(1) == 24L, s"n_docs inflated to ${st.getLong(1)}")
+    assert(served(LexLake.serve(spark, root, queriesDf, n = 5))
+      == reference(corpus()))
+  }
+
   test("impact serve refuses a stale tier past the caller's staleness bound") {
     // r11 verdict ask #3: the tier is frozen at the fold — postings
     // ingested since are invisible for capped terms, and the freshness

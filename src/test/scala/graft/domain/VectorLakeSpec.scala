@@ -39,6 +39,28 @@ class VectorLakeSpec extends SparkSpec {
       .collect()(0).getInt(0) == 1)
   }
 
+  test("ingest reports edit-resident drops — an ignored id is distinguishable from a near-dup") {
+    // r12 advice: rows whose ids are already content in the edit overlay
+    // drop BEFORE the gate (re-ingest is not the edit path; upsert is) —
+    // the report now counts them, so kept + dups + editResident accounts
+    // for the whole batch instead of rows silently vanishing.
+    val root = freshRoot("editres")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, root,
+      Seq((1L, unit(0))).toDF("vec_id", "embedding"))
+    VectorLake.upsert(spark, root,
+      Seq((3L, unit(30))).toDF("vec_id", "embedding"))
+    val r = VectorLake.ingest(spark, root,
+      Seq((3L, unit(60)), (4L, unit(90))).toDF("vec_id", "embedding"))
+    assert(r == VectorLake.IngestReport(kept = 1, dupsVsIndex = 0,
+      dupsInBatch = 0, editResident = 1), r.toString)
+    // the ignored id still serves the OVERLAY's embedding, not the batch's
+    val got = VectorLake.vectors(spark, root)
+      .filter(col("vec_id") === 3L).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    assert(math.abs(got(0) - unit(30)(0)) < 1e-6, got.toString)
+  }
+
   test("at-least-once: a crashed batch replays to exactly-once state") {
     val root = freshRoot("replay")
     VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))

@@ -76,6 +76,30 @@ class CompactionSpec extends SparkSpec {
     assert(Writers.readOrEmptyReadOnly(spark, none, schema).count() == 0)
   }
 
+  test("stateExistsReadOnly sees committed state through every swap window") {
+    // the overlay fast-path probe (r12 advice): a destination-only
+    // existence check would transiently report committed state absent
+    // while a concurrent swapReplace holds it at __old (or a completed
+    // __tmp) — an unpinned reader would skip committed edits for that
+    // instant. The probe's priority matches readOrEmptyReadOnly's.
+    val dir = java.nio.file.Files.createTempDirectory("seprobe").toString + "/t"
+    assert(!Writers.stateExistsReadOnly(spark, dir), "absent everywhere")
+    // mid-swap window: displaced state at __old only
+    (1 to 3).toDF("k").write.parquet(dir + "__old")
+    assert(Writers.stateExistsReadOnly(spark, dir), "__old is committed state")
+    // a COMPLETED __tmp also counts (its _SUCCESS proves the write)
+    (4 to 6).toDF("k").write.parquet(dir + "__tmp")
+    assert(Writers.stateExistsReadOnly(spark, dir))
+    // an INCOMPLETE __tmp alone does not
+    val dir2 = java.nio.file.Files.createTempDirectory("seprobe2").toString + "/t"
+    new java.io.File(dir2 + "__tmp").mkdirs()
+    assert(!Writers.stateExistsReadOnly(spark, dir2),
+      "a torn __tmp without _SUCCESS is not committed state")
+    // steady state
+    (7 to 9).toDF("k").write.parquet(dir2)
+    assert(Writers.stateExistsReadOnly(spark, dir2))
+  }
+
   test("pointer protocol: flip is atomic-enough for readers; recovery completes or discards") {
     val dir = java.nio.file.Files.createTempDirectory("ptr").toString
     val ptr = s"$dir/GEN"

@@ -2501,6 +2501,93 @@ object SparkEntry {
     }, Some(TextOracle.proximityMatrixSql(
       Seq("hash", "join", "merge", "query"), w = 5))),
 
+    Q("q174_phrase_batch", (s, dir) => {
+      // BATCHED exact phrase search (r12 ask #1, the pure twin of
+      // LexLake.phraseServeBatch): one tokenize pass filtered to the
+      // UNION of all probes' phrase terms, then ONE keyed aggregation
+      // answers every probe — a phrase occurrence at start s is "every
+      // slot i holds its term at s + i", stated as a per-(probe, doc,
+      // start) distinct-slot count, so one plan serves phrases of every
+      // length (incl. the duplicate-word arm) with no per-phrase fold
+      // chain and no extra corpus work per added probe.
+      import s.implicits._
+      val probes = Seq(
+        (0L, Seq("hash", "join")),
+        (1L, Seq("merge", "group")),
+        (2L, Seq("spark")),
+        (3L, Seq("query", "query")),
+        (4L, Seq("zzzunmatchedterm", "query"))).toDF("probe_id", "phrase")
+      graft.operators.TextStats.phraseMatchBatch(T(s, dir, "documents"),
+        "doc_id", "text", probes)
+    }, Some(TextOracle.phraseMatchBatchSql(Seq(
+      0L -> Seq("hash", "join"),
+      1L -> Seq("merge", "group"),
+      2L -> Seq("spark"),
+      3L -> Seq("query", "query"),
+      4L -> Seq("zzzunmatchedterm", "query"))))),
+
+    Q("q175_proximity_batch", (s, dir) => {
+      // BATCHED windowed proximity (r12 ask #1, the pure twin of
+      // LexLake.proximityServeBatch): the width-w bucket blocking of q168
+      // keyed on (probe, doc, bucket) — every probe's pair counts from one
+      // tokenize pass over the union of the batch's terms, including the
+      // same-term arm (pa != pb) and the unmatched-term absence arm.
+      import s.implicits._
+      val probes = Seq(
+        (0L, "hash", "join"),
+        (1L, "merge", "query"),
+        (2L, "stream", "stream"),
+        (3L, "zzzunmatchedterm", "spark")).toDF(
+        "probe_id", "term_a", "term_b")
+      graft.operators.TextStats.proximityPairsBatch(T(s, dir, "documents"),
+        "doc_id", "text", probes, w = 5)
+    }, Some(TextOracle.proximityPairsBatchSql(Seq(
+      (0L, "hash", "join"),
+      (1L, "merge", "query"),
+      (2L, "stream", "stream"),
+      (3L, "zzzunmatchedterm", "spark")), w = 5))),
+
+    Q("q176_passage_batch", (s, dir) => {
+      // BATCHED best passage window (r12 ask #1, the pure twin of
+      // LexLake.passageServeBatch): q173's one-sided blocking keyed on
+      // (probe, doc, bucket), every probe's window maxima from one
+      // tokenize pass over the union of the batch's term sets.
+      import s.implicits._
+      val probes = Seq(
+        (0L, Seq("hash", "join", "merge", "query")),
+        (1L, Seq("spark", "window")),
+        (2L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      graft.operators.TextStats.bestPassageWindowBatch(T(s, dir, "documents"),
+        "doc_id", "text", probes, w = 8)
+    }, Some(TextOracle.bestPassageWindowBatchSql(Seq(
+      0L -> Seq("hash", "join", "merge", "query"),
+      1L -> Seq("spark", "window"),
+      2L -> Seq("zzzunmatchedterm")), w = 8))),
+
+    Q("q177_proximity_rank", (s, dir) => {
+      // PROXIMITY-WEIGHTED ranking (r12 ask #6) — BM25 plus a per-term-
+      // pair proximity BONUS in one ranked list, exact integer micros:
+      // the middle ground between plain BM25 (q162) and the hard phrase
+      // gate (q172) every retrieval product ships. The bonus rides the
+      // same width-w bucket-blocked equi-join as q168/q170 (never a
+      // nested loop); the final rank is the bounded heap. The lake twin
+      // (LexLake.proximityRankServe) shares the fold — parity spec-pinned.
+      import s.implicits._
+      val queries = Seq(
+        (10L, Seq("spark", "query")),
+        (20L, Seq("merge", "vector", "hash")),
+        (30L, Seq("window", "stream", "stream")),
+        (40L, Seq("zzzunmatchedterm"))).toDF("probe_id", "terms")
+      graft.operators.TextStats.bm25ProximityRank(T(s, dir, "documents"),
+        "doc_id", "text", queries, "probe_id", "terms",
+        n = 10, w = 5, proxWeight = 1.0)
+    }, Some(TextOracle.bm25ProximityRankSql(Seq(
+      10L -> Seq("spark", "query"),
+      20L -> Seq("merge", "vector", "hash"),
+      30L -> Seq("window", "stream", "stream"),
+      40L -> Seq("zzzunmatchedterm")), n = 10, w = 5,
+      k1 = 1.2, b = 0.75, proxWeight = 1.0))),
+
     Q("q149_mmr_rerank", (s, dir) => {
       // diversity-aware serving: MMR over each probe's top-10 pool — the
       // result-list dedup stage of a retrieval stack. λ fixed at 0.5 so the

@@ -2251,6 +2251,132 @@ object TextOracle {
     FROM win GROUP BY 1"""
   }
 
+  /** q174: BATCHED exact phrase occurrences (TextStats.phraseMatchBatch —
+    * [[graft.domain.LexLake.phraseServeBatch]]'s pure twin): per probe,
+    * [[phraseMatchSql]]'s window-equality predicate with the probe id
+    * carried, stated as one UNION ALL over the batch (phrase lengths
+    * differ per probe, so each branch scopes its own window CTEs). */
+  def phraseMatchBatchSql(probes: Seq[(Long, Seq[String])]): String = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    probes.map { case (id, phrase) =>
+      require(phrase.nonEmpty && phrase.forall(_.matches("[A-Za-z0-9_-]+")),
+        s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
+      val k = phrase.size
+      s"""SELECT CAST($id AS BIGINT) AS probe_id, doc_id, occurrences FROM (
+      WITH b AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      w AS (SELECT doc_id, s, t FROM (
+              SELECT doc_id, t, unnest(range(1, len(t) - ${k - 1} + 1)) AS s
+              FROM b WHERE len(t) >= $k))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM w WHERE array_to_string(t[s:s + ${k - 1}], ' ') = '${phrase.mkString(" ")}'
+      GROUP BY doc_id)"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
+  /** q175: BATCHED windowed proximity (TextStats.proximityPairsBatch —
+    * [[graft.domain.LexLake.proximityServeBatch]]'s pure twin): per probe,
+    * [[proximityPairsSql]]'s naive ABS band join with the probe id
+    * carried, one UNION ALL over the batch. */
+  def proximityPairsBatchSql(probes: Seq[(Long, String, String)],
+                             w: Int): String = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    probes.map { case (id, termA, termB) =>
+      require(Seq(termA, termB).forall(_.matches("[A-Za-z0-9_-]+")),
+        s"terms must be [A-Za-z0-9_-]+: $termA, $termB")
+      val selfEx = if (termA == termB) "AND pa.pos <> pb.pos" else ""
+      s"""SELECT CAST($id AS BIGINT) AS probe_id, doc_id, n_pairs FROM (
+      WITH b AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      p AS (SELECT doc_id, u.term, u.pos
+            FROM b, LATERAL (SELECT unnest(t) AS term,
+                                    generate_subscripts(t, 1) AS pos) u)
+      SELECT pa.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM (SELECT doc_id, pos FROM p WHERE term = '$termA') pa
+      JOIN (SELECT doc_id, pos FROM p WHERE term = '$termB') pb
+        ON pa.doc_id = pb.doc_id AND abs(pa.pos - pb.pos) <= $w $selfEx
+      GROUP BY 1)"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
+  /** q176: BATCHED best passage window (TextStats.bestPassageWindowBatch —
+    * [[graft.domain.LexLake.passageServeBatch]]'s pure twin): per probe,
+    * [[bestPassageWindowSql]]'s one-sided band join with the probe id
+    * carried, one UNION ALL over the batch. */
+  def bestPassageWindowBatchSql(probes: Seq[(Long, Seq[String])],
+                                w: Int): String = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    probes.map { case (id, terms) =>
+      require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_-]+")),
+        s"terms must be [A-Za-z0-9_-]+: $terms")
+      val termList = terms.distinct.map(t => s"'$t'").mkString(", ")
+      s"""SELECT CAST($id AS BIGINT) AS probe_id, doc_id, best_window_terms FROM (
+      WITH b AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      p AS (SELECT doc_id, u.term, u.pos
+            FROM b, LATERAL (SELECT unnest(t) AS term,
+                                    generate_subscripts(t, 1) AS pos) u
+            WHERE u.term IN ($termList)),
+      win AS (SELECT st.doc_id, st.pos AS s,
+                     COUNT(DISTINCT q.term) AS nt
+              FROM p st JOIN p q
+                ON q.doc_id = st.doc_id
+               AND q.pos >= st.pos AND q.pos < st.pos + $w
+              GROUP BY 1, 2)
+      SELECT doc_id, CAST(MAX(nt) AS BIGINT) AS best_window_terms
+      FROM win GROUP BY 1)"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
+  /** q177: PROXIMITY-WEIGHTED BM25 ranking (TextStats.bm25ProximityRank —
+    * [[graft.domain.LexLake.proximityRankServe]]'s pure twin): per probe,
+    * the unranked BM25 sums (the bm25PerQueryCtes `lsc` stage) plus a
+    * bonus of round(proxWeight·ln(1+n_pairs)·10⁶) per unordered pair of
+    * the probe's distinct terms within `w` tokens, ranked top-`n` by
+    * (score desc, doc_id). The pair counts are the naive ABS band join;
+    * the engine's bucket-blocked equi-join computes the identical
+    * matrix. */
+  def bm25ProximityRankSql(queries: Seq[(Long, Seq[String])], n: Int, w: Int,
+                           k1: Double, b: Double,
+                           proxWeight: Double): String = s"""
+    WITH ${bm25PerQueryCtes(queries, n, k1, b)},
+    qp AS (SELECT a.probe_id, a.term AS term_a, b.term AS term_b
+           FROM q a JOIN q b ON a.probe_id = b.probe_id AND a.term < b.term),
+    ppos AS (SELECT doc_id, u.term, u.pos
+             FROM (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents
+                   WHERE text IS NOT NULL AND length(trim(text)) > 0) bb,
+                  LATERAL (SELECT unnest(t) AS term,
+                                  generate_subscripts(t, 1) AS pos) u
+             WHERE u.term IN (SELECT term FROM q)),
+    pc AS (SELECT pa.doc_id, pa.term AS term_a, pb.term AS term_b,
+                  COUNT(*) AS n_pairs
+           FROM ppos pa JOIN ppos pb
+             ON pa.doc_id = pb.doc_id AND pa.term < pb.term
+            AND abs(pa.pos - pb.pos) <= $w
+           GROUP BY 1, 2, 3),
+    bst AS (SELECT qp.probe_id, pc.doc_id,
+                   CAST(SUM(CAST(round(ln(1.0 + pc.n_pairs)
+                     * ${proxWeight * 1000000.0}, 0) AS BIGINT)) AS BIGINT)
+                     AS prox_micros
+            FROM pc JOIN qp
+              ON pc.term_a = qp.term_a AND pc.term_b = qp.term_b
+            GROUP BY 1, 2),
+    fin AS (SELECT lsc.probe_id, lsc.doc_id,
+                   CAST(lsc.bm25_micros + COALESCE(bst.prox_micros, 0)
+                     AS BIGINT) AS score_micros
+            FROM lsc LEFT JOIN bst
+              ON lsc.probe_id = bst.probe_id AND lsc.doc_id = bst.doc_id)
+    SELECT probe_id, doc_id, score_micros, rank FROM (
+      SELECT probe_id, doc_id, score_micros,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY score_micros DESC, doc_id) AS rank
+      FROM fin) WHERE rank <= $n"""
+
   /** q166: pseudo-relevance-feedback query EXPANSION
     * (TextStats.bm25PrfExpand, RM3-style simplified to expand-and-requery):
     * stage 1 = the per-query BM25 top-fbDocs (bm25PerQueryCtes with

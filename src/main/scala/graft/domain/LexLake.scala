@@ -627,6 +627,80 @@ object LexLake {
       impact = impact, maxStaleFraction = maxStaleFraction)
   }
 
+  /** The LOGICAL (overlay-corrected) posting rows for a query-term
+    * universe plus the corrected corpus stats — the ONE bucket-pruned read
+    * [[serveIn]] and [[proximityRankServe]] share. Returns
+    * (rows, nDocs, totalDl, docsSinceFold); rows carry
+    * (term, doc_id, tf, dl[, positions]). The bucket IN-list is
+    * <= nBuckets values (always tiny — it IS the partition pruning); the
+    * TERM filter is an IN-list only while the universe is literal-sized
+    * (pushes into the pruned scan), switching to a broadcast semi-join for
+    * large batches — a 10^5-term IN literal would bloat codegen without
+    * pruning anything the buckets didn't. Stats are the keyed-delta sum,
+    * corrected from the overlays when `foldOverlays` (= the caller applies
+    * overlays AND an overlay dir exists): old lengths re-derive from the
+    * CURRENT doclens (scoped, bounded), so the correction is exact AND
+    * idempotent across the fold. */
+  private def logicalQueryRows(spark: SparkSession, droot: String,
+                               root: String, qterms: DataFrame,
+                               universe: Seq[String], nb: Int,
+                               foldOverlays: Boolean,
+                               withPositions: Boolean)
+      : (DataFrame, Long, Long, Long) = {
+    val outCols =
+      (if (withPositions) Seq("term", "doc_id", "tf", "dl", "positions")
+       else Seq("term", "doc_id", "tf", "dl")).map(col)
+    val buckets = universe.map(bucketOf(_, nb)).distinct
+    def termFilter(df: DataFrame): DataFrame =
+      if (universe.size <= 4096)
+        df.filter(col("term").isInCollection(universe))
+      else df.join(broadcast(qterms.select("term").distinct()),
+        Seq("term"), "left_semi")
+    val stored0 = termFilter(GenStore
+        .readGenOrEmpty(spark, droot, "postings", postingsSchema)
+        .filter(col("tbucket").isInCollection(buckets)))
+      .select(outCols: _*)
+    val statsRow = GenStore.readGenOrEmpty(spark, droot, "stats", statsSchema)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("total_dl")), lit(0L)),
+        // docs ingested SINCE the last fold (every non-base delta) — the
+        // impact tier's staleness numerator, free off the same ledger read
+        coalesce(sum(when(col("batch_key") =!= lit("base"),
+          col("n_docs"))), lit(0L))).head()
+    var nDocs = statsRow.getLong(0)
+    var totalDl = statsRow.getLong(1)
+    val docsSinceFold = statsRow.getLong(2)
+    val postL =
+      if (!foldOverlays) stored0
+      else {
+        val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
+          tombstonesSchema)
+        val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
+            editsSchema)
+          .join(tombs, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val overlayIds = edits.select("doc_id")
+          .unionByName(tombs.select("doc_id"))
+        // stats corrections: remove every overlay id's stored contribution
+        // (scoped semi-join against doclens — zero rows once folded, so
+        // the correction is idempotent across the fold), then add back the
+        // edits' new lengths
+        val old = GenStore.readGenOrEmpty(spark, droot, "doclens", doclensSchema)
+          .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_semi")
+          .agg(coalesce(count(lit(1)), lit(0L)),
+            coalesce(sum(col("dl")), lit(0L))).head()
+        val nw = edits.agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum(TF.tokenCount(col("text"))), lit(0L))).head()
+        nDocs = nDocs - old.getLong(0) + nw.getLong(0)
+        totalDl = totalDl - old.getLong(1) + nw.getLong(1)
+        val editPost = termFilter(postingsOf(edits, nb)).select(outCols: _*)
+        stored0
+          .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_anti")
+          .unionByName(editPost)
+      }
+    (postL, nDocs, totalDl, docsSinceFold)
+  }
+
   private def serveIn(spark: SparkSession, droot: String, root: String,
                       queries: DataFrame, n: Int, queryIdCol: String,
                       termsCol: String, k1: Double, b: Double,
@@ -691,68 +765,9 @@ object LexLake {
         StructField("rank", LongType))))
     if (universe.isEmpty) return emptyOut
     val buckets = universe.map(bucketOf(_, nb)).distinct
-    // the bucket IN-list is <= nBuckets values (always tiny — it's the
-    // partition pruning); the TERM filter is an IN-list only while the
-    // universe is literal-sized (pushes into the pruned scan), switching
-    // to a broadcast semi-join for large batches — a 10^5-term IN literal
-    // would bloat codegen without pruning anything the buckets didn't
-    val stored0 = {
-      val pruned = GenStore
-        .readGenOrEmpty(spark, droot, "postings", postingsSchema)
-        .filter(col("tbucket").isInCollection(buckets))
-      val termed =
-        if (universe.size <= 4096)
-          pruned.filter(col("term").isInCollection(universe))
-        else pruned.join(broadcast(qterms.select("term").distinct()),
-          Seq("term"), "left_semi")
-      termed.select("term", "doc_id", "tf", "dl")
-    }
-    // corpus stats: the keyed-delta sum, corrected from the overlays when
-    // present — old lengths re-derived from the CURRENT doclens (scoped,
-    // bounded), so the correction is exact AND idempotent across the fold
-    val statsRow = GenStore.readGenOrEmpty(spark, droot, "stats", statsSchema)
-      .agg(coalesce(sum(col("n_docs")), lit(0L)),
-        coalesce(sum(col("total_dl")), lit(0L)),
-        // docs ingested SINCE the last fold (every non-base delta) — the
-        // impact tier's staleness numerator, free off the same ledger read
-        coalesce(sum(when(col("batch_key") =!= lit("base"),
-          col("n_docs"))), lit(0L))).head()
-    var nDocs = statsRow.getLong(0)
-    var totalDl = statsRow.getLong(1)
-    val docsSinceFold = statsRow.getLong(2)
-    val postL =
-      if (!applyOverlays || !hasOverlays) stored0
-      else {
-        val tombs = Writers.readOrEmptyReadOnly(spark, s"$root/tombstones",
-          tombstonesSchema)
-        val edits = Writers.readOrEmptyReadOnly(spark, s"$root/edits",
-            editsSchema)
-          .join(tombs, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        val overlayIds = edits.select("doc_id")
-          .unionByName(tombs.select("doc_id"))
-        // stats corrections: remove every overlay id's stored contribution
-        // (scoped semi-join against doclens — zero rows once folded, so
-        // the correction is idempotent across the fold), then add back the
-        // edits' new lengths
-        val old = GenStore.readGenOrEmpty(spark, droot, "doclens", doclensSchema)
-          .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_semi")
-          .agg(coalesce(count(lit(1)), lit(0L)),
-            coalesce(sum(col("dl")), lit(0L))).head()
-        val nw = edits.agg(coalesce(count(lit(1)), lit(0L)),
-          coalesce(sum(TF.tokenCount(col("text"))), lit(0L))).head()
-        nDocs = nDocs - old.getLong(0) + nw.getLong(0)
-        totalDl = totalDl - old.getLong(1) + nw.getLong(1)
-        val editPost0 = postingsOf(edits, nb)
-        val editPost = (if (universe.size <= 4096)
-            editPost0.filter(col("term").isInCollection(universe))
-          else editPost0.join(broadcast(qterms.select("term").distinct()),
-            Seq("term"), "left_semi"))
-          .select("term", "doc_id", "tf", "dl")
-        stored0
-          .join(broadcast(overlayIds.distinct()), Seq("doc_id"), "left_anti")
-          .unionByName(editPost)
-      }
+    val (postL, nDocs, totalDl, docsSinceFold) = logicalQueryRows(spark,
+      droot, root, qterms, universe, nb,
+      foldOverlays = applyOverlays && hasOverlays, withPositions = false)
     if (nDocs == 0L) return emptyOut
     // the impact tier's STALENESS BOUND (round 12, r11 verdict ask #3 —
     // the recall gate's freshness twin): the tier is frozen at the last
@@ -818,20 +833,127 @@ object LexLake {
     * keep the output hash-identical to the window form. */
   private def scoreBatch(postL: DataFrame, dfT: DataFrame, nDocs: Long,
                          totalDl: Long, qterms: DataFrame, n: Int,
-                         k1: Double, b: Double): DataFrame = {
-    val avgdl = totalDl.toDouble / nDocs
+                         k1: Double, b: Double): DataFrame =
     graft.operators.Serving.rankTopNMicros(
-      postL.join(broadcast(dfT), Seq("term"))
-        .withColumn("idf",
-          log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("s_micros",
-          round(col("idf") * ((col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))))
-            * lit(1000000.0), 0).cast("long"))
-        .join(broadcast(qterms), Seq("term"))
-        .groupBy("probe_id", "doc_id")
-        .agg(sum(col("s_micros")).as("bm25_micros")),
+      scoredBatch(postL, dfT, nDocs, totalDl, qterms, k1, b),
       n, "doc_id", "bm25_micros")
+
+  /** [[scoreBatch]] WITHOUT the rank cut — the summed
+    * (probe_id, doc_id, bm25_micros) frame [[proximityRankServe]] combines
+    * with its proximity bonus before ONE final rank. */
+  private def scoredBatch(postL: DataFrame, dfT: DataFrame, nDocs: Long,
+                          totalDl: Long, qterms: DataFrame,
+                          k1: Double, b: Double): DataFrame = {
+    val avgdl = totalDl.toDouble / nDocs
+    postL.join(broadcast(dfT), Seq("term"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s_micros",
+        round(col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+          * lit(1000000.0), 0).cast("long"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("s_micros")).as("bm25_micros"))
+  }
+
+  /** PROXIMITY-WEIGHTED ranked serve from the RESIDENT index (r12 verdict
+    * ask #6) — BM25 plus a term-pair proximity BONUS in one ranked list,
+    * the "boost tight phrases, don't just gate on them" query retrieval
+    * products ship between plain BM25 (q162) and the hard phrase gate
+    * (q172). Per probe and doc:
+    * `score_micros = bm25_micros + Σ_pairs round(proxWeight · ln(1 +
+    * n_pairs) · 10⁶)` over every unordered pair of the probe's distinct
+    * terms, n_pairs = within-`w` position pairs ([[proximityServe]]'s
+    * statistic) — exact integer micros end to end, ranked top-`n` through
+    * the bounded heap. The lake-resident twin of
+    * [[graft.operators.TextStats.bm25ProximityRank]] (shared fold, parity
+    * spec-pinned through mutations).
+    *
+    * Scale shape: ONE bucket-pruned postings read (term/tf/dl AND
+    * positions off the same pruned scan, pinned) feeds both arms; the
+    * pair counting is the width-`w` bucket-blocked equi-join — never a
+    * nested loop — and both aggs are (probe, doc)-keyed with map-side
+    * partials. READER path. */
+  def proximityRankServe(spark: SparkSession, root: String,
+                         queries: DataFrame, n: Int, w: Int,
+                         queryIdCol: String = "probe_id",
+                         termsCol: String = "terms",
+                         k1: Double = 1.2, b: Double = 0.75,
+                         proxWeight: Double = 1.0,
+                         maxBroadcastQueryTerms: Long = 1L << 20): DataFrame =
+    proximityRankServeIn(spark, GenStore.dataRoot(spark, root), root,
+      queries, n, w, queryIdCol, termsCol, k1, b, proxWeight,
+      maxBroadcastQueryTerms, applyOverlays = true)
+
+  /** [[proximityRankServe]] PINNED to an explicit generation — committed
+    * state only (the [[serveAt]] contract). */
+  def proximityRankServeAt(spark: SparkSession, root: String,
+                           generation: Option[Long],
+                           queries: DataFrame, n: Int, w: Int,
+                           queryIdCol: String = "probe_id",
+                           termsCol: String = "terms",
+                           k1: Double = 1.2, b: Double = 0.75,
+                           proxWeight: Double = 1.0,
+                           maxBroadcastQueryTerms: Long = 1L << 20)
+      : DataFrame =
+    proximityRankServeIn(spark, GenStore.dataRootOf(root, generation), root,
+      queries, n, w, queryIdCol, termsCol, k1, b, proxWeight,
+      maxBroadcastQueryTerms, applyOverlays = false)
+
+  private def proximityRankServeIn(spark: SparkSession, droot: String,
+                                   root: String, queries: DataFrame,
+                                   n: Int, w: Int, queryIdCol: String,
+                                   termsCol: String, k1: Double, b: Double,
+                                   proxWeight: Double,
+                                   maxBroadcastQueryTerms: Long,
+                                   applyOverlays: Boolean): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(proxWeight >= 0, s"proxWeight must be >= 0, got $proxWeight")
+    val nb = servedBuckets(spark, root).getOrElse(throw
+      new IllegalArgumentException(
+        s"lex lake at $root has no layout conf — ingest something first"))
+    GenStore.requireLive(spark, droot)
+    val qterms = graft.operators.Serving.queryTermsBatch(queries, queryIdCol,
+      termsCol, maxBroadcastQueryTerms, pin = true)
+    graft.operators.Serving.requireTermCharset(qterms, "term",
+      "proximity-rank batch")
+    val universe = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("probe_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("score_micros", LongType),
+        StructField("rank", LongType))))
+    if (universe.isEmpty) return emptyOut
+    def overlay(sub: String): Boolean =
+      Writers.stateExistsReadOnly(spark, s"$root/$sub")
+    val hasOverlays = overlay("tombstones") || overlay("edits")
+    val (postL0, nDocs, totalDl, _) = logicalQueryRows(spark, droot, root,
+      qterms, universe, nb, foldOverlays = applyOverlays && hasOverlays,
+      withPositions = true)
+    if (nDocs == 0L) return emptyOut
+    // pre-positional rows would silently drop the bonus arm — same loud
+    // refusal as the positional serves (a bounded probe over pruned rows)
+    require(postL0.filter(col("positions").isNull).limit(1).count() == 0,
+      s"lex lake at $root holds PRE-POSITIONAL posting rows for the " +
+        s"queried terms (positions = null) — the proximity bonus needs " +
+        "the positional layout. Re-ingest the affected documents or " +
+        "rebuild the store; a silent serve would mis-rank every probe.")
+    // PINNED: one pruned read feeds the BM25 arm, the df agg, and the
+    // pair-count arm — unpinned, each would re-scan the store
+    val postL = postL0.localCheckpoint(true)
+    val dfT = postL.groupBy("term").agg(count(lit(1)).as("df"))
+    val bmsc = scoredBatch(postL.select("term", "doc_id", "tf", "dl"), dfT,
+      nDocs, totalDl, qterms, k1, b)
+    val pairCounts =
+      graft.operators.TextStats.proximityPairMatrixPerDocFromPositions(
+        postL.select(col("doc_id"), col("term"),
+          explode(col("positions")).as("pos")), w)
+    graft.operators.TextStats.proximityRankFold(bmsc, pairCounts, qterms,
+      n, proxWeight)
   }
 
   /** EXACT PHRASE serve from the STORED positional postings — the
@@ -864,10 +986,22 @@ object LexLake {
     val droot = droot0.getOrElse(GenStore.dataRoot(spark, root))
     GenStore.requireLive(spark, droot)
     val buckets = terms.map(bucketOf(_, nb)).distinct
-    val stored = GenStore.readGenOrEmpty(spark, droot, "postings",
+    // the bucket IN-list is <= nBuckets values; the TERM filter stays a
+    // pushed IN-list only while the (batched) universe is literal-sized —
+    // a 10^5-term batch would bloat codegen without pruning anything the
+    // buckets didn't (the serveIn switch, shared)
+    def termFilter(df: DataFrame): DataFrame =
+      if (terms.isEmpty) df.filter(lit(false))
+      else if (terms.size <= 4096)
+        df.filter(col("term").isInCollection(terms))
+      else {
+        import spark.implicits._
+        df.join(broadcast(terms.toDF("term")), Seq("term"), "left_semi")
+      }
+    val stored = termFilter(GenStore.readGenOrEmpty(spark, droot, "postings",
         postingsSchema)
-      .filter(col("tbucket").isInCollection(buckets))
-      .filter(col("term").isInCollection(terms))
+      .filter(if (buckets.isEmpty) lit(false)
+        else col("tbucket").isInCollection(buckets)))
       .select("term", "doc_id", "positions")
     // the probe is a LIMIT over the already-pruned scan — bounded, and
     // only on the queried terms
@@ -899,8 +1033,7 @@ object LexLake {
         "Overlays are bounded interim state by contract — run reconcile " +
           "to fold them, then re-run the positional serve.")
       stored.join(broadcast(overlayIds), Seq("doc_id"), "left_anti")
-        .unionByName(postingsOf(edits, nb)
-          .filter(col("term").isInCollection(terms))
+        .unionByName(termFilter(postingsOf(edits, nb))
           .select("term", "doc_id", "positions"))
     }
   }
@@ -1029,6 +1162,156 @@ object LexLake {
         Seq("doc_id", "start"), "left_semi")
     }
     starts.groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
+  }
+
+  // ---- BATCHED positional serves (r12 verdict ask #1) -------------------
+  // The scalar positional serves above answer ONE query per Spark job — a
+  // ~0.1 s scheduling floor each, the same ~10 QPS ceiling
+  // [[VectorLake.searchBatch]] closed for vectors in r9 and [[serve]]
+  // closed for BM25. The batch forms read the stored positional postings
+  // ONCE, bucket-pruned to the UNION of all probes' terms, and fold per
+  // probe downstream through the SAME shared transcriptions as the pure
+  // operators — per-probe parity with the scalar serves is spec-pinned
+  // through delete/upsert/fold, and the whole batch costs one distinct
+  // postings FileScan (plan-pinned in PlanSpec).
+
+  /** Batched [[phraseServe]]: `probes` is (probe_id, phrase array<string>)
+    * through [[graft.operators.Serving.phraseSlotsBatch]] (unique ids,
+    * non-empty charset-guarded phrases, broadcast cap, pinned). Output:
+    * (probe_id, doc_id, occurrences), matches only. READER path. */
+  def phraseServeBatch(spark: SparkSession, root: String, probes: DataFrame,
+                       probeIdCol: String = "probe_id",
+                       phraseCol: String = "phrase",
+                       maxBroadcastQueryTerms: Long = 1L << 20,
+                       maxOverlayRows: Long = 1L << 20): DataFrame =
+    phraseServeBatchIn(spark, root, probes, probeIdCol, phraseCol,
+      maxBroadcastQueryTerms, maxOverlayRows, droot0 = None,
+      applyOverlays = true)
+
+  /** [[phraseServeBatch]] PINNED to an explicit generation — committed
+    * state only, root overlays skipped (the [[serveAt]] contract). */
+  def phraseServeBatchAt(spark: SparkSession, root: String,
+                         generation: Option[Long], probes: DataFrame,
+                         probeIdCol: String = "probe_id",
+                         phraseCol: String = "phrase",
+                         maxBroadcastQueryTerms: Long = 1L << 20,
+                         maxOverlayRows: Long = 1L << 20): DataFrame =
+    phraseServeBatchIn(spark, root, probes, probeIdCol, phraseCol,
+      maxBroadcastQueryTerms, maxOverlayRows,
+      droot0 = Some(GenStore.dataRootOf(root, generation)),
+      applyOverlays = false)
+
+  private def phraseServeBatchIn(spark: SparkSession, root: String,
+                                 probes: DataFrame, probeIdCol: String,
+                                 phraseCol: String,
+                                 maxBroadcastQueryTerms: Long,
+                                 maxOverlayRows: Long,
+                                 droot0: Option[String],
+                                 applyOverlays: Boolean): DataFrame = {
+    val slots = graft.operators.Serving.phraseSlotsBatch(probes, probeIdCol,
+      phraseCol, maxBroadcastQueryTerms)
+    val universe = slots.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.operators.TextStats.phraseOccurrencesBatchFromPositions(
+      batchPositions(spark, root, universe, maxOverlayRows, droot0,
+        applyOverlays), slots)
+  }
+
+  /** The ONE materialized positional read a batch serve folds over:
+    * [[positionalPostings]] pruned to the union of the batch's terms,
+    * exploded, and PINNED — the folds (conjunctive gate + coverage agg,
+    * or the pa/pb pairing sides) each reference the frame, and unpinned
+    * they would re-scan the store once per reference instead of the
+    * batch's one physical read (the searchBatch amortization this family
+    * exists for; plan-pinned in LexLakeSpec). */
+  private def batchPositions(spark: SparkSession, root: String,
+                             universe: Seq[String], maxOverlayRows: Long,
+                             droot0: Option[String],
+                             applyOverlays: Boolean): DataFrame =
+    positionalPostings(spark, root, universe, maxOverlayRows,
+      droot0 = droot0, applyOverlays = applyOverlays)
+      .select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+      .localCheckpoint(true)
+
+  /** Batched [[proximityServe]]: `probes` is (probe_id, term_a, term_b)
+    * through [[graft.operators.Serving.termPairProbes]] (unique ids,
+    * charset-guarded, pinned); `w` is the batch's shared window (it IS the
+    * blocking bucket width). Output: (probe_id, doc_id, n_pairs),
+    * co-occurring docs only. READER path. */
+  def proximityServeBatch(spark: SparkSession, root: String,
+                          probes: DataFrame, w: Int,
+                          maxOverlayRows: Long = 1L << 20): DataFrame =
+    proximityServeBatchIn(spark, root, probes, w, maxOverlayRows,
+      droot0 = None, applyOverlays = true)
+
+  /** [[proximityServeBatch]] PINNED to an explicit generation. */
+  def proximityServeBatchAt(spark: SparkSession, root: String,
+                            generation: Option[Long], probes: DataFrame,
+                            w: Int,
+                            maxOverlayRows: Long = 1L << 20): DataFrame =
+    proximityServeBatchIn(spark, root, probes, w, maxOverlayRows,
+      droot0 = Some(GenStore.dataRootOf(root, generation)),
+      applyOverlays = false)
+
+  private def proximityServeBatchIn(spark: SparkSession, root: String,
+                                    probes: DataFrame, w: Int,
+                                    maxOverlayRows: Long,
+                                    droot0: Option[String],
+                                    applyOverlays: Boolean): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val p = graft.operators.Serving.termPairProbes(probes)
+    val universe = p.select(col("term_a").as("term"))
+      .unionByName(p.select(col("term_b").as("term")))
+      .distinct().collect().map(_.getString(0)).toSeq
+    graft.operators.TextStats.proximityPairsBatchFromPositions(
+      batchPositions(spark, root, universe, maxOverlayRows, droot0,
+        applyOverlays), p, w)
+  }
+
+  /** Batched [[passageServe]]: `probes` is (probe_id, terms array<string>)
+    * through the shared serving-batch gate. Output:
+    * (probe_id, doc_id, best_window_terms). READER path. */
+  def passageServeBatch(spark: SparkSession, root: String,
+                        probes: DataFrame, w: Int,
+                        probeIdCol: String = "probe_id",
+                        termsCol: String = "terms",
+                        maxBroadcastQueryTerms: Long = 1L << 20,
+                        maxOverlayRows: Long = 1L << 20): DataFrame =
+    passageServeBatchIn(spark, root, probes, w, probeIdCol, termsCol,
+      maxBroadcastQueryTerms, maxOverlayRows, droot0 = None,
+      applyOverlays = true)
+
+  /** [[passageServeBatch]] PINNED to an explicit generation. */
+  def passageServeBatchAt(spark: SparkSession, root: String,
+                          generation: Option[Long], probes: DataFrame,
+                          w: Int,
+                          probeIdCol: String = "probe_id",
+                          termsCol: String = "terms",
+                          maxBroadcastQueryTerms: Long = 1L << 20,
+                          maxOverlayRows: Long = 1L << 20): DataFrame =
+    passageServeBatchIn(spark, root, probes, w, probeIdCol, termsCol,
+      maxBroadcastQueryTerms, maxOverlayRows,
+      droot0 = Some(GenStore.dataRootOf(root, generation)),
+      applyOverlays = false)
+
+  private def passageServeBatchIn(spark: SparkSession, root: String,
+                                  probes: DataFrame, w: Int,
+                                  probeIdCol: String, termsCol: String,
+                                  maxBroadcastQueryTerms: Long,
+                                  maxOverlayRows: Long,
+                                  droot0: Option[String],
+                                  applyOverlays: Boolean): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val qterms = graft.operators.Serving.queryTermsBatch(probes, probeIdCol,
+      termsCol, maxBroadcastQueryTerms, pin = true)
+    graft.operators.Serving.requireTermCharset(qterms, "term",
+      "passage batch")
+    val universe = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.operators.TextStats.bestPassageWindowBatchFromPositions(
+      batchPositions(spark, root, universe, maxOverlayRows, droot0,
+        applyOverlays), qterms, w)
   }
 
   /** FOLD + COMPACT + REBASE as a new generation: postings and doclens are

@@ -185,4 +185,69 @@ object Serving {
         explode(col(termsCol)).as("term")).distinct()
     if (pin) qterms.localCheckpoint(true) else qterms
   }
+
+  /** The PHRASE-batch gate ([[queryTermsBatch]]'s positional sibling, r12
+    * verdict ask #1): duplicate-id refusal, empty-phrase refusal, the
+    * exploded broadcast cap, and the term-charset guard in bounded jobs,
+    * returning the PINNED exploded `(probe_id, slot, term)` frame (slot
+    * 0-based, one row per phrase position — NOT deduplicated: a duplicated
+    * word occupies two slots) that the batched phrase fold joins onto the
+    * positions. Always pinned: the frame feeds a term-universe collect AND
+    * the fold joins. */
+  def phraseSlotsBatch(probes: DataFrame, probeIdCol: String,
+                       phraseCol: String,
+                       maxBroadcastQueryTerms: Long): DataFrame = {
+    val c = probes.agg(count(lit(1)), count_distinct(col(probeIdCol)),
+      coalesce(sum(size(col(phraseCol))), lit(0L)),
+      count(when(size(col(phraseCol)) === 0, 1))).head()
+    require(c.getLong(0) == c.getLong(1),
+      s"phrase batch carries duplicate $probeIdCol values (${c.getLong(0)} " +
+        s"rows, ${c.getLong(1)} distinct) — their occurrence counts would " +
+        "silently merge. Deduplicate or re-key the batch first.")
+    require(c.getLong(3) == 0L,
+      s"phrase batch carries ${c.getLong(3)} empty phrase(s) — a phrase " +
+        "must carry at least one token")
+    require(c.getLong(2) <= maxBroadcastQueryTerms,
+      s"phrase batch explodes to ${c.getLong(2)} (probe, slot) rows > " +
+        s"maxBroadcastQueryTerms=$maxBroadcastQueryTerms — the slot frame " +
+        "BROADCASTS onto the positions (serving-bounded by contract)")
+    val slots = probes
+      .select(col(probeIdCol).cast("long").as("probe_id"),
+        posexplode(col(phraseCol)).as(Seq("slot", "term")))
+      .localCheckpoint(true)
+    requireTermCharset(slots, "term", "phrase batch")
+    slots
+  }
+
+  /** The term-PAIR batch gate (the proximity family's probe contract):
+    * unique probe ids, charset-guarded terms, PINNED
+    * (probe_id, term_a, term_b) frame. */
+  def termPairProbes(probes: DataFrame,
+                     probeIdCol: String = "probe_id",
+                     termACol: String = "term_a",
+                     termBCol: String = "term_b"): DataFrame = {
+    requireUniqueIds(probes, probeIdCol, "proximity probe batch",
+      "their pair counts would silently merge. Deduplicate or re-key the " +
+        "batch first.")
+    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+        col(termACol).as("term_a"), col(termBCol).as("term_b"))
+      .localCheckpoint(true)
+    requireTermCharset(
+      p.select(col("term_a").as("term"))
+        .unionByName(p.select(col("term_b").as("term"))),
+      "term", "proximity probe batch")
+    p
+  }
+
+  /** The [A-Za-z0-9_-]+ term guard the scalar positional entry points
+    * apply to their driver-side Seq arguments, for DataFrame-shaped
+    * batches: one bounded probe over the (pinned, serving-sized) frame. */
+  def requireTermCharset(df: DataFrame, termCol: String,
+                         subject: String): Unit = {
+    val bad = df.filter(col(termCol).isNull ||
+      !col(termCol).rlike("^[A-Za-z0-9_-]+$")).limit(1).collect()
+    require(bad.isEmpty,
+      s"$subject terms must be [A-Za-z0-9_-]+: got " +
+        s"'${bad.headOption.map(_.get(0)).orNull}'")
+  }
 }

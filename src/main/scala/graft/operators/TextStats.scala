@@ -266,6 +266,24 @@ object TextStats {
     // (probe_id, term) frame that broadcasts onto the postings
     val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
       maxBroadcastQueryTerms)
+    // per-probe rank via the bounded heap (Serving.rankTopNMicros), never a
+    // probe_id-keyed window: a frequent term's candidate set is O(corpus)
+    // rows, and a single-key row_number hauls ALL of them to one reducer —
+    // the heap's partial agg caps the exchange at probes x partitions x n
+    // (the r10 verdict's top finding). Scores are exact integer micros with
+    // the (micros desc, doc_id asc) total order, so output is
+    // hash-identical to the window form.
+    Serving.rankTopNMicros(bm25ScoredPerQuery(docs, idCol, textCol, qterms,
+      k1, b), n, "doc_id", "bm25_micros")
+  }
+
+  /** [[bm25PerQuery]]'s summed (probe_id, doc_id, bm25_micros) frame
+    * WITHOUT the rank cut — shared with [[bm25ProximityRank]], which
+    * combines it with the proximity bonus before ONE final rank. `qterms`
+    * is the already-gated exploded (probe_id, term) frame. */
+  private def bm25ScoredPerQuery(docs: DataFrame, idCol: String,
+                                 textCol: String, qterms: DataFrame,
+                                 k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TF.tokens(col(textCol))).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -284,18 +302,9 @@ object TextStats {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
           * lit(1000000.0), 0).cast("long"))
       .select("term", "doc_id", "s_micros")
-    // per-probe rank via the bounded heap (Serving.rankTopNMicros), never a
-    // probe_id-keyed window: a frequent term's candidate set is O(corpus)
-    // rows, and a single-key row_number hauls ALL of them to one reducer —
-    // the heap's partial agg caps the exchange at probes x partitions x n
-    // (the r10 verdict's top finding). Scores are exact integer micros with
-    // the (micros desc, doc_id asc) total order, so output is
-    // hash-identical to the window form.
-    Serving.rankTopNMicros(
-      posted.join(broadcast(qterms), Seq("term"))
-        .groupBy("probe_id", "doc_id")
-        .agg(sum(col("s_micros")).as("bm25_micros")),
-      n, "doc_id", "bm25_micros")
+    posted.join(broadcast(qterms), Seq("term"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("s_micros")).as("bm25_micros"))
   }
 
   /** [[bm25PerQuery]] served from IMPACT-ORDERED TRUNCATED posting lists —
@@ -596,6 +605,270 @@ object TextStats {
       .agg(count_distinct(col("term")).as("__nt"))
       .groupBy("doc_id")
       .agg(max(col("__nt")).as("best_window_terms"))
+  }
+
+  // ---- BATCHED positional serving transcriptions (r12 verdict ask #1) ----
+  // The per-query positional ops above answer ONE phrase/pair/term-set per
+  // Spark job — a ~0.1 s scheduling floor each, the same ~10 QPS ceiling
+  // VectorLake.searchBatch closed for vector serving in r9. The batched
+  // forms take a (probe_id, …) batch and answer every probe from ONE plan;
+  // the lake serves (LexLake.phraseServeBatch et al.) share these exact
+  // transcriptions over ONE bucket-pruned read of the union of all probes'
+  // terms, so per-probe parity with the scalar forms holds by construction.
+
+  /** Batched EXACT PHRASE occurrences over a pre-exploded (doc_id, term,
+    * pos) position frame and an exploded (probe_id, slot, term) phrase-slot
+    * frame (slot 0-based; one row per slot) — the ONE transcription
+    * [[phraseMatchBatch]] and [[graft.domain.LexLake.phraseServeBatch]]
+    * share. A phrase occurrence at start s exists iff every slot i holds
+    * its term at position s + i; the per-(probe, doc, start) DISTINCT-slot
+    * count reaching the probe's slot count states that predicate as ONE
+    * keyed aggregation — no per-phrase fold chain, so one plan serves
+    * phrases of EVERY length in the batch (duplicate words fall out
+    * naturally: each slot needs its own aligned position). The per-probe
+    * conjunctive gate (docs holding every distinct phrase term — the
+    * rarest-word optimization, batched) cuts the start frame first. Every
+    * exchange is keyed on (probe, doc[, start]): no window, no sort, no
+    * all-pairs. Output: (probe_id, doc_id, occurrences), matches only. */
+  def phraseOccurrencesBatchFromPositions(pos: DataFrame,
+                                          slots: DataFrame): DataFrame = {
+    val k = slots.groupBy("probe_id").agg(count(lit(1)).as("__k"),
+      count_distinct(col("term")).as("__ntq"))
+    val cand = pos
+      .join(broadcast(slots.select("probe_id", "term").distinct()),
+        Seq("term"))
+      .select("probe_id", "doc_id", "term").distinct()
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("__nt"))
+      .join(broadcast(k), Seq("probe_id"))
+      .filter(col("__nt") === col("__ntq"))
+      .select("probe_id", "doc_id")
+    pos.join(broadcast(slots), Seq("term"))
+      .join(cand, Seq("probe_id", "doc_id"), "left_semi")
+      .select(col("probe_id"), col("doc_id"),
+        (col("pos") - col("slot")).cast("long").as("start"), col("slot"))
+      .filter(col("start") >= 0)
+      .groupBy("probe_id", "doc_id", "start")
+      .agg(count_distinct(col("slot")).as("__ns"))
+      .join(broadcast(k), Seq("probe_id"))
+      .filter(col("__ns") === col("__k"))
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("occurrences"))
+  }
+
+  /** Batched [[phraseMatch]]: one tokenize pass filtered to the UNION of
+    * all probes' phrase terms, then [[phraseOccurrencesBatchFromPositions]]
+    * — adding a probe to the batch adds no corpus work. `probes` is
+    * (probe_id, phrase array<string>), ids unique, phrases non-empty
+    * (refused loudly via [[Serving.phraseSlotsBatch]]). */
+  def phraseMatchBatch(docs: DataFrame, idCol: String, textCol: String,
+                       probes: DataFrame,
+                       probeIdCol: String = "probe_id",
+                       phraseCol: String = "phrase",
+                       maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+    val slots = Serving.phraseSlotsBatch(probes, probeIdCol, phraseCol,
+      maxBroadcastQueryTerms)
+    val universe = slots.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      // an EMPTY probe batch has no universe; isInCollection needs a
+      // non-empty literal set, so prune to nothing explicitly
+      .filter(if (universe.isEmpty) lit(false)
+        else col("term").isInCollection(universe))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    phraseOccurrencesBatchFromPositions(pos, slots)
+  }
+
+  /** Batched twin of [[proximityPairsFromPositions]] over a pinned
+    * (probe_id, term_a, term_b) probe frame — per probe AND doc, the
+    * position pairs of its two terms within `w` tokens (pa != pb when the
+    * probe's terms are equal). The width-w bucket blocking is unchanged
+    * (one side 3×-replicated ⇒ plain equi-join, now keyed on
+    * (probe, doc, bucket)); a term queried by many probes fans its
+    * positions out once per probe via the broadcast probe join, never a
+    * corpus re-scan. Output: (probe_id, doc_id, n_pairs). */
+  def proximityPairsBatchFromPositions(pos: DataFrame, probes: DataFrame,
+                                       w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val pa = pos
+      .join(broadcast(probes.select(col("probe_id"),
+        col("term_a").as("term"))), Seq("term"))
+      .select(col("probe_id"), col("doc_id"),
+        col("pos").cast("long").as("pa"),
+        floor(col("pos") / w).cast("long").as("__bk"))
+    val pb = pos
+      .join(broadcast(probes.select(col("probe_id"),
+        col("term_b").as("term"))), Seq("term"))
+      .select(col("probe_id"), col("doc_id"),
+        col("pos").cast("long").as("pb"),
+        explode(array((floor(col("pos") / w) - 1).cast("long"),
+          floor(col("pos") / w).cast("long"),
+          (floor(col("pos") / w) + 1).cast("long"))).as("__bk"))
+    pa.join(pb, Seq("probe_id", "doc_id", "__bk"))
+      .join(broadcast(probes.select(col("probe_id"),
+        (col("term_a") === col("term_b")).as("__same"))), Seq("probe_id"))
+      .filter(abs(col("pa") - col("pb")) <= w &&
+        (!col("__same") || col("pa") =!= col("pb")))
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Batched [[proximityPairs]]: one tokenize pass filtered to the union
+    * of all probes' terms, then [[proximityPairsBatchFromPositions]].
+    * `probes` is (probe_id, term_a, term_b), ids unique (refused loudly),
+    * terms [A-Za-z0-9_-]+. */
+  def proximityPairsBatch(docs: DataFrame, idCol: String, textCol: String,
+                          probes: DataFrame, w: Int): DataFrame = {
+    val p = Serving.termPairProbes(probes)
+    val universe = p.select(col("term_a").as("term"))
+      .unionByName(p.select(col("term_b").as("term")))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(if (universe.isEmpty) lit(false)
+        else col("term").isInCollection(universe))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    proximityPairsBatchFromPositions(pos, p, w)
+  }
+
+  /** Batched twin of [[bestPassageWindowFromPositions]] over an exploded
+    * (probe_id, term) query frame: per probe and doc, the max distinct
+    * query terms any width-`w` window covers. The one-sided blocking is
+    * unchanged, keyed on (probe, doc, bucket). Output:
+    * (probe_id, doc_id, best_window_terms), docs holding >= 1 term only. */
+  def bestPassageWindowBatchFromPositions(pos: DataFrame, qterms: DataFrame,
+                                          w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val p = pos.join(broadcast(qterms), Seq("term"))
+    val starts = p.select(col("probe_id"), col("doc_id"),
+      col("pos").as("s"), floor(col("pos") / w).cast("long").as("__bk"))
+    val members = p.select(col("probe_id"), col("doc_id"), col("term"),
+      col("pos").as("q"),
+      explode(array(floor(col("pos") / w).cast("long"),
+        (floor(col("pos") / w) - 1).cast("long"))).as("__bk"))
+    starts.join(members, Seq("probe_id", "doc_id", "__bk"))
+      .filter(col("q") >= col("s") && col("q") < col("s") + w)
+      .groupBy("probe_id", "doc_id", "s")
+      .agg(count_distinct(col("term")).as("__nt"))
+      .groupBy("probe_id", "doc_id")
+      .agg(max(col("__nt")).as("best_window_terms"))
+  }
+
+  /** Batched [[bestPassageWindow]]: `probes` is (probe_id, terms
+    * array<string>) through the shared serving-batch gate, one tokenize
+    * pass over the union of terms. */
+  def bestPassageWindowBatch(docs: DataFrame, idCol: String, textCol: String,
+                             probes: DataFrame, w: Int,
+                             probeIdCol: String = "probe_id",
+                             termsCol: String = "terms",
+                             maxBroadcastQueryTerms: Long = 1L << 20)
+      : DataFrame = {
+    val qterms = Serving.queryTermsBatch(probes, probeIdCol, termsCol,
+      maxBroadcastQueryTerms, pin = true)
+    Serving.requireTermCharset(qterms, "term", "passage batch")
+    val universe = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(if (universe.isEmpty) lit(false)
+        else col("term").isInCollection(universe))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    bestPassageWindowBatchFromPositions(pos, qterms, w)
+  }
+
+  /** PER-DOC proximity pair matrix over a pre-filtered (doc_id, term, pos)
+    * frame — [[proximityMatrix]]'s blocked join resolved per document
+    * instead of corpus-total: (doc_id, term_a, term_b, n_pairs) for every
+    * unordered pair of DISTINCT terms within `w` tokens. The shared
+    * transcription of [[bm25ProximityRank]]'s bonus arm and
+    * [[graft.domain.LexLake.proximityRankServe]]'s. */
+  def proximityPairMatrixPerDocFromPositions(pos: DataFrame,
+                                             w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val pa = pos.select(col("doc_id"), col("term").as("term_a"),
+      col("pos").cast("long").as("pa"),
+      floor(col("pos") / w).cast("long").as("__bk"))
+    val pb = pos.select(col("doc_id"), col("term").as("term_b"),
+      col("pos").cast("long").as("pb"),
+      explode(array((floor(col("pos") / w) - 1).cast("long"),
+        floor(col("pos") / w).cast("long"),
+        (floor(col("pos") / w) + 1).cast("long"))).as("__bk"))
+    pa.join(pb, Seq("doc_id", "__bk"))
+      .filter(col("term_a") < col("term_b") &&
+        abs(col("pa") - col("pb")) <= w)
+      .groupBy("doc_id", "term_a", "term_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The BM25 + proximity-bonus combine-and-rank — ONE transcription
+    * shared by [[bm25ProximityRank]] and
+    * [[graft.domain.LexLake.proximityRankServe]] so parity holds by
+    * construction. `bmsc` = (probe_id, doc_id, bm25_micros) unranked;
+    * `pairCounts` = the per-doc pair matrix; `qterms` = the exploded
+    * (probe_id, term) batch. Per probe and doc:
+    * score = bm25 + Σ over the probe's own term pairs of
+    * round(proxWeight · ln(1 + n_pairs) · 10⁶) — the saturating
+    * log-shaped proximity boost, in exact integer micros so the rank's
+    * (score desc, doc_id asc) total order is engine-independent. A doc
+    * with pairs necessarily holds both terms, so it is already a BM25
+    * candidate — the left join loses nothing. */
+  def proximityRankFold(bmsc: DataFrame, pairCounts: DataFrame,
+                        qterms: DataFrame, n: Int,
+                        proxWeight: Double): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val qp = qterms.select(col("probe_id"), col("term").as("term_a"))
+      .join(qterms.select(col("probe_id"), col("term").as("term_b")),
+        Seq("probe_id"))
+      .filter(col("term_a") < col("term_b"))
+    val boost = pairCounts
+      .join(broadcast(qp), Seq("term_a", "term_b"))
+      .withColumn("__b",
+        round(log(lit(1.0) + col("n_pairs"))
+          * lit(proxWeight * 1000000.0), 0).cast("long"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("__b")).as("prox_micros"))
+    Serving.rankTopNMicros(
+      bmsc.join(boost, Seq("probe_id", "doc_id"), "left")
+        .withColumn("score_micros",
+          col("bm25_micros") + coalesce(col("prox_micros"), lit(0L)))
+        .select("probe_id", "doc_id", "score_micros"),
+      n, "doc_id", "score_micros")
+  }
+
+  /** PROXIMITY-WEIGHTED BM25 ranking (r12 verdict ask #6) — the pure twin
+    * of [[graft.domain.LexLake.proximityRankServe]]: per probe, BM25 over
+    * its terms PLUS a bonus of round(proxWeight · ln(1 + n_pairs) · 10⁶)
+    * for every unordered pair of its distinct terms co-occurring within
+    * `w` tokens — "boost tight phrases, don't just gate on them", the
+    * middle ground between plain BM25 (q162) and the hard phrase gate
+    * (q172). Exact integer micros end to end; top-`n` through the bounded
+    * heap. Scale shape: one tokenize pass (positions) filtered to the
+    * batch's term union; the pair arm is the width-`w` bucket-blocked
+    * equi-join (never a nested loop); both aggs (probe, doc)-keyed with
+    * map-side partials. Output: (probe_id, doc_id, score_micros, rank). */
+  def bm25ProximityRank(docs: DataFrame, idCol: String, textCol: String,
+                        queries: DataFrame, queryIdCol: String,
+                        termsCol: String, n: Int, w: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        proxWeight: Double = 1.0,
+                        maxBroadcastQueryTerms: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(proxWeight >= 0, s"proxWeight must be >= 0, got $proxWeight")
+    // pinned: the frame feeds the BM25 arm, the pair arm's probe pairs,
+    // and the universe filter
+    val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
+      maxBroadcastQueryTerms, pin = true)
+    val universe = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val bmsc = bm25ScoredPerQuery(docs, idCol, textCol, qterms, k1, b)
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(if (universe.isEmpty) lit(false)
+        else col("term").isInCollection(universe))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    proximityRankFold(bmsc, proximityPairMatrixPerDocFromPositions(pos, w),
+      qterms, n, proxWeight)
   }
 
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp / Karp-Rabin

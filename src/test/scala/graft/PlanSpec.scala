@@ -80,6 +80,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("batched positional plans stay bucket-blocked hash joins — no nested loop, heap-free aggs (q174/q175/q176)") {
+    // r12 ask #1: the batch forms fan one tokenize pass out per probe via
+    // broadcast probe joins; the pairings stay the same width-w bucket
+    // blocking as the scalar forms — a nested loop at any term frequency
+    // (or any probe count) would be the batching defeating itself
+    for (q <- Seq("q174_phrase_batch", "q175_proximity_batch",
+        "q176_passage_batch")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("scan reads only the projected columns (q08 column pruning)") {
     val p = plan("q08_filter_range")
     // ReadSchema must not include unprojected cols like l_shipdate/l_returnflag

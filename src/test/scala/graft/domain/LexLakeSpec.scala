@@ -692,6 +692,183 @@ class LexLakeSpec extends SparkSpec {
     assert(got(4) == want(logical.filterNot(_._1 == 100L), 4))
   }
 
+  test("batched positional serves equal the per-query serves through every mutation; one pruned read per batch") {
+    // r12 verdict ask #1: phraseServe/proximityServe/passageServe answer
+    // ONE query per Spark job (~0.1 s scheduling floor, ~10 QPS ceiling);
+    // the batch forms read the stored positions ONCE — bucket-pruned to
+    // the union of all probes' terms — and fold per probe downstream.
+    // Parity per probe with the scalar serves must hold through
+    // delete/upsert/fold, and the pinned twins serve committed state.
+    val root = freshRoot("posbatch")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    val phrases = Seq(
+      0L -> Seq("spark", "batch"),
+      1L -> Seq("spark", "batch", "hash"),
+      2L -> Seq("merge"),
+      3L -> Seq("zzznothere", "spark"))
+    val pairs = Seq((0L, "spark", "batch"), (1L, "merge", "query"),
+      (2L, "stream", "stream"), (3L, "zzznothere", "spark"))
+    val passages = Seq(0L -> Seq("spark", "batch", "hash"),
+      1L -> Seq("merge"), 2L -> Seq("zzznothere"))
+    def rows3(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def scalar2(df: DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def checkParity(): Unit = {
+      assert(rows3(LexLake.phraseServeBatch(spark, root,
+          phrases.toDF("probe_id", "phrase")))
+        == phrases.flatMap { case (id, ph) =>
+          scalar2(LexLake.phraseServe(spark, root, ph))
+            .map { case (d, n) => (id, d, n) } }.toSet)
+      assert(rows3(LexLake.proximityServeBatch(spark, root,
+          pairs.toDF("probe_id", "term_a", "term_b"), w = 5))
+        == pairs.flatMap { case (id, a, b) =>
+          scalar2(LexLake.proximityServe(spark, root, a, b, w = 5))
+            .map { case (d, n) => (id, d, n) } }.toSet)
+      assert(rows3(LexLake.passageServeBatch(spark, root,
+          passages.toDF("probe_id", "terms"), w = 8))
+        == passages.flatMap { case (id, ts) =>
+          scalar2(LexLake.passageServe(spark, root, ts, w = 8))
+            .map { case (d, n) => (id, d, n) } }.toSet)
+    }
+    checkParity()
+    assert(rows3(LexLake.phraseServeBatch(spark, root,
+      phrases.toDF("probe_id", "phrase"))).nonEmpty, "fixture must match")
+    // mutations fold into every batch serve exactly as into the scalars
+    LexLake.delete(spark, root, Seq(0L, 7L).toDF("doc_id"))
+    LexLake.upsert(spark, root,
+      Seq((100L, "spark batch spark batch merge query"))
+        .toDF("doc_id", "text"))
+    checkParity()
+    LexLake.reconcile(spark, root)
+    checkParity()
+    // pinned twins: a post-fold delete is invisible at the pinned gen
+    val gen = LexLake.generations(spark, root).lastOption
+    val before = rows3(LexLake.phraseServeBatchAt(spark, root, gen,
+      phrases.toDF("probe_id", "phrase")))
+    val victim = before.head._2
+    LexLake.delete(spark, root, Seq(victim).toDF("doc_id"))
+    assert(rows3(LexLake.phraseServeBatchAt(spark, root, gen,
+      phrases.toDF("probe_id", "phrase"))) == before)
+    assert(rows3(LexLake.proximityServeBatchAt(spark, root, gen,
+        pairs.toDF("probe_id", "term_a", "term_b"), w = 5))
+      == pairs.flatMap { case (id, a, b) =>
+        scalar2(LexLake.proximityServeAt(spark, root, gen, a, b, w = 5))
+          .map { case (d, n) => (id, d, n) } }.toSet)
+    assert(rows3(LexLake.passageServeBatchAt(spark, root, gen,
+        passages.toDF("probe_id", "terms"), w = 8))
+      == passages.flatMap { case (id, ts) =>
+        scalar2(LexLake.passageServeAt(spark, root, gen, ts, w = 8))
+          .map { case (d, n) => (id, d, n) } }.toSet)
+    assert(rows3(LexLake.phraseServeBatch(spark, root,
+      phrases.toDF("probe_id", "phrase"))) != before,
+      "the unpinned serve must see the delete")
+    // PLAN PIN: the batch's ONE physical postings read happens at the
+    // pinned materialization (batchPositions' eager localCheckpoint — one
+    // pruned FileScan job); the served fold plans must then run entirely
+    // off that materialized frame — ZERO parquet re-scans of the store no
+    // matter how many probes the batch carries — and never a nested loop
+    for (df <- Seq(
+        LexLake.phraseServeBatchAt(spark, root, gen,
+          phrases.toDF("probe_id", "phrase")),
+        LexLake.proximityServeBatchAt(spark, root, gen,
+          pairs.toDF("probe_id", "term_a", "term_b"), w = 5),
+        LexLake.passageServeBatchAt(spark, root, gen,
+          passages.toDF("probe_id", "terms"), w = 8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val postingScans = plan.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("postings"))
+      assert(postingScans == 0,
+        s"$postingScans posting re-scans\n${plan.take(4000)}")
+      assert(plan.contains("ExistingRDD"), plan.take(4000))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(4000))
+    }
+  }
+
+  test("PRF serves the impact tier on BOTH passes: exact at an uncapping tier, recall measured at a truncating one, staleness enforced") {
+    // r12 verdict ask #2: a deployment that adopted the impact tier used
+    // to lose it the moment it turned PRF on (prfServeIn always ran the
+    // exact path). Both ranking passes now ride impact/maxStaleFraction;
+    // expansion-term SELECTION stays exact (documented).
+    import org.apache.spark.sql.functions.{avg, col}
+    // arm 1: a tier whose threshold caps NOTHING — impact PRF must equal
+    // exact PRF bit-for-bit (truncation is the only approximation)
+    val root = freshRoot("prfimp")
+    LexLake.ingest(spark, root, corpus(48).toDF("doc_id", "text"),
+      nBuckets = 8)
+    LexLake.reconcile(spark, root, impactPostings = 1000,
+      impactDfThreshold = 1000L, impactMinRecall = 0.5)
+    assert(served(LexLake.prfServe(spark, root, queriesDf, n = 5,
+        fbDocs = 3, fbTerms = 2, impact = true))
+      == served(LexLake.prfServe(spark, root, queriesDf, n = 5,
+        fbDocs = 3, fbTerms = 2)))
+    // arm 2: a genuinely TRUNCATING tier — measure the PRF path's recall
+    // (q165's retrievalEval shape) against the exact PRF serve as truth
+    val root2 = freshRoot("prfimp2")
+    LexLake.ingest(spark, root2, corpus(48).toDF("doc_id", "text"),
+      nBuckets = 8)
+    var adopted = false
+    LexLake.reconcile(spark, root2, impactPostings = 3,
+      impactDfThreshold = 2L, impactMinRecall = 0.01,
+      onImpactGate = (_, a) => adopted = a)
+    assert(adopted, "the truncating tier must adopt for the arm to bite")
+    val truth = LexLake.prfServe(spark, root2, queriesDf, n = 5,
+      fbDocs = 3, fbTerms = 2)
+    val approx = LexLake.prfServe(spark, root2, queriesDf, n = 5,
+      fbDocs = 3, fbTerms = 2, impact = true)
+    assert(approx.count() > 0)
+    val recall = graft.operators.Similarity.retrievalEval(
+        truth.select(col("probe_id"), col("doc_id").as("neighbor_id")),
+        approx.select(col("probe_id"), col("doc_id").as("neighbor_id"),
+          col("rank")))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(recall > 0.0 && recall <= 1.0, s"measured PRF-path recall: $recall")
+    // arm 3: the staleness bound rides through the PRF path — postings
+    // ingested after the fold refuse a tight bound loudly in pass 1
+    LexLake.ingest(spark, root2,
+      Seq((900L, "spark query extra")).toDF("doc_id", "text"), nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      LexLake.prfServe(spark, root2, queriesDf, n = 5, fbDocs = 3,
+        fbTerms = 2, impact = true, maxStaleFraction = 0.0001)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
+  test("proximity-weighted rank serve equals bm25ProximityRank through every mutation; pinned arm serves committed state") {
+    // r12 verdict ask #6: BM25 + term-pair proximity bonus in ONE ranked
+    // list (exact integer micros), served from the stored postings — the
+    // fold is shared with the pure operator, so parity must hold through
+    // delete/upsert/fold exactly like the other serves.
+    val root = freshRoot("proxrank")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    def want(c: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] =
+      served(TextStats.bm25ProximityRank(c.toDF("doc_id", "text"), "doc_id",
+        "text", queriesDf, "probe_id", "terms", n = 5, w = 4))
+    def got(): Set[(Long, Long, Long, Long)] =
+      served(LexLake.proximityRankServe(spark, root, queriesDf, n = 5, w = 4))
+    // the bonus arm must be live in the fixture (a zero-boost corpus would
+    // vacuously equal plain BM25 and test nothing)
+    assert(TextStats.proximityPairs(corpus().toDF("doc_id", "text"),
+      "doc_id", "text", "merge", "vector", 4).count() > 0,
+      "fixture must co-locate a probe's term pair within w")
+    assert(got() == want(corpus()))
+    LexLake.delete(spark, root, Seq(2L).toDF("doc_id"))
+    LexLake.upsert(spark, root,
+      Seq((101L, "spark query spark query merge")).toDF("doc_id", "text"))
+    val logical = corpus().filterNot(_._1 == 2L) :+
+      ((101L, "spark query spark query merge"))
+    assert(got() == want(logical))
+    LexLake.reconcile(spark, root)
+    assert(got() == want(logical))
+    // pinned twin: a post-fold delete is invisible at the pinned generation
+    val gen = LexLake.generations(spark, root).lastOption
+    LexLake.delete(spark, root, Seq(101L).toDF("doc_id"))
+    assert(served(LexLake.proximityRankServeAt(spark, root, gen, queriesDf,
+      n = 5, w = 4)) == want(logical))
+    assert(got() == want(logical.filterNot(_._1 == 101L)))
+  }
+
   test("phrase serve refuses pre-positional posting rows loudly") {
     val root = freshRoot("prepos")
     LexLake.ingest(spark, root, corpus(6).toDF("doc_id", "text"), nBuckets = 4)

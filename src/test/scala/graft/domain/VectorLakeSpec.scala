@@ -568,6 +568,59 @@ class VectorLakeSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(9L))
   }
 
+  test("quantized serve scores overlay edits under the generation's quantizer — one estimator ranks all") {
+    // r12 verdict finding #2: edit-overlay rows used to score FULL-FLOAT
+    // on the quantized paths while resident rows scored SQ8-dequantized —
+    // two estimators in one top-k, so an edited doc could displace a
+    // resident near-tie purely by estimator. Pin: an upserted embedding
+    // IDENTICAL to a resident row's must carry the IDENTICAL rounded cos
+    // on searchBatch(quantized = true).
+    val root = freshRoot("sqoverlay")
+    VectorLake.init(spark, root, Seq(Seq(10.0, 0.0), Seq(0.0, 10.0)))
+    VectorLake.ingest(spark, root, Seq(
+      1L -> unit(0, 14f), 2L -> unit(30, 14f), 3L -> unit(80, 14f),
+      4L -> unit(170, 14f)).toDF("vec_id", "embedding"))
+    VectorLake.reconcile(spark, root, k = 2, iters = 3,
+      sqMinRecall = 0.5, sqRecallK = 2)
+    VectorLake.upsert(spark, root,
+      Seq(200L -> unit(80, 14f)).toDF("vec_id", "embedding"))
+    val got = VectorLake.searchBatch(spark, root,
+        Seq(101L -> unit(80, 14f)).toDF("probe_id", "embedding"),
+        k = 5, nprobe = 2, quantized = true)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.contains(3L) && got.contains(200L), got.toString)
+    assert(got(3L) == got(200L),
+      s"identical embeddings must score identically under ONE estimator: " +
+        s"resident=${got(3L)} overlay=${got(200L)}")
+    // the refine path rescores BOTH as exact floats — still one estimator
+    val ref = VectorLake.searchBatch(spark, root,
+        Seq(101L -> unit(80, 14f)).toDF("probe_id", "embedding"),
+        k = 5, nprobe = 2, quantized = true, refineFactor = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(ref.contains(3L) && ref.contains(200L) && ref(3L) == ref(200L),
+      ref.toString)
+  }
+
+  test("upsert refuses a byte bound the row cap alone would admit") {
+    // r12 verdict finding #3: the overlay broadcasts EMBEDDINGS, so bytes
+    // (rows × 4·dims), not rows, are the binding budget
+    val root = freshRoot("bytecap")
+    VectorLake.init(spark, root, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val e = intercept[IllegalArgumentException] {
+      VectorLake.upsert(spark, root,
+        Seq(1L -> unit(0), 2L -> unit(30), 3L -> unit(60))
+          .toDF("vec_id", "embedding"),
+        maxOverlayRows = 1L << 20, maxOverlayBytes = 16L)
+    }
+    assert(e.getMessage.contains("maxOverlayBytes") &&
+      e.getMessage.contains("reconcile"), e.getMessage)
+    // inside both bounds: the same batch lands
+    assert(VectorLake.upsert(spark, root,
+      Seq(1L -> unit(0), 2L -> unit(30), 3L -> unit(60))
+        .toDF("vec_id", "embedding"),
+      maxOverlayRows = 1L << 20, maxOverlayBytes = 24L) == 3L)
+  }
+
   test("delete: tombstoned ids vanish from every read; reconcile reclaims and clears") {
     // the retraction/right-to-be-forgotten lifecycle: tombstone now,
     // reclaim at the next generation rewrite. Hidden from the float serve,

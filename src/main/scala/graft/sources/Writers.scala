@@ -257,34 +257,124 @@ object Writers {
     resolved
   }
 
-  /** WRITER-side flip (call under the store's lease): write the new value
-    * to `__tmp`, then delete + rename over the destination. Runs pointer
-    * recovery first so a flip interrupted last run is resolved before the
-    * new one starts. */
-  def writePointer(spark: SparkSession, path: String, value: String): Unit = {
-    require(value.nonEmpty, "pointer value must be non-empty")
-    recoverPointer(spark, path)
-    val (fs, dst) = hfsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val out = fs.create(tmp, /*overwrite=*/ true)
-    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"pointer flip failed: $tmp -> $dst")
+  // ---- the COMMIT PRIMITIVE seam (r12 verdict ask #7) --------------------
+  // The pointer flip is THE commit of every lake mutation, and the default
+  // implementation relies on ATOMIC RENAME — true on HDFS and local
+  // filesystems, FALSE on S3-style object stores (rename = copy + delete,
+  // neither atomic nor cheap). The primitive is therefore INJECTABLE: a
+  // deployment on an object store scopes its writers in
+  // withPointerCommit(OverwritePutPointerCommit) — one atomic overwrite
+  // PUT of the pointer object (the conditional-put/pointer-object idiom),
+  // no delete-to-rename window at all — without touching any lake code.
+  // DATA never needs the seam: generation trees are written WHOLE under
+  // fresh names before the pointer commits (no rename on the commit
+  // path). The root-overlay/compaction swaps (swapReplace /
+  // compactPartition) DO remain rename-protocol: on an object store,
+  // route mutations through reconcile folds instead of overlay swaps, or
+  // mount an atomic-rename layer for the overlay dirs — stated loudly
+  // because a silent wrong-store deployment would tear exactly at commit.
+
+  /** How a pointer value is atomically PUBLISHED and RECOVERED — the one
+    * interface [[writePointer]]/[[recoverPointer]] route through. A
+    * primitive must guarantee readers resolve the OLD or the NEW value at
+    * every instant ([[readPointerReadOnly]] reads the destination, then a
+    * surviving `__tmp`). */
+  trait PointerCommit extends Serializable {
+    def name: String
+    /** Publish `value` at `dst` (called under the writer lease, after
+      * [[recover]]). */
+    def put(fs: org.apache.hadoop.fs.FileSystem,
+            dst: org.apache.hadoop.fs.Path, value: String): Unit
+    /** Complete or discard a `put` interrupted last run. */
+    def recover(fs: org.apache.hadoop.fs.FileSystem,
+                dst: org.apache.hadoop.fs.Path): Unit
   }
 
-  /** WRITER-side recovery: complete a flip that crashed between its delete
-    * and rename (promote the surviving `__tmp`), or drop a stale `__tmp`
-    * from an attempt that crashed before its delete. */
+  /** The atomic-RENAME protocol (HDFS/local default): write `__tmp`,
+    * delete the destination, rename `__tmp` over it. A crash between the
+    * delete and the rename leaves only `__tmp` — readers resolve it,
+    * recovery promotes it. */
+  object RenamePointerCommit extends PointerCommit {
+    val name = "rename"
+    def put(fs: org.apache.hadoop.fs.FileSystem,
+            dst: org.apache.hadoop.fs.Path, value: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dst.toString + "__tmp")
+      val out = fs.create(tmp, /*overwrite=*/ true)
+      try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"pointer flip failed: $tmp -> $dst")
+    }
+    def recover(fs: org.apache.hadoop.fs.FileSystem,
+                dst: org.apache.hadoop.fs.Path): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dst.toString + "__tmp")
+      if (fs.exists(tmp)) {
+        if (!fs.exists(dst)) require(fs.rename(tmp, dst),
+          s"pointer recovery failed: $tmp -> $dst")
+        else fs.delete(tmp, false)
+        ()
+      }
+    }
+  }
+
+  /** The OBJECT-STORE protocol: ONE overwrite PUT of the pointer object —
+    * object PUTs are atomic (readers see the old or the new bytes, never
+    * a missing pointer), so there is no torn window and nothing to
+    * recover beyond promoting a `__tmp` stranded by a PREVIOUS
+    * rename-protocol writer (mixed-primitive upgrade path). */
+  object OverwritePutPointerCommit extends PointerCommit {
+    val name = "overwrite-put"
+    def put(fs: org.apache.hadoop.fs.FileSystem,
+            dst: org.apache.hadoop.fs.Path, value: String): Unit = {
+      val out = fs.create(dst, /*overwrite=*/ true)
+      try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def recover(fs: org.apache.hadoop.fs.FileSystem,
+                dst: org.apache.hadoop.fs.Path): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dst.toString + "__tmp")
+      if (fs.exists(tmp)) {
+        if (!fs.exists(dst)) {
+          val in = fs.open(tmp)
+          val bytes =
+            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          put(fs, dst, new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+        fs.delete(tmp, false)
+        ()
+      }
+    }
+  }
+
+  private val pointerCommitVar =
+    new scala.util.DynamicVariable[PointerCommit](RenamePointerCommit)
+
+  /** Scope every [[writePointer]]/[[recoverPointer]] inside `f` to commit
+    * through `cp` — how an object-store deployment swaps the primitive.
+    * Thread-scoped (DynamicVariable): the scope must enclose the WRITER
+    * call (reconcile/ingest run their commits on the calling thread). */
+  def withPointerCommit[T](cp: PointerCommit)(f: => T): T =
+    pointerCommitVar.withValue(cp)(f)
+
+  /** WRITER-side flip (call under the store's lease), through the scoped
+    * [[PointerCommit]]. Runs pointer recovery first so a flip interrupted
+    * last run is resolved before the new one starts. */
+  def writePointer(spark: SparkSession, path: String, value: String): Unit = {
+    require(value.nonEmpty, "pointer value must be non-empty")
+    val (fs, dst) = hfsOf(spark, path)
+    val cp = pointerCommitVar.value
+    cp.recover(fs, dst)
+    cp.put(fs, dst, value)
+  }
+
+  /** WRITER-side recovery through the scoped [[PointerCommit]]: complete a
+    * flip that crashed mid-commit, or drop a stale leftover from an
+    * attempt that crashed before committing. */
   def recoverPointer(spark: SparkSession, path: String): Unit = {
     val (fs, dst) = hfsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    if (fs.exists(tmp)) {
-      if (!fs.exists(dst)) require(fs.rename(tmp, dst),
-        s"pointer recovery failed: $tmp -> $dst")
-      else fs.delete(tmp, false)
-      ()
-    }
+    pointerCommitVar.value.recover(fs, dst)
   }
 
   /** Small-file compaction — the maintenance pass every streaming/incremental

@@ -670,17 +670,33 @@ object Streams {
     * an identical probe batch whenever no overlays are pending (pinned
     * reads skip uncommitted overlays by contract). READER path: no leases.
     * Delivery is foreachBatch at-least-once; the standard sink is an
-    * idempotent keyed upsert on (probe_id, rank). */
+    * idempotent keyed upsert on (probe_id, rank).
+    *
+    * The FULL hybrid surface rides through (r12 verdict ask #3 — batch
+    * `hybridServe` grew PRF, phrase, and quantized/refine arms in r11/r12
+    * and the streaming endpoint served only plain hybrid): `quantized` /
+    * `refineFactor` serve the vector arm from the pinned generation's SQ8
+    * tier, `prfFbDocs`/`prfFbTerms` swap the lexical arm for the two-pass
+    * PRF serve, and `phrase` gates the fused candidates by the stored
+    * positional index — every arm reading the SAME pinned snapshot as the
+    * arms it joins (the batch call's coherence contract, per epoch). */
   def retrievalServeStream(probes: DataFrame, vectorRoot: String,
                            lexRoot: String, k: Int,
-                           kVec: Int = 10, nLex: Int = 10)
+                           kVec: Int = 10, nLex: Int = 10,
+                           nprobe: Int = 2, kRrf: Int = 60,
+                           quantized: Boolean = false,
+                           refineFactor: Int = 0,
+                           prfFbDocs: Int = 0, prfFbTerms: Int = 0,
+                           phrase: Seq[String] = Nil)
                           (sink: (Long, DataFrame) => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probes.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val s = batch.sparkSession
       val snap = graft.domain.Retrieval.currentSnapshot(s, vectorRoot, lexRoot)
       sink(epoch, graft.domain.Retrieval.hybridServeAt(s, vectorRoot, lexRoot,
-        snap, batch, k, kVec, nLex))
+        snap, batch, k, kVec, nLex, nprobe, kRrf,
+        quantized = quantized, refineFactor = refineFactor,
+        prfFbDocs = prfFbDocs, prfFbTerms = prfFbTerms, phrase = phrase))
     }
 
   /** S19 webhook sink seam: the engine core stays offline-testable; the HTTP

@@ -260,4 +260,78 @@ class RetrievalDaySpec extends SparkSpec {
         "the folded edit serves at the next epoch: lexical rank-1 joins the fusion")
     } finally q.stop()
   }
+
+  test("streaming hybrid serve carries the FULL surface: PRF + phrase arms at batch parity across a mid-stream reconcile") {
+    // r12 verdict ask #3: batch hybridServe grew PRF/phrase/quantized arms
+    // in r11-r12 while the streaming endpoint served plain hybrid. The
+    // arms now ride through per epoch — every epoch must equal batch
+    // hybridServeAt on the SAME pinned snapshot with the SAME arms, an
+    // uncommitted overlay stays invisible, and a mid-stream reconcile is
+    // picked up at the next epoch's re-pin.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def unit(deg: Double, scale: Float = 1f): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array((math.cos(r) * scale).toFloat, (math.sin(r) * scale).toFloat)
+    }
+    val base = java.nio.file.Files.createTempDirectory("retfull").toString
+    val (vroot, lroot) = (s"$base/vector", s"$base/lex")
+    VectorLake.init(spark, vroot, Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    VectorLake.ingest(spark, vroot, Seq(
+      (1L, unit(0)), (2L, unit(45, 14f)), (3L, unit(90)))
+      .toDF("vec_id", "embedding"))
+    LexLake.ingest(spark, lroot, Seq(
+      (1L, "alpha beta gamma marker"),
+      (2L, "old second body here marker beta"),
+      (3L, "third unrelated entry")).toDF("doc_id", "text"), nBuckets = 4)
+    LexLake.reconcile(spark, lroot)
+    val arms = (2, 2, Seq("second", "body")) // (prfFbDocs, prfFbTerms, phrase)
+    def batchAt(pid: Long): Set[(Long, Long, Long, Long)] =
+      Retrieval.hybridServeAt(spark, vroot, lroot,
+          Retrieval.currentSnapshot(spark, vroot, lroot),
+          Seq((pid, unit(10), Seq("marker")))
+            .toDF("probe_id", "embedding", "terms"),
+          k = 5, prfFbDocs = arms._1, prfFbTerms = arms._2,
+          phrase = arms._3)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def shape(rs: Iterable[(Long, Long, Long, Long)]): Set[(Long, Long, Long)] =
+      rs.map { case (_, n, m, r) => (n, m, r) }.toSet
+    val input = MemoryStream[(Long, Array[Float], Seq[String])]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long, Long)]]
+    val q = graft.streaming.Streams.retrievalServeStream(
+        input.toDF().toDF("probe_id", "embedding", "terms"),
+        vroot, lroot, k = 5,
+        prfFbDocs = arms._1, prfFbTerms = arms._2,
+        phrase = arms._3) { (_, df) =>
+      val rs = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.synchronized {
+        for ((pid, grp) <- rs.groupBy(_._1)) got(pid) = grp.toSet
+        ()
+      }
+    }.start()
+    try {
+      input.addData((7L, unit(10), Seq("marker")))
+      q.processAllAvailable()
+      assert(got.contains(7L), "the phrase-bearing doc must serve")
+      assert(got(7L) == batchAt(7L),
+        "epoch serve == batch hybridServeAt with identical arms")
+      // a half-landed edit (doc 2 re-text, quote kept, tf shifted): the
+      // pinned epoch must not see it
+      LexLake.upsert(spark, lroot,
+        Seq((2L, "second body marker marker zzz")).toDF("doc_id", "text"))
+      input.addData((8L, unit(10), Seq("marker")))
+      q.processAllAvailable()
+      assert(shape(got(8L)) == shape(got(7L)),
+        "an uncommitted overlay is invisible to the pinned epoch")
+      // the fold commits; the next epoch re-pins and equals batch-at-snap2
+      LexLake.reconcile(spark, lroot)
+      input.addData((9L, unit(10), Seq("marker")))
+      q.processAllAvailable()
+      assert(got(9L) == batchAt(9L),
+        "post-reconcile epoch == batch hybridServeAt at the re-pinned snapshot")
+    } finally q.stop()
+  }
 }

@@ -201,6 +201,32 @@ object RetrievalDay {
         "zebraterm", "retrieval", w = 3)
       .filter(col("doc_id") === editId).count()
 
+    // 12. (round 13) the BATCHED positional serves — one bucket-pruned
+    //     read of the union of the batch's terms answers EVERY probe
+    //     (phrase, proximity pairs, passage windows), the proximity-
+    //     WEIGHTED ranked serve, and the PRF read through the just-folded
+    //     impact tier at the strictest staleness bound
+    stages += "phrase_batch_hits" -> LexLake.phraseServeBatch(spark,
+        lexRoot, Seq((0L, Seq("zebraterm", "retrieval")),
+          (1L, Seq("zebraterm"))).toDF("probe_id", "phrase"))
+      .filter(col("doc_id") === editId).count()
+    stages += "proximity_batch_hits" -> LexLake.proximityServeBatch(spark,
+        lexRoot, Seq((0L, "zebraterm", "retrieval"),
+          (1L, "retrieval", "document")).toDF("probe_id", "term_a", "term_b"),
+        w = 3)
+      .filter(col("doc_id") === editId).count()
+    stages += "passage_batch_hits" -> LexLake.passageServeBatch(spark,
+        lexRoot, Seq((0L, Seq("zebraterm", "retrieval", "document")))
+          .toDF("probe_id", "terms"), w = 4)
+      .filter(col("doc_id") === editId).count()
+    stages += "proximity_rank_results" -> LexLake.proximityRankServe(spark,
+      lexRoot, probeTerms.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("probe_id", "terms"), n = 5, w = 4).count()
+    stages += "prf_impact_results" -> LexLake.prfServe(spark, lexRoot,
+      probeTerms.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("probe_id", "terms"), n = 5, fbDocs = 3, fbTerms = 2,
+      impact = true, maxStaleFraction = 0.0).count()
+
     DayReport(stages.result())
   }
 

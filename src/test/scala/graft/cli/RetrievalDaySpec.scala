@@ -49,6 +49,15 @@ class RetrievalDaySpec extends SparkSpec {
       "the quote-bearing edited doc must serve through the phrase gate")
     assert(r("proximity_hits") == 1L,
       "the edit's adjacent tokens must co-occur via the stored positions")
+    // round-13 surface: the batched positional serves answer whole probe
+    // batches from one pruned read; the proximity-weighted rank and the
+    // impact-tier PRF read serve
+    assert(r("phrase_batch_hits") == 2L,
+      "both phrase probes must hit the edited doc from one batched read")
+    assert(r("proximity_batch_hits") == 2L)
+    assert(r("passage_batch_hits") == 1L)
+    assert(r("proximity_rank_results") > 0L)
+    assert(r("prf_impact_results") > 0L)
   }
 
   test("snapshot pinning: a half-fanned-out edit cannot fuse mismatched corpus views") {

@@ -650,6 +650,38 @@ object Streams {
         batch, n))
     }
 
+  /** Streaming POSITIONAL serve over the lake-resident positional index —
+    * the batched-family stream twins (r13; the scalar positional serves
+    * were one Spark job per query, so a stream of single queries paid the
+    * scheduling floor per event): each micro-batch of probes runs ONE
+    * bucket-pruned batched serve ([[graft.domain.LexLake.phraseServeBatch]]
+    * / `proximityServeBatch` / `passageServeBatch` by `mode`) and hands
+    * the per-probe results to `sink` with the epoch. Probe schema by mode:
+    * `"phrase"` = (probe_id, phrase array<string>), `"proximity"` =
+    * (probe_id, term_a, term_b), `"passage"` = (probe_id, terms
+    * array<string>); `w` applies to the proximity/passage modes. READER
+    * path; the generation re-resolves inside every serve call, so a
+    * reconcile fold mid-stream is picked up at the next micro-batch
+    * (the lexLakeServeStream contract). */
+  def lexPositionalServeStream(probes: DataFrame, root: String,
+                               mode: String, w: Int = 5)
+                              (sink: (Long, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(Set("phrase", "proximity", "passage")(mode),
+      s"mode must be phrase|proximity|passage, got '$mode'")
+    probes.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val s = batch.sparkSession
+      sink(epoch, mode match {
+        case "phrase" =>
+          graft.domain.LexLake.phraseServeBatch(s, root, batch)
+        case "proximity" =>
+          graft.domain.LexLake.proximityServeBatch(s, root, batch, w)
+        case _ =>
+          graft.domain.LexLake.passageServeBatch(s, root, batch, w)
+      })
+    }
+  }
+
   /** Streaming serve of the FUSED hybrid endpoint — the full retrieval
     * stack as a stream job (the r10 ask: the per-lake serve twins existed,
     * nothing served the fusion per epoch): each micro-batch of probe rows

@@ -442,6 +442,67 @@ class LexLakeSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._1 == 700L))
   }
 
+  test("streaming positional serve: each probe micro-batch runs one batched read; a mid-stream upsert serves at the next epoch") {
+    // the batched family's stream twins (r13): a stream of positional
+    // queries used to pay the one-job-per-query scheduling floor per
+    // event; each epoch now runs ONE bucket-pruned batched serve. Unpinned
+    // semantics (the lexLakeServeStream contract): overlays and folds are
+    // visible at the next micro-batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("posstream")
+    LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)
+    def want(ph: Seq[String]): Set[(Long, Long)] =
+      LexLake.phraseServe(spark, root, ph)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qin = MemoryStream[(Long, Seq[String])]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long)]]
+    val sq = graft.streaming.Streams.lexPositionalServeStream(
+        qin.toDF().toDF("probe_id", "phrase"), root, mode = "phrase") {
+      (_, df) =>
+        val rs = df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)))
+        got.synchronized {
+          for ((pid, grp) <- rs.groupBy(_._1)) got(pid) = grp.toSet
+          ()
+        }
+    }.start()
+    try {
+      qin.addData((1L, Seq("spark", "batch")), (2L, Seq("merge")))
+      sq.processAllAvailable()
+      assert(got(1L).map(t => (t._2, t._3)) == want(Seq("spark", "batch")))
+      assert(got(2L).map(t => (t._2, t._3)) == want(Seq("merge")))
+      // a mid-stream upsert serves at the next epoch (unpinned)
+      LexLake.upsert(spark, root,
+        Seq((300L, "spark batch spark batch")).toDF("doc_id", "text"))
+      qin.addData((3L, Seq("spark", "batch")))
+      sq.processAllAvailable()
+      assert(got(3L).exists { case (_, d, n) => d == 300L && n == 2L },
+        got.toString)
+      // and the fold is picked up too
+      LexLake.reconcile(spark, root)
+      qin.addData((4L, Seq("spark", "batch")))
+      sq.processAllAvailable()
+      assert(got(4L).map(t => (t._2, t._3))
+        == got(3L).map(t => (t._2, t._3)))
+    } finally sq.stop()
+    // the proximity mode twin answers off the same endpoint
+    val pin = MemoryStream[(Long, String, String)]
+    val pgot = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val pq = graft.streaming.Streams.lexPositionalServeStream(
+        pin.toDF().toDF("probe_id", "term_a", "term_b"), root,
+        mode = "proximity", w = 5) { (_, df) =>
+      val rs = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+      pgot.synchronized { pgot ++= rs; () }
+    }.start()
+    try {
+      pin.addData((9L, "spark", "batch"))
+      pq.processAllAvailable()
+    } finally pq.stop()
+    assert(pgot.nonEmpty && pgot.forall(_._1 == 9L))
+  }
+
   test("impact tier: gate-adopted truncated serving equals the pure impact form") {
     val root = freshRoot("impact")
     LexLake.ingest(spark, root, corpus().toDF("doc_id", "text"), nBuckets = 8)

@@ -252,9 +252,20 @@ object Dedup {
       s"lshQualityReport computes EXACT all-pairs Jaccard truth: $n rows exceed " +
         s"maxExactRows=$maxExactRows. Pass sampleFrac to sample the corpus first — " +
         "the banding-tuning measurement only needs a sample, never the full corpus.")
-    val cand = minhashLshCandidates(sampled, idCol, textCol, numHashes, bandRows, shingleN)
+    // CACHE both pair lists (lazy persist, sample-bounded by the
+    // maxExactRows gate): each feeds its own count AND the intersect below —
+    // uncached, the all-pairs exact-Jaccard scan (the report's dominant
+    // stage) and the full minhash banding pass would each execute twice
+    // (guide §2.4: shared subtree, one evaluation). persist, not an eager
+    // localCheckpoint: the final action materializes each list exactly once
+    // in place, with no extra serialized jobs; Bench/Verify reclaim via
+    // clearCache like the other bounded intermediates.
+    val cand = minhashLshCandidates(sampled, idCol, textCol, numHashes,
+      bandRows, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = ngramJaccardPairs(sampled, idCol, textCol, shingleN, threshold)
       .select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = cand.intersect(truth)
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
@@ -474,8 +485,13 @@ object Dedup {
       countDistinct(col("probe_id")).as("pd")).head()
     val probeVocab = stats.getLong(0)
     val probeDocs = stats.getLong(1)
+    // same quantity as countDistinct(corpus_id) over the exploded shingles —
+    // a doc yields >= 1 shingle iff it has >= shingleN tokens — but computed
+    // WITHOUT the corpus-wide explode: a map-only token-count scan replaces
+    // the shingle materialization + distinct agg (guide §2.3)
     lazy val corpusDocs = knownCorpusDocs.getOrElse(
-      cs.agg(countDistinct(col("corpus_id"))).head().getLong(0))
+      corpus.filter(TF.tokenCount(col(textCol)) >= shingleN)
+        .select(col(idCol)).distinct().count())
     if (bitmapEligible(probeVocab, probeDocs, maxBitmapVocab, maxProbeDocs, maxBitmapBytes)
         && probeDocs > 0 && corpusDocs <= maxPairScan / probeDocs)
       containmentBitmap(cs, ps, probeVocab.toInt, threshold)
@@ -492,9 +508,14 @@ object Dedup {
     import graft.plans.VectorExpressions._
     val spark = cs.sparkSession
     import spark.implicits._
+    // PINNED (<= 64Ki rows by the dispatch gate): the vocab feeds pBits AND
+    // cBits, and ps is unpersisted after the probe side materializes — an
+    // unpinned vocab would re-run its distinct+sort+zipWithIndex jobs (and
+    // re-explode the probe shingles from scratch) inside the pair scan
     val vocab = ps.select("sh").distinct().sort("sh")
       .rdd.map(_.getString(0)).zipWithIndex()
       .map { case (s, i) => (s, i.toInt) }.toDF("sh", "sid")
+      .localCheckpoint(true)
     def bits(side: DataFrame, id: String) =
       side.join(broadcast(vocab), "sh")
         .groupBy(id).agg(collect_list(col("sid")).as("sids"), count(lit(1)).as("n"))

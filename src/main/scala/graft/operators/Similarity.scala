@@ -842,23 +842,33 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val p0 = probe.select(col(probeId).cast("long").as("probe_id"),
       col(probeVec).as("__pv"))
-    // probe ids must be UNIQUE: the groupBy(probe_id) tail would silently
-    // fold two different probe vectors sharing an id into one combined
-    // top-k — breaking the documented per-probe parity with
-    // VectorLake.search without any error. Shared gate (Serving): one agg
-    // over the serving-bounded probe side, never a corpus pass.
-    Serving.requireUniqueIds(p0, "probe_id", "probe side",
-      "per-probe top-k would silently merge them into one combined " +
-        "result. Deduplicate or re-key the probe batch first.")
+    // BOTH serving gates in ONE bounded agg (r13 optimization — the
+    // queryTermsBatch idiom applied here; separately they cost a scheduler
+    // round-trip each, and every multi-probe serve pays them):
+    //  1. probe ids must be UNIQUE — the groupBy(probe_id) tail would
+    //     silently fold two different probe vectors sharing an id into one
+    //     combined top-k, breaking the documented per-probe parity with
+    //     VectorLake.search without any error.
+    //  2. the broadcast cap guards what actually BROADCASTS — the
+    //     gate-list-EXPLODED frame. ivfGateLists emits EXACTLY nprobe lists
+    //     per probe (slice(.., 1, nprobe) of a >= nprobe centroid ranking),
+    //     so the exploded row count is nprobe x the probe count by
+    //     construction — no second probe of the exploded plan needed
+    //     (checking the pre-explosion count alone would under-count by the
+    //     nprobe factor, r9 review).
+    val g = p0.agg(count(lit(1)), count_distinct(col("probe_id"))).head()
+    require(g.getLong(0) == g.getLong(1),
+      s"probe side carries duplicate probe_id values (${g.getLong(0)} rows, " +
+        s"${g.getLong(1)} distinct) — per-probe top-k would silently merge " +
+        "them into one combined result. Deduplicate or re-key the probe " +
+        "batch first.")
+    require(g.getLong(0) * nprobe <= maxBroadcastProbes,
+      s"probe batch explodes to ${g.getLong(0) * nprobe} gate-list rows > " +
+        s"$maxBroadcastProbes — it cannot broadcast. Shrink the batch or " +
+        "raise maxBroadcastProbes if executors are sized for it.")
     val p = ivfGateLists(p0, "__pv", centroids, nprobe)
       .select(col("probe_id"), col("__pv"),
         explode(col("gate_lists")).as(listCol))
-    // the cap guards what actually BROADCASTS — the gate-list-EXPLODED
-    // frame, nprobe x the probe count (each row still carrying its
-    // embedding); checking the pre-explosion frame would under-count by
-    // the nprobe factor and wave through exactly the OOM the loud refusal
-    // exists to prevent (r9 review)
-    requireBroadcastable(p, maxBroadcastProbes)
     val cand = assigned
       .select(col(listCol), col(corpusId).cast("long").as("__nid"),
         col(corpusVec).as("__cv"))

@@ -58,11 +58,19 @@ object TextStats {
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 2): DataFrame = {
     val sh = docs.select(col(idCol), explode(TF.shingles(col(textCol), shingleN)).as("__sh"))
-    val first = sh.groupBy(col("__sh")).agg(min(col(idCol)).as("__first"))
-    sh.join(first, "__sh")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__first") === col(idCol), 1).otherwise(0)).cast("long").as("n_first"))
+    // (id, __sh) rows are DISTINCT (TF.shingles array_distincts per doc), so
+    // a doc's first-seen count is exactly the number of shingles whose
+    // corpus-min id is that doc — i.e. a count over the firsts table keyed
+    // by __first. That replaces the old shingle-keyed join of the FULL
+    // corpus shingle table back onto the firsts (the one corpus-sized
+    // shuffle this operator had) with two map-side-combining aggs and a
+    // doc-keyed join (guide §2.4: remove the shuffle outright).
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val firsts = sh.groupBy(col("__sh")).agg(min(col(idCol)).as("__first"))
+      .groupBy(col("__first").as(idCol)).agg(count(lit(1)).as("__nf"))
+    counts.join(firsts, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__nf"), lit(0L)).as("n_first"))
       .withColumn("novelty",
         round(col("n_first").cast("double") / col("n_shingles"), 6))
   }
@@ -203,10 +211,17 @@ object TextStats {
     // keep them free of quoting/field-access metacharacters
     require(queryTerms.forall(_.matches("[A-Za-z0-9_-]+")),
       s"query terms must be [A-Za-z0-9_-]+: $queryTerms")
-    val toks = docs.select(col(idCol).as("doc_id"), explode(TF.tokens(col(textCol))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl is the token COUNT — size(tokens) per row, no explode + corpus-wide
+    // (doc)-keyed aggregation needed (zero-token docs drop, matching the
+    // explode domain). Saves one full tokenize + hash-agg + exchange pass per
+    // scoring call; doc ids are unique by the corpus contract, so the per-row
+    // count IS the per-doc count.
+    val dl = docs.select(col(idCol).as("doc_id"),
+      TF.tokenCount(col(textCol)).as("dl")).filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = toks.filter(col("term").isInCollection(queryTerms))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TF.tokens(col(textCol))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = dl.join(tf.join(dfT, "term"), Seq("doc_id"), "left")
@@ -284,15 +299,28 @@ object TextStats {
   private def bm25ScoredPerQuery(docs: DataFrame, idCol: String,
                                  textCol: String, qterms: DataFrame,
                                  k1: Double, b: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TF.tokens(col(textCol))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl = size(tokens) per row (no explode + (doc)-keyed corpus agg: the
+    // per-row token count IS the doc length under the unique-doc-id corpus
+    // contract; zero-token docs drop, matching the explode domain), and it
+    // rides THROUGH the tf aggregation as a grouping column (functionally
+    // dependent on doc_id) — the old shape paid a full tokenize+agg pass for
+    // dl AND a (doc)-keyed join to re-attach it; this one pays neither
+    // (guide §2.3/§2.4: fewer corpus passes, one less exchange).
+    val dl = docs.select(TF.tokenCount(col(textCol)).as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = toks
+    // the token ARRAY binds once per doc in its own projection (CollapseProject
+    // keeps a non-cheap expression referenced twice in its own project), so
+    // dl = size(attr) is O(1) per exploded row — inlining TF.tokenCount here
+    // would re-run the whole tokenize once per TOKEN row after the Generate
+    val tf = docs.select(col(idCol).as("doc_id"),
+        TF.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val posted = tf.join(dfT, "term").join(dl, "doc_id")
+    val posted = tf.join(dfT, "term")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
@@ -335,15 +363,20 @@ object TextStats {
     require(dfThreshold >= 0, s"dfThreshold must be >= 0, got $dfThreshold")
     val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
       maxBroadcastQueryTerms)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TF.tokens(col(textCol))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // same dl-through-the-tf-agg shape as [[bm25ScoredPerQuery]]: no
+    // explode+agg pass for doc lengths, no (doc)-keyed re-attach join; the
+    // token array binds once per doc so dl = size(attr) is O(1) per row
+    val dl = docs.select(TF.tokenCount(col(textCol)).as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = toks
+    val tf = docs.select(col(idCol).as("doc_id"),
+        TF.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val posted = tf.join(dfT, "term").join(dl, "doc_id")
+    val posted = tf.join(dfT, "term")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
@@ -404,15 +437,19 @@ object TextStats {
         maxBroadcastQueryTerms = maxBroadcastQueryTerms)
       .select("probe_id", "doc_id")
       .localCheckpoint(true)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TF.tokens(col(textCol))).as("term"))
-    // feedback-doc tf/dl only: the (doc, term) agg is semi-join-pruned to
-    // the bounded feedback id set before it aggregates anything
+    // feedback-doc tf/dl only, pruned BEFORE the tokenize: the doc_id
+    // semi-join cannot push below an explode on its own, so joining the raw
+    // rows first turns two corpus-wide tokenize+aggregate passes into two
+    // feedback-sized ones (bounded probes × fbDocs rows each, guide §2.3);
+    // dl then folds out of the same (doc, term) counts instead of paying a
+    // second tokenize
     val fbIds = fb.select("doc_id").distinct()
-    val ftf = toks.join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+    val ftf = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(TF.tokens(col("__text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val fdl = toks.join(broadcast(fbIds), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val fdl = ftf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val weights = fb.join(ftf, Seq("doc_id")).join(fdl, Seq("doc_id"))
       .join(qterms, Seq("probe_id", "term"), "left_anti")
       .withColumn("__w",
@@ -456,9 +493,14 @@ object TextStats {
       s"phrase tokens must be [A-Za-z0-9_-]+: $phrase")
     val k = phrase.size
     val terms = phrase.distinct
+    // pos0 is referenced k+1 times below (the conjunctive gate plus one
+    // adjacency arm per slot) — persist the term-pruned frame so the corpus
+    // tokenize runs ONCE per call, not once per reference (lazy; bounded by
+    // the phrase terms' frequency; callers reclaim via clearCache)
     val pos0 = docs.select(col(idCol).as("doc_id"),
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term").isInCollection(terms))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pos0.groupBy("doc_id")
       .agg(count_distinct(col("term")).as("__nt"))
       .filter(col("__nt") === terms.size).select("doc_id")
@@ -495,6 +537,7 @@ object TextStats {
     val pos = docs.select(col(idCol).as("doc_id"),
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term").isInCollection(Seq(termA, termB).distinct))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     proximityPairsFromPositions(pos, termA, termB, w)
   }
 
@@ -544,6 +587,7 @@ object TextStats {
     val pos = docs.select(col(idCol).as("doc_id"),
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term").isInCollection(ts))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pa = pos.select(col("doc_id"), col("term").as("term_a"),
       col("pos").cast("long").as("pa"),
       floor(col("pos") / w).cast("long").as("__bk"))
@@ -584,6 +628,7 @@ object TextStats {
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term").isInCollection(terms.distinct))
       .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bestPassageWindowFromPositions(pos, w)
   }
 
@@ -677,6 +722,7 @@ object TextStats {
       .filter(if (universe.isEmpty) lit(false)
         else col("term").isInCollection(universe))
       .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phraseOccurrencesBatchFromPositions(pos, slots)
   }
 
@@ -728,6 +774,7 @@ object TextStats {
       .filter(if (universe.isEmpty) lit(false)
         else col("term").isInCollection(universe))
       .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     proximityPairsBatchFromPositions(pos, p, w)
   }
 
@@ -773,6 +820,7 @@ object TextStats {
       .filter(if (universe.isEmpty) lit(false)
         else col("term").isInCollection(universe))
       .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bestPassageWindowBatchFromPositions(pos, qterms, w)
   }
 
@@ -867,6 +915,7 @@ object TextStats {
       .filter(if (universe.isEmpty) lit(false)
         else col("term").isInCollection(universe))
       .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     proximityRankFold(bmsc, proximityPairMatrixPerDocFromPositions(pos, w),
       qterms, n, proxWeight)
   }
@@ -1037,13 +1086,19 @@ object TextStats {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nonBlank = docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
     val toks = nonBlank.select(col(idCol), explode(TF.tokens(col(textCol))).as("__tk"))
+    // PIN the two count tables (vocabulary-sized, never corpus-sized): uni
+    // feeds the totals agg AND two join arms, big feeds the main join — an
+    // unpinned plan re-runs the corpus tokenize/shingle explode behind each
+    // reference (measured ~5 corpus passes for this one query, guide §2.4)
     val uni = toks.groupBy(col("__tk")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val totals = uni.agg(sum(col("__c")).cast("long").as("__n"), count(lit(1)).as("__v"))
     val grams = nonBlank
       .select(col(idCol), explode(TF.shinglesAll(col(textCol), 2)).as("__g"))
       .withColumn("__prev", element_at(split(col("__g"), " "), 1))
       .withColumn("__cur", element_at(split(col("__g"), " "), 2))
     val big = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
     grams
       .join(big, "__g")
       .join(uni.select(col("__tk").as("__cur"), col("__c").as("__cu_cur")), Seq("__cur"))
@@ -1184,21 +1239,36 @@ object TextStats {
         explode(concat(TF.tokens(col(textCol)), TF.shinglesAll(col(textCol), 2))).as("__g"))
       .select(col(idCol), col("__is_t"),
         pmod(TF.md5Prefix32(col("__g")), lit(buckets.toLong)).as("__b"))
-    val counts = feats.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cs"),
-        sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
+    // ONE gram pass (r13 optimization): reduce the exploded grams to
+    // per-(doc, bucket) counts first — the bucket count table AND the
+    // per-doc weight sum both fold out of that frame, where the old shape
+    // re-ran the explode + per-gram md5 for each (guide §2.3: the md5 over
+    // every token+bigram is the expensive map work here; pay it once).
+    // Pinned (localCheckpoint) because its two consumers would otherwise
+    // each re-execute the gram pass; the frame is docs × ≤buckets rows of
+    // four narrow columns — the §8 "decide on small rows" shape, orders of
+    // magnitude under the gram count it replaces. Grouping by __is_t is
+    // free: it is functionally dependent on the doc id.
+    val db = feats.groupBy(col(idCol), col("__is_t"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val counts = db.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__cs"),
+        sum(when(col("__is_t"), col("__c")).otherwise(0L)).as("__ct"))
     val totals = counts.agg(sum(col("__cs")).cast("long").as("__ns"),
       sum(col("__ct")).cast("long").as("__nt"))
-    feats.join(broadcast(counts), "__b")
+    db.join(broadcast(counts), "__b")
       .crossJoin(broadcast(totals))
-      .select(col(idCol),
+      .select(col(idCol), col("__c"),
         round(log(
           ((col("__ct") + 1).cast("double") / (col("__nt") + buckets).cast("double")) /
           ((col("__cs") + 1).cast("double") / (col("__ns") + buckets).cast("double"))), 6)
           .cast(DecimalType(18, 6)).as("__lr"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("__lr")).cast("double").as("dsir_total"))
+      // sum(__lr · __c) ≡ the old per-gram sum(__lr): __c identical decimal
+      // addends collapse to one exact decimal multiply — same value, exact
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__lr") * col("__c")).cast("double").as("dsir_total"))
   }
 
   /** Gopher quality-rule suite (Rae et al. 2021, table A1): the standard

@@ -679,8 +679,15 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // round 0 fused into the init (r13 optimization): every node starts at
+    // least(own id, min neighbor id) — exactly the first pull step from
+    // identity labels, but as ONE map-side-combining aggregation over the
+    // edge table instead of a join + aggregate round. Saves one full wave
+    // of jobs on every closure call; the fixpoint (min id per component)
+    // and the monotone-sum convergence witness are unchanged.
     var (labels, labelsRdd) = pin(
-      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__m"))
+        .select(col("id"), least(col("id"), col("__m")).as("label")))
     // exact decimal sum; null means the frame is empty (no pairs -> no work)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
@@ -935,9 +942,14 @@ object Dedup {
     val losers = labelsRaw
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
+    // repaired feeds all three outputs and cur feeds two — cache both
+    // narrow id frames so the union of the three verdicts evaluates each
+    // once (guide §2.4; reclaim via clearCache)
     val repaired = allIds.select(col(idCol))
       .join(losers, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cur = currentKeptIds.select(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     KeepReconciliation(
       repairedKeeps = repaired,
       drops = cur.join(repaired, Seq(idCol), "left_anti"),

@@ -1059,7 +1059,12 @@ object Similarity {
     * integer-exact until one final division). Plan: two keyed partial aggs
     * + one join on probe_id — probe-count-sized, never corpus-sized. */
   def retrievalEval(truth: DataFrame, approx: DataFrame): DataFrame = {
+    // truth feeds BOTH the hit join and the per-probe n_truth agg — cache
+    // the serving-bounded frame (probes x k rows) so an expensive truth
+    // pipeline (a brute-force kNN pass, a full BM25 serve) executes once,
+    // not once per reference (guide §2.4; reclaim via clearCache)
     val t = truth.select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ak = approx.select(col("probe_id"), col("neighbor_id"), col("rank"))
     val hits = t.join(ak, Seq("probe_id", "neighbor_id"))
       .groupBy("probe_id")
@@ -1186,7 +1191,9 @@ object Similarity {
     // order to truncate by)
     val t0 = if (truth.columns.contains("rank"))
       truth.filter(col("rank") <= k) else truth
+    // same double-reference as retrievalEval: cache the bounded truth frame
     val t = t0.select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ak = approx.filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
     val hits = ak.join(t, Seq("probe_id", "neighbor_id"))

@@ -430,11 +430,18 @@ object TextStats {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    // ONE gate for the whole call (r13 optimization), PINNED: the old shape
+    // gated `queries` three times — here, inside pass 1's bm25PerQuery, and
+    // inside pass 2's — at a scheduler round-trip each, and an unpinned
+    // non-deterministic source could gate one term set and score another
+    // (the prfServeIn pin rationale). Pass 1 scores the gated frame
+    // directly; bm25PerQuery(queries…) ≡ rankTopNMicros(bm25ScoredPerQuery)
+    // by definition.
     val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
-      maxBroadcastQueryTerms)
-    val fb = bm25PerQuery(docs, idCol, textCol, queries, queryIdCol,
-        termsCol, n = fbDocs, k1 = k1, b = b,
-        maxBroadcastQueryTerms = maxBroadcastQueryTerms)
+      maxBroadcastQueryTerms, pin = true)
+    val fb = Serving.rankTopNMicros(
+        bm25ScoredPerQuery(docs, idCol, textCol, qterms, k1, b),
+        fbDocs, "doc_id", "bm25_micros")
       .select("probe_id", "doc_id")
       .localCheckpoint(true)
     // feedback-doc tf/dl only, pruned BEFORE the tokenize: the doc_id
@@ -458,13 +465,20 @@ object TextStats {
       .agg(sum(col("__w")).as("w_micros"))
     val expansion = Serving.rankTopNMicrosStr(weights, fbTerms,
       "term", "w_micros")
-    val expanded = qterms
+    // the expanded (probe_id, term) batch feeds pass 2 DIRECTLY — the old
+    // collect_set → re-explode → re-gate roundtrip cost a third gate action
+    // and an array build for nothing: probe ids are unique (the gate
+    // checked), the union is disjoint (expansion terms were anti-joined
+    // against the originals), and the exploded row count is bounded by
+    // construction at (gated originals) + probes × fbTerms. Pinned so
+    // pass 1 never re-runs behind pass 2's plan.
+    val expandedTerms = qterms
       .unionByName(expansion.select("probe_id", "term"))
-      .groupBy("probe_id").agg(collect_set(col("term")).as("terms"))
+      .distinct()
       .localCheckpoint(true)
-    bm25PerQuery(docs, idCol, textCol, expanded, "probe_id", "terms",
-      n = n, k1 = k1, b = b,
-      maxBroadcastQueryTerms = maxBroadcastQueryTerms)
+    Serving.rankTopNMicros(
+      bm25ScoredPerQuery(docs, idCol, textCol, expandedTerms, k1, b),
+      n, "doc_id", "bm25_micros")
   }
 
   /** EXACT PHRASE match — the positional posting join (the classic

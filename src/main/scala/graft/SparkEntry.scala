@@ -1167,7 +1167,12 @@ object SparkEntry {
       // corpus — the slope a decontamination deployment actually pays.
       // Same adaptive bitmap/inverted-index containment core as q90
       val docs = T(s, dir, "documents")
+      // pinned for the same reason as the vector serves' probe batch: bench
+      // is 64 rows but backs the corpus anti-join (re-evaluated inside every
+      // corpus reference below) AND the containment probe side — un-pinned,
+      // each evaluation re-runs the corpus TakeOrdered cut
       val bench = docs.orderBy(col("doc_id")).limit(64).select("doc_id", "text")
+        .localCheckpoint(true)
       val corpus = docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
       val flagged = Dedup.containmentPairs(
         corpus = corpus, probe = bench,
@@ -1866,8 +1871,14 @@ object SparkEntry {
         array_max(transform(col("embedding"), x => abs(x.cast("double")))) <= lit(0.42))
         .select("vec_id", "embedding")
       val pairs = Dedup.embeddingNearDupPairs(gated, "vec_id", "embedding", threshold = 0.4)
+      // kept is referenced twice below — as the kNN corpus AND as the probe
+      // source — and its plan embeds the pairwise near-dup stage (the
+      // dominant cost here); unpinned, that stage executes once per
+      // reference (guide §2.4). localCheckpoint, not persist: Bench/Verify
+      // clear the SQL cache between queries.
       val kept = gated.join(pairs.select(col("id_b").as("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
       val probes = kept.filter(col("vec_id") % 25 === 0)
       Similarity.knnJoin(kept, "vec_id", "embedding",
         probes, "vec_id", "embedding", k = 5, excludeSelf = true)
@@ -1930,8 +1941,13 @@ object SparkEntry {
       // twice (raw + dequantized top-k), never shuffled; quantization
       // stats are one 2·dims-cell agg collected as a bounded LUT
       val emb = T(s, dir, "embeddings")
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.sqRecallEval(emb, "vec_id", "embedding",
         probes, "vec_id", "embedding", k = 5, dims = 64)
     }, Some(TextOracle.sqRecallSql(k = 5, nProbes = 64, dims = 64))),
@@ -2007,8 +2023,13 @@ object SparkEntry {
       val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
       val assigned = Similarity.ivfAssign(
         emb.select("vec_id", "embedding"), "embedding", cents)
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
         "ivf_list", probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
         excludeSelf = true)
@@ -2035,8 +2056,13 @@ object SparkEntry {
           Similarity.sqCodesTiny(col("embedding"), mins, maxs))
         .select(col("vec_id"), col("ivf_list"),
           Similarity.sqDequantTiny(col("codes"), mins, maxs).as("dqv"))
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.ivfMultiProbeKnnJoin(stored, "vec_id", "dqv", "ivf_list",
         probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
         excludeSelf = true)
@@ -2064,8 +2090,13 @@ object SparkEntry {
           Similarity.sqCodesTiny(col("embedding"), mins, maxs))
         .select(col("vec_id"), col("ivf_list"),
           Similarity.sqDequantTiny(col("codes"), mins, maxs).as("dqv"))
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.ivfSqRefineKnnJoin(sqStore,
         emb.select("vec_id", "embedding"),
         "vec_id", "dqv", "ivf_list", "embedding",
@@ -2089,8 +2120,13 @@ object SparkEntry {
       val assigned = Similarity.ivfAssign(
         emb.filter(col("label") === 3).select("vec_id", "embedding"),
         "embedding", cents)
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id", "embedding",
         "ivf_list", probes, "vec_id", "embedding", k = 5, cents, nprobe = 2,
         excludeSelf = true)
@@ -2112,8 +2148,13 @@ object SparkEntry {
       val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
       val assigned = Similarity.ivfAssign(
         emb.select("vec_id", "embedding"), "embedding", cents)
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
         "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
         cents, nprobe = 2, excludeSelf = true)
@@ -2144,8 +2185,13 @@ object SparkEntry {
       val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
       val assigned = Similarity.ivfAssign(
         emb.select("vec_id", "embedding"), "embedding", cents)
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       val pids = probes.select(col("vec_id").as("probe_id"))
       val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
         "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
@@ -2244,8 +2290,11 @@ object SparkEntry {
       val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
       val assigned = Similarity.ivfAssign(
         emb.select("vec_id", "embedding"), "embedding", cents)
+      // pinned: same serving-bounded probe-batch idiom as the 64-probe
+      // serves — the gate and broadcast arms would re-run the corpus cut
       val probes = emb.orderBy(col("vec_id")).limit(4)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
         "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
         cents, nprobe = 2, excludeSelf = true)
@@ -2416,8 +2465,11 @@ object SparkEntry {
       val cents = Similarity.hyperplanes(4, 64).map(_.map(_ * 0.02))
       val assigned = Similarity.ivfAssign(
         emb.select("vec_id", "embedding"), "embedding", cents)
+      // pinned: same serving-bounded probe-batch idiom as the 64-probe
+      // serves — the gate and broadcast arms would re-run the corpus cut
       val probes = emb.orderBy(col("vec_id")).limit(4)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       val vec = Similarity.ivfMultiProbeKnnJoin(assigned, "vec_id",
         "embedding", "ivf_list", probes, "vec_id", "embedding", k = 10,
         cents, nprobe = 2, excludeSelf = true)
@@ -2598,8 +2650,13 @@ object SparkEntry {
       // request stage, so its registered slope must be the one a deployment
       // pays — linear in the corpus from the pool pass, flat after it
       val emb = T(s, dir, "embeddings")
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.mmrRerank(emb, "vec_id", "embedding",
         probes, "vec_id", "embedding", k = 5, poolSize = 10)
     }, Some(TextOracle.mmrRerankSql(k = 5, poolSize = 10, nProbes = 64))),
@@ -2639,8 +2696,13 @@ object SparkEntry {
       // holds |probes| fixed, so cost is LINEAR in the corpus — the slope a
       // deployment actually pays per ingested decade
       val emb = T(s, dir, "embeddings")
+      // the constant probe batch is 64 rows but each un-pinned reference
+      // re-runs the corpus TakeOrdered cut (serving gates + broadcast arms
+      // evaluate it 2-4x per query; at scale each evaluation is a full
+      // scan). ONE cut, pinned — the serving-bounded-frame idiom.
       val probes = emb.orderBy(col("vec_id")).limit(64)
         .select("vec_id", "embedding")
+        .localCheckpoint(true)
       Similarity.knnJoin(emb, "vec_id", "embedding",
         probes, "vec_id", "embedding", k = 5, excludeSelf = true)
     }, Some(TextOracle.knnServeSql(k = 5, nProbes = 64))),

@@ -1100,13 +1100,20 @@ object Similarity {
     * corpus size never enters after the pool pass. Ties break to the lower
     * candidate id (oracle row_number parity).
     *
-    * The pool, the sim table, and each step's cumulative selection are
-    * localCheckpointed (eager, tiny frames): step t's lineage references
-    * every earlier step, so an unmaterialized chain re-executes step 1
-    * ~2^k times — measured 12.5 s FLAT across sf0.001→0.1 before the pin,
-    * pure re-execution, zero data cost (the q116 pagerank lineage lesson).
-    * localCheckpoint, not persist: Bench/Verify clear the SQL cache between
-    * queries, which would evict a persist and silently restore the blowup. */
+    * The greedy selection itself runs as ONE per-probe fold over the
+    * collected pool (r13 optimization): the k−1 join/window steps of the
+    * original loop each needed an eager localCheckpoint (step t's lineage
+    * references every earlier step — unmaterialized, the chain re-executes
+    * step 1 ~2^k times, measured 12.5 s FLAT across sf0.001→0.1, the q116
+    * pagerank lineage lesson), which serialized ~k+2 scheduler round-trips
+    * per call. Collecting each probe's pool (≤ poolSize rows) and pairwise
+    * sims (≤ poolSize² rows) into per-probe arrays and folding the greedy
+    * argmax inside one projection does the identical integer arithmetic in
+    * a single job — the closure runs on serving-bounded arrays, never on
+    * corpus-scale rows, so the no-closures-in-the-hot-path rule is
+    * respected (the corpus-scale stages — the pool pass and the sim pass —
+    * stay whole-stage-codegen DataFrame ops). Only the pool is still
+    * pinned: it feeds both the array fold and the sim join. */
   def mmrRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
                 probe: DataFrame, probeId: String, probeVec: String,
                 k: Int, poolSize: Int): DataFrame = {
@@ -1123,41 +1130,89 @@ object Similarity {
     val emb = corpus.select(col(corpusId).cast("long").as("cand_id"),
       col(corpusVec).as("__v"))
     val cand = emb.join(broadcast(pool), Seq("cand_id"))
-    val sim = cand.as("a").join(cand.as("b"),
+    // the pairwise self-join runs over the serving-bounded candidate frame
+    // (probes × poolSize rows) — broadcast the b side, never a sort-merge
+    val sim = cand.as("a").join(broadcast(cand.as("b")),
         col("a.probe_id") === col("b.probe_id") &&
           col("a.cand_id") =!= col("b.cand_id"))
       .select(col("a.probe_id").as("probe_id"), col("a.cand_id").as("ca"),
         col("b.cand_id").as("cb"),
         round(round(VF.cosine(col("a.__v"), col("b.__v")), 6) * 1e6)
           .cast("long").as("s_u"))
-      .localCheckpoint(true)
-    val byScore = Window.partitionBy(col("probe_id"))
-      .orderBy(col("__score2").desc, col("cand_id"))
-    var all = pool.withColumn("__score2", col("__rel_u"))
-      .withColumn("__rn", row_number().over(byScore))
-      .filter(col("__rn") === 1)
-      .select(col("probe_id"), col("cand_id"), col("rel"),
-        col("__rel_u").as("mmr_score2_micros"), lit(1L).as("mmr_rank"))
-      .localCheckpoint(true)
-    for (t <- 2 to k) {
-      val selected = all.select(col("probe_id"), col("cand_id"))
-      val maxSim = sim
-        .join(selected.withColumnRenamed("cand_id", "cb"), Seq("probe_id", "cb"))
-        .groupBy(col("probe_id"), col("ca").as("cand_id"))
-        .agg(max(col("s_u")).as("__ms"))
-      val step = pool
-        .join(selected, Seq("probe_id", "cand_id"), "left_anti")
-        .join(maxSim, Seq("probe_id", "cand_id"))
-        .withColumn("__score2", col("__rel_u") - col("__ms"))
-        .withColumn("__rn", row_number().over(byScore))
-        .filter(col("__rn") === 1)
-        .select(col("probe_id"), col("cand_id"), col("rel"),
-          col("__score2").as("mmr_score2_micros"), lit(t.toLong).as("mmr_rank"))
-      all = all.unionByName(step).localCheckpoint(true)
-    }
-    all.select(col("probe_id"), col("cand_id").as("neighbor_id"),
-      col("rel"), col("mmr_score2_micros"), col("mmr_rank"))
+    val poolArr = pool.groupBy("probe_id").agg(
+      collect_list(struct(col("cand_id"), col("rel"),
+        col("__rel_u").as("rel_u"))).as("__cands"))
+    val simArr = sim.groupBy("probe_id").agg(
+      collect_list(struct(col("ca"), col("cb"), col("s_u"))).as("__sims"))
+    // left join: a single-candidate pool has NO sim pairs but still emits
+    // its rank-1 row (the loop form's step-1 window had the same property).
+    // simArr is one row per probe — broadcast, never a sort-merge.
+    poolArr.join(broadcast(simArr), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        explode(mmrGreedyFold(col("__cands"), col("__sims"), lit(k)))
+          .as("__sel"))
+      .select(col("probe_id"), col("__sel.cand_id").as("neighbor_id"),
+        col("__sel.rel"), col("__sel.mmr_score2_micros"),
+        col("__sel.mmr_rank"))
   }
+
+  /** One greedy MMR selection per probe, over that probe's collected pool.
+    * Bit-identical to the former per-step join/window loop: rank 1 takes
+    * the max `__rel_u` (ties to the LOWER cand id); rank t takes the max of
+    * `__rel_u − max(s_u vs selected)` over the not-yet-selected candidates
+    * that HAVE a sim row against the selected set (the loop's inner join
+    * semantics) — all comparisons in exact integer micros, so list order
+    * from collect_list cannot affect the result. */
+  case class MmrCand(cand_id: Long, rel: Double, rel_u: Long)
+  case class MmrPairSim(ca: Long, cb: Long, s_u: Long)
+  case class MmrSelected(cand_id: Long, rel: Double,
+                         mmr_score2_micros: Long, mmr_rank: Long)
+  private val mmrGreedyFold = udf(
+    (cands: Seq[MmrCand], sims: Seq[MmrPairSim], k: Int) => {
+      val pool = cands.map(c => (c.cand_id, c.rel, c.rel_u))
+      val simMap = new scala.collection.mutable.HashMap[(Long, Long), Long]
+      if (sims != null) sims.foreach { r =>
+        simMap.put((r.ca, r.cb), r.s_u)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrSelected]
+      val selIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var t = 1
+      var done = false
+      while (t <= k && !done) {
+        var bestId = -1L; var bestRel = 0.0; var bestScore = 0L
+        var found = false
+        pool.foreach { case (id, rel, relU) =>
+          if (!selIds.contains(id)) {
+            // rank 1: the penalty term is 0 (empty selected set); later
+            // ranks: max sim vs selected, inner-join semantics (a candidate
+            // with no sim row against the selected set does not compete)
+            val msOpt =
+              if (t == 1) Some(0L)
+              else {
+                var ms = Long.MinValue
+                selIds.foreach { s =>
+                  simMap.get((id, s)).foreach(v => if (v > ms) ms = v)
+                }
+                if (ms == Long.MinValue) None else Some(ms)
+              }
+            msOpt.foreach { ms =>
+              val score = relU - ms
+              if (!found || score > bestScore ||
+                  (score == bestScore && id < bestId)) {
+                found = true; bestId = id; bestRel = rel; bestScore = score
+              }
+            }
+          }
+        }
+        if (!found) done = true
+        else {
+          out += MmrSelected(bestId, bestRel, bestScore, t.toLong)
+          selIds += bestId
+          t += 1
+        }
+      }
+      out.toSeq
+    })
 
   /** Position discount for graded ranking metrics, in exact integer
     * micro-units: w(r) = floor(1e6 / log2(r+1)). Computed HERE (plain JVM

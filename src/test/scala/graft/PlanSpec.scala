@@ -440,8 +440,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge for serving")
     assert(!p.contains("rangepartitioning"), "no global sort in the serving path")
-    // the probe head is a TakeOrdered, not a global sort of the corpus
-    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // r13: the probe batch is PINNED (one TakeOrdered cut at checkpoint
+    // build; the serve plan reads the 64-row materialized frame) — the
+    // corpus TakeOrdered must NOT re-run inside the serve plan
+    assert(p.contains("Scan ExistingRDD"),
+      "probe batch is no longer pinned — the corpus cut re-runs per reference: " + p.take(1500))
+    assert(!p.contains("TakeOrderedAndProject"),
+      "probe cut re-executes inside the serve plan instead of reading the pin")
   }
 
   test("kmeans assignment runs the native NearestCentroid expression (q72/q73)") {
@@ -477,25 +482,36 @@ class PlanSpec extends SparkSpec {
       "q120's rank DAG re-reads the corpus: the matrix is no longer localized")
   }
 
-  test("mmr rerank: greedy steps run over checkpointed bounded frames (q149)") {
+  test("mmr rerank: ONE greedy fold over per-probe arrays, no per-step joins (q149)") {
     val p = plan("q149_mmr_rerank")
-    // every step reads the localCheckpointed pool/sim/selection, so the
-    // executed DAG contains NO file scan (the corpus was read once, during
-    // the checkpointed pool/sim builds) and no sort-merge or range exchange
-    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
-      "greedy steps re-read the corpus: the pool/sim pins are gone")
+    // r13: the k−1 serialized join/window steps are gone — the greedy
+    // selection is a single per-probe fold (explode of the UDF over the
+    // collected pool/sim arrays). The plan must show exactly that shape:
+    // the fold explode, the two collect_list aggs, the pinned pool (an
+    // ExistingRDD scan), and the corpus entering ONLY through the sim
+    // pass's self-join (two FileScans — both sides of cand × cand; the
+    // pool pass ran once at checkpoint build). No window, no range sort.
+    assert(p.contains("Generate explode(UDF"),
+      "the greedy fold is gone — per-step joins are back: " + p.take(1500))
+    assert(p.contains("collect_list"), p.take(1500))
+    assert(p.contains("Scan ExistingRDD"), "the pool pin is gone")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"expected <= 2 corpus scans (the sim self-join), got $scans")
     assert(!p.contains("SortMergeJoin"), p.take(1500))
     assert(!p.contains("rangepartitioning"), "no global sort in the rerank")
+    assert(!p.contains("row_number"), "per-step windows are back")
   }
 
   test("sq recall: two corpus scans, stats as literals, top-k never a global sort (q152)") {
     val p = plan("q152_sq8_recall")
-    // exact + dequantized sides each scan the corpus once and re-read the
-    // 64-row probe batch: 4 scans, none of them a repeated corpus pass for
-    // the SQ stats — the min/max LUT is collected to plan literals, NOT
-    // joined (no fifth scan, no stats exchange)
+    // exact + dequantized sides each scan the corpus once; the 64-row probe
+    // batch is PINNED (r13), so its two references read the materialized
+    // frame, not the parquet: exactly 2 file scans. The min/max LUT is
+    // collected to plan literals, NOT joined (no stats scan, no exchange).
     val scans = p.linesIterator.count(_.contains("ReadSchema"))
-    assert(scans == 4, s"expected 4 scans (2 corpus + 2 probe), got $scans:\n${p.take(1200)}")
+    assert(scans == 2, s"expected 2 corpus scans (probe batch pinned), got $scans:\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD"), "probe batch pin is gone")
     // per-probe top-k runs through the bounded TopKAgg (ObjectHashAggregate),
     // so no rangepartitioning (global sort) appears anywhere
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(1500))

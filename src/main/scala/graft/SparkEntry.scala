@@ -2327,7 +2327,11 @@ object SparkEntry {
       // the <= nBuckets per-bucket stats broadcast for the tie-broken
       // top-term resolution. Overlay masses are bounded scoped aggs.
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val post = graft.domain.LexLake.tokenizePostings(docs, 16)
+      // the health report reads only (tbucket, term, doc_id) — the slim
+      // key projection skips tokenizePostings' corpus-wide (doc, term)
+      // aggregation exchange (tf/positions the report never reads); the
+      // row multiset on the read columns is identical (oracle-pinned)
+      val post = graft.domain.LexLake.tokenizePostingKeys(docs, 16)
       val nDocs = docs
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
         .select("doc_id").distinct().count()
@@ -2342,13 +2346,18 @@ object SparkEntry {
       // a plain explode + two-level agg, NOT a second positional
       // tokenizePostings pass (whose collect_list dominated the query's
       // cost at sf1 for a column this never reads)
+      // distinct (term, doc) pairs == per-doc DISTINCT terms: array_distinct
+      // BEFORE the explode makes the exploded frame distinct by
+      // construction, so the term df folds in one map-side-combining agg —
+      // no corpus-sized distinct exchange (guide §2.3: shuffle fewer bytes;
+      // the old shape shuffled every (doc, term) pair once for the distinct
+      // and again for the df agg)
       val tier = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
-        .distinct()
+        .select(explode(array_distinct(TF.tokens(col("text")))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
         .filter(col("df") > 50)
       graft.domain.LexLake.healthOfPostings(post, nDocs, tombs,
-        graft.domain.LexLake.tokenizePostings(edits, 16),
+        graft.domain.LexLake.tokenizePostingKeys(edits, 16),
         impactTier = Some(tier))
     }, Some(TextOracle.lexHealthSql(16, staleFoldMod = 7,
       staleDfThreshold = 50))),
@@ -2529,8 +2538,14 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(lit("inserted:"), col("doc_id").cast("string")).as("text")))
       val tombs = docs.filter(col("doc_id") % 13 === 5).select("doc_id")
+      // the folded logical corpus feeds all four of PRF's corpus passes
+      // (stats, two tf passes, the feedback prune) — persist it so the
+      // union + anti-join fold runs once, not once per pass (the q75
+      // persisted-clean-stage idiom; the lake twin reads STORED postings
+      // and never pays the fold at serve time)
       graft.operators.TextStats.bm25PrfExpand(
-        graft.domain.DedupLake.corpusFold(docs, edits, tombs),
+        graft.domain.DedupLake.corpusFold(docs, edits, tombs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         "doc_id", "text", queries, "probe_id", "terms",
         n = 10, fbDocs = 5, fbTerms = 3)
     }, Some(TextOracle.bm25PrfSql(Seq(

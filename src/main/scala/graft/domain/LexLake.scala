@@ -1494,6 +1494,22 @@ object LexLake {
   def tokenizePostings(docs: DataFrame, nBuckets: Int): DataFrame =
     postingsOf(docs, nBuckets)
 
+  /** The (term, doc_id, tbucket) KEY projection of [[tokenizePostings]] —
+    * one row per (doc, term), no tf/dl/position collection (r13
+    * optimization). For consumers that only read posting EXISTENCE (the
+    * health report's df and overlay masses): per-doc `array_distinct`
+    * makes the exploded frame distinct by construction, so the corpus-wide
+    * (doc, term) aggregation exchange [[postingsOf]] pays to build
+    * tf/positions disappears — the first downstream agg map-side-combines
+    * straight off the scan (guide §2.3). The row multiset on these three
+    * columns is IDENTICAL to [[tokenizePostings]]' (same explode domain:
+    * zero-token docs vanish); q164's oracle hash pins the equivalence. */
+  def tokenizePostingKeys(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TF.tokens(col("text")))).as("term"))
+      .select(col("term"), col("doc_id"),
+        bucketCol(col("term"), nBuckets).as("tbucket"))
+
   /** PER-BUCKET HEALTH of a posting set — the q150/q134 analog for the
     * lexical store (r10 verdict ask #7): the measurement that decides the
     * impact tier's df threshold and when to compact or reconcile. Per

@@ -296,9 +296,19 @@ object TextStats {
     * WITHOUT the rank cut — shared with [[bm25ProximityRank]], which
     * combines it with the proximity bonus before ONE final rank. `qterms`
     * is the already-gated exploded (probe_id, term) frame. */
+  /** The 1-row (n_docs, total_dl) corpus stats every BM25 pass crossJoins —
+    * factored out so a multi-pass caller ([[bm25PrfExpand]]) computes the
+    * corpus-length pass ONCE and shares the materialized row. */
+  private def corpusDlStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TF.tokenCount(col(textCol)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
   private def bm25ScoredPerQuery(docs: DataFrame, idCol: String,
                                  textCol: String, qterms: DataFrame,
-                                 k1: Double, b: Double): DataFrame = {
+                                 k1: Double, b: Double,
+                                 sharedStats: Option[DataFrame] = None)
+      : DataFrame = {
     // dl = size(tokens) per row (no explode + (doc)-keyed corpus agg: the
     // per-row token count IS the doc length under the unique-doc-id corpus
     // contract; zero-token docs drop, matching the explode domain), and it
@@ -306,9 +316,7 @@ object TextStats {
     // dependent on doc_id) — the old shape paid a full tokenize+agg pass for
     // dl AND a (doc)-keyed join to re-attach it; this one pays neither
     // (guide §2.3/§2.4: fewer corpus passes, one less exchange).
-    val dl = docs.select(TF.tokenCount(col(textCol)).as("dl"))
-      .filter(col("dl") > 0)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val stats = sharedStats.getOrElse(corpusDlStats(docs, textCol))
     // the token ARRAY binds once per doc in its own projection (CollapseProject
     // keeps a non-cheap expression referenced twice in its own project), so
     // dl = size(attr) is O(1) per exploded row — inlining TF.tokenCount here
@@ -388,12 +396,17 @@ object TextStats {
       .select("term", "doc_id", "s_micros", "df")
     // the impact cut: capped terms keep their per-term top-M rows only
     // (bounded heap keyed by TERM — partial agg, no per-term full sort);
-    // uncapped terms pass through whole
-    val capped = posted.filter(col("df") > dfThreshold)
+    // uncapped terms pass through whole. posted is referenced by BOTH the
+    // capped and the uncapped arm — persist the query-term-pruned posting
+    // frame so the tokenize+score pipeline behind it runs once, not twice
+    // (guide §2.4; a lake deployment reads the prebuilt tier instead)
+    val postedP = posted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = postedP.filter(col("df") > dfThreshold)
     val kept = Serving.rankTopNMicros(capped, impactPostings,
         "doc_id", "s_micros", keyCol = "term")
       .select("term", "doc_id", "s_micros")
-      .unionByName(posted.filter(col("df") <= dfThreshold)
+      .unionByName(postedP.filter(col("df") <= dfThreshold)
         .select("term", "doc_id", "s_micros"))
     Serving.rankTopNMicros(
       kept.join(broadcast(qterms), Seq("term"))
@@ -439,8 +452,13 @@ object TextStats {
     // by definition.
     val qterms = Serving.queryTermsBatch(queries, queryIdCol, termsCol,
       maxBroadcastQueryTerms, pin = true)
+    // the corpus dl/stats pass is identical in BOTH scoring passes (same
+    // corpus) — compute it once, pin the 1-row result, share it (one full
+    // corpus scan saved per PRF call)
+    val stats = corpusDlStats(docs, textCol).localCheckpoint(true)
     val fb = Serving.rankTopNMicros(
-        bm25ScoredPerQuery(docs, idCol, textCol, qterms, k1, b),
+        bm25ScoredPerQuery(docs, idCol, textCol, qterms, k1, b,
+          sharedStats = Some(stats)),
         fbDocs, "doc_id", "bm25_micros")
       .select("probe_id", "doc_id")
       .localCheckpoint(true)
@@ -477,7 +495,8 @@ object TextStats {
       .distinct()
       .localCheckpoint(true)
     Serving.rankTopNMicros(
-      bm25ScoredPerQuery(docs, idCol, textCol, expandedTerms, k1, b),
+      bm25ScoredPerQuery(docs, idCol, textCol, expandedTerms, k1, b,
+        sharedStats = Some(stats)),
       n, "doc_id", "bm25_micros")
   }
 
